@@ -1,0 +1,147 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.graphx.{Edge, Graph, Pregel, EdgeDirection, EdgeTriplet, VertexId}
+
+/** Variable-length traversal layer — the one capability with no Catalyst
+  * analog (SURVEY §4.2). Implements the reference's bounded var-length
+  * Cypher patterns:
+  *
+  *   - `CALLS*1..10` impact analysis (`pkg/neo4j/query.go:203-242`),
+  *   - `FLOWS_TO*1..15` data lineage with path capture (`query.go:245-285`),
+  *   - `CONTAINS*` containment closure used by find-references and
+  *     service-deps (`query.go:121-163`, `query.go:288-323`).
+  *
+  * Two engines:
+  *   - DataFrame iterative BFS (default): frontier ⋈ edges per superstep,
+  *     `localCheckpoint` to truncate lineage, anti-join against visited for
+  *     DISTINCT-node semantics. At cluster scale each superstep is one
+  *     shuffle on the join key; the frontier is usually small → Spark
+  *     auto-broadcasts it (AQE), so the big edge table never re-shuffles.
+  *   - GraphX Pregel (for dense fan-out): vertex-parallel, no per-hop
+  *     driver sync beyond the superstep barrier.
+  *
+  * Depth caps mirror the reference's blow-up guards (≤10 / ≤15).
+  */
+object Traversals {
+
+  /** Minimum-depth reachability from `seeds` following `edges` (cols
+    * src, dst) forward, up to `maxHops`. Returns (id, depth) with depth =
+    * min #hops ≥ 1 (seeds themselves are not returned, matching
+    * `CALLS*1..10` which excludes the start node unless cyclic).
+    */
+  def reachable(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var frontier = seeds.select(col("id")).distinct()
+        .localCheckpoint(eager = true)
+      var visited = frontier.withColumn("depth", lit(0))
+        .localCheckpoint(eager = true)
+      var depth = 0
+      while (depth < maxHops && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier.join(e, frontier("id") === e("src"))
+          .select(e("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+        visited = visited.unionByName(next.withColumn("depth", lit(depth)))
+          .localCheckpoint(eager = true)
+        frontier = next
+      }
+      visited.filter(col("depth") >= 1)
+    } finally e.unpersist()
+  }
+
+  /** Bounded transitive closure with depth: (ancestor, descendant, depth)
+    * for 1 ≤ depth ≤ maxDepth, following src→dst. The materialized
+    * `CONTAINS*` closure table of SURVEY §7.1 step 3. Doubling is not used
+    * — depth semantics require the linear expansion, and tree-shaped
+    * CONTAINS graphs stay small per level.
+    */
+  def closure(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var level = e.select(col("src").as("ancestor"),
+        col("dst").as("descendant"), lit(1).as("depth"))
+        .localCheckpoint(eager = true)
+      var acc = level
+      var d = 1
+      while (d < maxDepth && !level.isEmpty) {
+        d += 1
+        val next = level.join(e, level("descendant") === e("src"))
+          .select(level("ancestor"), e("dst").as("descendant"),
+            lit(d).as("depth"))
+          // keep min-depth pairs only (DISTINCT-node semantics)
+          .join(acc.select(col("ancestor"), col("descendant")),
+            Seq("ancestor", "descendant"), "left_anti")
+          .distinct()
+          .localCheckpoint(eager = true)
+        acc = acc.unionByName(next).localCheckpoint(eager = true)
+        level = next
+      }
+      acc
+    } finally e.unpersist()
+  }
+
+  /** Path enumeration from seeds with cycle-safe visited tracking:
+    * returns (start, end, depth, path: array<long>) for every simple path
+    * of length 1..maxHops. The `nodes(path)` capture of the reference's
+    * data-lineage query (`query.go:245-285`). Exponential in dense graphs
+    * — callers cap depth like the reference (≤15) and pre-filter seeds.
+    */
+  def paths(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var level = seeds.select(col("id").as("start"))
+        .join(e, col("start") === e("src"))
+        .select(col("start"), e("dst").as("end"), lit(1).as("depth"),
+          array(col("start"), col("dst")).as("path"))
+        .localCheckpoint(eager = true)
+      var acc = level
+      var d = 1
+      while (d < maxHops && !level.isEmpty) {
+        d += 1
+        val next = level.join(e, level("end") === e("src"))
+          .filter(!array_contains(level("path"), e("dst"))) // simple paths
+          .select(level("start"), e("dst").as("end"), lit(d).as("depth"),
+            concat(level("path"), array(e("dst"))).as("path"))
+          .localCheckpoint(eager = true)
+        acc = acc.unionByName(next).localCheckpoint(eager = true)
+        level = next
+      }
+      acc
+    } finally e.unpersist()
+  }
+
+  /** GraphX Pregel min-depth reachability — the vertex-parallel engine for
+    * dense call graphs where the DataFrame frontier grows large. Returns
+    * (id, depth) like [[reachable]].
+    */
+  def reachableGraphX(spark: SparkSession, edges: DataFrame,
+      seedIds: Seq[Long], maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .rdd.map { case (s, d) => Edge(s, d, ()) }
+    val graph = Graph.fromEdges(edgeRdd, Int.MaxValue)
+    val seeds = seedIds.toSet
+    val init = graph.mapVertices((vid, _) =>
+      if (seeds.contains(vid)) 0 else Int.MaxValue)
+    val result = Pregel(init, Int.MaxValue, maxHops,
+      EdgeDirection.Out)(
+      vprog = (_, attr, msg: Int) => math.min(attr, msg),
+      sendMsg = (t: EdgeTriplet[Int, Unit]) =>
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      mergeMsg = math.min)
+    result.vertices
+      .filter { case (_, d) => d != Int.MaxValue && d >= 1 }
+      .map { case (vid, d) => (vid, d) }
+      .toDF("id", "depth")
+  }
+}

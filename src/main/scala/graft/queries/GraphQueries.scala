@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.Traversals
+
+/** Driver-facing traversal queries (SURVEY §2.3 J2/J4/J5 — the var-length
+  * Cypher patterns). The graph is derived deterministically from the part
+  * table: every part key ≥ 2 has a single parent `key div 2`, giving a
+  * binary tree of depth ~log2(N) that both Spark and the DuckDB oracle
+  * (recursive CTE) can construct identically.
+  *
+  * Scale: each BFS/closure superstep is one join keyed on the frontier;
+  * with AQE the (small) frontier side broadcasts, so the edge table is
+  * never re-shuffled. Depth caps (10/15) mirror the reference's guards
+  * (`query.go:209,250`).
+  */
+object GraphQueries {
+
+  /** Child→parent tree edges. */
+  private def treeEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("src"),
+        expr("p_partkey div 2").as("dst"))
+
+  private val treeSql =
+    "SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2"
+
+  // ---------------------------------------------------------------------
+  // q17 — bounded min-depth reachability (J4 impact-analysis shape:
+  // `CALLS*1..10` from a seed set, DISTINCT nodes with min depth).
+  // ---------------------------------------------------------------------
+  def q17_bfs_reach(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey").as("id"))
+    Traversals.reachable(treeEdges(spark, dir), seeds, 10)
+      .orderBy(col("id"))
+  }
+
+  val q17_sql: String =
+    s"""WITH RECURSIVE tree AS ($treeSql),
+       |r(id, depth) AS (
+       |  SELECT p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+       |  UNION
+       |  SELECT t.dst, r.depth + 1 FROM r JOIN tree t ON r.id = t.src
+       |  WHERE r.depth < 10
+       |)
+       |SELECT id, MIN(depth) AS depth FROM r
+       |GROUP BY id HAVING MIN(depth) >= 1
+       |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18 — transitive-closure depth histogram (J2/J6 CONTAINS* closure
+  // shape: the materialized containment closure, aggregated by depth).
+  // ---------------------------------------------------------------------
+  def q18_closure_depths(spark: SparkSession, dir: String): DataFrame = {
+    val parentChild = Tables.part(spark, dir)
+      .filter(col("p_partkey") >= 2)
+      .select(expr("p_partkey div 2").as("src"),
+        col("p_partkey").as("dst"))
+    Traversals.closure(parentChild, 12)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("depth"))
+  }
+
+  val q18_sql: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT p_partkey // 2 AS src, p_partkey AS dst FROM part
+      |  WHERE p_partkey >= 2),
+      |cl(anc, des, depth) AS (
+      |  SELECT src, dst, 1 FROM tree
+      |  UNION
+      |  SELECT cl.anc, t.dst, cl.depth + 1 FROM cl JOIN tree t
+      |  ON cl.des = t.src WHERE cl.depth < 12
+      |)
+      |SELECT depth, COUNT(*) AS n_pairs FROM cl
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19 — path capture (J5 data-lineage shape: `FLOWS_TO*1..15` with
+  // nodes(path) returned). Paths rendered as '->' strings for the
+  // hash compare.
+  // ---------------------------------------------------------------------
+  def q19_path_capture(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 199 === 0 && col("p_partkey") >= 2)
+      .select(col("p_partkey").as("id"))
+    Traversals.paths(treeEdges(spark, dir), seeds, 15)
+      .select(col("start").as("start_id"), col("end").as("end_id"),
+        col("depth"), array_join(col("path"), "->").as("path"))
+      .orderBy(col("start_id"), col("depth"))
+  }
+
+  val q19_sql: String =
+    s"""WITH RECURSIVE tree AS ($treeSql),
+       |p(start_id, end_id, depth, path) AS (
+       |  SELECT src, dst, 1,
+       |         CAST(src AS VARCHAR) || '->' || CAST(dst AS VARCHAR)
+       |  FROM tree WHERE src % 199 = 0
+       |  UNION ALL
+       |  SELECT p.start_id, t.dst, p.depth + 1,
+       |         p.path || '->' || CAST(t.dst AS VARCHAR)
+       |  FROM p JOIN tree t ON p.end_id = t.src WHERE p.depth < 15
+       |)
+       |SELECT start_id, end_id, depth, path FROM p
+       |ORDER BY start_id, depth""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_bfs_reach" -> q17_bfs_reach _,
+    "q18_closure_depths" -> q18_closure_depths _,
+    "q19_path_capture" -> q19_path_capture _)
+
+  val oracles: Map[String, String] = Map(
+    "q17_bfs_reach" -> q17_sql,
+    "q18_closure_depths" -> q18_sql,
+    "q19_path_capture" -> q19_sql)
+}

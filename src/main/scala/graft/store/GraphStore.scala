@@ -1,0 +1,159 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Model
+
+/** Parquet-backed property-graph store with MERGE-semantics writes.
+  *
+  * Spark-native replacement for the reference's Neo4j client
+  * (`pkg/neo4j/client.go`): instead of one Bolt round-trip per node/edge
+  * (`client.go:104-212`, the reason its self-index takes ~45 s —
+  * BASELINE.md), ingest is two DataFrame writes. Upsert identity is a
+  * deterministic hash of (label, merge-key columns), so re-ingesting is
+  * idempotent like Neo4j MERGE (`client.go:135-179`).
+  *
+  * Scale design:
+  *   - `nodes` partitioned by `label`, `edges` by `relType` → label/type
+  *     predicates become partition pruning, the Parquet analog of Neo4j's
+  *     label indexes (`schema.go:82-203`);
+  *   - MERGE = union + window keep-latest: one hash shuffle on `id`, no
+  *     driver loops;
+  *   - writes go to a new snapshot directory then swap, so readers never
+  *     see a half-written graph (job-atomic, SURVEY §4.2).
+  */
+class GraphStore(spark: SparkSession, basePath: String) {
+  import GraphStore._
+
+  private def nodesPath = s"$basePath/nodes"
+  private def edgesPath = s"$basePath/edges"
+
+  def nodes: DataFrame = {
+    val raw = spark.read.parquet(nodesPath)
+    raw.select(Model.nodeSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  def edges: DataFrame = {
+    val raw = spark.read.parquet(edgesPath)
+    raw.select(Model.edgeSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  def nodesByLabel(label: String): DataFrame =
+    nodes.filter(col("label") === label)
+
+  def edgesByType(relType: String): DataFrame =
+    edges.filter(col("relType") === relType)
+
+  private def exists(path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Upsert nodes. Incoming rows may carry any subset of the node schema
+    * plus `label`; ids are derived from merge keys when absent. Keep-latest
+    * per id (incoming wins over existing; within incoming, greatest
+    * updatedAt then arbitrary-but-deterministic).
+    */
+  def mergeNodes(incoming: DataFrame): Unit = {
+    val withId = ensureNodeIds(incoming)
+    val aligned = align(withId, Model.nodeSchema)
+    val merged =
+      if (exists(nodesPath)) keepLatest(nodes, aligned)
+      else keepLatest(emptyDf(spark, Model.nodeSchema), aligned)
+    writeSnapshot(merged, nodesPath, Seq("label"))
+  }
+
+  /** Upsert edges: identity = (src, dst, relType). */
+  def mergeEdges(incoming: DataFrame): Unit = {
+    def keyed(df: DataFrame): DataFrame =
+      df.withColumn("id", xxhash64(col("src"), col("dst"), col("relType")))
+    val aligned = keyed(align(incoming, Model.edgeSchema))
+    val existing = keyed(
+      if (exists(edgesPath)) edges else emptyDf(spark, Model.edgeSchema))
+    val merged = keepLatest(existing, aligned).drop("id")
+    writeSnapshot(merged, edgesPath, Seq("relType"))
+  }
+
+  /** Drop edges whose endpoints are absent from `nodes` — the existence
+    * join the reference performs before each relationship insert
+    * (`client.go:184-188`, SURVEY J11). */
+  def danglingEdges(): DataFrame = {
+    val ids = nodes.select(col("id"))
+    val key = edges.select(col("src"), col("dst"), col("relType"))
+    key.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .union(key.join(ids.withColumnRenamed("id", "dst"),
+        Seq("dst"), "left_anti"))
+      .distinct()
+  }
+
+  private def writeSnapshot(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Unit = {
+    val tmp = s"$path.__tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+}
+
+object GraphStore {
+
+  /** Deterministic node id: hash of label + the label's merge-key columns
+    * (Model.MergeKeys). The Spark analog of elementId(n): stable across
+    * re-ingests so MERGE works (SURVEY §1.7). */
+  def nodeId(label: String, keyCols: Column*): Column =
+    xxhash64((lit(label) +: keyCols): _*)
+
+  /** Fill ids for rows that lack one, using per-label merge keys. */
+  def ensureNodeIds(df: DataFrame): DataFrame = {
+    val withIdCol =
+      if (df.columns.contains("id")) df else df.withColumn("id", lit(null))
+    val keyExpr = Model.MergeKeys.foldLeft(lit(null).cast("long")) {
+      case (acc, (label, keys)) =>
+        val keyCols = keys.map(k =>
+          if (withIdCol.columns.contains(k)) col(k).cast("string")
+          else lit(null).cast("string"))
+        when(col("label") === label,
+          xxhash64((lit(label) +: keyCols): _*)).otherwise(acc)
+    }
+    withIdCol.withColumn("id",
+      coalesce(col("id").cast("long"), keyExpr,
+        xxhash64(col("label"), to_json(struct(withIdCol.columns
+          .filterNot(_ == "id").sorted.map(col): _*)))))
+  }
+
+  /** Union + keep one row per id: incoming beats existing, newer updatedAt
+    * beats older. One shuffle; no driver round-trips. */
+  def keepLatest(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val e = existing.withColumn("_gen", lit(0))
+    val i = incoming.withColumn("_gen", lit(1))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("_gen").desc, col("updatedAt").desc_nulls_last)
+    e.unionByName(i)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_gen")
+  }
+
+  /** Project a loosely-shaped DataFrame onto `schema`: missing columns
+    * become nulls, present ones are cast; extra columns are folded into
+    * the `properties` overflow map only if already provided. */
+  def align(df: DataFrame, schema: StructType): DataFrame = {
+    val cols = schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema)
+}

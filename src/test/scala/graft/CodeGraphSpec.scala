@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CodeGraph
+import graft.model.Model.Labels
+
+class CodeGraphSpec extends SparkSpec {
+  lazy val store = FixtureGraph.store(spark)
+  lazy val cg = CodeGraph(store)
+
+  test("goToDefinition finds the defining function for a symbol") {
+    val rows = cg.goToDefinition("scip-go go test-service v1 pkg/Main().")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("name") === "Main")
+    assert(rows(0).getAs[String]("filePath") === "pkg/a.go")
+  }
+
+  test("findReferences resolves usages + ancestor file, ordered") {
+    val rows = cg.findReferences("scip-go go test-service v1 pkg/Main().")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("path") === "pkg/b.go")
+    assert(rows(0).getAs[Int]("startLine") === 5)
+  }
+
+  test("findImplementations walks Symbol<-DEFINES-Interface<-IMPLEMENTS-Class") {
+    val rows = cg.findImplementations("scip-go go test-service v1 pkg/Doer#")
+      .collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq === Seq("Impl"))
+  }
+
+  test("impactAnalysis reaches the whole CALLS chain and the exposed route") {
+    val rows = cg.impactAnalysis(FixtureGraph.fMain, 10).collect()
+    val names = rows.map(_.getAs[String]("name")).toSet
+    assert(names === Set("Helper", "Deep", "Handler"))
+    val routes = rows.flatMap(r => Option(r.getAs[String]("routePath"))).toSet
+    assert(routes === Set("/api/users"))
+    // depth semantics
+    val byName = rows.map(r => r.getAs[String]("name") ->
+      r.getAs[Int]("depth")).toMap
+    assert(byName("Helper") === 1 && byName("Deep") === 2 &&
+      byName("Handler") === 3)
+  }
+
+  test("impactAnalysis respects the depth cap") {
+    val rows = cg.impactAnalysis(FixtureGraph.fMain, 2).collect()
+    assert(rows.map(_.getAs[String]("name")).toSet === Set("Helper", "Deep"))
+  }
+
+  test("dataLineage captures the FLOWS_TO path ending in a Method parameter") {
+    val rows = cg.dataLineage(FixtureGraph.pIn, 15).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("path")).toList ===
+      List(FixtureGraph.pIn, FixtureGraph.vMid, FixtureGraph.pOut))
+    assert(rows(0).getAs[String]("methodName") === "Process")
+  }
+
+  test("searchNodes ranks Function over Class over File") {
+    val rows = cg.searchNodes("e").collect() // matches many names
+    val ranks = rows.map(_.getAs[Int]("rank"))
+    assert(ranks.sorted.toSeq === ranks.toSeq) // ordered by rank
+    assert(rows.head.getAs[Int]("rank") === 1)
+  }
+
+  test("callersOf / calleesOf") {
+    assert(cg.callersOf("Helper").collect()
+      .map(_.getAs[String]("name")).toSeq === Seq("Main"))
+    assert(cg.calleesOf("Helper").collect()
+      .map(_.getAs[String]("name")).toSeq === Seq("Deep"))
+  }
+
+  test("countByLabel / countByRelType") {
+    val labels = cg.countByLabel().collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("count")).toMap
+    assert(labels(Labels.Function) === 4L)
+    assert(labels(Labels.Symbol) === 3L)
+    val rels = cg.countByRelType().collect()
+      .map(r => r.getAs[String]("relType") -> r.getAs[Long]("count")).toMap
+    assert(rels("CONTAINS") === 13L)
+    assert(rels("CALLS") === 3L)
+  }
+
+  test("integrityChecks: clean fixture has zero violations") {
+    val checks = cg.integrityChecks().collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("violationCount"))
+      .toMap
+    assert(checks("orphaned_references") === 0L)
+    assert(checks("services_without_files") === 0L)
+  }
+
+  test("sourceLocation + extractSpan byte-slice oracle") {
+    val loc = cg.sourceLocation("Main").collect()
+    assert(loc.length === 1)
+    val content = "0123456789" * 30
+    val got = CodeGraph.extractSpan(content, Some(5), Some(15), 1, 10)
+    assert(got === content.substring(5, 15))
+    // line fallback
+    val text = (1 to 20).map(i => s"line$i").mkString("\n")
+    val lines = CodeGraph.extractSpan(text, None, None, 2, 4)
+    assert(lines === "line2\nline3\nline4")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.graph.Traversals
+
+class TraversalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // diamond + cycle: 1→2, 1→3, 2→4, 3→4, 4→5, 5→2 (cycle back)
+  private def edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 2L)).toDF("src", "dst")
+
+  test("reachable: min-depth BFS with cycle safety") {
+    val seeds = Seq(1L).toDF("id")
+    val got = Traversals.reachable(edges, seeds, 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+  }
+
+  test("reachable respects maxHops") {
+    val seeds = Seq(1L).toDF("id")
+    val got = Traversals.reachable(edges, seeds, 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(2L, 3L))
+  }
+
+  test("closure on a tree gives (ancestor, descendant, depth)") {
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Traversals.closure(tree, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 4L, 1), (1L, 4L, 2)))
+  }
+
+  test("paths enumerates simple paths only (no cycles)") {
+    val seeds = Seq(1L).toDF("id")
+    val got = Traversals.paths(edges, seeds, 10).collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("path")).toList).toSet
+    // all paths start at 1; no node repeats within a path
+    assert(got.forall(p => p.head == 1L && p.distinct.length == p.length))
+    // longest simple path: 1→2→4→5 or 1→3→4→5 then →2 (only via 5→2 for the 3-branch)
+    assert(got.contains(List(1L, 2L, 4L, 5L)))
+    assert(got.contains(List(1L, 3L, 4L, 5L, 2L)))
+  }
+
+  test("GraphX Pregel reachability agrees with DataFrame BFS") {
+    val df = Traversals.reachable(edges, Seq(1L).toDF("id"), 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gx = Traversals.reachableGraphX(spark, edges, Seq(1L), 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(df === gx)
+  }
+}
