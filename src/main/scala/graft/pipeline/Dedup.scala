@@ -1,0 +1,186 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed so
+  * the candidate-generation step is a hash-partitioned join (never an
+  * all-pairs comparison) and therefore survives 100 TB:
+  *
+  *   - exact:   one groupBy on a content hash;
+  *   - MinHash+LSH: shingle → K min-hashes → B banded bucket keys →
+  *     bucket equi-join (only same-bucket docs are compared);
+  *   - SimHash: 32-bit signature → 4×8-bit bands → bucket join →
+  *     hamming-distance filter;
+  *   - n-gram Jaccard: token explode → token equi-join → |∩|/|∪|.
+  *
+  * All column-expression based (codegen'd); hash family = md5/xxhash so
+  * results are engine-portable and deterministic.
+  */
+object Dedup {
+
+  /** Whitespace token set per row (distinct). */
+  private def tokenSet(text: Column): Column =
+    array_distinct(TextAnalysis.tokens(text))
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact-duplicate groups by content hash: (content_hash, n_copies,
+    * keeper_id = min id). Keep-one policy joins back on keeper_id. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Rows surviving exact dedup (min-id per identical content). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard
+  // -------------------------------------------------------------------
+
+  /** Word n-gram shingles (n=1 → token set). */
+  def shingles(text: Column, n: Int): Column =
+    if (n <= 1) tokenSet(text)
+    else {
+      val toks = TextAnalysis.tokens(text)
+      array_distinct(
+        when(size(toks) < n, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
+
+  /** Pairwise Jaccard similarity over n-gram shingle sets, via a shingle
+    * equi-join (docs sharing no shingle never meet). Returns
+    * (id_a, id_b, intersection, size_a, size_b, jaccard) with id_a<id_b.
+    * At scale, add a document-frequency cap on shingles first (ultra-
+    * common shingles explode the join) — see `dfCapped`.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a")
+        .withColumnRenamed("sz", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc", "id_b")
+        .withColumnRenamed("sz", "size_b"), Seq("id_b"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("size_a"), col("size_b"), col("jaccard"))
+  }
+
+  /** Drop shingles appearing in more than maxDf documents before joining —
+    * the skew guard that keeps the shingle join linear at 100 TB. */
+  def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
+    val rare = sh.groupBy(col("shingle")).count()
+      .filter(col("count") <= maxDf).select(col("shingle"))
+    sh.join(broadcast(rare), Seq("shingle"), "left_semi")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** K min-hash signatures per doc. Hash family: md5(token ":" seed) —
+    * lexicographic min of the hex digest is a uniform min-hash, and is
+    * reproducible in any engine with md5. Returns (doc, seed, sig). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(tokenSet(col(textCol))).as("tok"))
+    val seeds = df.sparkSession.range(numHashes)
+      .select(col("id").cast("int").as("seed"))
+    toks.crossJoin(broadcast(seeds))
+      .groupBy(col("doc"), col("seed"))
+      .agg(min(md5(concat(col("tok"), lit(":"),
+        col("seed").cast("string")))).as("sig"))
+  }
+
+  /** LSH band keys: rowsPerBand signatures concatenated and re-hashed.
+    * Docs agreeing on any band are candidate near-duplicates. */
+  def minHashBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs.withColumn("band", floor(col("seed") / rowsPerBand))
+      .groupBy(col("doc"), col("band"))
+      .agg(md5(concat_ws("|",
+        sort_array(collect_list(struct(col("seed"), col("sig"))))
+          .getField("sig"))).as("band_key"))
+
+  /** Candidate pairs from banded LSH: (id_a, id_b, shared_bands). */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = minHashBands(
+      minHashSignatures(df, idCol, textCol, numHashes), rowsPerBand)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 60-bit token hash portable across engines: first 15 hex chars of
+    * md5, parsed base-16. */
+  private def tokHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** `bits`-bit SimHash signature per doc over the distinct-token set:
+    * bit i of the signature is set iff more token-hashes have bit i set
+    * than clear. Returns (doc, simhash). */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc"),
+      explode(tokenSet(col(textCol))).as("tok"))
+      .select(col("doc"), tokHash(col("tok")).as("h"))
+    exploded
+      .select(col("doc"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .groupBy(col("doc"), col("bit"))
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
+        .otherwise(-1)).as("balance"))
+      .groupBy(col("doc"))
+      .agg(sum(when(col("balance") > 0,
+        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Near-duplicate candidates: split the signature into 8-bit bands,
+    * bucket-join, then filter by hamming distance ≤ maxHamming.
+    * Any pair within hamming d of a b-band signature shares ≥1 exact band
+    * when d < b, so banding loses no candidates at maxHamming ≤ 3. */
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(df, idCol, textCol, bits)
+    val nBands = bits / 8
+    val banded = sigs.select(col("doc"), col("simhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr(
+        "bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side contract is real and tested — schema, partitioning,
+  * batch iteration shape, feature output schema. The actual media decode
+  * is STUBBED (this container has no image/audio codecs): `decodeStub`
+  * derives deterministic fake features from the bytes. Swap `decodeStub`
+  * for a real codec (e.g. JNI/javacv) without touching the plumbing.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, modality: String, bytes: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  case class MediaFeatures(media_id: Long, modality: String,
+      n_bytes: Int, checksum: Long, features: Array[Float])
+
+  /** STUB decode: a real implementation would decode the image/audio and
+    * compute embeddings; this derives a deterministic 8-dim feature vector
+    * from the raw bytes so the pipeline shape is testable end-to-end. */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % 8) = out(i % 8) + (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Per-partition batched feature extraction — the `mapPartitions` shape
+    * that a Pandas-UDF/`mapInPandas` stage takes on a Python stack: one
+    * iterator in, one iterator out, no per-row task overhead, constant
+    * memory. Partition count controls decode parallelism.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var cks = 0L
+        r.bytes.foreach(b => cks = cks * 31 + (b & 0xff))
+        MediaFeatures(r.media_id, r.modality, r.bytes.length, cks,
+          decodeStub(r.bytes))
+      }
+    }
+  }
+
+  /** Frame-sampling shape for video: emit every `stride`-th chunk of the
+    * payload as a frame row (a real impl samples decoded frames; the
+    * chunking and fan-out schema are what matter at the Spark layer). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int,
+      frameSize: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.bytes.grouped(frameSize).zipWithIndex
+        .filter { case (_, idx) => idx % stride == 0 }
+        .map { case (chunk, idx) =>
+          (r.media_id, idx, chunk.length, decodeStub(chunk)) }
+    }.toDF("media_id", "frame_index", "frame_bytes", "frame_features")
+  }
+
+  /** Synthesize a deterministic media table from any numeric id column —
+    * used by specs and demos in lieu of real binaries. */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val bytes = Array.tabulate[Byte](64 + (i % 64).toInt)(j =>
+        ((i * 31 + j * 7) % 251).toByte)
+      val modality = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      MediaRow(i, modality, bytes, 32, 32, 16000)
+    }
+  }
+}

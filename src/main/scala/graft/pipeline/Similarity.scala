@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: broadcast the (small) query set against
+  *     the corpus — exact, one pass over the corpus, no shuffle of the
+  *     corpus side. The right baseline whenever |queries| ≪ |corpus|.
+  *   - random-hyperplane LSH: 'planes'-bit signature per vector from
+  *     deterministic seeded hyperplanes; bucket-join on signature
+  *     prefix bands, re-rank candidates exactly. At 100 TB the bucket
+  *     join replaces the corpus-wide scan per query (IVF-style pruning;
+  *     recall tunable via bands/planes).
+  *
+  * All math in double precision column expressions (`zip_with` +
+  * `aggregate` fold = deterministic left-to-right summation).
+  */
+object Similarity {
+
+  /** Elementwise dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Query side must be small (broadcast).
+    * Returns (query_id, neighbor_id, sim, rank); sim rounded to
+    * `roundTo` decimals for cross-engine determinism in rank ties.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundTo: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-0.5, 0.5). */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (conv(substring(md5(concat_ws(":", plane, dim)), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)) - 0.5
+
+  /** `planes`-bit signature: bit p = sign of <v, hyperplane_p>. */
+  def lshSignature(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val withDim = v.select(col("vid"), col("v"),
+      explode(sequence(lit(0), size(col("v")) - 1)).as("dim"))
+      .select(col("vid"), col("dim"), col("v").getItem(col("dim")).as("x"),
+        explode(sequence(lit(0), lit(planes - 1))).as("plane"))
+      .withColumn("w", planeComponent(col("plane"), col("dim")))
+    withDim.groupBy(col("vid"), col("plane"))
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .groupBy(col("vid"))
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(cast(1 as bigint), plane)")).otherwise(0L))
+        .as("lsh_sig"))
+  }
+
+  /** Candidate pairs whose signatures agree on at least one `bandBits`-
+    * wide band; re-ranked by exact cosine downstream. */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val sigs = lshSignature(df, idCol, vecCol, planes)
+    val nBands = planes / bandBits
+    val banded = sigs.select(col("vid"), col("lsh_sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(lsh_sig, band * $bandBits) & ${(1 << bandBits) - 1}"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH-accelerated approximate top-k: candidates from banded signatures,
+    * exact cosine re-rank. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 16, bandBits: Int = 8, roundTo: Int = 5): DataFrame = {
+    val cands = lshCandidates(df, idCol, vecCol, planes, bandBits)
+    // candidates are undirected; expand to both directions for per-query k
+    val directed = cands.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      .unionByName(cands.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id")))
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    val scored = directed
+      .join(v.withColumnRenamed("vid", "query_id")
+        .withColumnRenamed("vec", "qv"), Seq("query_id"))
+      .join(v.withColumnRenamed("vid", "neighbor_id")
+        .withColumnRenamed("vec", "cv"), Seq("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+}

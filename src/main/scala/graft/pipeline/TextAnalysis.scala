@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All pure column expressions (whole-stage codegen'd; no
+  * UDFs in the hot path), so they run at scan speed over 100 TB of text.
+  *
+  * Natural extensions of the reference's document feature extraction
+  * (`pkg/indexer/documents/parser.go`) to pipeline scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: word-boundary pieces plus digit and
+    * punctuation runs (a cheap stand-in for a real BPE vocab — counts the
+    * units a byte-pair tokenizer would not merge across). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[A-Z])|[^A-Za-z0-9]+"),
+      x => length(x) > 0))
+
+  /** Fraction of characters that are neither alphanumeric nor space. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+          .cast("double") / length(text))
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column,
+      stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, lower(t))))
+        .cast("double") / size(toks))
+  }
+
+  /** Mean token length (characters). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — the shape used by pretraining
+    * data filters: rewards reasonable length and a healthy stopword rate,
+    * penalizes punctuation soup. Deterministic closed form. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    round((lenScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** Integer-exact quality score in parts-per-million — same formula as
+    * [[qualityScore]] but computed entirely in integer arithmetic (`div`
+    * floor division), so any engine produces bit-identical results; no
+    * float rounding boundaries. Takes column NAMES (built as a SQL expr
+    * to use the integer `div` operator). */
+  def qualityScorePpm(textCol: String, nCharsCol: String): Column = {
+    val swList = defaultStopwords.map(w => s"'$w'").mkString(",")
+    expr(
+      s"""(cast(least(2000 * $nCharsCol, 1000000) as bigint) * 4 +
+         |(case when trim($textCol) = '' then 0
+         |  else least((cast(size(filter(split(trim($textCol), '\\\\s+'),
+         |    x -> lower(x) in ($swList))) as bigint) * 5000000)
+         |    div size(split(trim($textCol), '\\\\s+')), 1000000) end) * 3 +
+         |(case when length($textCol) = 0 then 1000000
+         |  else greatest(0, 1000000 -
+         |    (cast(length($textCol) - length(regexp_replace($textCol,
+         |      '[^a-zA-Z0-9 ]', '')) as bigint) * 4000000)
+         |    div length($textCol)) end) * 3
+         |) div 10""".stripMargin)
+  }
+
+  /** Normalized-content fingerprint: sha256 of lowercased,
+    * whitespace-collapsed text (the document-level exact-dup key). */
+  def fingerprint(text: Column): Column =
+    sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
+
+  /** Language-ID heuristic (n-gram/stopword profile, no model):
+    * CJK/Cyrillic/Greek by script, then Latin languages by
+    * distinctive-stopword hit counts. Returns ISO-ish codes. */
+  def langId(text: Column): Column = {
+    def hits(words: Seq[String]): Column = {
+      val sw = array(words.map(lit): _*)
+      size(filter(tokens(lower(text)), t => array_contains(sw, t)))
+    }
+    val en = hits(Seq("the", "and", "of", "to", "is", "that", "with"))
+    val es = hits(Seq("el", "la", "los", "las", "que", "de", "y", "es"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[\\u3040-\\u30ff]"), "ja")
+      .when(text.rlike("[\\uac00-\\ud7af]"), "ko")
+      .when(text.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(en >= greatest(es, de, fr) && en > 0, "en")
+      .when(es >= greatest(de, fr) && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+}

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries over `documents` / `embeddings` —
+  * dedup family, text analysis, similarity search. Each oracle-able op
+  * has DuckDB SQL computing the identical result (same hash family:
+  * md5/sha256; same rounding; same tie-breaks). `q27_langid` and
+  * `q29_ann_lsh` are rows-only (heuristic / approximate ops with no
+  * SQL-expressible oracle).
+  */
+object PipelineQueries {
+
+  /** Distinct whitespace tokens per non-empty doc — shared CTE. */
+  private val toksCte =
+    """toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM documents WHERE trim(text) <> ''))""".stripMargin
+
+  private val stopwordsSqlList: String =
+    TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(",")
+
+  // -------------------------------------------------------------------
+  // q20 — exact dedup groups (hash-groupBy; one shuffle at any scale)
+  // -------------------------------------------------------------------
+  def q20_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  val q20_sql: String =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+      |       MIN(doc_id) AS keeper_id
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY content_hash""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q21 — text stats: token count, punct ratio, stopword ratio
+  // -------------------------------------------------------------------
+  def q21_text_stats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6)
+          .as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q21_sql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN trim(text) = '' THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |    AS n_tokens,
+       |  round(CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(length(text) -
+       |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+       |      AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+       |  round(CASE WHEN trim(text) = '' THEN 0.0
+       |    ELSE CAST(len(list_filter(
+       |        regexp_split_to_array(trim(text), '\\s+'),
+       |        x -> lower(x) IN ($stopwordsSqlList))) AS DOUBLE)
+       |      / len(regexp_split_to_array(trim(text), '\\s+')) END, 6)
+       |    AS stopword_ratio
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q22 — normalized fingerprint uniqueness per language
+  // -------------------------------------------------------------------
+  def q22_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(countDistinct(TextAnalysis.fingerprint(col("text")))
+        .as("n_unique"), count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val q22_sql: String =
+    """SELECT lang,
+      |  COUNT(DISTINCT sha256(trim(
+      |    regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique,
+      |  COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q23 — n-gram (word) Jaccard near-dup pairs via shingle equi-join
+  // -------------------------------------------------------------------
+  def q23_jaccard_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 1, threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q23_sql: String =
+    s"""WITH $toksCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         COUNT(*) AS intersection
+       |  FROM toks a JOIN toks b
+       |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, intersection, sa.sz AS size_a, sb.sz AS size_b,
+       |  round(CAST(intersection AS DOUBLE) /
+       |        (sa.sz + sb.sz - intersection), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE CAST(intersection AS DOUBLE) /
+       |      (sa.sz + sb.sz - intersection) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q24 — MinHash + LSH candidate pairs (8 hashes, 4 bands × 2 rows)
+  // -------------------------------------------------------------------
+  def q24_minhash_lsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidates(Tables.documents(spark, dir), "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q24_sql: String =
+    s"""WITH $toksCte,
+       |sigs AS (
+       |  SELECT doc_id, s.i AS seed,
+       |         min(md5(tok || ':' || CAST(s.i AS VARCHAR))) AS sig
+       |  FROM toks CROSS JOIN generate_series(0, 7) AS s(i)
+       |  GROUP BY doc_id, s.i),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |         md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+       |  FROM sigs GROUP BY doc_id, seed // 2),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         COUNT(*) AS shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared_bands FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q25 — brute-force cosine top-k ANN baseline
+  // -------------------------------------------------------------------
+  def q25_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 3, roundTo = 5)
+      .withColumnRenamed("rank", "rk")
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q25_sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_cosine_similarity(qv, cv), 5) AS sim
+      |  FROM q, c WHERE neighbor_id <> query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM s)
+      |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q26 — SimHash near-dup candidates (32-bit sig, 8-bit bands, ham ≤ 3)
+  // -------------------------------------------------------------------
+  def q26_simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashCandidates(Tables.documents(spark, dir), "doc_id", "text",
+        bits = 32, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q26_sql: String =
+    s"""WITH $toksCte,
+       |th AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |bitbal AS (
+       |  SELECT doc_id, b.i AS bit,
+       |         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END)
+       |           AS balance
+       |  FROM th CROSS JOIN generate_series(0, 31) AS b(i)
+       |  GROUP BY doc_id, b.i),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN balance > 0
+       |           THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+       |           AS simhash
+       |  FROM bitbal GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, simhash, g.i AS band,
+       |         (simhash >> (g.i * 8)) & 255 AS band_val
+       |  FROM sigs CROSS JOIN generate_series(0, 3) AS g(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q27 — language-ID heuristic vs stored label (rows-only: heuristic)
+  // -------------------------------------------------------------------
+  def q27_langid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  // -------------------------------------------------------------------
+  // q28 — composite quality score
+  // -------------------------------------------------------------------
+  def q28_quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScorePpm("text", "n_chars").as("quality_ppm"))
+      .orderBy(col("doc_id"))
+
+  // Integer-exact mirror of qualityScorePpm: floor division everywhere.
+  val q28_sql: String =
+    s"""SELECT doc_id, (
+       |  CAST(least(2000 * n_chars, 1000000) AS BIGINT) * 4 +
+       |  (CASE WHEN trim(text) = '' THEN 0
+       |    ELSE least((CAST(len(list_filter(
+       |        regexp_split_to_array(trim(text), '\\s+'),
+       |        x -> lower(x) IN ($stopwordsSqlList))) AS BIGINT)
+       |      * 5000000)
+       |      // len(regexp_split_to_array(trim(text), '\\s+')),
+       |      1000000) END) * 3 +
+       |  (CASE WHEN length(text) = 0 THEN 1000000
+       |    ELSE greatest(0, 1000000 -
+       |      (CAST(length(text) -
+       |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+       |        AS BIGINT) * 4000000) // length(text)) END) * 3
+       |  ) // 10 AS quality_ppm
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q29 — LSH-bucketed ANN (rows-only: approximate, no SQL oracle)
+  // -------------------------------------------------------------------
+  def q29_ann_lsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 3, planes = 16, bandBits = 8)
+      .withColumnRenamed("rank", "rk")
+      .orderBy(col("query_id"), col("rk"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> q20_dedup_exact _,
+    "q21_text_stats" -> q21_text_stats _,
+    "q22_fingerprint" -> q22_fingerprint _,
+    "q23_jaccard_pairs" -> q23_jaccard_pairs _,
+    "q24_minhash_lsh" -> q24_minhash_lsh _,
+    "q25_cosine_topk" -> q25_cosine_topk _,
+    "q26_simhash" -> q26_simhash _,
+    "q27_langid" -> q27_langid _,
+    "q28_quality" -> q28_quality _,
+    "q29_ann_lsh" -> q29_ann_lsh _)
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" -> q20_sql,
+    "q21_text_stats" -> q21_sql,
+    "q22_fingerprint" -> q22_sql,
+    "q23_jaccard_pairs" -> q23_sql,
+    "q24_minhash_lsh" -> q24_sql,
+    "q25_cosine_topk" -> q25_sql,
+    "q26_simhash" -> q26_sql,
+    "q28_quality" -> q28_sql)
+}

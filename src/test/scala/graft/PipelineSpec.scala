@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps one row per identical content") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L, 4L, 5L)) // 2 collapsed into 1 (min id)
+  }
+
+  test("jaccardPairs finds the near-dup pair, not the unrelated one") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)) ||
+      pairs.map(p => Set(p._1, p._2)).contains(Set(1L, 2L)))
+    val flat = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(!flat.contains(4L)) // unrelated doc never pairs
+  }
+
+  test("word shingles n=2 produce bigrams") {
+    val sh = docs.filter($"doc_id" === 4L)
+      .select(Dedup.shingles($"text", 2).as("sh"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(sh.contains("completely different"))
+    assert(sh.contains("spark engines"))
+  }
+
+  test("minHash candidates include exact dups with all bands shared") {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dup = cands.find(c => c._1 == 1L && c._2 == 2L)
+    assert(dup.isDefined && dup.get._3 === 4L) // 4 bands, all agree
+  }
+
+  test("simHash: identical docs have hamming 0; near-dups small hamming") {
+    val cands = Dedup.simHashCandidates(docs, "doc_id", "text", 32, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val exact = cands.find(c => c._1 == 1L && c._2 == 2L)
+    assert(exact.isDefined && exact.get._3 === 0)
+  }
+
+  test("bruteForceTopK ranks an identical vector first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),   // identical to 1
+      (3L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (4L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 1L), vecs, "vec_id", "embedding", 2)
+      .collect()
+    assert(top(0).getAs[Long]("neighbor_id") === 2L)
+    assert(top(0).getAs[Double]("sim") === 1.0)
+    assert(top(1).getAs[Long]("neighbor_id") === 3L)
+  }
+
+  test("lshTopK surfaces identical vectors (same signature bucket)") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        if (i % 2 == 0) math.sin(j + 1).toFloat else math.cos(j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", k = 3)
+    val forZero = out.filter($"query_id" === 0L).collect()
+    assert(forZero.nonEmpty)
+    assert(forZero.head.getAs[Double]("sim") === 1.0) // another even vector
+  }
+
+  test("text analysis: counts, ratios, langId on hand samples") {
+    val t = Seq(
+      (1L, "The cat and the dog play in the garden with the ball"),
+      (2L, "el perro y el gato juegan en la casa de la abuela"),
+      (3L, "der Hund und die Katze spielen nicht mit der Maus"),
+      (4L, "你好 世界 这是 中文 文本"),
+      (5L, "")
+    ).toDF("id", "text")
+    val out = t.select($"id", TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1L) === ((12, "en")))
+    assert(out(2L)._2 === "es")
+    assert(out(3L)._2 === "de")
+    assert(out(4L)._2 === "zh")
+    assert(out(5L) === ((0, "und")))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val t = Seq((1L, "Hello   World"), (2L, "hello world"))
+      .toDF("id", "text")
+    val fps = t.select(TextAnalysis.fingerprint($"text")).collect()
+      .map(_.getString(0))
+    assert(fps(0) === fps(1))
+  }
+
+  test("multimodal: batched feature extraction + frame sampling shapes") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() === 30L)
+    val f0 = feats.filter($"media_id" === 0L).collect()(0)
+    assert(f0.features.length === 8)
+    // deterministic: same input → same features
+    val f0b = Multimodal.extractFeatures(media)
+      .filter($"media_id" === 0L).collect()(0)
+    assert(f0.features.toSeq === f0b.features.toSeq)
+    assert(f0.checksum === f0b.checksum)
+    val frames = Multimodal.sampleFrames(media, stride = 2, frameSize = 16)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq ===
+      Seq("media_id", "frame_index", "frame_bytes", "frame_features"))
+  }
+}
