@@ -1,0 +1,189 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Model.{Labels, RelTypes, ScipSymbol}
+import graft.store.GraphStore
+
+/** SCIP-occurrence ingest frontend — the Spark-native re-expression of the
+  * reference's SCIP indexer (`pkg/indexer/static/scip_parser.go`,
+  * `scip_indexer.go`). Input is the JSON rendering of a `scip.Index`
+  * (documents[] with occurrences, externalSymbols[]); the protobuf decode
+  * itself would be a `binaryFile` + `mapPartitions` stage (SURVEY S11) and
+  * is orthogonal to the graph build.
+  *
+  * The reference's two sequential passes with one Bolt MERGE per entity
+  * (`scip_indexer.go:174-229`) collapse into two DataFrame MERGE writes.
+  */
+object ScipIngest {
+
+  case class ScipOccurrence(symbol: String, range: Seq[Int],
+      symbolRoles: Int)
+  case class ScipDocument(relativePath: String,
+      occurrences: Seq[ScipOccurrence])
+  case class ScipExternalSymbol(symbol: String, kind: String,
+      documentation: String)
+  case class ScipIndex(documents: Seq[ScipDocument],
+      externalSymbols: Seq[ScipExternalSymbol])
+
+  /** SCIP range decode (`scip_parser.go:254-264`): 4 elements =
+    * [startLine, startCol, endLine, endCol]; 3 elements =
+    * [line, startCol, endCol] (same-line). Lines/cols are 0-based. */
+  def decodeRange(range: Seq[Int]): (Int, Int, Int, Int) = range match {
+    case Seq(sl, sc, el, ec) => (sl, sc, el, ec)
+    case Seq(l, sc, ec) => (l, sc, l, ec)
+    case _ => (0, 0, 0, 0)
+  }
+
+  /** Language from file extension (`scip_parser.go:266-277`). */
+  def languageOf(path: String): String = {
+    val ext = path.split('.').lastOption.getOrElse("").toLowerCase
+    ext match {
+      case "go" => "go"; case "scala" => "scala"; case "java" => "java"
+      case "py" => "python"; case "ts" => "typescript"
+      case "js" => "javascript"; case "rs" => "rust"; case "rb" => "ruby"
+      case _ => "unknown"
+    }
+  }
+
+  /** Display name from the descriptor's last segment, stripped of SCIP
+    * suffix punctuation (`scip_parser.go:223-246`). */
+  def displayNameOf(symbol: String): String =
+    ScipSymbol.parse(symbol).map { s =>
+      s.descriptor.split('/').lastOption.getOrElse(s.descriptor)
+        .stripSuffix("().").stripSuffix("#").stripSuffix(".")
+    }.getOrElse(symbol)
+
+  /** Byte offset of (line, col) in content — `scip_indexer.go:382-409`:
+    * sum of line lengths (+1 newline) before `line`, plus `col`. */
+  def byteOffset(content: String, line: Int, col: Int): Int = {
+    val lines = content.split("\n", -1)
+    val before = lines.take(line).map(_.length + 1).sum
+    before + math.min(col, lines.lift(line).map(_.length).getOrElse(0))
+  }
+
+  /** Flatten an index into one occurrence row per (file, occurrence). */
+  def occurrences(spark: SparkSession,
+      index: ScipIndex): DataFrame = {
+    import spark.implicits._
+    index.documents.flatMap { d =>
+      d.occurrences.map { o =>
+        val (sl, sc, el, ec) = decodeRange(o.range)
+        (d.relativePath, o.symbol, sl, sc, el, ec,
+          (o.symbolRoles & 1) == 1) // scip SymbolRole_Definition bit
+      }
+    }.toDF("filePath", "symbol", "startLine", "startColumn", "endLine",
+      "endColumn", "isDefinition")
+  }
+
+  /** Two-pass graph build from a parsed index (+ optional file contents
+    * for byte-offset backfill). */
+  def ingest(store: GraphStore, spark: SparkSession, index: ScipIndex,
+      serviceName: String,
+      fileContents: Map[String, String] = Map.empty): Unit = {
+    import spark.implicits._
+    val occ = occurrences(spark, index).cache()
+
+    // --- pass 1: Service, Files, Symbols, CONTAINS/DEFINES ------------
+    val svcNode = Seq((Labels.Service, serviceName))
+      .toDF("label", "name")
+    val fileNodes = index.documents.map(d =>
+        (Labels.File, d.relativePath, d.relativePath.split('/').last,
+          languageOf(d.relativePath)))
+      .toDF("label", "path", "name", "language")
+
+    val extSyms = index.externalSymbols.map(s =>
+        (s.symbol, Option(s.kind).getOrElse(""), s.documentation))
+      .toDF("symbol", "kind", "documentation")
+    val occSyms = occ.select(col("symbol")).distinct()
+      .withColumn("kind", lit(null).cast("string"))
+      .withColumn("documentation", lit(null).cast("string"))
+    val symNodes = extSyms.unionByName(occSyms)
+      .groupBy(col("symbol"))
+      .agg(max(col("kind")).as("kindRaw"),
+        max(col("documentation")).as("documentation"))
+      .select(lit(Labels.Symbol).as("label"), col("symbol"),
+        coalesce(nullif(col("kindRaw"), lit("")),
+          element_at(split(col("symbol"), " "), 5)).as("descriptor"),
+        col("documentation"))
+      .withColumn("kind",
+        when(col("descriptor").endsWith("#"), "class")
+          .when(col("descriptor").endsWith("()."), "method")
+          .when(col("descriptor").endsWith("."), "term")
+          .when(col("descriptor").endsWith("/"), "namespace")
+          .otherwise("unknown"))
+      .withColumn("displayName",
+        regexp_replace(element_at(split(col("descriptor"), "/"), -1),
+          "(\\(\\)\\.|#|\\.)$", ""))
+      .drop("descriptor")
+
+    store.mergeNodes(GraphStore.ensureNodeIds(svcNode))
+    store.mergeNodes(GraphStore.ensureNodeIds(fileNodes))
+    store.mergeNodes(GraphStore.ensureNodeIds(symNodes))
+
+    val svcId = GraphStore.ensureNodeIds(svcNode)
+      .select(col("id").as("svcId"))
+    val fileIds = GraphStore.ensureNodeIds(fileNodes)
+      .select(col("id").as("fileId"), col("path"))
+    val symIds = GraphStore.ensureNodeIds(symNodes)
+      .select(col("id").as("symId"), col("symbol"))
+
+    val svcContains = svcId.crossJoin(fileIds)
+      .select(col("svcId").as("src"), col("fileId").as("dst"),
+        lit(RelTypes.Contains).as("relType"))
+    val defs = occ.filter(col("isDefinition"))
+      .join(fileIds, occ("filePath") === fileIds("path"))
+      .join(symIds, Seq("symbol"))
+    val fileDefines = defs.select(col("fileId").as("src"),
+        col("symId").as("dst"), lit(RelTypes.Defines).as("relType"),
+        lit(true).as("isDefinition"), col("startLine").as("line"),
+        col("startColumn").as("column"))
+      .dropDuplicates("src", "dst")
+    val fileContainsSym = defs.select(col("fileId").as("src"),
+        col("symId").as("dst"), lit(RelTypes.Contains).as("relType"))
+      .dropDuplicates("src", "dst")
+    store.mergeEdges(svcContains)
+    store.mergeEdges(fileDefines)
+    store.mergeEdges(fileContainsSym)
+
+    // --- pass 2: Reference nodes + REFERENCES edges -------------------
+    val contents = fileContents.toSeq.toDF("cPath", "content")
+    val refs = occ.filter(!col("isDefinition"))
+      .join(contents, occ("filePath") === col("cPath"), "left_outer")
+      .as[(String, String, Int, Int, Int, Int, Boolean, String, String)]
+      .map { case (path, symbol, sl, sc, el, ec, _, _, content) =>
+        val span = Option(content).map(c =>
+          (byteOffset(c, sl, sc), byteOffset(c, el, ec)))
+        (path, symbol, sl, sc, el, ec, span.map(_._1), span.map(_._2))
+      }
+      .toDF("filePath", "symbol", "startLine", "startColumn", "endLine",
+        "endColumn", "startByte", "endByte")
+      .cache()
+
+    val refNodes = refs.select(lit(Labels.Reference).as("label"),
+      col("filePath"), col("startLine"), col("startColumn"),
+      col("endLine"), col("endColumn"), col("startByte"), col("endByte"))
+    store.mergeNodes(GraphStore.ensureNodeIds(refNodes))
+    val refIds = GraphStore.ensureNodeIds(refNodes)
+      .select(col("id").as("refId"), col("filePath"), col("startLine"),
+        col("startColumn"))
+
+    val refEdges = refs
+      .join(refIds, Seq("filePath", "startLine", "startColumn"))
+      .join(symIds, Seq("symbol"))
+      .select(col("refId").as("src"), col("symId").as("dst"),
+        lit(RelTypes.References).as("relType"),
+        col("startLine").as("line"), col("startColumn").as("column"))
+      .dropDuplicates("src", "dst")
+    val fileContainsRef = refs
+      .join(refIds, Seq("filePath", "startLine", "startColumn"))
+      .join(fileIds, refs("filePath") === fileIds("path"))
+      .select(col("fileId").as("src"), col("refId").as("dst"),
+        lit(RelTypes.Contains).as("relType"))
+      .dropDuplicates("src", "dst")
+    store.mergeEdges(refEdges)
+    store.mergeEdges(fileContainsRef)
+    occ.unpersist(); refs.unpersist()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream analytics in batch form (the driver's oracle cannot run a
+  * stream; graft.streaming.Incremental carries the same semantics with
+  * watermarks). `ts` reads as long nanoseconds (nanosAsLong), so all
+  * window arithmetic is exact integer math — identical in any engine.
+  */
+object EventQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(30, 6))).cast("double")
+
+  // -------------------------------------------------------------------
+  // q30 — tumbling 1-hour windows per event type (streaming-window shape;
+  // at scale: single shuffle on (hour, type), partial aggregation first).
+  // -------------------------------------------------------------------
+  def q30_hourly_windows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("ts div 3600000000000").as("hour_bucket"),
+        col("event_type"), col("value"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  val q30_sql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_bucket, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q31 — gap-based sessionization (30-min idle gap) via lag + running
+  // sum — the batch equivalent of session_window. One shuffle on user_id.
+  // -------------------------------------------------------------------
+  def q31_sessions(spark: SparkSession, dir: String): DataFrame = {
+    // DuckDB reads these TIMESTAMP(NANOS) values at micro precision —
+    // work in microseconds on both sides for exact parity.
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val gapUs = 1800000000L // 30 min
+    val flagged = e.withColumn("prev_ts", lag(col("tsu"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("tsu") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val q31_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, tsn,
+      |    CASE WHEN lag(tsn) OVER (PARTITION BY user_id
+      |                             ORDER BY tsn, event_id) IS NULL
+      |      OR tsn - lag(tsn) OVER (PARTITION BY user_id
+      |                              ORDER BY tsn, event_id)
+      |         > 1800000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |t AS (
+      |  SELECT user_id, tsn,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |      ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS session_seq
+      |  FROM s)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |       MAX(tsn) - MIN(tsn) AS duration_us
+      |FROM t
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_hourly_windows" -> q30_hourly_windows _,
+    "q31_sessions" -> q31_sessions _)
+
+  val oracles: Map[String, String] = Map(
+    "q30_hourly_windows" -> q30_sql,
+    "q31_sessions" -> q31_sql)
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.store.GraphStore
+
+/** Structured Streaming layer — the incremental pipeline the reference
+  * designed but never implemented (`docs/rfc/001:76-80`,
+  * `research.md:280-323`): continuous node/edge upserts plus streaming
+  * event analytics.
+  *
+  * Batch/stream symmetry: the same MERGE semantics as GraphStore, applied
+  * per micro-batch via foreachBatch; windowed aggregations carry
+  * watermarks so state is bounded on an unbounded stream (the property
+  * that matters at cluster scale — state store size is O(open windows),
+  * not O(stream length)).
+  */
+object Incremental {
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state. Works on a streaming OR batch DataFrame (same plan). */
+  def windowedEventCounts(events: DataFrame, tsCol: String,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    src.groupBy(window(col(tsCol), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Session windows (gap-based) per user — Structured Streaming's
+    * session_window; gap closes a session after `gap` idle. */
+  def sessionizedEvents(events: DataFrame, tsCol: String,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    src.groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Continuous MERGE upsert of node rows into the graph store — one
+    * idempotent MERGE write per micro-batch (exactly-once via
+    * checkpointed offsets + deterministic ids). */
+  def upsertNodes(stream: DataFrame, store: GraphStore,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.mergeNodes(GraphStore.ensureNodeIds(batch))
+      }
+      .start()
+
+  case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total: Double,
+      max_event_id: Long)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for stateful logic windows can't express
+    * (KeyValueGroupedDataset, SURVEY §2.8 disposition). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, -1L))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserRunning(uid, acc.n_events + 1, acc.total + e.value,
+              math.max(acc.max_event_id, e.event_id))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.store.GraphStore
+import graft.streaming.Incremental
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed event counts over a memory stream with watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_time", "event_type", "value")
+    val agg = Incremental.windowedEventCounts(df, "event_time",
+      windowDur = "10 minutes", watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+        (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n_events, total_value FROM win ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    val batch = Seq(
+      (ts(0), 1L, 1.0), (ts(5), 1L, 1.0),   // session 1 (gap<30m)
+      (ts(59), 1L, 1.0)                      // session 2
+    ).toDF("event_time", "user_id", "value")
+    val out = Incremental.sessionizedEvents(batch, "event_time",
+      gap = "30 minutes").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("foreachBatch streaming upsert MERGEs into the graph store") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val store = new GraphStore(spark, dir)
+    val input = MemoryStream[(String, String)]
+    val nodes = input.toDF().toDF("name", "label")
+    val q = Incremental.upsertNodes(nodes, store, s"$dir/_checkpoint")
+    try {
+      input.addData(("svc-a", "Service"), ("svc-b", "Service"))
+      q.processAllAvailable()
+      assert(store.nodes.count() === 2L)
+      // same key again → MERGE, not duplicate
+      input.addData(("svc-a", "Service"))
+      q.processAllAvailable()
+      assert(store.nodes.count() === 2L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Incremental.UserEvent]
+    val out = Incremental.runningUserTotals(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData(Incremental.UserEvent(1L, 10L, 2.0),
+        Incremental.UserEvent(1L, 11L, 3.0))
+      q.processAllAvailable()
+      input.addData(Incremental.UserEvent(1L, 12L, 5.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, total, max_event_id FROM running WHERE user_id=1 " +
+        "ORDER BY n_events DESC LIMIT 1").collect()(0)
+      assert(last.getLong(0) === 3L)
+      assert(last.getDouble(1) === 10.0)
+      assert(last.getLong(2) === 12L)
+    } finally q.stop()
+  }
+}
