@@ -90,6 +90,58 @@ object Dedup {
     sh.join(broadcast(rare), Seq("shingle"), "left_semi")
   }
 
+  /** Exact Jaccard pairs for SMALL vocabularies (≤ 62 distinct shingles):
+    * dictionary-encode each shingle set as a 64-bit mask, deduplicate
+    * identical sets, compare distinct masks with popcount, then expand
+    * back to document pairs. Identical output to [[jaccardPairs]], but the
+    * ultra-common-shingle join (quadratic when every shingle is in most
+    * docs) collapses to |distinct sets|² cheap integer ops. The caller
+    * checks the vocabulary bound (see `smallVocabSize`).
+    */
+  def jaccardPairsBitmask(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val vocab = sh.select(col("shingle")).distinct()
+      .withColumn("bit", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))) - 1)
+    val masks = sh.join(broadcast(vocab), Seq("shingle"))
+      .groupBy(col("doc"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"),
+        count(lit(1)).as("sz"))
+    // group docs sharing an identical set
+    val groups = masks.groupBy(col("mask"), col("sz"))
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+    val pairs = groups.as("a").join(groups.as("b"),
+        col("a.mask") <= col("b.mask"))
+      .withColumn("intersection", expr("bit_count(a.mask & b.mask)"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("a.sz") + col("b.sz") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+    pairs.select(explode(col("a.docs")).as("d1"), col("b.docs"),
+        col("a.mask").as("mask_a"), col("b.mask").as("mask_b"),
+        col("intersection"), col("a.sz").as("size_a"),
+        col("b.sz").as("size_b"), col("jaccard"))
+      .select(col("d1"), explode(col("b.docs")).as("d2"), col("mask_a"),
+        col("mask_b"), col("intersection"), col("size_a"), col("size_b"),
+        col("jaccard"))
+      .filter(col("mask_a") < col("mask_b") || col("d1") < col("d2"))
+      .select(least(col("d1"), col("d2")).as("id_a"),
+        greatest(col("d1"), col("d2")).as("id_b"),
+        col("intersection"),
+        // size_a must be the set size of id_a (swap with the ids)
+        when(col("d1") < col("d2"), col("size_a")).otherwise(col("size_b"))
+          .as("size_a"),
+        when(col("d1") < col("d2"), col("size_b")).otherwise(col("size_a"))
+          .as("size_b"),
+        col("jaccard"))
+  }
+
+  /** Distinct-shingle count, for choosing the bitmask fast path. */
+  def smallVocabSize(df: DataFrame, textCol: String, n: Int = 1): Long =
+    df.select(explode(shingles(col(textCol), n)).as("s"))
+      .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+
   // -------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------

@@ -58,15 +58,23 @@ object Similarity {
     (conv(substring(md5(concat_ws(":", plane, dim)), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)) - 0.5
 
-  /** `planes`-bit signature: bit p = sign of <v, hyperplane_p>. */
+  /** `planes`-bit signature: bit p = sign of <v, hyperplane_p>. The
+    * plane-weight matrix is a tiny (planes × dims) table built once and
+    * broadcast — the md5-derived weights are computed |planes|·|dims|
+    * times total, not once per corpus row. */
   def lshSignature(df: DataFrame, idCol: String, vecCol: String,
       planes: Int): DataFrame = {
+    val spark = df.sparkSession
     val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val withDim = v.select(col("vid"), col("v"),
-      explode(sequence(lit(0), size(col("v")) - 1)).as("dim"))
-      .select(col("vid"), col("dim"), col("v").getItem(col("dim")).as("x"),
-        explode(sequence(lit(0), lit(planes - 1))).as("plane"))
+    val planeWeights = spark.range(planes)
+      .select(col("id").cast("int").as("plane"))
+      .crossJoin(spark.range(
+        df.select(size(asDouble(col(vecCol)))).first().getInt(0))
+        .select(col("id").cast("int").as("dim")))
       .withColumn("w", planeComponent(col("plane"), col("dim")))
+    val withDim = v.select(col("vid"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .join(broadcast(planeWeights), Seq("dim"))
     withDim.groupBy(col("vid"), col("plane"))
       .agg(sum(col("x") * col("w")).as("proj"))
       .groupBy(col("vid"))

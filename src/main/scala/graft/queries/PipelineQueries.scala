@@ -93,11 +93,17 @@ object PipelineQueries {
   // -------------------------------------------------------------------
   // q23 — n-gram (word) Jaccard near-dup pairs via shingle equi-join
   // -------------------------------------------------------------------
-  def q23_jaccard_pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-        n = 1, threshold = 0.8)
-      .withColumn("jaccard", round(col("jaccard"), 6))
+  def q23_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // adaptive: tiny shingle vocab → dictionary-encoded popcount path
+    // (identical result); otherwise the general shingle equi-join
+    val pairs =
+      if (Dedup.smallVocabSize(docs, "text", 1) <= 62)
+        Dedup.jaccardPairsBitmask(docs, "doc_id", "text", 1, 0.8)
+      else Dedup.jaccardPairs(docs, "doc_id", "text", 1, 0.8)
+    pairs.withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   val q23_sql: String =
     s"""WITH $toksCte,

@@ -381,7 +381,9 @@ object Relational {
           .otherwise("other"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_parts"),
-        davg(col("p_retailprice")).as("avg_price"))
+        davg(col("p_retailprice")).as("avg_price"),
+        max(col("p_retailprice")).as("max_price"),
+        count(when(col("p_size") > 40, 1)).as("n_large"))
       .orderBy(col("kind"))
   }
 
@@ -392,7 +394,9 @@ object Relational {
        |            WHEN p_type LIKE '%STANDARD%' THEN 'standard'
        |            ELSE 'other' END AS kind,
        |  COUNT(*) AS n_parts,
-       |  ${sqlDavg("p_retailprice")} AS avg_price
+       |  ${sqlDavg("p_retailprice")} AS avg_price,
+       |  MAX(p_retailprice) AS max_price,
+       |  COUNT(CASE WHEN p_size > 40 THEN 1 END) AS n_large
        |FROM part
        |GROUP BY 1
        |ORDER BY kind""".stripMargin
