@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{DocumentPipeline, ScipIngest}
+import graft.queries.CodeGraph
+import graft.sources.Sources
+import graft.store.GraphStore
+
+/** CLI veneer mirroring the reference's cobra commands
+  * (`cmd/codegraph/main.go`) and MCP tools (`mcp-server/main.go`): the
+  * engine API returns DataFrames; this layer only parses args and formats.
+  * Display cap 50 rows like the reference (`mcp-server/main.go:287`).
+  *
+  * Usage: Cli <storeDir> <command> [args...]
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { println(usage); sys.exit(2) }
+    val storeDir = args(0)
+    val cmd = args(1)
+    val rest = args.drop(2).toList
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, storeDir, cmd, rest) match {
+      case Some(df) => df.show(50, truncate = false)
+      case None => ()
+    } finally spark.stop()
+  }
+
+  /** Dispatch; returns a DataFrame to display, or None if the command
+    * printed its own output. */
+  def run(spark: SparkSession, storeDir: String, cmd: String,
+      rest: List[String]): Option[DataFrame] = {
+    val store = new GraphStore(spark, storeDir)
+    lazy val cg = CodeGraph(store)
+    cmd match {
+      case "ingest-docs" =>
+        val glob = rest.head
+        DocumentPipeline.ingest(store, Sources.documentFiles(spark, glob))
+        println(s"ingested documents from $glob")
+        None
+      case "ingest-scip" =>
+        val (path, service) = (rest(0), rest(1))
+        import spark.implicits._
+        val index = spark.read.option("multiLine", "true").json(path)
+          .as[ScipIngest.ScipIndex].collect()(0)
+        ScipIngest.ingest(store, spark, index, service)
+        println(s"ingested SCIP index $path for service $service")
+        None
+      case "search" =>
+        Some(cg.searchNodes(rest.head,
+            limit = rest.lift(1).map(_.toInt).getOrElse(50))
+          .select(col("rank"), col("label"),
+            coalesce(col("name"), col("displayName"), col("title"),
+              col("symbol")).as("name"),
+            coalesce(col("filePath"), col("path"), col("sourceUrl"))
+              .as("location"), col("status"), col("id")))
+      case "def" => Some(cg.goToDefinition(rest.mkString(" ")))
+      case "refs" => Some(cg.findReferences(rest.mkString(" ")))
+      case "impls" => Some(cg.findImplementations(rest.mkString(" ")))
+      case "impact" =>
+        val name = rest.head
+        val depth = rest.lift(1).map(_.toInt).getOrElse(10)
+        val ids = store.nodes
+          .filter(col("label").isin("Function", "Method") &&
+            col("name") === name)
+          .select("id").collect().map(_.getLong(0))
+        if (ids.isEmpty) { println(s"no function named $name"); None }
+        else Some(cg.impactAnalysis(ids.head, depth))
+      case "callers" => Some(cg.callersOf(rest.head))
+      case "callees" => Some(cg.calleesOf(rest.head))
+      case "stats" =>
+        Some(cg.countByLabel()
+          .unionByName(cg.countByRelType()
+            .withColumnRenamed("relType", "label")))
+      case "doc-stats" => Some(cg.documentStats())
+      case "integrity" => Some(cg.integrityChecks())
+      case "source" =>
+        Some(cg.sourceLocation(rest.head))
+      case other =>
+        println(s"unknown command: $other\n$usage")
+        None
+    }
+  }
+
+  val usage: String =
+    """usage: Cli <storeDir> <command> [args...]
+      |  ingest-docs <glob>             index markdown/text documents
+      |  ingest-scip <json> <service>   index a SCIP occurrence dump
+      |  search <term> [limit]          ranked multi-field search
+      |  def <symbol>                   go to definition
+      |  refs <symbol>                  find references
+      |  impls <symbol>                 find implementations
+      |  impact <function> [depth]      downstream impact (CALLS<=depth)
+      |  callers <name> | callees <name>
+      |  stats | doc-stats | integrity
+      |  source <function>              source span metadata""".stripMargin
+}

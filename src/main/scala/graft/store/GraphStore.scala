@@ -25,7 +25,7 @@ import graft.model.Model
   *   - writes go to a new snapshot directory then swap, so readers never
   *     see a half-written graph (job-atomic, SURVEY §4.2).
   */
-class GraphStore(spark: SparkSession, basePath: String) {
+class GraphStore(spark: SparkSession, val basePath: String) {
   import GraphStore._
 
   private def nodesPath = s"$basePath/nodes"
