@@ -87,6 +87,33 @@ object Traversals {
     } finally e.unpersist()
   }
 
+  /** Bounded closure for FOREST-shaped edges (each node ≤1 parent, no
+    * cycles — e.g. CONTAINS hierarchies): identical output to [[closure]]
+    * but skips the dedup anti-join and distinct, since a tree admits at
+    * most one path per (ancestor, descendant) pair. Half the shuffles per
+    * level. */
+  def closureTree(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var level = e.select(col("src").as("ancestor"),
+        col("dst").as("descendant"), lit(1).as("depth"))
+        .localCheckpoint(eager = true)
+      var acc = level
+      var d = 1
+      while (d < maxDepth && !level.isEmpty) {
+        d += 1
+        val next = level.join(e, level("descendant") === e("src"))
+          .select(level("ancestor"), e("dst").as("descendant"),
+            lit(d).as("depth"))
+          .localCheckpoint(eager = true)
+        acc = acc.unionByName(next)
+        level = next
+      }
+      acc
+    } finally e.unpersist()
+  }
+
   /** Path enumeration from seeds with cycle-safe visited tracking:
     * returns (start, end, depth, path: array<long>) for every simple path
     * of length 1..maxHops. The `nodes(path)` capture of the reference's

@@ -170,11 +170,29 @@ object Dedup {
         sort_array(collect_list(struct(col("seed"), col("sig"))))
           .getField("sig"))).as("band_key"))
 
-  /** Candidate pairs from banded LSH: (id_a, id_b, shared_bands). */
+  /** Candidate pairs from banded LSH: (id_a, id_b, shared_bands).
+    * All K min-hashes are computed in ONE aggregation over the token rows
+    * (K min() columns) rather than a K-way fan-out — same signatures and
+    * band keys as [[minHashSignatures]]/[[minHashBands]], one shuffle
+    * less and K× fewer hash evaluations shuffled. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = minHashBands(
-      minHashSignatures(df, idCol, textCol, numHashes), rowsPerBand)
+    val toks = df.select(col(idCol).as("doc"),
+      explode(tokenSet(col(textCol))).as("tok"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(col("tok"), lit(s":$i")))).as(s"sig$i"))
+    val wide = toks.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val sigs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"sig$i"))
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws("|", sigs: _*)).as("band_key"))
+    }
+    val bands = wide.select(col("doc"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&

@@ -38,12 +38,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, roundTo: Int = 5): DataFrame = {
+    // norms precomputed once per vector, not once per pair
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv")))
+      asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (col("qnorm") * col("cnorm")), roundTo))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -112,12 +116,12 @@ object Similarity {
       .unionByName(cands.select(col("id_b").as("query_id"),
         col("id_a").as("neighbor_id")))
     val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
     val scored = directed
-      .join(v.withColumnRenamed("vid", "query_id")
-        .withColumnRenamed("vec", "qv"), Seq("query_id"))
-      .join(v.withColumnRenamed("vid", "neighbor_id")
-        .withColumnRenamed("vec", "cv"), Seq("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+      .join(v.toDF("query_id", "qv", "qnorm"), Seq("query_id"))
+      .join(v.toDF("neighbor_id", "cv", "cnorm"), Seq("neighbor_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (col("qnorm") * col("cnorm")), roundTo))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

@@ -62,7 +62,7 @@ object GraphQueries {
       .filter(col("p_partkey") >= 2)
       .select(expr("p_partkey div 2").as("src"),
         col("p_partkey").as("dst"))
-    Traversals.closure(parentChild, 12)
+    Traversals.closureTree(parentChild, 12)
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("depth"))

@@ -265,6 +265,54 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q32 — substring θ-join with per-token cap (SURVEY J8: the reference's
+  // doc→symbol MENTIONS linking, LIMIT 5 per token). Token side is tiny →
+  // broadcast nested-loop; cap = row_number window.
+  // -------------------------------------------------------------------
+  def q32_substring_join(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // token side: each document's leading word (~vocab-sized, tiny)
+    val tokens = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(regexp_extract(trim(col("text")), "^\\S+", 0).as("token"))
+      .distinct()
+    val matched = docs.join(broadcast(tokens),
+      col("text").contains(col("token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id"))
+    matched.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("token"), col("doc_id"), col("rn"))
+      .orderBy(col("token"), col("rn"))
+  }
+
+  val q32_sql: String =
+    """WITH tokens AS (
+      |  SELECT DISTINCT regexp_extract(trim(text), '^\S+') AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |m AS (
+      |  SELECT token, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      |  FROM documents JOIN tokens
+      |    ON text LIKE '%' || token || '%')
+      |SELECT token, doc_id, rn FROM m WHERE rn <= 5
+      |ORDER BY token, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q33 — exact-dedup survivors (keep-one policy applied back to rows)
+  // -------------------------------------------------------------------
+  def q33_dedup_keep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val q33_sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (
+      |  SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q29 — LSH-bucketed ANN (rows-only: approximate, no SQL oracle)
   // -------------------------------------------------------------------
   def q29_ann_lsh(spark: SparkSession, dir: String): DataFrame =
@@ -283,7 +331,9 @@ object PipelineQueries {
     "q26_simhash" -> q26_simhash _,
     "q27_langid" -> q27_langid _,
     "q28_quality" -> q28_quality _,
-    "q29_ann_lsh" -> q29_ann_lsh _)
+    "q29_ann_lsh" -> q29_ann_lsh _,
+    "q32_substring_join" -> q32_substring_join _,
+    "q33_dedup_keep" -> q33_dedup_keep _)
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -293,5 +343,7 @@ object PipelineQueries {
     "q24_minhash_lsh" -> q24_sql,
     "q25_cosine_topk" -> q25_sql,
     "q26_simhash" -> q26_sql,
-    "q28_quality" -> q28_sql)
+    "q28_quality" -> q28_sql,
+    "q32_substring_join" -> q32_sql,
+    "q33_dedup_keep" -> q33_sql)
 }
