@@ -28,31 +28,48 @@ import graft.model.Model
 class GraphStore(spark: SparkSession, val basePath: String) {
   import GraphStore._
 
-  private def nodesPath = s"$basePath/nodes"
-  private def edgesPath = s"$basePath/edges"
+  // Snapshots are versioned directories + a pointer file: a MERGE writes
+  // a brand-new directory and atomically repoints, so concurrent readers
+  // (and Spark's global file-listing cache) never observe a half-swapped
+  // or stale path. The previous snapshot is removed after the repoint.
+  import org.apache.hadoop.fs.Path
 
-  def nodes: DataFrame = {
-    val raw = spark.read.parquet(nodesPath)
-    raw.select(Model.nodeSchema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  private def fs = new Path(basePath).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def pointer(kind: String) = new Path(s"$basePath/$kind.current")
+
+  /** Current snapshot dir for `kind`, or None before the first write. */
+  private def currentDir(kind: String): Option[String] = {
+    val ptr = pointer(kind)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val v = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        Some(s"$basePath/$v")
+      } finally in.close()
+    }
   }
 
-  def edges: DataFrame = {
-    val raw = spark.read.parquet(edgesPath)
-    raw.select(Model.edgeSchema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-  }
+  def nodes: DataFrame = read("nodes", Model.nodeSchema)
+  def edges: DataFrame = read("edges", Model.edgeSchema)
+
+  private def read(kind: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    currentDir(kind) match {
+      case Some(dir) =>
+        spark.read.parquet(dir).select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      case None => GraphStore.emptyDf(spark, schema)
+    }
 
   def nodesByLabel(label: String): DataFrame =
     nodes.filter(col("label") === label)
 
   def edgesByType(relType: String): DataFrame =
     edges.filter(col("relType") === relType)
-
-  private def exists(path: String): Boolean =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
 
   /** Upsert nodes. Incoming rows may carry any subset of the node schema
     * plus `label`; ids are derived from merge keys when absent. Keep-latest
@@ -62,10 +79,7 @@ class GraphStore(spark: SparkSession, val basePath: String) {
   def mergeNodes(incoming: DataFrame): Unit = {
     val withId = ensureNodeIds(incoming)
     val aligned = align(withId, Model.nodeSchema)
-    val merged =
-      if (exists(nodesPath)) keepLatest(nodes, aligned)
-      else keepLatest(emptyDf(spark, Model.nodeSchema), aligned)
-    writeSnapshot(merged, nodesPath, Seq("label"))
+    writeSnapshot(keepLatest(nodes, aligned), "nodes", Seq("label"))
   }
 
   /** Upsert edges: identity = (src, dst, relType). */
@@ -73,10 +87,9 @@ class GraphStore(spark: SparkSession, val basePath: String) {
     def keyed(df: DataFrame): DataFrame =
       df.withColumn("id", xxhash64(col("src"), col("dst"), col("relType")))
     val aligned = keyed(align(incoming, Model.edgeSchema))
-    val existing = keyed(
-      if (exists(edgesPath)) edges else emptyDf(spark, Model.edgeSchema))
+    val existing = keyed(edges)
     val merged = keepLatest(existing, aligned).drop("id")
-    writeSnapshot(merged, edgesPath, Seq("relType"))
+    writeSnapshot(merged, "edges", Seq("relType"))
   }
 
   /** Drop edges whose endpoints are absent from `nodes` — the existence
@@ -91,15 +104,35 @@ class GraphStore(spark: SparkSession, val basePath: String) {
       .distinct()
   }
 
-  private def writeSnapshot(df: DataFrame, path: String,
+  private def writeSnapshot(df: DataFrame, kind: String,
       partitionBy: Seq[String]): Unit = {
-    val tmp = s"$path.__tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    val version = s"${kind}_v${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(s"$basePath/$version")
+    // atomic repoint: write pointer to a tmp file, rename over.
+    // Previous snapshot dirs are retained (snapshot isolation — handles
+    // created against an older version stay readable); reclaim with
+    // vacuum().
+    val tmpPtr = new Path(s"$basePath/$kind.current.__tmp")
+    val out = fs.create(tmpPtr, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    fs.delete(pointer(kind), false)
+    fs.rename(tmpPtr, pointer(kind))
+  }
+
+  /** Delete all non-current snapshot versions. */
+  def vacuum(): Unit = {
+    val keep = Seq("nodes", "edges").flatMap(currentDir)
+      .map(d => new Path(d).getName).toSet
+    if (fs.exists(new Path(basePath))) {
+      fs.listStatus(new Path(basePath)).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory &&
+            (name.startsWith("nodes_v") || name.startsWith("edges_v")) &&
+            !keep.contains(name))
+          fs.delete(st.getPath, true)
+      }
+    }
   }
 }
 

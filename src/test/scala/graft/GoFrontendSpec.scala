@@ -1,0 +1,125 @@
+package graft
+
+import graft.ingest.GoFrontend
+import graft.model.Model.Labels
+import graft.queries.CodeGraph
+import graft.store.GraphStore
+
+class GoFrontendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fileA =
+    """package mypkg
+      |
+      |// Client talks to the server.
+      |type Client struct {
+      |	addr string
+      |}
+      |
+      |// Doer does things.
+      |type Doer interface {
+      |	Do() error
+      |}
+      |
+      |var defaultTimeout = 30
+      |
+      |// Connect dials the server.
+      |func Connect(addr string) *Client {
+      |	if addr == "" {
+      |		return nil
+      |	}
+      |	c := &Client{addr: addr}
+      |	register(c)
+      |	return c
+      |}
+      |
+      |func register(c *Client) {
+      |	store(c)
+      |}
+      |""".stripMargin
+
+  private val fileB =
+    """package mypkg
+      |
+      |// Do implements Doer.
+      |func (c *Client) Do() error {
+      |	return nil
+      |}
+      |
+      |func store(c *Client) {
+      |	for i := 0; i < 3; i++ {
+      |		_ = i
+      |	}
+      |}
+      |""".stripMargin
+
+  private def filesDf = Seq(
+    ("svc/a.go", fileA), ("svc/b.go", fileB)).toDF("path", "content")
+
+  test("parseFile extracts the full entity surface") {
+    val ents = GoFrontend.parseFile("svc/a.go", fileA)
+    val byName = ents.map(e => e.name -> e).toMap
+    assert(byName("Client").label === Labels.Class)
+    assert(byName("Doer").label === Labels.Interface)
+    assert(byName("defaultTimeout").label === Labels.Variable)
+    assert(byName("Connect").label === Labels.Function)
+    assert(byName("register").label === Labels.Function)
+    assert(byName("Client").docstring === "Client talks to the server.")
+    assert(byName("Connect").complexity >= 2) // one if
+    assert(byName("Connect").isExported)
+    assert(!byName("register").isExported)
+    // byte span covers the function text
+    val c = byName("Connect")
+    val slice = fileA.substring(c.startByte, c.endByte)
+    assert(slice.startsWith("// Connect") || slice.contains("func Connect"))
+    assert(slice.contains("return c"))
+  }
+
+  test("method receiver produces Method label and Class CONTAINS Method") {
+    val ents = GoFrontend.parseFile("svc/b.go", fileB)
+    val doM = ents.find(_.name == "Do").get
+    assert(doM.label === Labels.Method)
+    assert(doM.receiver === "Client")
+  }
+
+  test("dogfood ingest: thresholds, defs, calls, impact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-go").toString
+    val store = new GraphStore(spark, dir)
+    GoFrontend.ingest(store, filesDf, "my-service")
+    val cg = CodeGraph(store)
+
+    // reference-style shape minimums (indexing_test.go:91-158 spirit)
+    val labels = store.nodes.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels(Labels.Service) === 1L)
+    assert(labels(Labels.File) === 2L)
+    assert(labels(Labels.Function) === 3L)
+    assert(labels(Labels.Method) === 1L)
+    assert(labels(Labels.Class) === 1L)
+    assert(labels(Labels.Interface) === 1L)
+    assert(labels(Labels.Symbol) === 6L)
+
+    // go-to-definition through the synthesized SCIP symbol
+    val defRows = cg.goToDefinition(
+      "scip-go go my-service v0 mypkg/Connect().").collect()
+    assert(defRows.length === 1)
+    assert(defRows(0).getAs[String]("name") === "Connect")
+
+    // CALLS chain Connect -> register -> store, impact analysis
+    val connectId = store.nodes
+      .filter($"name" === "Connect").select("id").collect()(0).getLong(0)
+    val impact = cg.impactAnalysis(connectId, 10).collect()
+      .map(_.getAs[String]("name")).toSet
+    assert(impact === Set("register", "store"))
+
+    // re-ingest idempotent
+    GoFrontend.ingest(store, filesDf, "my-service")
+    assert(store.nodes.count() === labels.values.sum)
+
+    // integrity clean
+    val checks = cg.integrityChecks().collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("violationCount"))
+      .toMap
+    assert(checks.values.forall(_ === 0L))
+  }
+}
