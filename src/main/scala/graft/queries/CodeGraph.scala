@@ -61,6 +61,22 @@ class CodeGraph(nodes: DataFrame, edges: DataFrame) {
       .limit(limit)
   }
 
+  /** Completion (`pkg/query/lsp.go:239`): name-prefix lookup, default
+    * limit 20, ranked like searchNodes. */
+  def completions(prefix: String, limit: Int = 20): DataFrame = {
+    val p = lit(prefix.toLowerCase)
+    nodes.filter(lower(coalesce(col("name"), col("displayName")))
+        .startsWith(p))
+      .withColumn("rank",
+        when(col("label").isin(Labels.Function, Labels.Method), 1)
+          .when(col("label").isin(Labels.Class, Labels.Interface), 2)
+          .otherwise(3))
+      .select(col("rank"), col("label"),
+        coalesce(col("name"), col("displayName")).as("name"), col("id"))
+      .orderBy(col("rank"), col("name"), col("id"))
+      .limit(limit)
+  }
+
   /** J1 — go-to-definition (`query.go:53-118`):
     * `(s:Symbol {symbol:$s})<-[:DEFINES]-(def)`. */
   def goToDefinition(symbol: String): DataFrame = {

@@ -449,6 +449,25 @@ object Relational {
        |GROUP BY o_orderstatus, o_orderpriority
        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q34 — prefix completion (reference lsp.go:239: name-prefix lookup,
+  // limit 20). Prefix predicates push to the scan as StringStartsWith.
+  // ---------------------------------------------------------------------
+  def q34_completion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .filter(lower(col("p_name")).startsWith("sm"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_name"), col("p_partkey"))
+      .limit(20)
+  }
+
+  val q34_sql: String =
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE lower(p_name) LIKE 'sm%'
+      |ORDER BY p_name, p_partkey
+      |LIMIT 20""".stripMargin
+
   /** All queries + oracles in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pruned_agg" -> q01_pruned_agg _,
@@ -466,7 +485,8 @@ object Relational {
     "q13_scalar_funcs" -> q13_scalar_funcs _,
     "q14_case_class" -> q14_case_class _,
     "q15_merge_latest" -> q15_merge_latest _,
-    "q16_isin_not" -> q16_isin_not _)
+    "q16_isin_not" -> q16_isin_not _,
+    "q34_completion" -> q34_completion _)
 
   val oracles: Map[String, String] = Map(
     "q01_pruned_agg" -> q01_sql,
@@ -484,5 +504,6 @@ object Relational {
     "q13_scalar_funcs" -> q13_sql,
     "q14_case_class" -> q14_sql,
     "q15_merge_latest" -> q15_sql,
-    "q16_isin_not" -> q16_sql)
+    "q16_isin_not" -> q16_sql,
+    "q34_completion" -> q34_sql)
 }

@@ -142,6 +142,34 @@ class IngestSpec extends SparkSpec {
     assert(store.nodes.count() === labels.values.sum)
   }
 
+  test("chunking property: no word lost or duplicated (200 random docs)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val nParas = 1 + rnd.nextInt(6)
+      val doc = (1 to nParas).map { p =>
+        val n = 1 + rnd.nextInt(400)
+        (1 to n).map(w => s"w${p}_$w").mkString(" ")
+      }.mkString("\n\n")
+      val chunks = DocumentPipeline.chunk(doc, 300)
+      val wordsIn = doc.split("\\s+").filter(_.nonEmpty).toSeq
+      val wordsOut = chunks.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      assert(wordsOut === wordsIn)
+    }
+  }
+
+  test("byteOffset property: offset of (line,col) recovers the char") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val lines = (1 to 1 + rnd.nextInt(10)).map(i =>
+        "x" * rnd.nextInt(20) + s"L$i")
+      val content = lines.mkString("\n")
+      val li = rnd.nextInt(lines.length)
+      val col0 = rnd.nextInt(lines(li).length)
+      val off = ScipIngest.byteOffset(content, li, col0)
+      assert(content.charAt(off) === lines(li).charAt(col0))
+    }
+  }
+
   test("scip helpers: range decode, language, display name") {
     assert(ScipIngest.decodeRange(Seq(1, 2, 3)) === ((1, 2, 1, 3)))
     assert(ScipIngest.decodeRange(Seq(1, 2, 3, 4)) === ((1, 2, 3, 4)))
