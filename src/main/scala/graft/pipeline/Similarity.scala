@@ -29,6 +29,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native-expression cosine (graft.functions.CosineSimilarity): one
+    * fused codegen loop, numerically identical to
+    * dot/(norm·norm) with left-to-right accumulation. */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
@@ -38,16 +47,12 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, roundTo: Int = 5): DataFrame = {
-    // norms precomputed once per vector, not once per pair
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", norm(col("qv"))))
+      asDouble(col(vecCol)).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("cv"))
-      .withColumn("cnorm", norm(col("cv")))
+      asDouble(col(vecCol)).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) /
-        (col("qnorm") * col("cnorm")), roundTo))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), roundTo))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -116,12 +121,10 @@ object Similarity {
       .unionByName(cands.select(col("id_b").as("query_id"),
         col("id_a").as("neighbor_id")))
     val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
     val scored = directed
-      .join(v.toDF("query_id", "qv", "qnorm"), Seq("query_id"))
-      .join(v.toDF("neighbor_id", "cv", "cnorm"), Seq("neighbor_id"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) /
-        (col("qnorm") * col("cnorm")), roundTo))
+      .join(v.toDF("query_id", "qv"), Seq("query_id"))
+      .join(v.toDF("neighbor_id", "cv"), Seq("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), roundTo))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
