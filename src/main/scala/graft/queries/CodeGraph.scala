@@ -241,6 +241,26 @@ class CodeGraph(nodes: DataFrame, edges: DataFrame) {
       .orderBy(col("name"), col("calleeId")).limit(limit)
   }
 
+  /** MCP analyze-function tool (`mcp-server/main.go:423-519`): the
+    * reference issues three sequential round-trips (metadata, callers,
+    * callees); here one call returns the union, tagged by part. */
+  def analyzeFunction(funcName: String, limit: Int = 10): DataFrame = {
+    val meta = n(Labels.Function).unionByName(n(Labels.Method))
+      .filter(col("name") === funcName)
+      .select(lit("metadata").as("part"), col("name"),
+        col("filePath"), col("startLine"), col("signature"))
+      .orderBy(col("filePath"), col("startLine")).limit(1)
+    val callers = callersOf(funcName, limit)
+      .select(lit("caller").as("part"), col("name"), col("filePath"),
+        lit(null).cast("int").as("startLine"),
+        lit(null).cast("string").as("signature"))
+    val callees = calleesOf(funcName, limit)
+      .select(lit("callee").as("part"), col("name"), col("filePath"),
+        lit(null).cast("int").as("startLine"),
+        lit(null).cast("string").as("signature"))
+    meta.unionByName(callers).unionByName(callees)
+  }
+
   /** A1/A2 — count by label / relType (`system_test.go:72,238`). */
   def countByLabel(): DataFrame =
     nodes.groupBy(col("label")).count()

@@ -120,6 +120,28 @@ class GraphStore(spark: SparkSession, val basePath: String) {
     fs.rename(tmpPtr, pointer(kind))
   }
 
+  /** Retained snapshot versions of `kind` ("nodes"|"edges"), oldest
+    * first (time-travel surface over the versioned store). */
+  def versions(kind: String): Seq[String] = {
+    val base = new Path(basePath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${kind}_v"))
+      .sortBy(_.getModificationTime)
+      .map(_.getPath.getName)
+  }
+
+  /** Read a specific retained snapshot version (from [[versions]]). */
+  def nodesAt(version: String): DataFrame =
+    spark.read.parquet(s"$basePath/$version")
+      .select(Model.nodeSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+  def edgesAt(version: String): DataFrame =
+    spark.read.parquet(s"$basePath/$version")
+      .select(Model.edgeSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
   /** Delete all non-current snapshot versions. */
   def vacuum(): Unit = {
     val keep = Seq("nodes", "edges").flatMap(currentDir)
