@@ -189,16 +189,42 @@ object Dedup {
       struct(lit(b.toLong).as("band"),
         md5(concat_ws("|", sigs: _*)).as("band_key"))
     }
-    val bands = wide.select(col("doc"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"),
+    val bandKeyCols = (0 until nBands).map(b => col(s"bk$b"))
+    val withKeys = wide.select(col("doc") +: (0 until nBands).map(b =>
+      bandStructs(b).getField("band_key").as(s"bk$b")): _*)
+    // signature classes: docs with identical full band vectors pair in
+    // every band (shared_bands = nBands); pair enumeration runs at class
+    // level, then expands — dedup-before-pairing, the same candidates.
+    val classes = withKeys.groupBy(bandKeyCols: _*)
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .withColumn("ck", md5(concat_ws("|", bandKeyCols: _*)))
+    val intra = classes.filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("id_a"), col("docs"))
+      .select(col("id_a"), explode(col("docs")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("shared_bands", lit(nBands.toLong))
+    val classBands = classes.select(col("ck"), col("docs"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"), col(s"bk$b").as("band_key"))): _*))
+          .as("bk"))
+      .select(col("ck"), col("docs"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-    bands.as("a").join(bands.as("b"),
+    val classPairs = classBands.as("a").join(classBands.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
-        col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("shared_bands"))
+        col("a.ck") < col("b.ck"))
+      .groupBy(col("a.ck").as("ck_a"), col("b.ck").as("ck_b"))
+      .agg(count(lit(1)).as("shared_bands"),
+        first(col("a.docs")).as("docs_a"), first(col("b.docs")).as("docs_b"))
+    val inter = classPairs
+      .select(col("shared_bands"), explode(col("docs_a")).as("d1"),
+        col("docs_b"))
+      .select(col("shared_bands"), col("d1"),
+        explode(col("docs_b")).as("d2"))
+      .select(least(col("d1"), col("d2")).as("id_a"),
+        greatest(col("d1"), col("d2")).as("id_b"), col("shared_bands"))
+    intra.select(col("id_a"), col("id_b"), col("shared_bands"))
+      .unionByName(inter)
   }
 
   // -------------------------------------------------------------------
