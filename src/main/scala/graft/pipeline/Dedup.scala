@@ -241,6 +241,9 @@ object Dedup {
     * than clear. Returns (doc, simhash). */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
+    // doc×bit explode + two codegen'd aggregations. (A nested
+    // higher-order-function fold avoids the explode but runs interpreted
+    // per row and benched no faster — keep the codegen path.)
     val exploded = df.select(col(idCol).as("doc"),
       explode(tokenSet(col(textCol))).as("tok"))
       .select(col("doc"), tokHash(col("tok")).as("h"))
