@@ -468,6 +468,44 @@ object Relational {
       |ORDER BY p_name, p_partkey
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q35 — ROLLUP subtotals (beyond the reference — SURVEY §2.4 notes it
+  // has no grouping sets; exposed as engine surface). Nulls from subtotal
+  // levels are coalesced to a sentinel so ordering is engine-agnostic.
+  // ---------------------------------------------------------------------
+  def q35_rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  val q35_sql: String =
+    s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       |  COALESCE(o_orderpriority, '(all)') AS priority,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q36 — HLL approximate distinct (bonus; rows-only — sketch
+  // implementations differ across engines by design).
+  // ---------------------------------------------------------------------
+  def q36_approx_distinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02)
+        .as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** All queries + oracles in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pruned_agg" -> q01_pruned_agg _,
@@ -486,7 +524,9 @@ object Relational {
     "q14_case_class" -> q14_case_class _,
     "q15_merge_latest" -> q15_merge_latest _,
     "q16_isin_not" -> q16_isin_not _,
-    "q34_completion" -> q34_completion _)
+    "q34_completion" -> q34_completion _,
+    "q35_rollup" -> q35_rollup _,
+    "q36_approx_distinct" -> q36_approx_distinct _)
 
   val oracles: Map[String, String] = Map(
     "q01_pruned_agg" -> q01_sql,
@@ -505,5 +545,6 @@ object Relational {
     "q14_case_class" -> q14_sql,
     "q15_merge_latest" -> q15_sql,
     "q16_isin_not" -> q16_sql,
-    "q34_completion" -> q34_sql)
+    "q34_completion" -> q34_sql,
+    "q35_rollup" -> q35_sql)
 }

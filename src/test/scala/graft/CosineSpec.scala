@@ -31,6 +31,16 @@ class CosineSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("graft_cosine callable from spark.sql after live registration") {
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "graft_cosine",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimilarity(children(0), children(1)))
+    val v = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(v === 1.0)
+  }
+
   test("identical vectors give exactly 1.0 through codegen") {
     val df = Seq((Array(0.1, 0.2, 0.3), Array(0.1, 0.2, 0.3)))
       .toDF("a", "b")
