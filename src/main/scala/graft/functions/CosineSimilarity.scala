@@ -35,6 +35,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null is produced for length-mismatched inputs even when children are
+  // non-nullable — without this, codegen emits an assignment to the
+  // FalseLiteral and the optimizer may fold IsNull to false.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

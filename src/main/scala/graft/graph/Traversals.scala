@@ -29,29 +29,32 @@ object Traversals {
 
   /** Minimum-depth reachability from `seeds` following `edges` (cols
     * src, dst) forward, up to `maxHops`. Returns (id, depth) with depth =
-    * min #hops ≥ 1 (seeds themselves are not returned, matching
-    * `CALLS*1..10` which excludes the start node unless cyclic).
+    * min #hops ≥ 1. A seed that a cycle leads back to IS returned (at its
+    * discovery depth), matching Cypher `CALLS*1..10` semantics where the
+    * start node appears if reachable from itself.
     */
   def reachable(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var frontier = seeds.select(col("id")).distinct()
         .localCheckpoint(eager = true)
-      var visited = frontier.withColumn("depth", lit(0))
+      // found = nodes discovered via ≥1 edge; seeds are NOT pre-seeded
+      // here so a cycle can rediscover them
+      var found = frontier.filter(lit(false)).withColumn("depth", lit(0))
         .localCheckpoint(eager = true)
       var depth = 0
       while (depth < maxHops && !frontier.isEmpty) {
         depth += 1
         val next = frontier.join(e, frontier("id") === e("src"))
           .select(e("dst").as("id")).distinct()
-          .join(visited.select("id"), Seq("id"), "left_anti")
+          .join(found.select("id"), Seq("id"), "left_anti")
           .localCheckpoint(eager = true)
-        visited = visited.unionByName(next.withColumn("depth", lit(depth)))
+        found = found.unionByName(next.withColumn("depth", lit(depth)))
           .localCheckpoint(eager = true)
         frontier = next
       }
-      visited.filter(col("depth") >= 1)
+      found
     } finally e.unpersist()
   }
 
@@ -154,21 +157,25 @@ object Traversals {
     import spark.implicits._
     val edgeRdd = edges.select(col("src"), col("dst")).as[(Long, Long)]
       .rdd.map { case (s, d) => Edge(s, d, ()) }
-    val graph = Graph.fromEdges(edgeRdd, Int.MaxValue)
+    val graph = Graph.fromEdges(edgeRdd, ())
     val seeds = seedIds.toSet
+    val Inf = Int.MaxValue
+    // attr = (propagation depth, reported discovery depth): a seed
+    // propagates at 0 but its own discovery via a cycle is tracked in the
+    // report slot, matching [[reachable]].
     val init = graph.mapVertices((vid, _) =>
-      if (seeds.contains(vid)) 0 else Int.MaxValue)
-    val result = Pregel(init, Int.MaxValue, maxHops,
-      EdgeDirection.Out)(
-      vprog = (_, attr, msg: Int) => math.min(attr, msg),
-      sendMsg = (t: EdgeTriplet[Int, Unit]) =>
-        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
-          Iterator((t.dstId, t.srcAttr + 1))
+      if (seeds.contains(vid)) (0, Inf) else (Inf, Inf))
+    val result = Pregel(init, Inf, maxHops, EdgeDirection.Out)(
+      vprog = (_, attr: (Int, Int), msg: Int) =>
+        (math.min(attr._1, msg), math.min(attr._2, msg)),
+      sendMsg = (t: EdgeTriplet[(Int, Int), Unit]) =>
+        if (t.srcAttr._1 != Inf && t.srcAttr._1 + 1 < t.dstAttr._2)
+          Iterator((t.dstId, t.srcAttr._1 + 1))
         else Iterator.empty,
       mergeMsg = math.min)
     result.vertices
-      .filter { case (_, d) => d != Int.MaxValue && d >= 1 }
-      .map { case (vid, d) => (vid, d) }
+      .filter { case (_, (_, r)) => r != Inf && r >= 1 && r <= maxHops }
+      .map { case (vid, (_, r)) => (vid, r) }
       .toDF("id", "depth")
   }
 }

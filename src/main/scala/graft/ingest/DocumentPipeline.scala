@@ -210,8 +210,8 @@ object DocumentPipeline {
     val featNodes = merged.select(lit(Labels.Feature).as("label"),
       col("name"), col("description").as("docstring"), col("status"),
       col("tags"))
-    store.mergeNodes(GraphStore.ensureNodeIds(docNodes))
-    store.mergeNodes(GraphStore.ensureNodeIds(featNodes))
+    store.mergeNodes(GraphStore.unionNodeFamilies(
+      Seq(docNodes, featNodes)))
 
     val docIds = GraphStore.ensureNodeIds(docNodes)
       .select(col("id").as("docId"), col("sourceUrl"))
@@ -226,18 +226,20 @@ object DocumentPipeline {
       .select(col("docId").as("src"), col("featId").as("dst"),
         lit(RelTypes.Describes).as("relType"))
       .distinct()
-    store.mergeEdges(describes)
 
     val symbols = store.nodesByLabel(Labels.Symbol)
-    if (!symbols.isEmpty) {
-      val mentions = linkMentions(codeTokens(chunks), symbols)
-        .join(docIds, Seq("sourceUrl"))
-        .select(col("docId").as("src"), col("symbolId").as("dst"),
-          lit(RelTypes.Mentions).as("relType"),
-          col("token").as("context"))
-        .distinct()
-      store.mergeEdges(mentions)
-    }
+    val edgeFamilies =
+      if (symbols.isEmpty) Seq(describes)
+      else {
+        val mentions = linkMentions(codeTokens(chunks), symbols)
+          .join(docIds, Seq("sourceUrl"))
+          .select(col("docId").as("src"), col("symbolId").as("dst"),
+            lit(RelTypes.Mentions).as("relType"),
+            col("token").as("context"))
+          .distinct()
+        Seq(describes, mentions)
+      }
+    store.mergeEdges(GraphStore.unionEdgeFamilies(edgeFamilies))
     chunks.unpersist()
   }
 }

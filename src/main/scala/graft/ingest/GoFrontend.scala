@@ -165,9 +165,6 @@ object GoFrontend {
         e.name, e.label.toLowerCase))
       .toDF("label", "symbol", "displayName", "kind").distinct()
 
-    Seq(svcNode, fileNodes, modNodes, entNodes, symNodes)
-      .foreach(df => store.mergeNodes(GraphStore.ensureNodeIds(df)))
-
     val svcId = GraphStore.ensureNodeIds(svcNode).select(col("id").as("svcId"))
     val fileIds = GraphStore.ensureNodeIds(fileNodes)
       .select(col("id").as("fileId"), col("path"))
@@ -183,16 +180,23 @@ object GoFrontend {
         entIds("filePath") === fileIds("path"))
       .select(col("fileId").as("src"), col("id").as("dst"),
         lit(RelTypes.Contains).as("relType"))
-    // Class CONTAINS Method via receiver type (same package)
+    // Class CONTAINS Method via receiver type, scoped by package —
+    // same-named structs in different packages must not both claim the
+    // method
+    val entPkgs = ents.select(col("label"), col("name"), col("signature"),
+      col("filePath"), col("pkg"))
     val classes = entIds.filter(col("label") === Labels.Class)
-      .select(col("id").as("clsId"), col("name").as("clsName"))
+      .join(entPkgs, Seq("label", "name", "signature", "filePath"))
+      .select(col("id").as("clsId"), col("name").as("clsName"),
+        col("pkg").as("clsPkg"))
     val methodRecv = ents.filter(col("label") === Labels.Method)
       .join(entIds.filter(col("label") === Labels.Method)
           .withColumnRenamed("id", "methId"),
         Seq("label", "name", "signature", "filePath"))
-      .select(col("methId"), col("receiver"))
+      .select(col("methId"), col("receiver"), col("pkg"))
     val clsMethods = methodRecv.join(broadcast(classes),
-        methodRecv("receiver") === classes("clsName"))
+        methodRecv("receiver") === classes("clsName") &&
+        methodRecv("pkg") === classes("clsPkg"))
       .select(col("clsId").as("src"), col("methId").as("dst"),
         lit(RelTypes.Contains).as("relType"))
     // DEFINES: entity → its symbol
@@ -232,8 +236,11 @@ object GoFrontend {
         lit(RelTypes.Calls).as("relType"))
       .distinct()
 
-    Seq(svcFiles, fileEnts, clsMethods, defines, calls)
-      .foreach(store.mergeEdges)
+    // exactly two snapshot writes for the whole source tree
+    store.mergeNodes(GraphStore.unionNodeFamilies(
+      Seq(svcNode, fileNodes, modNodes, entNodes, symNodes)))
+    store.mergeEdges(GraphStore.unionEdgeFamilies(
+      Seq(svcFiles, fileEnts, clsMethods, defines, calls)))
     ents.unpersist()
   }
 }

@@ -104,8 +104,12 @@ object ScipIngest {
       .agg(max(col("kind")).as("kindRaw"),
         max(col("documentation")).as("documentation"))
       .select(lit(Labels.Symbol).as("label"), col("symbol"),
+        // get() (0-based, null on out-of-bounds) instead of element_at:
+        // ANSI mode would throw on symbols with fewer than 5 fields
+        // (e.g. SCIP local symbols like "local 0")
         coalesce(nullif(col("kindRaw"), lit("")),
-          element_at(split(col("symbol"), " "), 5)).as("descriptor"),
+          get(split(col("symbol"), " "), lit(4)), col("symbol"))
+          .as("descriptor"),
         col("documentation"))
       .withColumn("kind",
         when(col("descriptor").endsWith("#"), "class")
@@ -117,10 +121,6 @@ object ScipIngest {
         regexp_replace(element_at(split(col("descriptor"), "/"), -1),
           "(\\(\\)\\.|#|\\.)$", ""))
       .drop("descriptor")
-
-    store.mergeNodes(GraphStore.ensureNodeIds(svcNode))
-    store.mergeNodes(GraphStore.ensureNodeIds(fileNodes))
-    store.mergeNodes(GraphStore.ensureNodeIds(symNodes))
 
     val svcId = GraphStore.ensureNodeIds(svcNode)
       .select(col("id").as("svcId"))
@@ -143,10 +143,6 @@ object ScipIngest {
     val fileContainsSym = defs.select(col("fileId").as("src"),
         col("symId").as("dst"), lit(RelTypes.Contains).as("relType"))
       .dropDuplicates("src", "dst")
-    store.mergeEdges(svcContains)
-    store.mergeEdges(fileDefines)
-    store.mergeEdges(fileContainsSym)
-
     // --- pass 2: Reference nodes + REFERENCES edges -------------------
     val contents = fileContents.toSeq.toDF("cPath", "content")
     val refs = occ.filter(!col("isDefinition"))
@@ -164,7 +160,6 @@ object ScipIngest {
     val refNodes = refs.select(lit(Labels.Reference).as("label"),
       col("filePath"), col("startLine"), col("startColumn"),
       col("endLine"), col("endColumn"), col("startByte"), col("endByte"))
-    store.mergeNodes(GraphStore.ensureNodeIds(refNodes))
     val refIds = GraphStore.ensureNodeIds(refNodes)
       .select(col("id").as("refId"), col("filePath"), col("startLine"),
         col("startColumn"))
@@ -182,8 +177,12 @@ object ScipIngest {
       .select(col("fileId").as("src"), col("refId").as("dst"),
         lit(RelTypes.Contains).as("relType"))
       .dropDuplicates("src", "dst")
-    store.mergeEdges(refEdges)
-    store.mergeEdges(fileContainsRef)
+    // exactly two snapshot writes for the whole index
+    store.mergeNodes(GraphStore.unionNodeFamilies(
+      Seq(svcNode, fileNodes, symNodes, refNodes)))
+    store.mergeEdges(GraphStore.unionEdgeFamilies(
+      Seq(svcContains, fileDefines, fileContainsSym, refEdges,
+        fileContainsRef)))
     occ.unpersist(); refs.unpersist()
   }
 }

@@ -177,6 +177,9 @@ object Dedup {
     * less and K× fewer hash evaluations shuffled. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand " +
+        s"($rowsPerBand) — a partial band would silently be dropped")
     val toks = df.select(col(idCol).as("doc"),
       explode(tokenSet(col(textCol))).as("tok"))
     val sigCols = (0 until numHashes).map(i =>

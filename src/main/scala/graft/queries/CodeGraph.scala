@@ -107,13 +107,17 @@ class CodeGraph(nodes: DataFrame, edges: DataFrame) {
         col("u.filePath").as("usageFilePath"),
         col("u.startLine").as("startLine"),
         col("u.startColumn").as("startColumn"))
-    // ancestor File via CONTAINS closure (dst-side descendant)
+    // ancestor File via CONTAINS closure: restrict the closure to File
+    // ancestors BEFORE joining, so non-File ancestors (Module, Class…)
+    // cannot fan a usage out into duplicate rows
     val contains = e(RelTypes.Contains).select(col("src"), col("dst"))
-    val cl = Traversals.closure(contains, maxDepth)
     val files = n(Labels.File).select(col("id").as("fileId"),
       col("path").as("filePath"))
-    usages.join(cl, usages("usageId") === cl("descendant"), "left_outer")
-      .join(broadcast(files), cl("ancestor") === files("fileId"), "left_outer")
+    val fileAncestors = Traversals.closure(contains, maxDepth)
+      .join(broadcast(files), col("ancestor") === col("fileId"))
+      .select(col("descendant"), col("filePath"))
+    usages.join(fileAncestors, usages("usageId") === col("descendant"),
+        "left_outer")
       .select(col("usageId"), col("usageLabel"),
         coalesce(col("filePath"), col("usageFilePath")).as("path"),
         col("startLine"), col("startColumn"))

@@ -50,7 +50,8 @@ object GraphQueries {
        |  WHERE r.depth < 10
        |)
        |SELECT id, MIN(depth) AS depth FROM r
-       |GROUP BY id HAVING MIN(depth) >= 1
+       |WHERE depth >= 1
+       |GROUP BY id
        |ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------------------

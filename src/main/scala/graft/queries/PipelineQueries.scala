@@ -294,7 +294,7 @@ object PipelineQueries {
       |  SELECT token, doc_id,
       |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
       |  FROM documents JOIN tokens
-      |    ON text LIKE '%' || token || '%')
+      |    ON contains(text, token))
       |SELECT token, doc_id, rn FROM m WHERE rn <= 5
       |ORDER BY token, rn""".stripMargin
 

@@ -39,18 +39,20 @@ class GraphStore(spark: SparkSession, val basePath: String) {
 
   private def pointer(kind: String) = new Path(s"$basePath/$kind.current")
 
-  /** Current snapshot dir for `kind`, or None before the first write. */
+  /** Current snapshot dir for `kind`, or None before the first write.
+    * If the pointer file is momentarily absent (crash or concurrent
+    * repoint between delete and rename), fall back to the newest
+    * retained version directory instead of reporting an empty graph. */
   private def currentDir(kind: String): Option[String] = {
     val ptr = pointer(kind)
-    if (!fs.exists(ptr)) None
-    else {
+    if (fs.exists(ptr)) {
       val in = fs.open(ptr)
       try {
         val v = new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         Some(s"$basePath/$v")
       } finally in.close()
-    }
+    } else versions(kind).lastOption.map(v => s"$basePath/$v")
   }
 
   def nodes: DataFrame = read("nodes", Model.nodeSchema)
@@ -166,17 +168,20 @@ object GraphStore {
   def nodeId(label: String, keyCols: Column*): Column =
     xxhash64((lit(label) +: keyCols): _*)
 
-  /** Fill ids for rows that lack one, using per-label merge keys. */
+  /** Fill ids for rows that lack one, using per-label merge keys. A label
+    * whose merge-key columns are not ALL present falls through to the
+    * hash-of-all-columns default — substituting nulls would silently
+    * collapse every row of the label to one id (xxhash64 skips null
+    * inputs). */
   def ensureNodeIds(df: DataFrame): DataFrame = {
     val withIdCol =
       if (df.columns.contains("id")) df else df.withColumn("id", lit(null))
     val keyExpr = Model.MergeKeys.foldLeft(lit(null).cast("long")) {
       case (acc, (label, keys)) =>
-        val keyCols = keys.map(k =>
-          if (withIdCol.columns.contains(k)) col(k).cast("string")
-          else lit(null).cast("string"))
-        when(col("label") === label,
-          xxhash64((lit(label) +: keyCols): _*)).otherwise(acc)
+        if (!keys.forall(withIdCol.columns.contains)) acc
+        else when(col("label") === label,
+          xxhash64((lit(label) +: keys.map(k => col(k).cast("string"))): _*))
+          .otherwise(acc)
     }
     withIdCol.withColumn("id",
       coalesce(col("id").cast("long"), keyExpr,
@@ -211,4 +216,15 @@ object GraphStore {
   def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema)
+
+  /** Union heterogenous node-row families into one schema-aligned frame
+    * (ids filled per family) so an ingest can MERGE once instead of once
+    * per family — each MERGE rewrites the snapshot, so batching is
+    * O(graph) instead of O(families × graph). */
+  def unionNodeFamilies(dfs: Seq[DataFrame]): DataFrame =
+    dfs.map(df => align(ensureNodeIds(df), Model.nodeSchema))
+      .reduce(_.unionByName(_))
+
+  def unionEdgeFamilies(dfs: Seq[DataFrame]): DataFrame =
+    dfs.map(df => align(df, Model.edgeSchema)).reduce(_.unionByName(_))
 }

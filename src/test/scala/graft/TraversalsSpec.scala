@@ -23,6 +23,16 @@ class TraversalsSpec extends SparkSpec {
     assert(got === Set(2L, 3L))
   }
 
+  test("a seed reachable from itself via a cycle IS returned (Cypher parity)") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val df = Traversals.reachable(cyc, Seq(1L).toDF("id"), 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(df === Map(2L -> 1, 1L -> 2))
+    val gx = Traversals.reachableGraphX(spark, cyc, Seq(1L), 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gx === df)
+  }
+
   test("closure on a tree gives (ancestor, descendant, depth)") {
     val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
     val got = Traversals.closure(tree, 10).collect()
