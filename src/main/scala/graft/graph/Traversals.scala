@@ -40,21 +40,27 @@ object Traversals {
       var frontier = seeds.select(col("id")).distinct()
         .localCheckpoint(eager = true)
       // found = nodes discovered via ≥1 edge; seeds are NOT pre-seeded
-      // here so a cycle can rediscover them
-      var found = frontier.filter(lit(false)).withColumn("depth", lit(0))
-        .localCheckpoint(eager = true)
+      // here so a cycle can rediscover them. Kept as a LAZY union of the
+      // per-level checkpointed frontiers: one materialization job per
+      // superstep (the new frontier), not two — the union is never
+      // re-copied.
+      var levels = Vector.empty[DataFrame]
       var depth = 0
       while (depth < maxHops && !frontier.isEmpty) {
         depth += 1
-        val next = frontier.join(e, frontier("id") === e("src"))
+        val expanded = frontier.join(e, frontier("id") === e("src"))
           .select(e("dst").as("id")).distinct()
-          .join(found.select("id"), Seq("id"), "left_anti")
+        val next = (if (levels.isEmpty) expanded
+          else expanded.join(levels.map(_.select("id"))
+            .reduce(_ unionByName _), Seq("id"), "left_anti"))
           .localCheckpoint(eager = true)
-        found = found.unionByName(next.withColumn("depth", lit(depth)))
-          .localCheckpoint(eager = true)
+        levels = levels :+ next.withColumn("depth", lit(depth))
         frontier = next
       }
-      found
+      if (levels.isEmpty)
+        seeds.select(col("id")).withColumn("depth", lit(0))
+          .filter(lit(false))
+      else levels.reduce(_ unionByName _)
     } finally e.unpersist()
   }
 
@@ -71,22 +77,25 @@ object Traversals {
       var level = e.select(col("src").as("ancestor"),
         col("dst").as("descendant"), lit(1).as("depth"))
         .localCheckpoint(eager = true)
-      var acc = level
+      // accumulator = LAZY union of checkpointed levels — one
+      // materialization job per level, the union is never re-copied
+      var levels = Vector(level)
       var d = 1
       while (d < maxDepth && !level.isEmpty) {
         d += 1
+        val seen = levels.map(_.select(col("ancestor"), col("descendant")))
+          .reduce(_ unionByName _)
         val next = level.join(e, level("descendant") === e("src"))
           .select(level("ancestor"), e("dst").as("descendant"),
             lit(d).as("depth"))
           // keep min-depth pairs only (DISTINCT-node semantics)
-          .join(acc.select(col("ancestor"), col("descendant")),
-            Seq("ancestor", "descendant"), "left_anti")
+          .join(seen, Seq("ancestor", "descendant"), "left_anti")
           .distinct()
           .localCheckpoint(eager = true)
-        acc = acc.unionByName(next).localCheckpoint(eager = true)
+        levels = levels :+ next
         level = next
       }
-      acc
+      levels.reduce(_ unionByName _)
     } finally e.unpersist()
   }
 
@@ -132,7 +141,8 @@ object Traversals {
         .select(col("start"), e("dst").as("end"), lit(1).as("depth"),
           array(col("start"), col("dst")).as("path"))
         .localCheckpoint(eager = true)
-      var acc = level
+      // lazy union of checkpointed levels (see [[closure]])
+      var levels = Vector(level)
       var d = 1
       while (d < maxHops && !level.isEmpty) {
         d += 1
@@ -141,10 +151,10 @@ object Traversals {
           .select(level("start"), e("dst").as("end"), lit(d).as("depth"),
             concat(level("path"), array(e("dst"))).as("path"))
           .localCheckpoint(eager = true)
-        acc = acc.unionByName(next).localCheckpoint(eager = true)
+        levels = levels :+ next
         level = next
       }
-      acc
+      levels.reduce(_ unionByName _)
     } finally e.unpersist()
   }
 

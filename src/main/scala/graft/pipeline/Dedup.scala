@@ -244,22 +244,22 @@ object Dedup {
     * than clear. Returns (doc, simhash). */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
-    // doc×bit explode + two codegen'd aggregations. (A nested
-    // higher-order-function fold avoids the explode but runs interpreted
-    // per row and benched no faster — keep the codegen path.)
+    // ONE partial-aggregated groupBy: per doc, `bits` bit-population sums
+    // plus the token count, all codegen'd. Bit i is set iff more token
+    // hashes have it set than clear (2·s_i > n ⟺ balance > 0) — same
+    // signature as the textbook per-bit balance, without the doc×bit
+    // fan-out (bits× row inflation) or the second shuffle.
     val exploded = df.select(col(idCol).as("doc"),
       explode(tokenSet(col(textCol))).as("tok"))
       .select(col("doc"), tokHash(col("tok")).as("h"))
-    exploded
-      .select(col("doc"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .groupBy(col("doc"), col("bit"))
-      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
-        .otherwise(-1)).as("balance"))
-      .groupBy(col("doc"))
-      .agg(sum(when(col("balance") > 0,
-        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
-        .as("simhash"))
+    val aggs = (0 until bits).map(i =>
+      sum(expr(s"shiftright(h, $i) & 1")).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    val sig = (0 until bits).map(i =>
+        when(col(s"s$i") * 2 > col("n"), lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    exploded.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"), sig.as("simhash"))
   }
 
   /** Near-duplicate candidates: split the signature into 8-bit bands,
@@ -270,19 +270,41 @@ object Dedup {
       bits: Int = 32, maxHamming: Int = 3): DataFrame = {
     val sigs = simHashSignatures(df, idCol, textCol, bits)
     val nBands = bits / 8
-    val banded = sigs.select(col("doc"), col("simhash"),
+    // Signature classes: docs with identical signatures are
+    // interchangeable, so candidate generation (band join + distinct +
+    // hamming filter) runs over DISTINCT signatures only and expands to
+    // doc pairs afterwards — the q24 dedup-before-pairing trick. On a
+    // self-similar corpus this shrinks the pair-level distinct from
+    // O(docPairs) to O(sigPairs).
+    val classes = sigs.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+    val banded = classes.select(col("simhash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
-    banded.as("a").join(banded.as("b"),
+    val sigPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
-      .withColumn("hamming", expr(
-        "bit_count(sig_a ^ sig_b)"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val inter = sigPairs
+      .join(classes.select(col("simhash").as("sig_a"),
+        col("docs").as("docs_a")), Seq("sig_a"))
+      .join(classes.select(col("simhash").as("sig_b"),
+        col("docs").as("docs_b")), Seq("sig_b"))
+      .select(col("hamming"), explode(col("docs_a")).as("d1"),
+        col("docs_b"))
+      .select(col("hamming"), col("d1"), explode(col("docs_b")).as("d2"))
+      .select(least(col("d1"), col("d2")).as("id_a"),
+        greatest(col("d1"), col("d2")).as("id_b"), col("hamming"))
+    val intra = classes.filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("id_a"), col("docs"))
+      .select(col("id_a"), explode(col("docs")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+    intra.unionByName(inter)
   }
 }

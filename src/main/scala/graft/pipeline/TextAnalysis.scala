@@ -92,18 +92,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
 
-  /** Language-ID heuristic (n-gram/stopword profile, no model):
-    * CJK/Cyrillic/Greek by script, then Latin languages by
-    * distinctive-stopword hit counts. Returns ISO-ish codes. */
-  def langId(text: Column): Column = {
-    def hits(words: Seq[String]): Column = {
-      val sw = array(words.map(lit): _*)
-      size(filter(tokens(lower(text)), t => array_contains(sw, t)))
-    }
-    val en = hits(Seq("the", "and", "of", "to", "is", "that", "with"))
-    val es = hits(Seq("el", "la", "los", "las", "que", "de", "y", "es"))
-    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))
-    val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans"))
+  /** Distinctive-stopword profiles for the Latin-script languages the
+    * heuristic can tell apart. Order matters: the tie-break prefers
+    * earlier entries (en ≥ es ≥ de ≥ fr). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"))
+
+  /** Count of tokens present in `words`. Higher-order `filter` runs
+    * interpreted — callers should materialize the token array and each
+    * hit count ONCE in a projection, never inline them into a CASE
+    * branch where they would be re-evaluated per branch. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val sw = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** Classification from pre-materialized hit-count columns (script
+    * classes checked on the raw text first). */
+  def langIdFromHits(text: Column, en: Column, es: Column, de: Column,
+      fr: Column): Column =
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(text.rlike("[\\u3040-\\u30ff]"), "ja")
       .when(text.rlike("[\\uac00-\\ud7af]"), "ko")
@@ -113,5 +123,31 @@ object TextAnalysis {
       .when(de >= fr && de > 0, "de")
       .when(fr > 0, "fr")
       .otherwise("und")
+
+  /** Language-ID heuristic (n-gram/stopword profile, no model):
+    * CJK/Cyrillic by script, then Latin languages by distinctive-
+    * stopword hit counts. Single-expression form; prefer
+    * [[langIdDf]]-style materialized hits for bulk scoring. */
+  def langId(text: Column): Column = {
+    val Seq(en, es, de, fr) = langProfiles.map { case (_, ws) =>
+      stopwordHits(tokens(lower(text)), ws)
+    }
+    langIdFromHits(text, en, es, de, fr)
+  }
+
+  /** Bulk language-ID over a DataFrame: tokens and the four hit counts
+    * are each computed exactly once per row (separate projections that
+    * Catalyst keeps — non-cheap expressions are not re-inlined), then
+    * the CASE chain reads integer columns. Adds `predicted`. */
+  def langIdDf(df: DataFrame, textCol: String): DataFrame = {
+    val withToks = df.withColumn("_toks", tokens(lower(col(textCol))))
+    val hitCols = langProfiles.map { case (code, ws) =>
+      stopwordHits(col("_toks"), ws).as(s"_h_$code")
+    }
+    val withHits = withToks.select(col("*") +: hitCols: _*)
+    withHits
+      .withColumn("predicted", langIdFromHits(col(textCol),
+        col("_h_en"), col("_h_es"), col("_h_de"), col("_h_fr")))
+      .drop("_toks", "_h_en", "_h_es", "_h_de", "_h_fr")
   }
 }

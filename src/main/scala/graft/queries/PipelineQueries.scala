@@ -226,14 +226,46 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
-  // q27 — language-ID heuristic vs stored label (rows-only: heuristic)
+  // q27 — language-ID heuristic vs stored label. The heuristic is
+  // deterministic (script regex + stopword hit counts), so it oracles
+  // exactly; hit counts are materialized once per row (see langIdDf).
   // -------------------------------------------------------------------
   def q27_langid(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+    TextAnalysis.langIdDf(Tables.documents(spark, dir), "text")
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
+
+  val q27_sql: String = {
+    val hitSql = TextAnalysis.langProfiles.map { case (code, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, x -> x IN ($list))) AS h_$code"
+    }.mkString(",\n|    ")
+    s"""WITH t AS (
+       |  SELECT lang, text,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT lang, text,
+       |    $hitSql
+       |  FROM t),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |         WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+       |         WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |         WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0
+       |           THEN 'en'
+       |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
+       |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+       |         WHEN h_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS predicted
+       |  FROM h)
+       |SELECT lang, predicted, COUNT(*) AS n_docs FROM p
+       |GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // q28 — composite quality score
@@ -343,6 +375,7 @@ object PipelineQueries {
     "q24_minhash_lsh" -> q24_sql,
     "q25_cosine_topk" -> q25_sql,
     "q26_simhash" -> q26_sql,
+    "q27_langid" -> q27_sql,
     "q28_quality" -> q28_sql,
     "q32_substring_join" -> q32_sql,
     "q33_dedup_keep" -> q33_sql)
