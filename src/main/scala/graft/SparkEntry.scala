@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.GraphQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.ExtendedQueries.oracles
 }

@@ -55,6 +55,37 @@ object ScipIngest {
         .stripSuffix("().").stripSuffix("#").stripSuffix(".")
     }.getOrElse(symbol)
 
+  import org.apache.spark.sql.Column
+
+  /** Column form of the 5-field SCIP symbol parse
+    * (`pkg/models/symbol.go:25-38`, SplitN(symbol," ",5)): struct of
+    * (scheme, manager, name, version, descriptor). */
+  def parseSymbolCol(symbol: Column): Column = {
+    val parts = split(symbol, " ", 5)
+    struct(
+      get(parts, lit(0)).as("scheme"),
+      get(parts, lit(1)).as("manager"),
+      get(parts, lit(2)).as("name"),
+      get(parts, lit(3)).as("version"),
+      get(parts, lit(4)).as("descriptor"))
+  }
+
+  /** Column form of symbol-kind inference from descriptor shape
+    * (`scip_parser.go:208-221`): `#`→class, `().`→method, `.`→term,
+    * `/`→namespace. */
+  def kindCol(descriptor: Column): Column =
+    when(descriptor.endsWith("#"), "class")
+      .when(descriptor.endsWith("()."), "method")
+      .when(descriptor.endsWith("."), "term")
+      .when(descriptor.endsWith("/"), "namespace")
+      .otherwise("unknown")
+
+  /** Column form of display-name extraction: descriptor's last `/`
+    * segment minus SCIP suffix punctuation (`scip_parser.go:223-246`). */
+  def displayNameCol(descriptor: Column): Column =
+    regexp_replace(element_at(split(descriptor, "/"), -1),
+      "(\\(\\)\\.|#|\\.)$", "")
+
   /** Byte offset of (line, col) in content — `scip_indexer.go:382-409`:
     * sum of line lengths (+1 newline) before `line`, plus `col`. */
   def byteOffset(content: String, line: Int, col: Int): Int = {
@@ -111,15 +142,8 @@ object ScipIngest {
           get(split(col("symbol"), " "), lit(4)), col("symbol"))
           .as("descriptor"),
         col("documentation"))
-      .withColumn("kind",
-        when(col("descriptor").endsWith("#"), "class")
-          .when(col("descriptor").endsWith("()."), "method")
-          .when(col("descriptor").endsWith("."), "term")
-          .when(col("descriptor").endsWith("/"), "namespace")
-          .otherwise("unknown"))
-      .withColumn("displayName",
-        regexp_replace(element_at(split(col("descriptor"), "/"), -1),
-          "(\\(\\)\\.|#|\\.)$", ""))
+      .withColumn("kind", kindCol(col("descriptor")))
+      .withColumn("displayName", displayNameCol(col("descriptor")))
       .drop("descriptor")
 
     val svcId = GraphStore.ensureNodeIds(svcNode)

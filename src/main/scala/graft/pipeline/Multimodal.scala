@@ -64,6 +64,30 @@ object Multimodal {
     }.toDF("media_id", "frame_index", "frame_bytes", "frame_features")
   }
 
+  case class BinMeta(media_id: Long, n_bytes: Int, sha_hex: String,
+      n_frames: Int)
+
+  /** Typed per-partition metadata extraction over an opaque binary
+    * column: payload size, content digest, frame count at `frameSize`
+    * bytes per frame. The decode itself stays stubbed; the partition-
+    * batched iteration, binary schema, and digest are the real 100 TB
+    * plumbing (one MessageDigest per partition, streamed rows). */
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int = 256): Dataset[BinMeta] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          BinMeta(id, bytes.length, hex,
+            (bytes.length + frameSize - 1) / frameSize)
+        }
+      }
+  }
+
   /** Synthesize a deterministic media table from any numeric id column —
     * used by specs and demos in lieu of real binaries. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

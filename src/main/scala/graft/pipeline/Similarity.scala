@@ -110,6 +110,153 @@ object Similarity {
       .distinct()
   }
 
+  // -------------------------------------------------------------------
+  // WTA (winner-take-all style) comparison-bit LSH: bit p of the
+  // signature is `v[a_p] > v[b_p]` for a fixed md5-derived dim-pair
+  // table. No floating-point arithmetic in the hash — raw element
+  // comparisons only — so signatures are bit-identical across engines
+  // (a random-hyperplane projection's sum order is not). Rank-order
+  // hashes of this family appear in Yagnik et al., "The Power of
+  // Comparative Reasoning" (ICCV 2011).
+  // -------------------------------------------------------------------
+
+  /** Deterministic dim-pair table: pair p compares dims (a_p, b_p),
+    * derived from md5 so any engine (or the oracle SQL) can reproduce
+    * it as literals. */
+  def wtaPairs(planes: Int, dims: Int): Seq[(Int, Int)] = {
+    def h(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff)) >>> 1
+    }
+    (0 until planes).map { p =>
+      val a = h(s"a:$p") % dims
+      val b0 = h(s"b:$p") % dims
+      val b = if (b0 == a) (b0 + 1) % dims else b0
+      (a, b)
+    }
+  }
+
+  /** `planes`-bit comparison signature over a vector column (1-based
+    * element_at, matching SQL list indexing). */
+  def wtaSignature(vec: Column, pairs: Seq[(Int, Int)]): Column =
+    pairs.zipWithIndex.map { case ((a, b), p) =>
+      when(element_at(vec, a + 1) > element_at(vec, b + 1),
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Candidate pairs sharing ≥1 signature band (id_a < id_b). */
+  def wtaCandidates(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bandBits: Int, dims: Int): DataFrame = {
+    val pairs = wtaPairs(planes, dims)
+    val sigs = df.select(col(idCol).as("vid"),
+      wtaSignature(col(vecCol), pairs).as("sig"))
+    val nBands = planes / bandBits
+    val banded = sigs.select(col("vid"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(sig, band * $bandBits) & ${(1 << bandBits) - 1}"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+  }
+
+  /** Approximate top-k from WTA candidates + exact cosine re-rank.
+    * Deterministic end-to-end → exactly reproducible by the DuckDB
+    * oracle (see q29). */
+  def wtaTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int, bandBits: Int, dims: Int, roundTo: Int = 5): DataFrame = {
+    val cands = wtaCandidates(df, idCol, vecCol, planes, bandBits, dims)
+    val directed = cands.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      .unionByName(cands.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id")))
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    val scored = directed
+      .join(v.toDF("query_id", "qv"), Seq("query_id"))
+      .join(v.toDF("neighbor_id", "cv"), Seq("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), roundTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
+    * from WTA banding (the embedding-space analog of SimHash dedup). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int, bandBits: Int, dims: Int,
+      roundTo: Int = 5): DataFrame = {
+    val cands = wtaCandidates(df, idCol, vecCol, planes, bandBits, dims)
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    cands
+      .join(v.toDF("id_a", "va"), Seq("id_a"))
+      .join(v.toDF("id_b", "vb"), Seq("id_b"))
+      .withColumn("sim", round(cosineFast(col("va"), col("vb")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN: assign every vector to its nearest
+  // centroid (broadcast join — the codebook is tiny), then search only
+  // the `nprobe` closest centroid lists per query. The classic
+  // partition-pruned ANN layout: at 100 TB the corpus is stored
+  // partitioned by centroid id, so a query touches nprobe partitions
+  // instead of the full corpus. Deterministic "training-free" codebook
+  // (every centroidMod-th vector) keeps it oracle-reproducible; swap in
+  // k-means centroids without changing the query shape.
+  // -------------------------------------------------------------------
+
+  /** (vid, cid): nearest centroid per vector (cosine, ties → smaller
+    * centroid id). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+      roundTo: Int = 5): DataFrame = {
+    val scored = vectors.join(broadcast(centroids))
+      .withColumn("csim", round(cosineFast(col("v"), col("cv")), roundTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("csim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vid"), col("cid"))
+  }
+
+  /** IVF top-k: queries = ids where `id % queryMod == 0`, codebook =
+    * ids where `id % centroidMod == 0`. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidMod: Int, queryMod: Int, nprobe: Int,
+      roundTo: Int = 5): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val cents = df.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val assign = ivfAssign(v, cents, roundTo)
+    val queries = v.filter(col("vid") % queryMod === 0)
+      .select(col("vid").as("query_id"), col("v").as("qv"))
+    val probeScored = queries.join(broadcast(cents))
+      .withColumn("csim", round(cosineFast(col("qv"), col("cv")), roundTo))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = probeScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe).select(col("query_id"), col("qv"),
+        col("cid"))
+    val scored = probes.join(assign, Seq("cid"))
+      .filter(col("vid") =!= col("query_id"))
+      .join(v.select(col("vid"), col("v").as("cv2")), Seq("vid"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv2")), roundTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("sim"),
+        col("rank"))
+  }
+
   /** LSH-accelerated approximate top-k: candidates from banded signatures,
     * exact cosine re-rank. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,

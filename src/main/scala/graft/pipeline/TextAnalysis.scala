@@ -27,6 +27,14 @@ object TextAnalysis {
     size(filter(split(text, "(?=[A-Z])|[^A-Za-z0-9]+"),
       x => length(x) > 0))
 
+  /** Engine-portable subword estimate: camel-case pieces, lowercase
+    * runs, digit runs — no lookahead, so the same pattern runs on RE2
+    * engines (and codegen'd regexp_extract_all beats the interpreted
+    * `filter` in [[subwordCount]]). */
+  def subwordCountPortable(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Z][a-z]*|[a-z]+|[0-9]+"), lit(0)))
+
   /** Fraction of characters that are neither alphanumeric nor space. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))

@@ -1,0 +1,447 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ingest.{DocumentPipeline, ScipIngest}
+import graft.pipeline.{Multimodal, Similarity, TextAnalysis}
+
+/** Round-2 coverage widening: embedding near-dup + IVF ANN (the brief's
+  * scale-path similarity ops), the document-pipeline scalar ops of
+  * SURVEY §2.7 as gate-checked queries (SCIP symbol parse, title/type/
+  * status extraction, feature merge), multimodal binary metadata, cube,
+  * set ops, and percentile aggregates. Every query here has a DuckDB
+  * oracle producing identical hashes.
+  */
+object ExtendedQueries {
+
+  /** Embedding dimensionality of the driver-generated testdata —
+    * constant across scale factors (verified 0.001/0.01/0.1); the WTA
+    * dim-pair table and its SQL mirror both derive from it. */
+  val EmbDim = 64
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(30, 6))).cast("double")
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** SQL fragment computing the WTA comparison-bit signature — the
+    * exact mirror of [[Similarity.wtaSignature]] (list indexing is
+    * 1-based on both sides; raw float comparisons, no arithmetic). */
+  private def wtaSigSql(planes: Int, vecExpr: String): String =
+    Similarity.wtaPairs(planes, EmbDim).zipWithIndex.map {
+      case ((a, b), p) =>
+        s"(CASE WHEN $vecExpr[${a + 1}] > $vecExpr[${b + 1}] " +
+          s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // -------------------------------------------------------------------
+  // q37 — embedding-cosine near-dup pairs (WTA-banded candidates +
+  // exact re-check): the embedding-space analog of SimHash dedup. At
+  // scale the band join replaces the all-pairs comparison.
+  // -------------------------------------------------------------------
+  def q37_embed_neardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", threshold = 0.3, planes = 16, bandBits = 8,
+        dims = EmbDim)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q37_sql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id AS vid, embedding,
+       |         ${wtaSigSql(16, "embedding")} AS sig
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vid, sig, g.i AS band, (sig >> (g.i * 8)) & 255 AS band_val
+       |  FROM s CROSS JOIN generate_series(0, 1) AS g(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |   AND a.vid < b.vid)
+       |SELECT id_a, id_b,
+       |  round(list_cosine_similarity(
+       |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])),
+       |    5) AS sim
+       |FROM cand JOIN embeddings x ON x.vec_id = id_a
+       |          JOIN embeddings y ON y.vec_id = id_b
+       |WHERE round(list_cosine_similarity(
+       |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])),
+       |    5) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q38 — IVF ANN: deterministic codebook (every 25th vector), nearest-
+  // centroid assignment via broadcast join, nprobe=2 partition-pruned
+  // search, exact re-rank. The 100 TB layout: corpus partitioned by
+  // centroid id; a query reads nprobe partitions, not the corpus.
+  // -------------------------------------------------------------------
+  def q38_ivf_ann(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 3, centroidMod = 25, queryMod = 50, nprobe = 2)
+      .withColumnRenamed("rank", "rk")
+      .orderBy(col("query_id"), col("rk"))
+
+  val q38_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |cents AS (SELECT vid AS cid, vec AS cv FROM v WHERE vid % 25 = 0),
+      |asg0 AS (
+      |  SELECT vid, cid,
+      |         round(list_cosine_similarity(v.vec, cents.cv), 5) AS csim
+      |  FROM v CROSS JOIN cents),
+      |asg AS (
+      |  SELECT vid, cid FROM (
+      |    SELECT vid, cid, ROW_NUMBER() OVER (
+      |      PARTITION BY vid ORDER BY csim DESC, cid) AS rn
+      |    FROM asg0) WHERE rn = 1),
+      |q AS (SELECT vid AS query_id, vec AS qv FROM v WHERE vid % 50 = 0),
+      |ps AS (
+      |  SELECT query_id, qv, cid,
+      |         round(list_cosine_similarity(qv, cents.cv), 5) AS csim
+      |  FROM q CROSS JOIN cents),
+      |probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT query_id, qv, cid, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY csim DESC, cid) AS rn
+      |    FROM ps) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vid AS neighbor_id,
+      |         round(list_cosine_similarity(p.qv, v2.vec), 5) AS sim
+      |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vid <> p.query_id
+      |  JOIN v v2 ON v2.vid = a.vid),
+      |r AS (
+      |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q39 — feature dedup/merge (SURVEY A7) through the gate: normalized
+  // name, longest description wins (ties → lexicographically greater),
+  // tag union, most-advanced status, mention count.
+  // -------------------------------------------------------------------
+  def q39_feature_merge(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val feats = d.select(
+      concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 3))
+        .as("featureName"),
+      col("text").as("description"),
+      DocumentPipeline.statusOf(col("text")).as("status"),
+      array(col("lang"), col("source")).as("tags"))
+    DocumentPipeline.mergeFeatures(feats)
+      .select(col("normName").as("norm_name"), col("name"),
+        length(col("description")).as("desc_len"),
+        md5(col("description")).as("desc_md5"),
+        col("status"),
+        array_join(array_sort(col("tags")), ",").as("tags"),
+        col("nMentions").as("n_mentions"))
+      .orderBy(col("norm_name"))
+  }
+
+  private val statusSql: String =
+    """CASE WHEN contains(lower(text), 'completed')
+      |       OR contains(lower(text), 'done')
+      |       OR contains(lower(text), 'implemented')
+      |       OR contains(lower(text), 'finished') THEN 'completed'
+      |     WHEN contains(lower(text), 'in progress')
+      |       OR contains(lower(text), 'wip')
+      |       OR contains(lower(text), 'ongoing')
+      |       OR contains(lower(text), 'under development')
+      |       THEN 'in_progress'
+      |     WHEN contains(lower(text), 'planned')
+      |       OR contains(lower(text), 'todo')
+      |       OR contains(lower(text), 'future')
+      |       OR contains(lower(text), 'proposed') THEN 'planned'
+      |     ELSE 'unknown' END""".stripMargin
+
+  val q39_sql: String =
+    s"""WITH f AS (
+       |  SELECT array_to_string(list_slice(
+       |           regexp_split_to_array(trim(text), '\\s+'), 1, 3), ' ')
+       |           AS feature_name,
+       |         text AS description,
+       |         $statusSql AS status,
+       |         [lang, source] AS tags
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |g AS (
+       |  SELECT trim(regexp_replace(lower(feature_name), '\\s+', ' ', 'g'))
+       |           AS norm_name,
+       |         feature_name, description, status,
+       |         CASE status WHEN 'completed' THEN 3
+       |              WHEN 'in_progress' THEN 2
+       |              WHEN 'planned' THEN 1 ELSE 0 END AS status_rank,
+       |         tags
+       |  FROM f),
+       |best AS (
+       |  SELECT norm_name, description FROM (
+       |    SELECT norm_name, description, ROW_NUMBER() OVER (
+       |      PARTITION BY norm_name
+       |      ORDER BY length(description) DESC, description DESC) AS rn
+       |    FROM g) WHERE rn = 1),
+       |st AS (
+       |  SELECT norm_name, status FROM (
+       |    SELECT norm_name, status, ROW_NUMBER() OVER (
+       |      PARTITION BY norm_name
+       |      ORDER BY status_rank DESC, status DESC) AS rn
+       |    FROM g) WHERE rn = 1),
+       |agg AS (
+       |  SELECT norm_name, min(feature_name) AS name,
+       |         count(*) AS n_mentions,
+       |         list_sort(list_distinct(flatten(list(tags)))) AS tags_l
+       |  FROM g GROUP BY norm_name)
+       |SELECT a.norm_name, a.name,
+       |       length(b.description) AS desc_len,
+       |       md5(b.description) AS desc_md5,
+       |       st.status,
+       |       array_to_string(tags_l, ',') AS tags,
+       |       a.n_mentions
+       |FROM agg a JOIN best b ON a.norm_name = b.norm_name
+       |JOIN st ON st.norm_name = a.norm_name
+       |ORDER BY a.norm_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q40 — SCIP symbol parse + kind inference + display-name extraction
+  // (SURVEY §2.7) over synthesized symbol strings, using the same
+  // column functions the SCIP ingest frontend uses.
+  // -------------------------------------------------------------------
+  def q40_scip_parse(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val descriptor =
+      when(col("s_suppkey") % 4 === 0,
+        concat(lit("pkg/"), col("s_name"), lit("#")))
+      .when(col("s_suppkey") % 4 === 1,
+        concat(lit("pkg/"), col("s_name"), lit("#run().")))
+      .when(col("s_suppkey") % 4 === 2,
+        concat(lit("pkg/"), col("s_name"), lit("#field.")))
+      .otherwise(concat(lit("pkg/"), col("s_name"), lit("/")))
+    val sym = concat_ws(" ", lit("scip-go"), lit("gomod"),
+      concat(lit("example.com/"), col("s_name")), lit("v1.0"), descriptor)
+    s.select(col("s_suppkey").as("key"), sym.as("symbol"))
+      .withColumn("p", ScipIngest.parseSymbolCol(col("symbol")))
+      .select(col("key"), col("symbol"),
+        col("p.scheme").as("scheme"), col("p.manager").as("manager"),
+        col("p.name").as("sym_name"), col("p.version").as("version"),
+        ScipIngest.kindCol(col("p.descriptor")).as("kind"),
+        ScipIngest.displayNameCol(col("p.descriptor")).as("display_name"))
+      .orderBy(col("key"))
+  }
+
+  val q40_sql: String =
+    """WITH s AS (
+      |  SELECT s_suppkey AS key,
+      |    CASE WHEN s_suppkey % 4 = 0 THEN 'pkg/' || s_name || '#'
+      |         WHEN s_suppkey % 4 = 1 THEN 'pkg/' || s_name || '#run().'
+      |         WHEN s_suppkey % 4 = 2 THEN 'pkg/' || s_name || '#field.'
+      |         ELSE 'pkg/' || s_name || '/' END AS descriptor,
+      |    s_name
+      |  FROM supplier),
+      |sym AS (
+      |  SELECT key, descriptor,
+      |    'scip-go gomod example.com/' || s_name || ' v1.0 ' || descriptor
+      |      AS symbol
+      |  FROM s)
+      |SELECT key, symbol,
+      |  str_split(symbol, ' ')[1] AS scheme,
+      |  str_split(symbol, ' ')[2] AS manager,
+      |  str_split(symbol, ' ')[3] AS sym_name,
+      |  str_split(symbol, ' ')[4] AS version,
+      |  CASE WHEN ends_with(descriptor, '().') THEN 'method'
+      |       WHEN ends_with(descriptor, '#') THEN 'class'
+      |       WHEN ends_with(descriptor, '.') THEN 'term'
+      |       WHEN ends_with(descriptor, '/') THEN 'namespace'
+      |       ELSE 'unknown' END AS kind,
+      |  regexp_replace(list_extract(str_split(descriptor, '/'), -1),
+      |    '(\(\)\.|#|\.)$', '') AS display_name
+      |FROM sym
+      |ORDER BY key""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q41 — token counting for training-budget estimation: portable
+  // BPE-ish subword counts per language (codegen'd regexp, no UDF).
+  // -------------------------------------------------------------------
+  def q41_token_budget(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.subwordCountPortable(col("text")).cast("long"))
+          .as("total_subwords"))
+      .withColumn("avg_subwords", expr("total_subwords div n_docs"))
+      .orderBy(col("lang"))
+
+  val q41_sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '[A-Z][a-z]*|[a-z]+|[0-9]+'))) AS BIGINT) AS total_subwords,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '[A-Z][a-z]*|[a-z]+|[0-9]+'))) AS BIGINT) // COUNT(*)
+      |    AS avg_subwords
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q42 — CUBE over orders (complements q35's ROLLUP): all four
+  // grouping combinations in one pass, partial-aggregated.
+  // -------------------------------------------------------------------
+  def q42_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  val q42_sql: String =
+    s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       |  COALESCE(o_orderpriority, '(all)') AS priority,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q43 — multimodal binary metadata: opaque payloads processed in the
+  // typed per-partition batch shape (size, digest, frame count).
+  // -------------------------------------------------------------------
+  def q43_multimodal_meta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryMeta(Tables.documents(spark, dir), "doc_id", "text",
+        frameSize = 256)
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q43_sql: String =
+    """SELECT doc_id AS media_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS sha_hex,
+      |  (octet_length(encode(text)) + 255) // 256 AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q44 — discrete percentiles (median price per return flag): exact
+  // element selection, no interpolation → engine-portable.
+  // -------------------------------------------------------------------
+  def q44_percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("median_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q44_sql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.5) AS median_price,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q45 — document feature extraction (SURVEY §2.7): title (first `# `
+  // header else first non-empty line), doc type from source name,
+  // status from keywords — the reference's parser.go ops as columns.
+  // -------------------------------------------------------------------
+  def q45_doc_features(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        DocumentPipeline.titleOf(col("text"), col("source")).as("title"),
+        DocumentPipeline.docTypeOf(col("source")).as("doc_type"),
+        DocumentPipeline.statusOf(col("text")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q45_sql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN regexp_extract(text, '(?m)^#\\s+(.+)$$', 1) <> ''
+       |         THEN regexp_extract(text, '(?m)^#\\s+(.+)$$', 1)
+       |       WHEN regexp_extract(text, '(?m)^\\s*(\\S.*)$$', 1) <> ''
+       |         THEN regexp_extract(text, '(?m)^\\s*(\\S.*)$$', 1)
+       |       ELSE list_extract(str_split(source, '/'), -1) END AS title,
+       |  CASE WHEN contains(lower(list_extract(str_split(source, '/'), -1)),
+       |         'readme') THEN 'readme'
+       |       WHEN contains(lower(list_extract(str_split(source, '/'), -1)),
+       |         'rfc') THEN 'rfc'
+       |       WHEN contains(lower(list_extract(str_split(source, '/'), -1)),
+       |         'architecture')
+       |         OR contains(lower(list_extract(str_split(source, '/'), -1)),
+       |         'design') THEN 'architecture'
+       |       WHEN contains(lower(list_extract(str_split(source, '/'), -1)),
+       |         'api') THEN 'api_documentation'
+       |       WHEN contains(lower(list_extract(str_split(source, '/'), -1)),
+       |         'changelog')
+       |         OR contains(lower(list_extract(str_split(source, '/'), -1)),
+       |         'release') THEN 'changelog'
+       |       ELSE 'documentation' END AS doc_type,
+       |  $statusSql AS status
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q46 — set operations (INTERSECT / EXCEPT): nation membership of the
+  // customer vs supplier base.
+  // -------------------------------------------------------------------
+  def q46_set_ops(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    val both = c.intersect(s).withColumn("set_op", lit("both"))
+    val custOnly = c.except(s).withColumn("set_op", lit("customer_only"))
+    val suppOnly = s.except(c).withColumn("set_op", lit("supplier_only"))
+    both.unionByName(custOnly).unionByName(suppOnly)
+      .join(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("nationkey"), col("n_name")),
+        Seq("nationkey"))
+      .orderBy(col("set_op"), col("nationkey"))
+  }
+
+  val q46_sql: String =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+      |m AS (
+      |  SELECT nationkey, 'both' AS set_op FROM
+      |    (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+      |  UNION ALL
+      |  SELECT nationkey, 'customer_only' FROM
+      |    (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+      |  UNION ALL
+      |  SELECT nationkey, 'supplier_only' FROM
+      |    (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c))
+      |SELECT m.nationkey, m.set_op, n.n_name
+      |FROM m JOIN nation n ON n.n_nationkey = m.nationkey
+      |ORDER BY set_op, nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_embed_neardup" -> q37_embed_neardup _,
+    "q38_ivf_ann" -> q38_ivf_ann _,
+    "q39_feature_merge" -> q39_feature_merge _,
+    "q40_scip_parse" -> q40_scip_parse _,
+    "q41_token_budget" -> q41_token_budget _,
+    "q42_cube" -> q42_cube _,
+    "q43_multimodal_meta" -> q43_multimodal_meta _,
+    "q44_percentiles" -> q44_percentiles _,
+    "q45_doc_features" -> q45_doc_features _,
+    "q46_set_ops" -> q46_set_ops _)
+
+  val oracles: Map[String, String] = Map(
+    "q37_embed_neardup" -> q37_sql,
+    "q38_ivf_ann" -> q38_sql,
+    "q39_feature_merge" -> q39_sql,
+    "q40_scip_parse" -> q40_sql,
+    "q41_token_budget" -> q41_sql,
+    "q42_cube" -> q42_sql,
+    "q43_multimodal_meta" -> q43_sql,
+    "q44_percentiles" -> q44_sql,
+    "q45_doc_features" -> q45_sql,
+    "q46_set_ops" -> q46_sql)
+}

@@ -345,13 +345,51 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
-  // q29 — LSH-bucketed ANN (rows-only: approximate, no SQL oracle)
+  // q29 — LSH-bucketed ANN. Candidates come from WTA comparison-bit
+  // signatures (deterministic raw element comparisons — no float
+  // arithmetic in the hash), so the whole approximate pipeline is
+  // exactly reproducible by the DuckDB oracle. The random-hyperplane
+  // variant (Similarity.lshTopK) remains the alternative engine.
   // -------------------------------------------------------------------
   def q29_ann_lsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 3, planes = 16, bandBits = 8)
+    Similarity.wtaTopK(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 3, planes = 16, bandBits = 8,
+        dims = ExtendedQueries.EmbDim)
       .withColumnRenamed("rank", "rk")
       .orderBy(col("query_id"), col("rk"))
+
+  val q29_sql: String = {
+    val bits = Similarity.wtaPairs(16, ExtendedQueries.EmbDim).zipWithIndex
+      .map { case ((a, b), p) =>
+        s"(CASE WHEN embedding[${a + 1}] > embedding[${b + 1}] " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT vec_id AS vid, $bits AS sig FROM embeddings),
+       |banded AS (
+       |  SELECT vid, sig, g.i AS band, (sig >> (g.i * 8)) & 255 AS band_val
+       |  FROM s CROSS JOIN generate_series(0, 1) AS g(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |   AND a.vid < b.vid),
+       |directed AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+       |  UNION ALL SELECT id_b, id_a FROM cand),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 5) AS sim
+       |  FROM directed d JOIN embeddings q ON q.vec_id = d.query_id
+       |                  JOIN embeddings c ON c.vec_id = d.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> q20_dedup_exact _,
@@ -377,6 +415,7 @@ object PipelineQueries {
     "q26_simhash" -> q26_sql,
     "q27_langid" -> q27_sql,
     "q28_quality" -> q28_sql,
+    "q29_ann_lsh" -> q29_sql,
     "q32_substring_join" -> q32_sql,
     "q33_dedup_keep" -> q33_sql)
 }

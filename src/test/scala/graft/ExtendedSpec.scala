@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.ScipIngest
+import graft.pipeline.{Multimodal, Similarity, TextAnalysis}
+
+/** Specs for the round-2 operators: WTA comparison-bit LSH, IVF ANN,
+  * binary metadata, portable subword counting, SCIP symbol-parse
+  * columns. */
+class ExtendedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wtaPairs is deterministic, in-bounds, and never self-pairs") {
+    val p1 = Similarity.wtaPairs(16, 64)
+    val p2 = Similarity.wtaPairs(16, 64)
+    assert(p1 == p2)
+    assert(p1.size == 16)
+    p1.foreach { case (a, b) =>
+      assert(a >= 0 && a < 64 && b >= 0 && b < 64 && a != b)
+    }
+  }
+
+  test("wtaSignature sets bit p iff v[a]>v[b]") {
+    val pairs = Seq((0, 1), (1, 0), (2, 3))
+    val df = Seq((1L, Seq(5.0f, 1.0f, 2.0f, 2.0f))).toDF("id", "v")
+    val sig = df.select(
+      Similarity.wtaSignature(col("v"), pairs).as("s")).head.getLong(0)
+    // bit0: v[1]>v[2] (5>1) set; bit1: v[2]>v[1] clear; bit2: 2>2 clear
+    assert(sig == 1L)
+  }
+
+  test("wtaTopK returns at most k ranked neighbors per query") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i % 4) + d).toFloat / 8f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.wtaTopK(df, "vec_id", "embedding", k = 2,
+      planes = 8, bandBits = 4, dims = 8).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_.getInt(3)).sorted.sameElements(
+        1 to rows.length))
+      rows.foreach(r => assert(r.getLong(1) != r.getLong(0)))
+    }
+  }
+
+  test("ivfTopK excludes self and respects k") {
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        math.sin(i * 0.7 + d).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      centroidMod = 10, queryMod = 20, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 20 == 0)         // query set respected
+      assert(r.getLong(1) != r.getLong(0))   // never self
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+  }
+
+  test("binaryMeta matches MessageDigest and frame arithmetic") {
+    val df = Seq((1L, "hello"), (2L, ""), (3L, "x" * 600))
+      .toDF("doc_id", "text")
+    val out = Multimodal.binaryMeta(df, "doc_id", "text", frameSize = 256)
+      .collect().map(m => m.media_id -> m).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val helloHex = md.digest("hello".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L).n_bytes == 5 && out(1L).sha_hex == helloHex)
+    assert(out(1L).n_frames == 1)
+    assert(out(2L).n_bytes == 0 && out(2L).n_frames == 0)
+    assert(out(3L).n_bytes == 600 && out(3L).n_frames == 3)
+  }
+
+  test("subwordCountPortable splits camelCase, runs, digits") {
+    val df = Seq("parseHTTPResponse2 now", "", "a1b2").toDF("t")
+    val counts = df.select(
+      TextAnalysis.subwordCountPortable(col("t")).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    // parse|H|T|T|P|Response|2|now = 8; empty = 0; a|1|b|2 = 4
+    assert(counts == Seq(8, 0, 4))
+  }
+
+  test("SCIP parse columns: 5 fields, kind, display name") {
+    val df = Seq(
+      "scip-go gomod example.com/mod v1.0 pkg/Client#",
+      "scip-go gomod example.com/mod v1.0 pkg/Client#run().",
+      "scip-go gomod example.com/mod v1.0 pkg/ns/").toDF("symbol")
+    val out = df.select(
+        ScipIngest.parseSymbolCol(col("symbol")).as("p"))
+      .select(col("p.scheme"), col("p.descriptor"),
+        ScipIngest.kindCol(col("p.descriptor")).as("kind"),
+        ScipIngest.displayNameCol(col("p.descriptor")).as("dn"))
+      .collect()
+    assert(out.forall(_.getString(0) == "scip-go"))
+    assert(out.map(_.getString(2)).toSeq ==
+      Seq("class", "method", "namespace"))
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("Client", "Client#run", ""))
+  }
+}
