@@ -23,7 +23,9 @@ object FixtureGraph {
   val pIn = 80L; val vMid = 81L; val pOut = 82L
   val meth = 90L
 
-  private case class N(id: Long, label: String, name: String = null,
+  // public: Janino-generated encoder code must call the accessors; a
+  // `private` case class silently drops the whole stage to interpreted
+  case class N(id: Long, label: String, name: String = null,
       fqn: String = null, path: String = null, signature: String = null,
       symbol: String = null, kind: String = null, filePath: String = null,
       startLine: Option[Int] = None, endLine: Option[Int] = None,
