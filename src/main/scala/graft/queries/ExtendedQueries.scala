@@ -421,7 +421,68 @@ object ExtendedQueries {
       |FROM m JOIN nation n ON n.n_nationkey = m.nationkey
       |ORDER BY set_op, nationkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q47 — KMV (k-minimum-values) distinct-count sketch: estimate =
+  // (k−1) / u_k with u_k the k-th smallest normalized 60-bit md5 hash
+  // (Bar-Yossef et al. 2002). Unlike HLL (q36), the sketch is a pure
+  // function of the hash values, so the estimate is bit-identical in
+  // any engine — an approximate aggregate that still hash-matches the
+  // oracle. Scale shape: the rank filter runs as WindowGroupLimit
+  // (per-partition top-k before the shuffle), so each partition ships
+  // at most k rows per group.
+  // -------------------------------------------------------------------
+  private val KmvK = 64
+
+  def q47_kmv_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val d = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .select(col("l_returnflag"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("h"))
+    val topk = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    topk.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"))
+      .withColumn("kmv_distinct",
+        when(col("cnt") < KmvK, col("cnt"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) *
+            lit(1152921504606846976.0) / col("kth")).cast("long")))
+      .join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("kmv_distinct"), col("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q47_sql: String =
+    s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+       |h AS (
+       |  SELECT l_returnflag,
+       |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM d),
+       |r AS (
+       |  SELECT l_returnflag, h, ROW_NUMBER() OVER (
+       |    PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM h),
+       |s AS (
+       |  SELECT l_returnflag, COUNT(*) AS cnt, MAX(h) AS kth
+       |  FROM r WHERE rn <= $KmvK GROUP BY l_returnflag),
+       |e AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT s.l_returnflag,
+       |  CASE WHEN cnt < $KmvK THEN cnt
+       |       ELSE CAST(floor(${KmvK - 1}.0 * 1152921504606846976 / kth)
+       |         AS BIGINT) END AS kmv_distinct,
+       |  e.exact_parts
+       |FROM s JOIN e ON s.l_returnflag = e.l_returnflag
+       |ORDER BY s.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_kmv_distinct" -> q47_kmv_distinct _,
     "q37_embed_neardup" -> q37_embed_neardup _,
     "q38_ivf_ann" -> q38_ivf_ann _,
     "q39_feature_merge" -> q39_feature_merge _,
@@ -434,6 +495,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q47_kmv_distinct" -> q47_sql,
     "q37_embed_neardup" -> q37_sql,
     "q38_ivf_ann" -> q38_sql,
     "q39_feature_merge" -> q39_sql,

@@ -65,6 +65,38 @@ object Incremental {
   case class UserRunning(user_id: Long, n_events: Long, total: Double,
       max_event_id: Long)
 
+  case class SessionOut(user_id: Long, n_events: Long, total: Double,
+      closed: Boolean)
+
+  /** Custom keyed state with multi-row emission: per-user event
+    * accumulation that EMITS a closed-session row once a user's running
+    * total crosses `emitAt`, then resets that user's state — the
+    * flatMapGroupsWithState shape (0..n output rows per group per
+    * trigger) that mapGroupsWithState's exactly-one-row contract cannot
+    * express. State is one small struct per active user. */
+  def thresholdSessions(events: Dataset[UserEvent], emitAt: Double)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionOut, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SessionOut]) =>
+          var cur = state.getOption.getOrElse(SessionOut(uid, 0L, 0.0,
+            closed = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          rows.foreach { e =>
+            cur = SessionOut(uid, cur.n_events + 1, cur.total + e.value,
+              closed = false)
+            if (cur.total >= emitAt) {
+              out += cur.copy(closed = true)
+              cur = SessionOut(uid, 0L, 0.0, closed = false)
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the escape hatch for stateful logic windows can't express
     * (KeyValueGroupedDataset, SURVEY §2.8 disposition). */

@@ -62,6 +62,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits closed sessions at threshold") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Incremental.UserEvent]
+    val out = Incremental.thresholdSessions(input.toDS(), emitAt = 5.0)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1 crosses 5.0 twice (2+4=6, then 5); user 2 never does
+      input.addData(Incremental.UserEvent(1L, 1L, 2.0),
+        Incremental.UserEvent(1L, 2L, 4.0),
+        Incremental.UserEvent(2L, 3L, 1.0))
+      q.processAllAvailable()
+      input.addData(Incremental.UserEvent(1L, 4L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total FROM sessions ORDER BY total DESC")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq((1L, 2L, 6.0), (1L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Incremental.UserEvent]
