@@ -139,7 +139,7 @@ object ScipIngest {
         // ANSI mode would throw on symbols with fewer than 5 fields
         // (e.g. SCIP local symbols like "local 0")
         coalesce(nullif(col("kindRaw"), lit("")),
-          get(split(col("symbol"), " "), lit(4)), col("symbol"))
+          get(split(col("symbol"), " ", 5), lit(4)), col("symbol"))
           .as("descriptor"),
         col("documentation"))
       .withColumn("kind", kindCol(col("descriptor")))

@@ -276,8 +276,12 @@ object Dedup {
     // doc pairs afterwards — the q24 dedup-before-pairing trick. On a
     // self-similar corpus this shrinks the pair-level distinct from
     // O(docPairs) to O(sigPairs).
+    // classes feeds five plan branches (banding, two pair joins, intra);
+    // materialize once — exchange reuse alone would re-run the final
+    // aggregation per consumer
     val classes = sigs.groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .localCheckpoint(true)
     val banded = classes.select(col("simhash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))

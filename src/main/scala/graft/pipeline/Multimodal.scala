@@ -79,7 +79,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
-        rows.map { case (id, bytes) =>
+        rows.map { case (id, bytesOrNull) =>
+          // null payload ≡ empty payload (don't fail the 100 TB job on
+          // one null cell)
+          val bytes =
+            if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
           md.reset()
           val hex = md.digest(bytes).map("%02x".format(_)).mkString
           BinMeta(id, bytes.length, hex,

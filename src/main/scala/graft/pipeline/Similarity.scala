@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths:
+  * Four engine families:
   *   - brute-force cosine top-k: broadcast the (small) query set against
   *     the corpus — exact, one pass over the corpus, no shuffle of the
   *     corpus side. The right baseline whenever |queries| ≪ |corpus|.
   *   - random-hyperplane LSH: 'planes'-bit signature per vector from
   *     deterministic seeded hyperplanes; bucket-join on signature
   *     prefix bands, re-rank candidates exactly. At 100 TB the bucket
-  *     join replaces the corpus-wide scan per query (IVF-style pruning;
-  *     recall tunable via bands/planes).
+  *     join replaces the corpus-wide scan per query (recall tunable via
+  *     bands/planes).
+  *   - WTA comparison-bit LSH: signature bits are raw element
+  *     comparisons (no float arithmetic) — same bucket-join shape, but
+  *     bit-identical on any engine, so results oracle exactly.
+  *   - IVF: nearest-centroid assignment + nprobe-pruned search — the
+  *     partition-pruned ANN layout for a centroid-partitioned corpus.
   *
   * All math in double precision column expressions (`zip_with` +
   * `aggregate` fold = deterministic left-to-right summation).
@@ -96,6 +101,9 @@ object Similarity {
     * wide band; re-ranked by exact cosine downstream. */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
       planes: Int = 16, bandBits: Int = 8): DataFrame = {
+    require(planes % bandBits == 0,
+      s"planes ($planes) must be divisible by bandBits ($bandBits) — " +
+        "leftover high bits would silently never be banded")
     val sigs = lshSignature(df, idCol, vecCol, planes)
     val nBands = planes / bandBits
     val banded = sigs.select(col("vid"), col("lsh_sig"),
@@ -149,6 +157,9 @@ object Similarity {
   /** Candidate pairs sharing ≥1 signature band (id_a < id_b). */
   def wtaCandidates(df: DataFrame, idCol: String, vecCol: String,
       planes: Int, bandBits: Int, dims: Int): DataFrame = {
+    require(planes % bandBits == 0,
+      s"planes ($planes) must be divisible by bandBits ($bandBits) — " +
+        "leftover high bits would silently never be banded")
     val pairs = wtaPairs(planes, dims)
     val sigs = df.select(col(idCol).as("vid"),
       wtaSignature(col(vecCol), pairs).as("sig"))

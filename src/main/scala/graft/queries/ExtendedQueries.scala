@@ -29,8 +29,10 @@ object ExtendedQueries {
 
   /** SQL fragment computing the WTA comparison-bit signature — the
     * exact mirror of [[Similarity.wtaSignature]] (list indexing is
-    * 1-based on both sides; raw float comparisons, no arithmetic). */
-  private def wtaSigSql(planes: Int, vecExpr: String): String =
+    * 1-based on both sides; raw float comparisons, no arithmetic).
+    * Shared by every WTA oracle (q29, q37) so the two sides cannot
+    * drift. */
+  def wtaSigSql(planes: Int, vecExpr: String): String =
     Similarity.wtaPairs(planes, EmbDim).zipWithIndex.map {
       case ((a, b), p) =>
         s"(CASE WHEN $vecExpr[${a + 1}] > $vecExpr[${b + 1}] " +

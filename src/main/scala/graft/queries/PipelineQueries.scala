@@ -359,11 +359,7 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rk"))
 
   val q29_sql: String = {
-    val bits = Similarity.wtaPairs(16, ExtendedQueries.EmbDim).zipWithIndex
-      .map { case ((a, b), p) =>
-        s"(CASE WHEN embedding[${a + 1}] > embedding[${b + 1}] " +
-          s"THEN ${1L << p} ELSE 0 END)"
-      }.mkString(" + ")
+    val bits = ExtendedQueries.wtaSigSql(16, "embedding")
     s"""WITH s AS (
        |  SELECT vec_id AS vid, $bits AS sig FROM embeddings),
        |banded AS (

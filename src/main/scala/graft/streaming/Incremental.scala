@@ -84,7 +84,9 @@ object Incremental {
           var cur = state.getOption.getOrElse(SessionOut(uid, 0L, 0.0,
             closed = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          rows.foreach { e =>
+          // within-batch iteration order is arbitrary — fold in
+          // event_id order so session boundaries are deterministic
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
             cur = SessionOut(uid, cur.n_events + 1, cur.total + e.value,
               closed = false)
             if (cur.total >= emitAt) {

@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("thresholdSessions folds in event_id order regardless of arrival") {
+    implicit val sql = spark.sqlContext
+    // arrival order reversed vs event_id: deterministic fold must emit
+    // (2.0 then 4.0 crosses at 6.0), not (4.0+2.0 regrouped differently)
+    val input = MemoryStream[Incremental.UserEvent]
+    val out = Incremental.thresholdSessions(input.toDS(), emitAt = 5.0)
+    val q = out.writeStream.format("memory").queryName("sessions_ord")
+      .outputMode("append").start()
+    try {
+      input.addData(Incremental.UserEvent(1L, 2L, 4.0),
+        Incremental.UserEvent(1L, 3L, 5.0),
+        Incremental.UserEvent(1L, 1L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_events, total FROM sessions_ord ORDER BY total")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // id order 1,2,3: 2.0+4.0=6.0 closes; then 5.0 closes
+      assert(rows.toSeq === Seq((1L, 5.0), (2L, 6.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Incremental.UserEvent]
