@@ -483,8 +483,79 @@ object ExtendedQueries {
        |FROM s JOIN e ON s.l_returnflag = e.l_returnflag
        |ORDER BY s.l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q48 — salted join through the gate: identical result to the plain
+  // equi-join (which is the oracle), but the big side's hot keys are
+  // scattered over salt buckets so no single reducer owns a hot key.
+  // The declarative skew fallback when AQE's runtime split isn't
+  // available (e.g. broadcast-ineligible replicated dims).
+  // -------------------------------------------------------------------
+  def q48_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.Skew.saltedJoin(li, dim, "l_orderkey", saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q48_sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${sqlDsum("l_extendedprice")} AS total_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderkey % 1000 = 0
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q49 — TPC-H Q3 shape: dimension-filtered fact⋈fact join + grouped
+  // revenue + top-n. The at-scale plan: customer filter broadcasts,
+  // orders⋈lineitem shuffle once on the join key (co-partitioned at
+  // 100 TB), partial aggregation before the final top-n.
+  // -------------------------------------------------------------------
+  def q49_revenue_topn(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q49_sql: String =
+    s"""SELECT l_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, order_date
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_kmv_distinct" -> q47_kmv_distinct _,
+    "q48_salted_join" -> q48_salted_join _,
+    "q49_revenue_topn" -> q49_revenue_topn _,
     "q37_embed_neardup" -> q37_embed_neardup _,
     "q38_ivf_ann" -> q38_ivf_ann _,
     "q39_feature_merge" -> q39_feature_merge _,
@@ -498,6 +569,8 @@ object ExtendedQueries {
 
   val oracles: Map[String, String] = Map(
     "q47_kmv_distinct" -> q47_sql,
+    "q48_salted_join" -> q48_sql,
+    "q49_revenue_topn" -> q49_sql,
     "q37_embed_neardup" -> q37_sql,
     "q38_ivf_ann" -> q38_sql,
     "q39_feature_merge" -> q39_sql,
