@@ -314,6 +314,72 @@ class CodeGraph(nodes: DataFrame, edges: DataFrame) {
       col("violationCount"))
   }
 
+  /** LSP hover (`pkg/query/lsp.go` GetHover — a placeholder in the
+    * reference returning "not yet implemented"; implemented for real
+    * here): definition metadata + documentation for a symbol, the
+    * content a hover tooltip renders. */
+  def hover(symbol: String): DataFrame = {
+    val sym = broadcast(n(Labels.Symbol).filter(col("symbol") === symbol)
+      .select(col("id").as("symId"), col("displayName").as("symDisplay"),
+        col("documentation").as("symDoc")))
+    val defs = e(RelTypes.Defines)
+    sym.join(defs, sym("symId") === defs("dst"))
+      .join(nodes.as("def"), defs("src") === col("def.id"))
+      .select(
+        coalesce(col("symDisplay"), col("def.name")).as("name"),
+        col("def.label").as("kind"),
+        coalesce(col("def.signature"), col("def.name")).as("signature"),
+        coalesce(col("symDoc"), col("def.docstring"), lit(""))
+          .as("documentation"),
+        col("def.filePath").as("filePath"),
+        col("def.startLine").as("startLine"))
+      .orderBy(col("filePath"), col("startLine"))
+      .limit(1)
+  }
+
+  /** A9 — complexity summary (`advanced.go` AnalyzeComplexity — a
+    * placeholder returning zeros in the reference; implemented for
+    * real): per-file function totals, avg/max complexity, and the
+    * high-complexity count (> threshold). */
+  def complexitySummary(threshold: Int = 10): DataFrame =
+    n(Labels.Function).unionByName(n(Labels.Method))
+      .groupBy(col("filePath"))
+      .agg(count(lit(1)).as("totalFunctions"),
+        avg(coalesce(col("complexity"), lit(0))).as("avgComplexity"),
+        max(coalesce(col("complexity"), lit(0))).as("maxComplexity"),
+        count(when(col("complexity") > threshold, 1))
+          .as("highComplexityCount"))
+      .orderBy(col("filePath"))
+
+  /** Call graph (`advanced.go` BuildCallGraph — a placeholder returning
+    * empty in the reference): depth-capped CALLS neighborhood of a root
+    * function, callee-direction ("out") or caller-direction ("in").
+    * Returns the edge list with hop depth of the source node. */
+  def callGraph(funcName: String, direction: String = "out",
+      maxDepth: Int = 5): DataFrame = {
+    val root = n(Labels.Function).unionByName(n(Labels.Method))
+      .filter(col("name") === funcName).select(col("id"))
+    val calls = e(RelTypes.Calls).select(col("src"), col("dst"))
+    val oriented =
+      if (direction == "out") calls
+      else calls.select(col("dst").as("src"), col("src").as("dst"))
+    val reach = Traversals.reachable(oriented, root, maxDepth)
+      .select(col("id"), col("depth"))
+    val inScope = root.select(col("id")).withColumn("depth", lit(0))
+      .unionByName(reach)
+    val scoped = oriented
+      .join(inScope.withColumnRenamed("id", "src"), Seq("src"))
+      .filter(col("depth") < maxDepth)
+    scoped
+      .join(nodes.select(col("id").as("src"), col("name").as("srcName")),
+        Seq("src"))
+      .join(nodes.select(col("id").as("dst"), col("name").as("dstName")),
+        Seq("dst"))
+      .select(col("srcName"), col("dstName"), col("depth").as("srcDepth"))
+      .distinct()
+      .orderBy(col("srcDepth"), col("srcName"), col("dstName"))
+  }
+
   /** O4/S15 — source span lookup (`query.go:425-493`): location metadata
     * for a named Function/Method, for byte-span extraction. */
   def sourceLocation(name: String): DataFrame =

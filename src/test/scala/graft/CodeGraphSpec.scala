@@ -90,6 +90,35 @@ class CodeGraphSpec extends SparkSpec {
     assert(checks("services_without_files") === 0L)
   }
 
+  test("hover returns definition metadata for a symbol") {
+    val rows = cg.hover("scip-go go test-service v1 pkg/Main().").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("name") === "Main")
+    assert(rows(0).getAs[String]("signature") === "func Main()")
+    assert(rows(0).getAs[String]("filePath") === "pkg/a.go")
+  }
+
+  test("complexitySummary aggregates per file") {
+    val rows = cg.complexitySummary().collect()
+      .map(r => r.getAs[String]("filePath") ->
+        r.getAs[Long]("totalFunctions")).toMap
+    assert(rows("pkg/a.go") === 2L) // Main, Helper
+    assert(rows.values.sum >= 4L)
+  }
+
+  test("callGraph walks the CALLS chain with depths, both directions") {
+    val out = cg.callGraph("Main", "out", 10).collect()
+      .map(r => (r.getAs[String]("srcName"), r.getAs[String]("dstName"),
+        r.getAs[Int]("srcDepth")))
+    assert(out.contains(("Main", "Helper", 0)))
+    assert(out.contains(("Helper", "Deep", 1)))
+    assert(out.contains(("Deep", "Handler", 2)))
+    val in = cg.callGraph("Handler", "in", 10).collect()
+      .map(r => (r.getAs[String]("srcName"), r.getAs[String]("dstName")))
+    assert(in.contains(("Handler", "Deep")))
+    assert(in.contains(("Deep", "Helper")))
+  }
+
   test("sourceLocation + extractSpan byte-slice oracle") {
     val loc = cg.sourceLocation("Main").collect()
     assert(loc.length === 1)
