@@ -158,6 +158,54 @@ object Traversals {
     } finally e.unpersist()
   }
 
+  /** GraphX Pregel path enumeration — the vertex-parallel engine for J5
+    * when the per-level DataFrame plan is the bottleneck (SURVEY §2.3 J5:
+    * "Pregel accumulating Array[Long] path vertex-attribute"). Vertex
+    * state = set of simple paths from a seed ENDING at this vertex;
+    * each superstep extends paths along out-edges, dropping extensions
+    * that revisit a node (cycle safety). Returns (start, end, depth,
+    * path) — same rows as [[paths]].
+    */
+  def pathsGraphX(spark: SparkSession, edges: DataFrame,
+      seedIds: Seq[Long], maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .rdd.map { case (s, d) => Edge(s, d, ()) }
+    val graph = Graph.fromEdges(edgeRdd, ())
+    val seeds = seedIds.toSet
+    type Paths = Set[Vector[Long]]
+    // accumulated = paths already emitted at this vertex;
+    // frontier = paths that arrived last superstep (still extending)
+    val init = graph.mapVertices { (vid, _) =>
+      val self: Paths = if (seeds.contains(vid)) Set(Vector(vid))
+        else Set.empty
+      (Set.empty: Paths, self)
+    }
+    val result = Pregel(init, Set.empty: Paths, maxHops,
+      EdgeDirection.Out)(
+      // the initial (empty) message must NOT flush the seed frontier;
+      // real messages are non-empty by construction of sendMsg
+      vprog = (_, attr: (Paths, Paths), msg: Paths) =>
+        if (msg.isEmpty) attr else (attr._1 ++ attr._2, msg),
+      sendMsg = (t: EdgeTriplet[(Paths, Paths), Unit]) => {
+        val extended = t.srcAttr._2.collect {
+          case p if !p.contains(t.dstId) && p.length <= maxHops =>
+            p :+ t.dstId
+        }
+        if (extended.nonEmpty) Iterator((t.dstId, extended))
+        else Iterator.empty
+      },
+      mergeMsg = (a: Paths, b: Paths) => a ++ b)
+    result.vertices
+      .flatMap { case (vid, (acc, frontier)) =>
+        (acc ++ frontier).collect {
+          case p if p.length >= 2 && p.length <= maxHops + 1 =>
+            (p.head, vid, p.length - 1, p)
+        }
+      }
+      .toDF("start", "end", "depth", "path")
+  }
+
   /** GraphX Pregel min-depth reachability — the vertex-parallel engine for
     * dense call graphs where the DataFrame frontier grows large. Returns
     * (id, depth) like [[reachable]].

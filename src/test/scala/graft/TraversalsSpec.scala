@@ -51,6 +51,22 @@ class TraversalsSpec extends SparkSpec {
     assert(got.contains(List(1L, 3L, 4L, 5L, 2L)))
   }
 
+  test("GraphX Pregel path enumeration agrees with DataFrame paths") {
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[List[Long]] =
+      rows.map(r => r.getSeq[Long](r.fieldIndex("path")).toList).toSet
+    val df = canon(Traversals.paths(edges, Seq(1L).toDF("id"), 10)
+      .collect())
+    val gx = canon(Traversals.pathsGraphX(spark, edges, Seq(1L), 10)
+      .collect())
+    assert(gx === df)
+    // depth caps agree too
+    val df2 = canon(Traversals.paths(edges, Seq(1L).toDF("id"), 2)
+      .collect())
+    val gx2 = canon(Traversals.pathsGraphX(spark, edges, Seq(1L), 2)
+      .collect())
+    assert(gx2 === df2)
+  }
+
   test("GraphX Pregel reachability agrees with DataFrame BFS") {
     val df = Traversals.reachable(edges, Seq(1L).toDF("id"), 10).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
