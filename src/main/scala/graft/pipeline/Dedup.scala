@@ -62,9 +62,21 @@ object Dedup {
     * common shingles explode the join) — see `dfCapped`.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 1, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
+      n: Int = 1, threshold: Double = 0.8,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val shAll = df.select(col(idCol).as("doc"),
       explode(shingles(col(textCol), n)).as("shingle"))
+    // df-cap: drop shingles shared by more than maxDf docs BEFORE the
+    // join — the skew guard that keeps the equi-join linear (a bigram
+    // present in every templated doc would otherwise drive the join
+    // quadratic). Jaccard is then over the capped sets on both sides.
+    // materialize the exploded shingle rows ONCE — they feed the size
+    // aggregation and both sides of the self-join (plus the df-cap
+    // aggregation), and the shingle transform is an interpreted
+    // higher-order function that would otherwise re-run per branch
+    val sh = (if (maxDf == Long.MaxValue) shAll
+      else dfCapped(shAll.localCheckpoint(true), maxDf))
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -83,11 +95,13 @@ object Dedup {
   }
 
   /** Drop shingles appearing in more than maxDf documents before joining —
-    * the skew guard that keeps the shingle join linear at 100 TB. */
+    * the skew guard that keeps the shingle join linear at 100 TB. The
+    * HOT set (df > cap) is the small side — broadcast it and anti-join;
+    * broadcasting the rare set would ship nearly the whole vocabulary. */
   def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
-    val rare = sh.groupBy(col("shingle")).count()
-      .filter(col("count") <= maxDf).select(col("shingle"))
-    sh.join(broadcast(rare), Seq("shingle"), "left_semi")
+    val hot = sh.groupBy(col("shingle")).count()
+      .filter(col("count") > maxDf).select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
   /** Exact Jaccard pairs for SMALL vocabularies (≤ 62 distinct shingles):

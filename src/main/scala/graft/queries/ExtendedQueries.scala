@@ -552,7 +552,49 @@ object ExtendedQueries {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT 10""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q50 — word-BIGRAM Jaccard near-dups through the general shingle
+  // equi-join (q23's unigram vocab is tiny, so it exercises only the
+  // bitmask fast path; bigram vocabularies are large and take the
+  // general path: explode shingles → equi-join → |∩|/|∪|).
+  // -------------------------------------------------------------------
+  def q50_bigram_jaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.jaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", n = 2, threshold = 0.5, maxDf = 16)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q50_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([t[i] || ' ' || t[i + 1]
+      |            FOR i IN generate_series(1, len(t) - 1)]) AS shingle
+      |  FROM toks WHERE len(t) >= 2),
+      |rare AS (
+      |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 16),
+      |sh AS (SELECT doc_id, sh0.shingle FROM sh0
+      |       JOIN rare ON sh0.shingle = rare.shingle),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, intersection, sa.sz AS size_a, sb.sz AS size_b,
+      |  round(CAST(intersection AS DOUBLE) /
+      |        (sa.sz + sb.sz - intersection), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(intersection AS DOUBLE) /
+      |      (sa.sz + sb.sz - intersection) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_bigram_jaccard" -> q50_bigram_jaccard _,
     "q47_kmv_distinct" -> q47_kmv_distinct _,
     "q48_salted_join" -> q48_salted_join _,
     "q49_revenue_topn" -> q49_revenue_topn _,
@@ -568,6 +610,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q50_bigram_jaccard" -> q50_sql,
     "q47_kmv_distinct" -> q47_sql,
     "q48_salted_join" -> q48_sql,
     "q49_revenue_topn" -> q49_sql,
