@@ -126,6 +126,38 @@ object Traversals {
     } finally e.unpersist()
   }
 
+  /** Tree closure by DOUBLING: valid only for forests (at most one path
+    * per pair, so composing two closures never duplicates a pair and
+    * depths add exactly). C(2k) = C(k) ∪ C(k)∘C(k) reaches depth cap D
+    * in ⌈log2 D⌉ materializations instead of D — the right shape when
+    * per-level scheduling, not data volume, dominates. Output equals
+    * [[closureTree]] filtered to depth ≤ maxDepth. */
+  def closureTreeDoubling(edges: DataFrame, maxDepth: Int): DataFrame = {
+    var acc = edges.select(col("src").as("ancestor"),
+      col("dst").as("descendant"), lit(1).as("depth"))
+      .localCheckpoint(eager = true)
+    // pow = pairs at EXACT depth `reach`. Composing pow∘acc splits every
+    // depth-(reach+d) path at exactly `reach` hops from its start — a
+    // UNIQUE decomposition, so no pair is ever produced twice (composing
+    // acc∘acc would emit one row per valid split point).
+    var pow = acc
+    var reach = 1
+    while (reach < maxDepth && !pow.isEmpty) {
+      val a = pow.select(col("ancestor"), col("descendant").as("mid"),
+        col("depth").as("d1"))
+      val b = acc.select(col("ancestor").as("mid"), col("descendant"),
+        col("depth").as("d2"))
+      val composed = a.join(b, Seq("mid"))
+        .select(col("ancestor"), col("descendant"),
+          (col("d1") + col("d2")).as("depth"))
+        .filter(col("depth") <= maxDepth)
+      acc = acc.unionByName(composed).localCheckpoint(eager = true)
+      reach = reach * 2
+      pow = acc.filter(col("depth") === reach)
+    }
+    acc
+  }
+
   /** Path enumeration from seeds with cycle-safe visited tracking:
     * returns (start, end, depth, path: array<long>) for every simple path
     * of length 1..maxHops. The `nodes(path)` capture of the reference's

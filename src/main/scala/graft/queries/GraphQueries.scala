@@ -69,7 +69,9 @@ object GraphQueries {
       .filter(col("p_partkey") >= 2)
       .select(expr("p_partkey div 2").as("src"),
         col("p_partkey").as("dst"))
-    Traversals.closureTree(parentChild, 12)
+    // doubling engine: ⌈log2 12⌉ = 4 materializations instead of 12
+    // (equality with the linear engine is spec-tested)
+    Traversals.closureTreeDoubling(parentChild, 12)
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("depth"))

@@ -51,6 +51,21 @@ class TraversalsSpec extends SparkSpec {
     assert(got.contains(List(1L, 3L, 4L, 5L, 2L)))
   }
 
+  test("closureTreeDoubling equals closureTree on a deep chain + forest") {
+    // chain 1→2→…→20 plus a branching forest
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val forest = Seq((100L, 101L), (100L, 102L), (101L, 103L),
+      (101L, 104L), (103L, 105L))
+    val es = (chain ++ forest).toDF("src", "dst")
+    for (cap <- Seq(1, 2, 5, 12, 30)) {
+      val linear = Traversals.closureTree(es, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val doubling = Traversals.closureTreeDoubling(es, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(doubling === linear, s"cap=$cap")
+    }
+  }
+
   test("GraphX Pregel path enumeration agrees with DataFrame paths") {
     def canon(rows: Array[org.apache.spark.sql.Row]): Set[List[Long]] =
       rows.map(r => r.getSeq[Long](r.fieldIndex("path")).toList).toSet
