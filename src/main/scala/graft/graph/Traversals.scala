@@ -165,7 +165,10 @@ object Traversals {
     * — callers cap depth like the reference (≤15) and pre-filter seeds.
     */
   def paths(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // a self-loop edge can never be part of a simple path — drop them
+    // up front (the per-level visited check only guards later revisits)
     val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var level = seeds.select(col("id").as("start"))
@@ -196,7 +199,9 @@ object Traversals {
     * state = set of simple paths from a seed ENDING at this vertex;
     * each superstep extends paths along out-edges, dropping extensions
     * that revisit a node (cycle safety). Returns (start, end, depth,
-    * path) — same rows as [[paths]].
+    * path) — the same DISTINCT simple paths as [[paths]]; on a
+    * multigraph, parallel edges yield one row per distinct node
+    * sequence here (Set state) vs one per edge there.
     */
   def pathsGraphX(spark: SparkSession, edges: DataFrame,
       seedIds: Seq[Long], maxHops: Int): DataFrame = {

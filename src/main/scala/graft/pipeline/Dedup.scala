@@ -101,7 +101,11 @@ object Dedup {
   def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
     val hot = sh.groupBy(col("shingle")).count()
       .filter(col("count") > maxDf).select(col("shingle"))
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // NULL shingles never match an anti-join key and would leak through
+    // (the previous semi-join formulation dropped them) — keep the
+    // helper's domain behavior explicit
+    sh.filter(col("shingle").isNotNull)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
   /** Exact Jaccard pairs for SMALL vocabularies (≤ 62 distinct shingles):

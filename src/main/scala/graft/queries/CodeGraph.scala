@@ -365,8 +365,11 @@ class CodeGraph(nodes: DataFrame, edges: DataFrame) {
       else calls.select(col("dst").as("src"), col("src").as("dst"))
     val reach = Traversals.reachable(oriented, root, maxDepth)
       .select(col("id"), col("depth"))
+    // min depth per node: reachable() rediscovers a root via a cycle at
+    // depth ≥ 1, which would duplicate the root's edges at two depths
     val inScope = root.select(col("id")).withColumn("depth", lit(0))
       .unionByName(reach)
+      .groupBy(col("id")).agg(min(col("depth")).as("depth"))
     val scoped = oriented
       .join(inScope.withColumnRenamed("id", "src"), Seq("src"))
       .filter(col("depth") < maxDepth)

@@ -119,6 +119,21 @@ class CodeGraphSpec extends SparkSpec {
     assert(in.contains(("Deep", "Helper")))
   }
 
+  test("callGraph on a recursive cycle reports one edge row at min depth") {
+    import spark.implicits._
+    val ns = Seq((1L, Labels.Function, "Main"), (2L, Labels.Function, "Helper"))
+      .toDF("id", "label", "name")
+    val es = Seq((1L, 2L, "CALLS"), (2L, 1L, "CALLS"))
+      .toDF("src", "dst", "relType")
+    val out = new CodeGraph(ns, es).callGraph("Main", "out", 5).collect()
+      .map(r => (r.getAs[String]("srcName"), r.getAs[String]("dstName"),
+        r.getAs[Int]("srcDepth")))
+    // Main's out-edge appears once at depth 0, not again at its
+    // cycle-rediscovery depth
+    assert(out.count(e => e._1 == "Main" && e._2 == "Helper") === 1)
+    assert(out.toSet === Set(("Main", "Helper", 0), ("Helper", "Main", 1)))
+  }
+
   test("sourceLocation + extractSpan byte-slice oracle") {
     val loc = cg.sourceLocation("Main").collect()
     assert(loc.length === 1)

@@ -66,6 +66,16 @@ class TraversalsSpec extends SparkSpec {
     }
   }
 
+  test("self-loop edges never appear in simple paths (both engines)") {
+    val es = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val df = Traversals.paths(es, Seq(1L).toDF("id"), 3).collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("path")).toList).toSet
+    val gx = Traversals.pathsGraphX(spark, es, Seq(1L), 3).collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("path")).toList).toSet
+    assert(df === Set(List(1L, 2L)))
+    assert(gx === df)
+  }
+
   test("GraphX Pregel path enumeration agrees with DataFrame paths") {
     def canon(rows: Array[org.apache.spark.sql.Row]): Set[List[Long]] =
       rows.map(r => r.getSeq[Long](r.fieldIndex("path")).toList).toSet
