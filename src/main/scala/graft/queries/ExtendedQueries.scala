@@ -593,7 +593,44 @@ object ExtendedQueries {
       |      (sa.sz + sb.sz - intersection) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q51 — as-of join: each event matched to the user's latest order at
+  // or before the event time. union + carry-forward window (one
+  // shuffle, no range explosion); the oracle is DuckDB's native
+  // ASOF JOIN. Times in microseconds on both sides (events.parquet is
+  // TIMESTAMP(NANOS): Spark reads long nanos, DuckDB micros).
+  // -------------------------------------------------------------------
+  def q51_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"),
+      col("event_type"))
+    val ord = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      // NTZ → LTZ under the pinned-UTC session = DuckDB's naive epoch_us
+      unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("t_us"),
+      col("o_orderkey"))
+    graft.ops.AsOf.asofBackward(ev, ord, "user_id", "t_us", "o_orderkey")
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("event_type"), col("o_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val q51_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
+      |  FROM events),
+      |ord AS (
+      |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_us,
+      |         max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, epoch_us(o_orderdate))
+      |SELECT e.event_id, e.user_id, e.t_us, e.event_type, o.o_orderkey
+      |FROM ev e ASOF JOIN ord o
+      |  ON e.user_id = o.user_id AND e.t_us >= o.o_us
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_asof_join" -> q51_asof_join _,
     "q50_bigram_jaccard" -> q50_bigram_jaccard _,
     "q47_kmv_distinct" -> q47_kmv_distinct _,
     "q48_salted_join" -> q48_salted_join _,
@@ -610,6 +647,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q51_asof_join" -> q51_sql,
     "q50_bigram_jaccard" -> q50_sql,
     "q47_kmv_distinct" -> q47_sql,
     "q48_salted_join" -> q48_sql,

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward: latest right row at-or-before, per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 50L, 900L))
+      .toDF("k", "t", "pay")
+    val out = AsOf.asofBackward(left, right, "k", "t", "pay")
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[Any]("pay")))).toMap
+    assert(out("a") === Some(100L)) // tie: right at equal time matches
+    assert(out("b") === Some(200L)) // latest of two priors
+    assert(out("c") === None)       // no prior → null (outer form)
+  }
+
+  test("asofBackward ties at identical (key,time) pick max payload") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L)).toDF("k", "t", "pay")
+    val out = AsOf.asofBackward(left, right, "k", "t", "pay").collect()
+    assert(out.head.getAs[Long]("pay") === 9L)
+  }
+}
