@@ -7,11 +7,11 @@ import graft.Tables
 import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries over `documents` / `embeddings` —
-  * dedup family, text analysis, similarity search. Each oracle-able op
-  * has DuckDB SQL computing the identical result (same hash family:
-  * md5/sha256; same rounding; same tie-breaks). `q27_langid` and
-  * `q29_ann_lsh` are rows-only (heuristic / approximate ops with no
-  * SQL-expressible oracle).
+  * dedup family, text analysis, similarity search. Every query here has
+  * DuckDB SQL computing the identical result (same hash family:
+  * md5/sha256; same rounding; same tie-breaks) — including the
+  * approximate ANN (q29), whose WTA signature hashes by raw element
+  * comparison and is therefore engine-exact.
   */
 object PipelineQueries {
 
