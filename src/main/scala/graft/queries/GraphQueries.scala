@@ -100,7 +100,11 @@ object GraphQueries {
     val seeds = Tables.part(spark, dir)
       .filter(col("p_partkey") % 199 === 0 && col("p_partkey") >= 2)
       .select(col("p_partkey").as("id"))
-    Traversals.paths(treeEdges(spark, dir), seeds, 15)
+    // Pregel engine (one superstep barrier per hop, no per-level driver
+    // scheduling); the DataFrame engine (Traversals.paths) is equality-
+    // tested against it in TraversalsSpec
+    Traversals.pathsGraphX(spark, treeEdges(spark, dir),
+        seeds.collect().map(_.getLong(0)).toSeq, 15)
       .select(col("start").as("start_id"), col("end").as("end_id"),
         col("depth"), array_join(col("path"), "->").as("path"))
       .orderBy(col("start_id"), col("depth"))
