@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
@@ -629,7 +630,70 @@ object ExtendedQueries {
       |  ON e.user_id = o.user_id AND e.t_us >= o.o_us
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q52 — dependency grouping (SURVEY A6: the reference's Go-side fold
+  // rows → map[service]{callingFunctions[], count}): group + collected
+  // member list + count, with the list sorted/joined for determinism.
+  // -------------------------------------------------------------------
+  def q52_dep_grouping(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(array_join(array_sort(collect_set(col("s_name"))), ",")
+        .as("suppliers"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+
+  val q52_sql: String =
+    """SELECT s_nationkey AS nationkey,
+      |  string_agg(DISTINCT s_name, ',' ORDER BY s_name) AS suppliers,
+      |  COUNT(*) AS n_suppliers
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q53 — running/cumulative window frames over the event stream: per
+  // user, cumulative value sum and a trailing 3-event moving average —
+  // the rowsBetween frame family (q12/q34 cover ranking/lead). One
+  // shuffle on user_id; frames stream per partition.
+  // -------------------------------------------------------------------
+  def q53_running_window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t_us"),
+        col("value").cast(DecimalType(30, 6)).as("v"))
+    ev.withColumn("running_total",
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("moving_avg3",
+        (sum(col("v")).over(w.rowsBetween(-2, 0)).cast("double") /
+          count(lit(1)).over(w.rowsBetween(-2, 0))))
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("running_total"), round(col("moving_avg3"), 6).as("moving_avg3"))
+      .orderBy(col("event_id"))
+  }
+
+  val q53_sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS t_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS running_total,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+      |FROM events WHERE user_id < 10
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_dep_grouping" -> q52_dep_grouping _,
+    "q53_running_window" -> q53_running_window _,
     "q51_asof_join" -> q51_asof_join _,
     "q50_bigram_jaccard" -> q50_bigram_jaccard _,
     "q47_kmv_distinct" -> q47_kmv_distinct _,
@@ -647,6 +711,8 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q52_dep_grouping" -> q52_sql,
+    "q53_running_window" -> q53_sql,
     "q51_asof_join" -> q51_sql,
     "q50_bigram_jaccard" -> q50_sql,
     "q47_kmv_distinct" -> q47_sql,
