@@ -691,7 +691,49 @@ object ExtendedQueries {
       |FROM events WHERE user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q54 — bucketized range join: events inside each order's 24 h window
+  // per user. The naive θ-join (key equal AND time in range) is a
+  // quadratic nested loop; bucketizing time makes it an EQUI-join on
+  // (key, coarse bucket) — a window of length B spans ≤ 2 buckets, so
+  // the interval side carries 2 bucket keys and a residual filter
+  // finishes. Each event matches at most one of an order's buckets, so
+  // no double counting.
+  // -------------------------------------------------------------------
+  private val HourUs = 3600000000L
+
+  def q54_range_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("e_us"))
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("e_us").as("p_us"))
+      .withColumn("bucket",
+        explode(array(expr(s"p_us div $HourUs"),
+          expr(s"p_us div $HourUs + 1"))))
+    val probes = ev.select(col("user_id"),
+        col("event_id").as("other_id"), col("e_us"))
+      .withColumn("bucket", expr(s"e_us div $HourUs"))
+    anchors.join(probes, Seq("user_id", "bucket"))
+      .filter(col("e_us") > col("p_us") &&
+        col("e_us") <= col("p_us") + HourUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q54_sql: String =
+    s"""SELECT p.event_id AS purchase_id, COUNT(*) AS n_follow
+       |FROM events p JOIN events e
+       |  ON e.user_id = p.user_id
+       | AND epoch_us(e.ts) > epoch_us(p.ts)
+       | AND epoch_us(e.ts) <= epoch_us(p.ts) + $HourUs
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_range_join" -> q54_range_join _,
     "q52_dep_grouping" -> q52_dep_grouping _,
     "q53_running_window" -> q53_running_window _,
     "q51_asof_join" -> q51_asof_join _,
@@ -711,6 +753,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q54_range_join" -> q54_sql,
     "q52_dep_grouping" -> q52_sql,
     "q53_running_window" -> q53_sql,
     "q51_asof_join" -> q51_sql,
