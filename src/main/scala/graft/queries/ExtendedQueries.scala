@@ -732,7 +732,37 @@ object ExtendedQueries {
        |WHERE p.event_type = 'purchase'
        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q55 — explicit GROUPING SETS with grouping_id (completes the
+  // grouping family next to q35 ROLLUP / q42 CUBE): per-status and
+  // per-priority totals in one pass, tagged by grouping_id so the two
+  // set shapes are distinguishable after the COALESCE.
+  // -------------------------------------------------------------------
+  def q55_grouping_sets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(col("gid"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  val q55_sql: String =
+    s"""SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       |  COALESCE(o_orderstatus, '(all)') AS status,
+       |  COALESCE(o_orderpriority, '(all)') AS priority,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+       |ORDER BY gid, status, priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_grouping_sets" -> q55_grouping_sets _,
     "q54_range_join" -> q54_range_join _,
     "q52_dep_grouping" -> q52_dep_grouping _,
     "q53_running_window" -> q53_running_window _,
@@ -753,6 +783,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q55_grouping_sets" -> q55_sql,
     "q54_range_join" -> q54_sql,
     "q52_dep_grouping" -> q52_sql,
     "q53_running_window" -> q53_sql,

@@ -20,6 +20,29 @@ class AsOfSpec extends SparkSpec {
     assert(out("c") === None)       // no prior → null (outer form)
   }
 
+  test("asofBackward equals the naive per-row argmax on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, 1000L + i))
+    val lDf = left.toDF("k", "t", "lid")
+    val rDf = right.toDF("k", "t", "pay")
+    val got = AsOf.asofBackward(lDf, rDf, "k", "t", "pay")
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[Any]("pay")).map(_.asInstanceOf[Long])).toMap
+    // naive oracle: max payload among right rows at the max qualifying
+    // time (mirrors the window tie-break)
+    val expected = left.map { case (k, t, lid) =>
+      val cand = right.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cand.isEmpty) None else {
+        val tm = cand.map(_._2).max
+        Some(cand.filter(_._2 == tm).map(_._3).max)
+      })
+    }.toMap
+    assert(got === expected)
+  }
+
   test("asofBackward ties at identical (key,time) pick max payload") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
     val right = Seq((1L, 10L, 7L), (1L, 10L, 9L)).toDF("k", "t", "pay")
