@@ -62,15 +62,28 @@ object GoFrontend {
         .map(i => branchRe.findAllIn(lines(i)).size).sum
     }
 
+    // docstring cleanup (`pkg/indexer/static/indexer.go:627-644`): strip
+    // `//`, `/*`, `*/` and leading `*` continuation markers
     def doc(): String = {
-      val d = pendingDoc.map(_.replaceFirst("^\\s*//\\s?", "")).mkString("\n")
+      val d = pendingDoc.map(_.replaceFirst("^\\s*//\\s?", "")
+          .replaceFirst("^\\s*/\\*+\\s?", "")
+          .replaceFirst("\\s*\\*+/\\s*$", "")
+          .replaceFirst("^\\s*\\*\\s?", ""))
+        .mkString("\n").trim
       pendingDoc.clear(); d
     }
 
+    var inBlockDoc = false
     lines.zipWithIndex.foreach { case (raw, i) =>
       val line = raw.trim
       pkgRe.findFirstMatchIn(line).foreach(m => pkg = m.group(1))
-      if (line.startsWith("//")) { pendingDoc += line }
+      if (inBlockDoc) {
+        pendingDoc += line
+        if (line.contains("*/")) inBlockDoc = false
+      } else if (line.startsWith("/*")) {
+        pendingDoc += line
+        inBlockDoc = !line.contains("*/")
+      } else if (line.startsWith("//")) { pendingDoc += line }
       else {
         funcRe.findFirstMatchIn(line) match {
           case Some(m) =>

@@ -75,6 +75,20 @@ class GoFrontendSpec extends SparkSpec {
     assert(slice.contains("return c"))
   }
 
+  test("block-comment docstrings are cleaned of /* */ and * markers") {
+    val src =
+      """package m
+        |
+        |/* Widget does things
+        | * across two lines. */
+        |func Widget() {
+        |}
+        |""".stripMargin
+    val ents = GoFrontend.parseFile("svc/m.go", src)
+    val w = ents.find(_.name == "Widget").get
+    assert(w.docstring === "Widget does things\nacross two lines.")
+  }
+
   test("method receiver produces Method label and Class CONTAINS Method") {
     val ents = GoFrontend.parseFile("svc/b.go", fileB)
     val doM = ents.find(_.name == "Do").get
