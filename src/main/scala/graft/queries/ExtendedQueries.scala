@@ -761,7 +761,89 @@ object ExtendedQueries {
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
        |ORDER BY gid, status, priority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q56 — MinHash Jaccard ESTIMATION: for LSH candidate pairs, the
+  // fraction of agreeing min-hashes (in 16ths, integer-exact) next to
+  // the true Jaccard — the estimator actually consulted at 100 TB,
+  // where exact set intersection per pair is unaffordable. md5-derived
+  // signatures make the estimate engine-reproducible.
+  // -------------------------------------------------------------------
+  private val MhK = 16
+
+  def q56_minhash_estimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val toks = docs.select(col("doc_id").as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(col("text"))))
+        .as("tok"))
+    val sigCols = (0 until MhK).map(i =>
+      min(md5(concat(col("tok"), lit(s":$i")))).as(s"sig$i"))
+    val wide = toks.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint(true)
+    val sizes = toks.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    // candidate pairs: exact-dup fingerprint classes would all agree;
+    // use a first-signature bucket join (bands of 1) to bound pairs
+    val a = wide.select(col("doc").as("id_a") +:
+      (0 until MhK).map(i => col(s"sig$i").as(s"a$i")): _*)
+    val b = wide.select(col("doc").as("id_b") +:
+      (0 until MhK).map(i => col(s"sig$i").as(s"b$i")): _*)
+    val agree = (0 until MhK).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val pairs = a.join(b, col("a0") === col("b0") &&
+        col("id_a") < col("id_b"))
+      .withColumn("n_agree", agree)
+      .select(col("id_a"), col("id_b"), col("n_agree"))
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .join(sizes.toDF("id_a", "size_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "size_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        expr("coalesce(n_inter, 0L) * 1000000 div " +
+          "(size_a + size_b - coalesce(n_inter, 0L))")
+          .as("true_jaccard_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q56_sql: String = {
+    val sigSql = (0 until MhK).map(i =>
+      s"min(md5(tok || ':$i')) AS sig$i").mkString(",\n|    ")
+    val agreeSql = (0 until MhK).map(i =>
+      s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id AS doc,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |wide AS (
+       |  SELECT doc,
+       |    $sigSql
+       |  FROM toks GROUP BY doc),
+       |sizes AS (SELECT doc, COUNT(*) AS sz FROM toks GROUP BY doc),
+       |pairs AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b,
+       |         $agreeSql AS n_agree
+       |  FROM wide a JOIN wide b
+       |    ON a.sig0 = b.sig0 AND a.doc < b.doc),
+       |inter AS (
+       |  SELECT x.doc AS id_a, y.doc AS id_b, COUNT(*) AS n_inter
+       |  FROM toks x JOIN toks y
+       |    ON x.tok = y.tok AND x.doc < y.doc
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.n_agree,
+       |  COALESCE(i.n_inter, 0) * 1000000 //
+       |    (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS true_jaccard_ppm
+       |FROM pairs p
+       |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |JOIN sizes sa ON sa.doc = p.id_a
+       |JOIN sizes sb ON sb.doc = p.id_b
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_minhash_estimate" -> q56_minhash_estimate _,
     "q55_grouping_sets" -> q55_grouping_sets _,
     "q54_range_join" -> q54_range_join _,
     "q52_dep_grouping" -> q52_dep_grouping _,
@@ -783,6 +865,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q56_minhash_estimate" -> q56_sql,
     "q55_grouping_sets" -> q55_sql,
     "q54_range_join" -> q54_sql,
     "q52_dep_grouping" -> q52_sql,
