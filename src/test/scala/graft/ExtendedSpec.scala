@@ -62,6 +62,48 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("KMV estimate lands within 20% of the exact distinct count") {
+    // deterministic synthetic: 5000 values, known distinct count 1200
+    val rnd = new scala.util.Random(7)
+    val vals = (1 to 5000).map(_ => rnd.nextInt(1200).toLong)
+    val exact = vals.distinct.size
+    val df = vals.toDF("v")
+    // q47's sketch shape (60-bit md5 hashes, k smallest, (k-1)/u_k)
+    // with k=256 → std error ≈ 1/√(k−2) ≈ 6%; assert 3σ ≈ 20%
+    val k = 256
+    val hashed = df.distinct().select(
+      conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val topk = hashed.orderBy(col("h")).limit(k).collect().map(_.getLong(0))
+    val est = (k - 1).toDouble * 1152921504606846976.0 / topk.max
+    assert(math.abs(est - exact) / exact < 0.20,
+      s"KMV estimate $est vs exact $exact")
+  }
+
+  test("WTA ANN recall: top-1 found for most queries on clustered data") {
+    // 4 tight clusters of 25 vectors each — near neighbors share WTA
+    // comparison bits with high probability
+    val vecs = (0L until 100L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        (math.sin(c * 2.1 + d) + 0.01 * math.sin(i * 13.7 + d))
+          .toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+        k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.wtaTopK(df, "vec_id", "embedding", k = 1,
+        planes = 16, bandBits = 8, dims = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recall@1: approximate top-1 is in the same cluster as exact top-1
+    val hits = exact.count { case (q, n) =>
+      approx.get(q).exists(a => a % 4 == n % 4)
+    }
+    assert(hits >= (exact.size * 0.9).toInt,
+      s"cluster recall $hits/${exact.size}")
+  }
+
   test("binaryMeta matches MessageDigest and frame arithmetic") {
     val df = Seq((1L, "hello"), (2L, ""), (3L, "x" * 600))
       .toDF("doc_id", "text")
