@@ -63,21 +63,25 @@ object GoFrontend {
     }
 
     // docstring cleanup (`pkg/indexer/static/indexer.go:627-644`): strip
-    // `//`, `/*`, `*/` and leading `*` continuation markers
+    // `//` from line comments; `/*`, `*/` and leading `*` continuation
+    // markers from block-comment lines ONLY (a line comment whose text
+    // starts with `*` or ends with `*/` must survive intact)
+    def clean(l: String): String =
+      if (l.startsWith("//")) l.replaceFirst("^//\\s?", "")
+      else l.replaceFirst("^/\\*+\\s?", "")
+        .replaceFirst("\\s*\\*+/\\s*$", "")
+        .replaceFirst("^\\*\\s?", "")
+
     def doc(): String = {
-      val d = pendingDoc.map(_.replaceFirst("^\\s*//\\s?", "")
-          .replaceFirst("^\\s*/\\*+\\s?", "")
-          .replaceFirst("\\s*\\*+/\\s*$", "")
-          .replaceFirst("^\\s*\\*\\s?", ""))
-        .mkString("\n").trim
+      val d = pendingDoc.map(clean).mkString("\n").trim
       pendingDoc.clear(); d
     }
 
     var inBlockDoc = false
     lines.zipWithIndex.foreach { case (raw, i) =>
       val line = raw.trim
-      pkgRe.findFirstMatchIn(line).foreach(m => pkg = m.group(1))
       if (inBlockDoc) {
+        // comment interior: never package detection
         pendingDoc += line
         if (line.contains("*/")) inBlockDoc = false
       } else if (line.startsWith("/*")) {
@@ -85,6 +89,7 @@ object GoFrontend {
         inBlockDoc = !line.contains("*/")
       } else if (line.startsWith("//")) { pendingDoc += line }
       else {
+        pkgRe.findFirstMatchIn(line).foreach(m => pkg = m.group(1))
         funcRe.findFirstMatchIn(line) match {
           case Some(m) =>
             val (recv, name) = (Option(m.group(1)).getOrElse(""), m.group(2))
@@ -115,7 +120,10 @@ object GoFrontend {
                       i + 1, i + 1, lineOffsets(i),
                       lineOffsets(i) + raw.length, "", pkg, doc(), 1,
                       m.group(1).headOption.exists(_.isUpper))
-                  case _ => if (line.nonEmpty) pendingDoc.clear()
+                  // Go doc rule: a doc comment binds only when
+                  // immediately adjacent — any other line, INCLUDING a
+                  // blank one, detaches the pending comment
+                  case _ => pendingDoc.clear()
                 }
             }
         }

@@ -31,6 +31,14 @@ object AsOf {
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       time: String, payload: String): DataFrame = {
+    // a left-side column named like the payload would alias into the
+    // payload slot and make every left row "match itself" — fail fast
+    require(!left.columns.contains(payload),
+      s"left input must not contain the payload column '$payload'")
+    Seq("_kind", "_asof").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"inputs must not contain the reserved column '$c'")
+    }
     val r0 = right.select(col(key), col(time), col(payload))
       .withColumn("_kind", lit(0))
     val l0 = left.withColumn("_kind", lit(1))

@@ -692,13 +692,13 @@ object ExtendedQueries {
       |ORDER BY event_id""".stripMargin
 
   // -------------------------------------------------------------------
-  // q54 — bucketized range join: events inside each order's 24 h window
-  // per user. The naive θ-join (key equal AND time in range) is a
-  // quadratic nested loop; bucketizing time makes it an EQUI-join on
-  // (key, coarse bucket) — a window of length B spans ≤ 2 buckets, so
-  // the interval side carries 2 bucket keys and a residual filter
-  // finishes. Each event matches at most one of an order's buckets, so
-  // no double counting.
+  // q54 — bucketized range join: for each purchase event, the same
+  // user's activity in the following hour. The naive θ-join (key equal
+  // AND time in range) is a quadratic nested loop; bucketizing time
+  // makes it an EQUI-join on (key, coarse bucket) — a window of length
+  // B spans ≤ 2 buckets, so the anchor side carries 2 bucket keys and
+  // a residual filter finishes. Each event matches at most one of an
+  // anchor's buckets, so no double counting.
   // -------------------------------------------------------------------
   private val HourUs = 3600000000L
 
@@ -773,9 +773,13 @@ object ExtendedQueries {
   def q56_minhash_estimate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
+    // materialized once: feeds the signature agg, the sizes agg, and
+    // both sides of the intersection self-join (interpreted tokenize
+    // would otherwise re-run per branch — same pattern as jaccardPairs)
     val toks = docs.select(col("doc_id").as("doc"),
       explode(array_distinct(TextAnalysis.tokens(col("text"))))
         .as("tok"))
+      .localCheckpoint(true)
     val sigCols = (0 until MhK).map(i =>
       min(md5(concat(col("tok"), lit(s":$i")))).as(s"sig$i"))
     val wide = toks.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)

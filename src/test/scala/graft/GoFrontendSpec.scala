@@ -89,6 +89,24 @@ class GoFrontendSpec extends SparkSpec {
     assert(w.docstring === "Widget does things\nacross two lines.")
   }
 
+  test("line-comment docstrings keep * markers; block interiors can't set pkg") {
+    val src =
+      """package m
+        |
+        |/* Package doc with example:
+        |package main
+        |*/
+        |
+        |// *always* close the conn
+        |func Close() {
+        |}
+        |""".stripMargin
+    val ents = GoFrontend.parseFile("svc/m.go", src)
+    val c = ents.find(_.name == "Close").get
+    assert(c.docstring === "*always* close the conn")
+    assert(c.pkg === "m") // 'package main' inside the block comment ignored
+  }
+
   test("method receiver produces Method label and Class CONTAINS Method") {
     val ents = GoFrontend.parseFile("svc/b.go", fileB)
     val doM = ents.find(_.name == "Do").get
