@@ -202,9 +202,21 @@ object Traversals {
     * path) — the same DISTINCT simple paths as [[paths]]; on a
     * multigraph, parallel edges yield one row per distinct node
     * sequence here (Set state) vs one per edge there.
+    *
+    * Memory bound: every simple path is held as a vertex attribute, so
+    * per-vertex state grows with the path count — exponential in
+    * maxHops on high-fanout graphs, and unlike the DataFrame engine it
+    * cannot spill. The depth cap is the containment strategy; it is
+    * enforced here at the reference's FLOWS_TO limit (≤15,
+    * `pkg/neo4j/query.go:250`). Use [[paths]] when deeper traversal or
+    * spillable state is needed.
     */
   def pathsGraphX(spark: SparkSession, edges: DataFrame,
       seedIds: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops <= 15,
+      s"pathsGraphX holds all simple paths in vertex memory; maxHops " +
+        s"($maxHops) above the reference's 15-hop cap risks " +
+        s"exponential state — use the spillable DataFrame engine")
     import spark.implicits._
     val edgeRdd = edges.select(col("src"), col("dst")).as[(Long, Long)]
       .rdd.map { case (s, d) => Edge(s, d, ()) }

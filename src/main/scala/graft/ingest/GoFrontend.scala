@@ -78,56 +78,81 @@ object GoFrontend {
     }
 
     var inBlockDoc = false
-    lines.zipWithIndex.foreach { case (raw, i) =>
-      val line = raw.trim
+
+    // the declaration path, shared by whole lines and by the code
+    // remainder after a same-line `*/` close; `startByte` is the byte
+    // offset of `line` within the file
+    def handleDecl(line: String, i: Int, startByte: Int): Unit = {
+      pkgRe.findFirstMatchIn(line).foreach(m => pkg = m.group(1))
+      funcRe.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val (recv, name) = (Option(m.group(1)).getOrElse(""), m.group(2))
+          val end = braceSpanEnd(i)
+          out += Entity(
+            if (recv.nonEmpty) Labels.Method else Labels.Function,
+            name, line.takeWhile(_ != '{').trim, path, i + 1, end + 1,
+            startByte, math.min(lineOffsets(end + 1) - 1,
+              content.length),
+            recv.stripPrefix("*"), pkg, doc(),
+            complexityOf(i, end), name.headOption.exists(_.isUpper))
+        case None =>
+          typeRe.findFirstMatchIn(line) match {
+            case Some(m) =>
+              val end = braceSpanEnd(i)
+              out += Entity(
+                if (m.group(2) == "interface") Labels.Interface
+                else Labels.Class,
+                m.group(1), line.takeWhile(_ != '{').trim, path, i + 1,
+                end + 1, startByte,
+                math.min(lineOffsets(end + 1) - 1, content.length),
+                "", pkg, doc(), 1,
+                m.group(1).headOption.exists(_.isUpper))
+            case None =>
+              varRe.findFirstMatchIn(line) match {
+                case Some(m) if !line.contains("(") =>
+                  out += Entity(Labels.Variable, m.group(1), line, path,
+                    i + 1, i + 1, startByte,
+                    lineOffsets(i + 1) - 1, "", pkg, doc(), 1,
+                    m.group(1).headOption.exists(_.isUpper))
+                // Go doc rule: a doc comment binds only when
+                // immediately adjacent — any other line, INCLUDING a
+                // blank one, detaches the pending comment
+                case _ => pendingDoc.clear()
+              }
+          }
+      }
+    }
+
+    // dispatch one line segment; recurses on the remainder after a
+    // same-line `*/` close so `/* note */ func F() {` still reaches
+    // the declaration path instead of vanishing into the comment
+    def process(seg: String, i: Int, segByte: Int): Unit = {
+      val line = seg.trim
+      val pad = if (line.isEmpty) 0 else seg.indexOf(line)
       if (inBlockDoc) {
         // comment interior: never package detection
-        pendingDoc += line
-        if (line.contains("*/")) inBlockDoc = false
-      } else if (line.startsWith("/*")) {
-        pendingDoc += line
-        inBlockDoc = !line.contains("*/")
-      } else if (line.startsWith("//")) { pendingDoc += line }
-      else {
-        pkgRe.findFirstMatchIn(line).foreach(m => pkg = m.group(1))
-        funcRe.findFirstMatchIn(line) match {
-          case Some(m) =>
-            val (recv, name) = (Option(m.group(1)).getOrElse(""), m.group(2))
-            val end = braceSpanEnd(i)
-            out += Entity(
-              if (recv.nonEmpty) Labels.Method else Labels.Function,
-              name, line.takeWhile(_ != '{').trim, path, i + 1, end + 1,
-              lineOffsets(i), math.min(lineOffsets(end + 1) - 1,
-                content.length),
-              recv.stripPrefix("*"), pkg, doc(),
-              complexityOf(i, end), name.headOption.exists(_.isUpper))
-          case None =>
-            typeRe.findFirstMatchIn(line) match {
-              case Some(m) =>
-                val end = braceSpanEnd(i)
-                out += Entity(
-                  if (m.group(2) == "interface") Labels.Interface
-                  else Labels.Class,
-                  m.group(1), line.takeWhile(_ != '{').trim, path, i + 1,
-                  end + 1, lineOffsets(i),
-                  math.min(lineOffsets(end + 1) - 1, content.length),
-                  "", pkg, doc(), 1,
-                  m.group(1).headOption.exists(_.isUpper))
-              case None =>
-                varRe.findFirstMatchIn(line) match {
-                  case Some(m) if !line.contains("(") =>
-                    out += Entity(Labels.Variable, m.group(1), line, path,
-                      i + 1, i + 1, lineOffsets(i),
-                      lineOffsets(i) + raw.length, "", pkg, doc(), 1,
-                      m.group(1).headOption.exists(_.isUpper))
-                  // Go doc rule: a doc comment binds only when
-                  // immediately adjacent — any other line, INCLUDING a
-                  // blank one, detaches the pending comment
-                  case _ => pendingDoc.clear()
-                }
-            }
+        val close = line.indexOf("*/")
+        if (close < 0) pendingDoc += line
+        else {
+          inBlockDoc = false
+          pendingDoc += line.substring(0, close + 2)
+          val rest = line.substring(close + 2)
+          if (rest.trim.nonEmpty) process(rest, i, segByte + pad + close + 2)
         }
-      }
+      } else if (line.startsWith("/*")) {
+        val close = line.indexOf("*/")
+        if (close < 0) { pendingDoc += line; inBlockDoc = true }
+        else {
+          pendingDoc += line.substring(0, close + 2)
+          val rest = line.substring(close + 2)
+          if (rest.trim.nonEmpty) process(rest, i, segByte + pad + close + 2)
+        }
+      } else if (line.startsWith("//")) pendingDoc += line
+      else handleDecl(line, i, segByte + pad)
+    }
+
+    lines.zipWithIndex.foreach { case (raw, i) =>
+      process(raw, i, lineOffsets(i))
     }
     out.toSeq
   }

@@ -39,7 +39,13 @@ object AsOf {
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"inputs must not contain the reserved column '$c'")
     }
+    // a right row with a NULL time would sort first (ascending
+    // nulls-first) and carry its payload forward to every left row of
+    // the key — a match true as-of semantics (and e.g. DuckDB ASOF
+    // JOIN) excludes. Drop them; null keys partition separately and
+    // only ever meet null-key left rows, which is the same no-match.
     val r0 = right.select(col(key), col(time), col(payload))
+      .filter(col(time).isNotNull)
       .withColumn("_kind", lit(0))
     val l0 = left.withColumn("_kind", lit(1))
     val u = l0.unionByName(r0, allowMissingColumns = true)

@@ -73,10 +73,14 @@ object Dedup {
     // materialize the exploded shingle rows ONCE — they feed the size
     // aggregation and both sides of the self-join (plus the df-cap
     // aggregation), and the shingle transform is an interpreted
-    // higher-order function that would otherwise re-run per branch
-    val sh = (if (maxDf == Long.MaxValue) shAll
-      else dfCapped(shAll.localCheckpoint(true), maxDf))
-      .localCheckpoint(true)
+    // higher-order function that would otherwise re-run per branch.
+    // With a cap, only the pre-cap rows are checkpointed: the capped
+    // view is a broadcast-hash anti-join on top (no shuffle), cheap to
+    // recompute per consumer, and checkpointing it too would write the
+    // near-identical row set a second time.
+    val sh =
+      if (maxDf == Long.MaxValue) shAll.localCheckpoint(true)
+      else dfCapped(shAll.localCheckpoint(true), maxDf)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))

@@ -20,6 +20,16 @@ class AsOfSpec extends SparkSpec {
     assert(out("c") === None)       // no prior → null (outer form)
   }
 
+  test("asofBackward ignores right rows with a NULL time") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, Option.empty[Long], 999L),
+      (1L, Some(5L), 100L)).toDF("k", "t", "pay")
+    val out = AsOf.asofBackward(left, right, "k", "t", "pay").collect()
+    // without the filter the null-time row sorts first (nulls-first)
+    // and 999 would win for rows before t=5
+    assert(out.map(_.getAs[Long]("pay")).toSeq === Seq(100L))
+  }
+
   test("asofBackward equals the naive per-row argmax on random data") {
     val rnd = new scala.util.Random(42)
     val left = (1 to 300).map(i =>

@@ -107,6 +107,24 @@ class GoFrontendSpec extends SparkSpec {
     assert(c.pkg === "m") // 'package main' inside the block comment ignored
   }
 
+  test("code after a same-line block comment still parses") {
+    val src =
+      """package m
+        |
+        |/* note */ func Tagged() {
+        |}
+        |
+        |/* a */ /* b */ var tagged = 1
+        |""".stripMargin
+    val ents = GoFrontend.parseFile("svc/m.go", src)
+    val t = ents.find(_.name == "Tagged").get
+    assert(t.label === Labels.Function)
+    assert(t.docstring === "note")
+    assert(src.substring(t.startByte, t.endByte).startsWith("func Tagged"))
+    assert(ents.exists(e =>
+      e.name == "tagged" && e.label === Labels.Variable))
+  }
+
   test("method receiver produces Method label and Class CONTAINS Method") {
     val ents = GoFrontend.parseFile("svc/b.go", fileB)
     val doM = ents.find(_.name == "Do").get
