@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.ExtendedQueries.oracles
+      graft.queries.ExtendedQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup candidate PAIRS (from MinHash
+  * LSH, SimHash, or embedding banding) are only half the dedup story —
+  * keep-one-per-cluster needs the transitive closure of the pair
+  * relation. A ⟷ B and B ⟷ C must land A, B, C in ONE cluster with one
+  * keeper, else chained near-dups survive pairwise dedup.
+  *
+  * Component id = the minimum member id, so cluster labels are
+  * deterministic and the natural keeper (min id) falls out for free.
+  */
+object Clusters {
+
+  /** Connected components over an undirected pair table via GraphX
+    * (Pregel min-label propagation under the hood): returns
+    * (node, cluster_id) for every node appearing in `pairs`.
+    * GraphX's component id is the smallest vertex id in the component.
+    *
+    * Scale shape: Pregel supersteps = graph diameter, messages only
+    * along edges of still-changing nodes; near-dup graphs are unions of
+    * small dense cliques (tiny diameter), so this converges in a few
+    * supersteps regardless of corpus size.
+    */
+  def connectedComponentsGraphX(spark: SparkSession, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = pairs.select(col(aCol).cast("long"), col(bCol)
+        .cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    Graph.fromEdges(edgeRdd, ()).connectedComponents()
+      .vertices.map { case (vid, comp) => (vid, comp) }
+      .toDF("node", "cluster_id")
+  }
+
+  /** DataFrame engine for the same result (equality-tested alternate,
+    * the spillable path): iterate label = min(own, neighbors') to a
+    * fixpoint. Each round is one shuffle; rounds ≈ component diameter.
+    */
+  def connectedComponentsDF(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val edges = fwd.unionByName(fwd.select(col("v").as("u"),
+        col("u").as("v")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      it += 1
+      // candidate label per node: min over self and neighbors' labels
+      val fromNbr = edges
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .select(col("u").as("node"), col("cluster_id"))
+      val next = labels.unionByName(fromNbr)
+        .groupBy(col("node"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+          Seq("node"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Cluster summary: (cluster_id = min member = keeper, n_members),
+    * from any (node, cluster_id) labeling. */
+  def clusterSizes(labels: DataFrame): DataFrame =
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

@@ -92,6 +92,31 @@ object Multimodal {
       }
   }
 
+  case class FrameRow(media_id: Long, frame_index: Int, frame_bytes: Int,
+      head_hex: String)
+
+  /** Byte-exact frame fan-out over an opaque binary column: split the
+    * payload into `frameSize`-byte frames and emit per-frame rows with
+    * the frame's size and the hex digest of its first `headBytes` bytes
+    * (the "magic number" probe a real decoder starts with). Unlike
+    * [[sampleFrames]] this emits no stubbed features, so the output is
+    * a pure function of the bytes — oracle-comparable in any engine
+    * that can hex the same payload. Null payload ≡ empty ≡ no frames. */
+  def frameHex(df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int, headBytes: Int): Dataset[FrameRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+        bytes.grouped(frameSize).zipWithIndex.map { case (chunk, idx) =>
+          FrameRow(id, idx, chunk.length,
+            chunk.take(headBytes).map("%02X".format(_)).mkString)
+        }
+      }
+  }
+
   /** Synthesize a deterministic media table from any numeric id column —
     * used by specs and demos in lieu of real binaries. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * All decisions are pure functions of a row's id hash — no RNG state,
+  * no `rand()` — so a sample is (a) reproducible across runs, engines,
+  * and cluster topologies, (b) stable under re-partitioning, and (c)
+  * consistent between pipeline stages (the same doc is in-sample
+  * everywhere). That's the property a 100 TB curation pipeline needs:
+  * `rand()`-sampling changes membership on every retry/re-run, breaking
+  * incremental rebuilds and train/test hygiene.
+  *
+  * The hash family is the engine-portable 60-bit md5 prefix used across
+  * this codebase (`conv(substr(md5(x),1,15),16,10)`); a `salt` prefix
+  * decorrelates independent decisions drawn from the same id space
+  * (sample membership vs split assignment must be independent bits).
+  *
+  * Scale shape: both operators are stateless row-local projections —
+  * no shuffle, no aggregation; they run at scan speed and compose with
+  * pushed filters.
+  */
+object Sampling {
+
+  /** 60-bit engine-portable hash of (salt ":" id). */
+  def hash60(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"),
+      id.cast("string"))), 1, 15), 16, 10).cast("long")
+
+  /** Keep a row iff hash(salt:id) mod 1e6 < ratePpm(stratum) — per-
+    * stratum Bernoulli sampling with deterministic membership. Strata
+    * missing from `ratesPpm` use `defaultPpm`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPpm: Map[String, Long], defaultPpm: Long,
+      salt: String = "sample"): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) {
+      case (acc, (stratum, ppm)) =>
+        when(col(stratumCol) === stratum, lit(ppm)).otherwise(acc)
+    }
+    df.filter(hash60(salt, col(idCol)) % 1000000L < rate)
+  }
+
+  /** Train/validation/test assignment by hash bucket: bucket = hash
+    * mod 100; < trainPct → "train", < trainPct+valPct → "val", else
+    * "test". Adds `split`. Deterministic and independent of any
+    * sampling decision drawn with a different salt. */
+  def splitAssign(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10, salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages ($trainPct, $valPct)")
+    val bucket = hash60(salt, col(idCol)) % 100L
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

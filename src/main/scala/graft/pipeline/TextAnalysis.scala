@@ -100,6 +100,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
 
+  /** Fixed-size word-window chunking — the pipeline form of the
+    * reference's paragraph chunking (`documents/parser.go:51-90`, ≤1000
+    * words per chunk), for corpora without paragraph breaks: token k
+    * goes to chunk k div chunkWords. Returns (doc_id, chunk_idx,
+    * n_words, chunk_text); empty docs yield no chunks.
+    *
+    * Shape: posexplode → one groupBy on (doc, chunk) with the order
+    * restored from the positions — one shuffle, no per-doc state, so
+    * chunking 100 TB is a linear pass (vs the reference's in-memory
+    * per-document fold). */
+  def wordChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive ($chunkWords)")
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"),
+        expr(s"pos div $chunkWords").as("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
   /** Distinctive-stopword profiles for the Latin-script languages the
     * heuristic can tell apart. Order matters: the tie-break prefers
     * earlier entries (en ≥ es ≥ de ≥ fr). */

@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Clusters, Dedup, Multimodal, Sampling, TextAnalysis}
+
+/** Round-3 coverage: the curation stages a large-scale training-data
+  * pipeline runs AFTER the per-document scoring ops (q20–q29) — all
+  * deterministic and DuckDB-oracled:
+  *
+  *   - q57/q58: hash-deterministic stratified sampling and
+  *     train/val/test splitting (reproducible membership, no RNG);
+  *   - q59: the curation funnel (cumulative survivor counts per filter
+  *     stage) in ONE pass — the pipeline-health dashboard query;
+  *   - q60: TF-IDF term ranking in integer arithmetic;
+  *   - q61: near-dup pairs → connected components → cluster sizes (the
+  *     transitive keep-one-per-cluster step pairwise dedup misses);
+  *   - q62: fixed word-window chunking (the reference's paragraph
+  *     chunker at pipeline scale, `documents/parser.go:51-90`);
+  *   - q63: event-type pivot (wide activity profile per user);
+  *   - q64: inverted-index posting lists (token → df + first docs);
+  *   - q65: byte-exact multimodal frame fan-out over a binary column.
+  */
+object CurationQueries {
+
+  private val stopwordsSqlList: String =
+    TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(",")
+
+  /** 60-bit md5 prefix hash in SQL — mirror of [[Sampling.hash60]]. */
+  private def hash60Sql(salt: String, idExpr: String): String =
+    s"CAST(('0x' || substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), " +
+      "1, 15)) AS BIGINT)"
+
+  // -------------------------------------------------------------------
+  // q57 — deterministic stratified sampling: per-language keep rates,
+  // membership a pure function of the id hash. Row-local (no shuffle,
+  // no RNG state): the sample is reproducible on any engine/topology
+  // and stable across re-runs — the property curation pipelines need
+  // for incremental rebuilds.
+  // -------------------------------------------------------------------
+  def q57_stratified_sample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(spark, dir), "doc_id",
+        "lang", ratesPpm = Map("en" -> 250000L, "zh" -> 600000L),
+        defaultPpm = 500000L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val q57_sql: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${hash60Sql("sample", "doc_id")} % 1000000 <
+       |  CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 600000
+       |       ELSE 500000 END
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q58 — train/val/test split assignment by hash bucket (80/10/10),
+  // salted independently of q57's sample decision. Output: per-split
+  // per-language counts (the split-balance report).
+  // -------------------------------------------------------------------
+  def q58_split_assign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(spark, dir), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+
+  val q58_sql: String =
+    s"""SELECT CASE
+       |    WHEN ${hash60Sql("split", "doc_id")} % 100 < 80 THEN 'train'
+       |    WHEN ${hash60Sql("split", "doc_id")} % 100 < 90 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs
+       |FROM documents
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q59 — curation funnel: cumulative survivor counts through the
+  // filter chain (non-empty → language known → quality ≥ 0.5 → length
+  // ≥ 200 chars → exact-dedup keeper). ONE pass: every stage is a
+  // conditional aggregate over the same flagged projection (plus one
+  // window shuffle for the dedup-keeper flag) — not N scans. The
+  // pipeline-health query a 100 TB curation run reports after every
+  // rebuild.
+  // -------------------------------------------------------------------
+  def q59_curation_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val flagged = TextAnalysis.langIdDf(Tables.documents(spark, dir), "text")
+      .withColumn("q_ppm",
+        TextAnalysis.qualityScorePpm("text", "n_chars"))
+      .withColumn("f1", trim(col("text")) =!= "")
+      .withColumn("f2", col("predicted") =!= "und")
+      .withColumn("f3", col("q_ppm") >= 500000L)
+      .withColumn("f4", col("n_chars") >= 200L)
+      .withColumn("f5", row_number().over(keepW) === 1)
+    val one = flagged.agg(
+      count(lit(1)).as("c0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L))
+        .as("c3"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+        .otherwise(0L)).as("c4"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4") &&
+        col("f5"), 1L).otherwise(0L)).as("c5"))
+    one.select(explode(array(
+        struct(lit("00_total").as("stage"), col("c0").as("n_docs")),
+        struct(lit("10_nonempty").as("stage"), col("c1").as("n_docs")),
+        struct(lit("20_lang_known").as("stage"), col("c2").as("n_docs")),
+        struct(lit("30_quality").as("stage"), col("c3").as("n_docs")),
+        struct(lit("40_length").as("stage"), col("c4").as("n_docs")),
+        struct(lit("50_exact_keeper").as("stage"), col("c5").as("n_docs"))))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
+  }
+
+  val q59_sql: String = {
+    val hitSql = TextAnalysis.langProfiles.map { case (code, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, x -> x IN ($list))) AS h_$code"
+    }.mkString(",\n|    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, n_chars,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, text, n_chars,
+       |    $hitSql
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |         WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+       |         WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |         WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0
+       |           THEN 'en'
+       |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
+       |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+       |         WHEN h_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS predicted,
+       |    (CAST(least(2000 * n_chars, 1000000) AS BIGINT) * 4 +
+       |     (CASE WHEN trim(text) = '' THEN 0
+       |       ELSE least((CAST(len(list_filter(
+       |           regexp_split_to_array(trim(text), '\\s+'),
+       |           x -> lower(x) IN ($stopwordsSqlList))) AS BIGINT)
+       |         * 5000000)
+       |         // len(regexp_split_to_array(trim(text), '\\s+')),
+       |         1000000) END) * 3 +
+       |     (CASE WHEN length(text) = 0 THEN 1000000
+       |       ELSE greatest(0, 1000000 -
+       |         (CAST(length(text) -
+       |           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+       |           AS BIGINT) * 4000000) // length(text)) END) * 3
+       |    ) // 10 AS q_ppm
+       |  FROM h),
+       |f AS (
+       |  SELECT trim(text) <> '' AS f1,
+       |         predicted <> 'und' AS f2,
+       |         q_ppm >= 500000 AS f3,
+       |         n_chars >= 200 AS f4,
+       |         ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |           ORDER BY doc_id) = 1 AS f5
+       |  FROM p),
+       |a AS (
+       |  SELECT COUNT(*) AS c0,
+       |    COUNT(*) FILTER (f1) AS c1,
+       |    COUNT(*) FILTER (f1 AND f2) AS c2,
+       |    COUNT(*) FILTER (f1 AND f2 AND f3) AS c3,
+       |    COUNT(*) FILTER (f1 AND f2 AND f3 AND f4) AS c4,
+       |    COUNT(*) FILTER (f1 AND f2 AND f3 AND f4 AND f5) AS c5
+       |  FROM f)
+       |SELECT '00_total' AS stage, c0 AS n_docs FROM a
+       |UNION ALL SELECT '10_nonempty', c1 FROM a
+       |UNION ALL SELECT '20_lang_known', c2 FROM a
+       |UNION ALL SELECT '30_quality', c3 FROM a
+       |UNION ALL SELECT '40_length', c4 FROM a
+       |UNION ALL SELECT '50_exact_keeper', c5 FROM a
+       |ORDER BY stage""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q60 — TF-IDF top terms per document, integer-exact: idf scaled to
+  // ppm with floor division (no ln(), whose last-bit behavior differs
+  // across libm implementations), score = tf · (N·10⁶ div df). The
+  // search-ranking upgrade over the reference's substring search: same
+  // shuffle shape as a groupBy + window top-k, linear at any corpus
+  // size.
+  // -------------------------------------------------------------------
+  def q60_tfidf_terms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val toksAll = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toksAll.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * ((n_total * 1000000) div df)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q60_sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |           WHERE trim(text) <> ''),
+      |toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM d),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_total FROM d),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+      |         tf.tf * ((n.n_total * 1000000) // dft.df) AS score
+      |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q61 — duplicate clusters: bigram-Jaccard near-dup pairs (q50's
+  // df-capped shingle join) → connected components (GraphX Pregel
+  // min-label) → cluster sizes. The transitive step pairwise dedup
+  // misses: A~B, B~C must collapse to ONE keeper even when A≁C.
+  // Cluster id = min member id (the keeper), deterministically.
+  // -------------------------------------------------------------------
+  def q61_dup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 2, threshold = 0.5, maxDf = 16)
+    Clusters.clusterSizes(
+        Clusters.connectedComponentsGraphX(spark, pairs, "id_a", "id_b"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q61_sql: String =
+    """WITH RECURSIVE toks0 AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([t[i] || ' ' || t[i + 1]
+      |            FOR i IN generate_series(1, len(t) - 1)]) AS shingle
+      |  FROM toks0 WHERE len(t) >= 2),
+      |rare AS (
+      |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 16),
+      |sh AS (SELECT doc_id, sh0.shingle FROM sh0
+      |       JOIN rare ON sh0.shingle = rare.shingle),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE CAST(intersection AS DOUBLE) /
+      |        (sa.sz + sb.sz - intersection) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
+      |labels AS (SELECT a AS node, MIN(b) AS cluster_id
+      |           FROM reach GROUP BY a)
+      |SELECT cluster_id, COUNT(*) AS n_members FROM labels
+      |GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q62 — fixed word-window chunking (40 words per chunk): the
+  // reference's paragraph chunker re-expressed as a linear groupBy —
+  // the unit-of-training-example splitter. Chunk text re-assembled in
+  // token order; md5 included so the whole payload is value-checked.
+  // -------------------------------------------------------------------
+  def q62_word_chunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordChunks(Tables.documents(spark, dir), "doc_id",
+        "text", chunkWords = 40)
+      .select(col("doc_id"), col("chunk_idx"), col("n_words"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q62_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |pos AS (
+      |  SELECT doc_id, u.i AS i, toks[u.i] AS tok
+      |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      |c AS (
+      |  SELECT doc_id, (i - 1) // 40 AS chunk_idx,
+      |         COUNT(*) AS n_words,
+      |         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+      |  FROM pos GROUP BY doc_id, (i - 1) // 40)
+      |SELECT doc_id, chunk_idx, n_words, chunk_md5 FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q63 — event-type pivot: wide per-user activity profile (one column
+  // per event type, explicit value list so Spark skips the extra
+  // distinct-values job). One shuffle; at 100 TB this is the same
+  // partial-aggregated groupBy as q01 with a wide projection.
+  // -------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup",
+    "view")
+
+  def q63_event_pivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .withColumn("total",
+        EventTypes.map(col).reduce(_ + _))
+      .orderBy(col("user_id"))
+  }
+
+  val q63_sql: String = {
+    val cols = EventTypes.map(t =>
+      s"COUNT(*) FILTER (event_type = '$t') AS \"$t\"").mkString(",\n|  ")
+    s"""SELECT user_id,
+       |  $cols,
+       |  COUNT(*) AS total
+       |FROM events WHERE user_id < 50
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q64 — inverted-index posting lists: token → document frequency +
+  // first 8 posting doc ids. The index-build behind the reference's
+  // fulltext search (`schema.go:298-332` delegates to Lucene; here the
+  // index IS a DataFrame). df ≥ 20 bounds the output to the head of
+  // the vocabulary; one shuffle on token.
+  // -------------------------------------------------------------------
+  def q64_posting_lists(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("token"))
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 8),
+          ",").as("postings_head"))
+      .filter(col("df") >= 20)
+      .orderBy(col("token"))
+  }
+
+  val q64_sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM documents WHERE trim(text) <> ''))
+      |SELECT tok AS token, COUNT(*) AS df,
+      |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',')
+      |    AS postings_head
+      |FROM toks GROUP BY tok HAVING COUNT(*) >= 20
+      |ORDER BY token""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q65 — multimodal frame fan-out, byte-exact: the documents' UTF-8
+  // payload as an opaque binary column, split into 256-byte frames;
+  // per frame its size and the hex of its first 4 bytes (the magic-
+  // number probe). The typed flatMap IS the production plumbing — a
+  // real decoder swaps in for the hex probe without changing the
+  // schema or fan-out. Oracle via hex-string arithmetic (byte k ≙ hex
+  // chars 2k+1..2k+2), since SQL engines can't slice blobs.
+  // -------------------------------------------------------------------
+  def q65_media_frames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.frameHex(media, "doc_id", "payload", frameSize = 256,
+        headBytes = 4)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_index"))
+  }
+
+  val q65_sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0)
+      |SELECT doc_id AS media_id, u.i AS frame_index,
+      |  least(256, n - u.i * 256) AS frame_bytes,
+      |  substring(hx, u.i * 512 + 1, 8) AS head_hex
+      |FROM b, unnest(generate_series(0, CAST((n + 255) // 256 AS BIGINT)
+      |  - 1)) AS u(i)
+      |ORDER BY media_id, frame_index""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_stratified_sample" -> q57_stratified_sample _,
+    "q58_split_assign" -> q58_split_assign _,
+    "q59_curation_funnel" -> q59_curation_funnel _,
+    "q60_tfidf_terms" -> q60_tfidf_terms _,
+    "q61_dup_clusters" -> q61_dup_clusters _,
+    "q62_word_chunks" -> q62_word_chunks _,
+    "q63_event_pivot" -> q63_event_pivot _,
+    "q64_posting_lists" -> q64_posting_lists _,
+    "q65_media_frames" -> q65_media_frames _)
+
+  val oracles: Map[String, String] = Map(
+    "q57_stratified_sample" -> q57_sql,
+    "q58_split_assign" -> q58_sql,
+    "q59_curation_funnel" -> q59_sql,
+    "q60_tfidf_terms" -> q60_sql,
+    "q61_dup_clusters" -> q61_sql,
+    "q62_word_chunks" -> q62_sql,
+    "q63_event_pivot" -> q63_sql,
+    "q64_posting_lists" -> q64_sql,
+    "q65_media_frames" -> q65_sql)
+}

@@ -48,6 +48,29 @@ object Incremental {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact-dedup on a content fingerprint — the continuous
+    * form of the batch keep-one policy (`Dedup.exactDedup`): the first
+    * arrival of each fingerprint passes, later copies are dropped.
+    * With an event-time column + watermark the dedup state is BOUNDED
+    * (`dropDuplicatesWithinWatermark`): a fingerprint older than the
+    * watermark can be forgotten, so state is O(recent distinct docs),
+    * not O(stream length) — the only form that survives an unbounded
+    * 100 TB/day ingest. Without a time column (tsCol = None) it falls
+    * back to unbounded `dropDuplicates` (exact across all time, state
+    * grows forever — batch-backfill use only). */
+  def streamingDedup(docs: DataFrame, textCol: String,
+      tsCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("content_fp",
+      sha2(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), 256))
+    tsCol match {
+      case Some(t) if docs.isStreaming =>
+        fp.withWatermark(t, watermark)
+          .dropDuplicatesWithinWatermark("content_fp")
+      case _ => fp.dropDuplicates("content_fp")
+    }
+  }
+
   /** Continuous MERGE upsert of node rows into the graph store — one
     * idempotent MERGE write per micro-batch (exactly-once via
     * checkpointed offsets + deterministic ids). */

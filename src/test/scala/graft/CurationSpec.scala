@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Clusters, Multimodal, Sampling, TextAnalysis}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample is deterministic, stratum-rated, and re-run stable") {
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) "en" else "other")).toDF("id", "stratum")
+    val s1 = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("en" -> 250000L), 500000L).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("en" -> 250000L), 500000L).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // pure function of the hash — no RNG drift
+    val enRate = s1.count(_ % 4 == 0) / 500.0
+    val otherRate = s1.count(_ % 4 != 0) / 1500.0
+    assert(enRate > 0.15 && enRate < 0.35)
+    assert(otherRate > 0.42 && otherRate < 0.58)
+  }
+
+  test("splitAssign covers ~80/10/10 and is independent of the sample salt") {
+    val df = spark.range(2000).toDF("id")
+    val out = Sampling.splitAssign(df, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("train", "val", "test"))
+    assert(out("train") > 1500 && out("train") < 1700)
+    assert(out("val") > 130 && out("val") < 280)
+    // decorrelated salts: the train set's sample-hash buckets are not
+    // skewed (a shared salt would nest one decision inside the other)
+    val joint = Sampling.splitAssign(
+        Sampling.stratifiedSample(df.withColumn("s", lit("x")), "id", "s",
+          Map.empty, 500000L), "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(joint("train").toDouble / out("train") > 0.4)
+    assert(joint("train").toDouble / out("train") < 0.6)
+  }
+
+  test("connectedComponents: GraphX and DataFrame engines agree") {
+    // two chains, one triangle, one isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 21L), (5L, 4L)).toDF("id_a", "id_b")
+    val gx = Clusters.connectedComponentsGraphX(spark, pairs, "id_a",
+        "id_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = Clusters.connectedComponentsDF(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gx === df)
+    assert(gx(3L) === 1L)   // chain collapses to min id
+    assert(gx(12L) === 10L) // cycle safe
+    assert(gx(4L) === 4L)   // reversed pair still labels by min
+    assert(gx(21L) === 20L)
+    val sizes = Clusters.clusterSizes(
+      Clusters.connectedComponentsGraphX(spark, pairs, "id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(1L -> 3L, 10L -> 3L, 20L -> 2L, 4L -> 2L))
+  }
+
+  test("connectedComponents merges chained near-dup pairs transitively") {
+    // A~B, B~C but never A~C: pairwise keep-one would keep {A, C}
+    val pairs = Seq((100L, 200L), (200L, 300L)).toDF("id_a", "id_b")
+    val labels = Clusters.connectedComponentsGraphX(spark, pairs,
+      "id_a", "id_b").collect().map(_.getLong(1)).toSet
+    assert(labels === Set(100L)) // one cluster, one keeper
+  }
+
+  test("wordChunks reassembles to the token stream, last chunk ragged") {
+    val df = Seq((1L, (1 to 95).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), (3L, "   ")).toDF("id", "text")
+    val out = TextAnalysis.wordChunks(df, "id", "text", 40)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(doc1.map(_.getLong(2)).toSeq === Seq(40L, 40L, 15L))
+    assert(doc1.map(_.getString(3)).mkString(" ") ===
+      (1 to 95).map(i => s"w$i").mkString(" "))
+    assert(out.filter(_.getLong(0) == 2L).head.getString(3) === "a b")
+    assert(!out.exists(_.getLong(0) == 3L)) // empty doc → no chunks
+  }
+
+  test("frameHex frames the payload byte-exactly") {
+    val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
+    val df = Seq((7L, payload), (8L, Array.emptyByteArray))
+      .toDF("id", "bin")
+    val out = Multimodal.frameHex(df, "id", "bin", 256, 4)
+      .collect().sortBy(f => (f.media_id, f.frame_index))
+    assert(out.map(f => (f.media_id, f.frame_index, f.frame_bytes)).toSeq
+      === Seq((7L, 0, 256), (7L, 1, 256), (7L, 2, 88)))
+    assert(out.head.head_hex ===
+      payload.take(4).map("%02X".format(_)).mkString)
+    assert(out(2).head_hex ===
+      payload.slice(512, 516).map("%02X".format(_)).mkString)
+  }
+}

@@ -44,6 +44,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("streamingDedup keeps first arrival per fingerprint within watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("event_time", "doc_id", "text")
+    val deduped = Incremental.streamingDedup(df, "text",
+      tsCol = Some("event_time"), watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, "hello  world"), (ts(2), 2L, "HELLO world"),
+        (ts(3), 3L, "unique doc"))
+      q.processAllAvailable()
+      input.addData((ts(4), 4L, "hello world")) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup")
+        .collect().map(_.getLong(0)).toSet
+      // normalized fingerprint: case/whitespace-insensitive → one of
+      // 1/2 survives (first arrival), 4 is dropped, 3 passes
+      assert(ids.contains(3L) && !ids.contains(4L))
+      assert(ids.size === 2)
+    } finally q.stop()
+  }
+
+  test("streamingDedup batch fallback dedups across all time") {
+    val batch = Seq((ts(0), 1L, "a  b"), (ts(1), 2L, "A B"),
+      (ts(2), 3L, "c")).toDF("event_time", "doc_id", "text")
+    val out = Incremental.streamingDedup(batch, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.size === 2 && out.contains(3L))
+  }
+
   test("foreachBatch streaming upsert MERGEs into the graph store") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
