@@ -409,7 +409,76 @@ object CurationQueries {
       |  - 1)) AS u(i)
       |ORDER BY media_id, frame_index""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q66 — BM25 document ranking, integer-exact: the full Okapi shape
+  // (tf saturation k1=1.2, length normalization b=0.75) cleared of
+  // floats by multiplying through by 10·DLS (DLS = total corpus token
+  // count), so numerator and denominator are BIGINTs and every engine
+  // floors identically:
+  //     contrib = idf_ppm · (22·DLS·tf) div (10·DLS·tf + 3·DLS + 9·dl·N)
+  // with idf_ppm = N·10⁶ div df (the q60 family). The query terms are
+  // picked deterministically from the corpus itself (top-3 df terms),
+  // so the query is parameter-free. Scale shape: two groupBys + one
+  // broadcast of 3 query terms + per-doc sum — a linear scan ranking
+  // the whole corpus, the retrieval step in front of an LLM data mix.
+  // -------------------------------------------------------------------
+  def q66_bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val toksAll = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toksAll.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toksAll.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n_total"),
+      sum(col("dl")).as("dls"))
+    val qterms = dft
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .select(col("term"), col("df"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib", expr(
+        """((n_total * 1000000) div df) * (22 * dls * tf) div
+          |(10 * dls * tf + 3 * dls + 9 * dl * n_total)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("bm25_score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25_score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q66_sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |           WHERE trim(text) <> ''),
+      |toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM d),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |totals AS (SELECT COUNT(*) AS n_total,
+      |                  CAST(SUM(dl) AS BIGINT) AS dls FROM dl),
+      |qterms AS (SELECT term, df FROM dft
+      |           ORDER BY df DESC, term LIMIT 3),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ((n_total * 1000000) // q.df) * (22 * dls * tf.tf) //
+      |      (10 * dls * tf.tf + 3 * dls + 9 * dl.dl * n_total) AS contrib
+      |  FROM tf JOIN qterms q ON tf.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN totals)
+      |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25_score,
+      |       COUNT(*) AS n_terms_hit
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25_score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_bm25" -> q66_bm25 _,
     "q57_stratified_sample" -> q57_stratified_sample _,
     "q58_split_assign" -> q58_split_assign _,
     "q59_curation_funnel" -> q59_curation_funnel _,
@@ -421,6 +490,7 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q66_bm25" -> q66_sql,
     "q57_stratified_sample" -> q57_sql,
     "q58_split_assign" -> q58_sql,
     "q59_curation_funnel" -> q59_sql,
