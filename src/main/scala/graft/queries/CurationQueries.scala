@@ -477,7 +477,107 @@ object CurationQueries {
       |ORDER BY bm25_score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q67 — keeper selection by QUALITY: within each prefix-fingerprint
+  // dup group (md5 of the first 10 tokens — the boilerplate/template
+  // key web-scrape curation dedups on; this corpus has no byte-exact
+  // dups but 23 shared-prefix groups), keep the highest-quality member
+  // instead of the arbitrary min-id — drop the OCR-damaged copy, keep
+  // the clean one. One window over the fingerprint partition.
+  // -------------------------------------------------------------------
+  def q67_cluster_keepers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 10))).as("fp"),
+        TextAnalysis.qualityScorePpm("text", "n_chars").as("q_ppm"))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("q_ppm").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("rk") === 1 && col("n_members") > 1)
+      .select(col("fp"), col("n_members"),
+        col("doc_id").as("keeper_id"), col("q_ppm").as("keeper_quality"))
+      .orderBy(col("fp"))
+  }
+
+  val q67_sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(
+       |      regexp_split_to_array(trim(text), '\\s+'), 1, 10), ' '))
+       |      AS fp,
+       |    (CAST(least(2000 * n_chars, 1000000) AS BIGINT) * 4 +
+       |     (CASE WHEN trim(text) = '' THEN 0
+       |       ELSE least((CAST(len(list_filter(
+       |           regexp_split_to_array(trim(text), '\\s+'),
+       |           x -> lower(x) IN ($stopwordsSqlList))) AS BIGINT)
+       |         * 5000000)
+       |         // len(regexp_split_to_array(trim(text), '\\s+')),
+       |         1000000) END) * 3 +
+       |     (CASE WHEN length(text) = 0 THEN 1000000
+       |       ELSE greatest(0, 1000000 -
+       |         (CAST(length(text) -
+       |           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+       |           AS BIGINT) * 4000000) // length(text)) END) * 3
+       |    ) // 10 AS q_ppm
+       |  FROM documents WHERE trim(text) <> ''),
+       |r AS (
+       |  SELECT doc_id, fp, q_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY fp
+       |      ORDER BY q_ppm DESC, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY fp) AS n_members
+       |  FROM s)
+       |SELECT fp, n_members, doc_id AS keeper_id, q_ppm AS keeper_quality
+       |FROM r WHERE rk = 1 AND n_members > 1
+       |ORDER BY fp""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q68 — ANN recall@3 evaluation: how much of the exact brute-force
+  // top-3 the WTA-LSH path recovers, per query — the quality metric
+  // that decides banding parameters before scaling an ANN index to
+  // 100 TB. Both sides are existing oracled operators (q25/q29); the
+  // eval is a left join + integer recall.
+  // -------------------------------------------------------------------
+  def q68_ann_recall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val bf = graft.pipeline.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+      k = 3, roundTo = 5)
+    val lsh = graft.pipeline.Similarity.wtaTopK(e, "vec_id", "embedding",
+        k = 3, planes = 16, bandBits = 8, dims = ExtendedQueries.EmbDim)
+      .filter(col("query_id") % 50 === 0)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    bf.select(col("query_id"), col("neighbor_id"))
+      .join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div 3"))
+      .orderBy(col("query_id"))
+  }
+
+  val q68_sql: String = {
+    val bf = graft.queries.PipelineQueries.q25_sql
+    val lsh = graft.queries.PipelineQueries.q29_sql
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bf)),
+       |lsh AS (SELECT query_id, neighbor_id FROM ($lsh)
+       |        WHERE query_id % 50 = 0)
+       |SELECT bf.query_id,
+       |  CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(lsh.neighbor_id) AS BIGINT) * 1000000 // 3
+       |    AS recall_ppm
+       |FROM bf LEFT JOIN lsh
+       |  ON bf.query_id = lsh.query_id
+       | AND bf.neighbor_id = lsh.neighbor_id
+       |GROUP BY bf.query_id
+       |ORDER BY bf.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_ann_recall" -> q68_ann_recall _,
+    "q67_cluster_keepers" -> q67_cluster_keepers _,
     "q66_bm25" -> q66_bm25 _,
     "q57_stratified_sample" -> q57_stratified_sample _,
     "q58_split_assign" -> q58_split_assign _,
@@ -490,6 +590,8 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q68_ann_recall" -> q68_sql,
+    "q67_cluster_keepers" -> q67_sql,
     "q66_bm25" -> q66_sql,
     "q57_stratified_sample" -> q57_sql,
     "q58_split_assign" -> q58_sql,
