@@ -86,11 +86,75 @@ object EventQueries {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q70 — event-type transition matrix (first-order Markov counts): per
+  // user, consecutive event pairs in (time, id) order, aggregated over
+  // users. The behavioral-sequence op (lag window → count); one shuffle
+  // on user_id, then a tiny 5×5 aggregate.
+  // -------------------------------------------------------------------
+  def q70_transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val q70_sql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type,
+      |       COUNT(*) AS n_transitions
+      |FROM s WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q71 — unpivot (melt): the wide per-user activity profile of q63
+  // folded back to long form via Dataset.unpivot — the wide↔long pair
+  // every feature pipeline needs in both directions. Zero-count cells
+  // drop out (matching the long-form groupBy the oracle runs).
+  // -------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup",
+    "view")
+
+  def q71_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q71_sql: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_events
+      |FROM events WHERE user_id < 50
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_hourly_windows" -> q30_hourly_windows _,
-    "q31_sessions" -> q31_sessions _)
+    "q31_sessions" -> q31_sessions _,
+    "q70_transitions" -> q70_transitions _,
+    "q71_unpivot" -> q71_unpivot _)
 
   val oracles: Map[String, String] = Map(
     "q30_hourly_windows" -> q30_sql,
-    "q31_sessions" -> q31_sql)
+    "q31_sessions" -> q31_sql,
+    "q70_transitions" -> q70_sql,
+    "q71_unpivot" -> q71_sql)
 }

@@ -124,13 +124,55 @@ object GraphQueries {
        |SELECT start_id, end_id, depth, path FROM p
        |ORDER BY start_id, depth""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q69 — call-centrality ranking via INTEGER PageRank (5 synchronized
+  // iterations, ppm arithmetic — bit-identical on any engine, unrolled
+  // into plain CTEs for the oracle). Graph = the part tree plus a
+  // deterministic (v² mod 1000) shortcut edge per node for density —
+  // a stand-in for the CALLS graph's "which function is load-bearing"
+  // ranking the reference answers with traversal counts.
+  // ---------------------------------------------------------------------
+  private val PrIters = 5
+
+  private def prEdges(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val tree = p.filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("src"),
+        expr("p_partkey div 2").as("dst"))
+    val shortcut = p
+      .filter(expr("p_partkey != (p_partkey * p_partkey) % 1000"))
+      .select(col("p_partkey").as("src"),
+        expr("(p_partkey * p_partkey) % 1000").as("dst"))
+    tree.unionAll(shortcut)
+  }
+
+  private val prEdgesSql =
+    """SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part
+      |  WHERE p_partkey >= 2
+      |  UNION ALL
+      |  SELECT p_partkey, (p_partkey * p_partkey) % 1000 FROM part
+      |  WHERE p_partkey <> (p_partkey * p_partkey) % 1000""".stripMargin
+
+  def q69_pagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.Centrality.pageRankInteger(prEdges(spark, dir), PrIters)
+      .orderBy(col("rank_ppm").desc, col("id"))
+      .limit(50)
+
+  val q69_sql: String =
+    s"""WITH ${graft.graph.Centrality.pageRankIntegerSql(prEdgesSql, PrIters)}
+       |SELECT id, CAST(rank_ppm AS BIGINT) AS rank_ppm FROM r$PrIters
+       |ORDER BY rank_ppm DESC, id
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_bfs_reach" -> q17_bfs_reach _,
     "q18_closure_depths" -> q18_closure_depths _,
-    "q19_path_capture" -> q19_path_capture _)
+    "q19_path_capture" -> q19_path_capture _,
+    "q69_pagerank" -> q69_pagerank _)
 
   val oracles: Map[String, String] = Map(
     "q17_bfs_reach" -> q17_sql,
     "q18_closure_depths" -> q18_sql,
-    "q19_path_capture" -> q19_sql)
+    "q19_path_capture" -> q19_sql,
+    "q69_pagerank" -> q69_sql)
 }
