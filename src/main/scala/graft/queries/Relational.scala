@@ -507,7 +507,96 @@ object Relational {
   }
 
   /** All queries + oracles in this module. */
+  // -------------------------------------------------------------------
+  // q72 — semi-structured property-bag extraction: the reference's open
+  // `map[string]any` node properties (`node.go:31`) carried as a JSON
+  // string column, fields pulled with get_json_object (codegen'd; no
+  // UDF) and aggregated. The overflow-column pattern of SURVEY §1.7.
+  // -------------------------------------------------------------------
+  def q72_json_props(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
+  val q72_sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+      |    AS n_distinct_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q73 — correlated EXISTS through the RAW SQL surface (SURVEY S1:
+  // the reference ships query strings to its engine; ours is
+  // spark.sql over registered views). Catalyst decorrelates the
+  // subquery into a semi-join — worth gating because SQL-first users
+  // hit this path, not the DataFrame API.
+  // -------------------------------------------------------------------
+  def q73_exists_sql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM v_customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM v_orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q73_sql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q74 — FULL OUTER join (completes the join family next to q06/q07/
+  // q08): per-nation customer vs supplier presence, either side may be
+  // absent. At scale both sides are pre-aggregated (tiny) before the
+  // join, so the outer join never touches fact-table volume.
+  // -------------------------------------------------------------------
+  def q74_full_outer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % 3 === 0)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q74_sql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      |  FROM customer WHERE c_custkey % 7 = 0 GROUP BY c_nationkey),
+      |s AS (
+      |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      |  FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey)
+      |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_json_props" -> q72_json_props _,
+    "q73_exists_sql" -> q73_exists_sql _,
+    "q74_full_outer" -> q74_full_outer _,
     "q01_pruned_agg" -> q01_pruned_agg _,
     "q02_filter_project" -> q02_filter_project _,
     "q03_search_rank" -> q03_search_rank _,
@@ -529,6 +618,9 @@ object Relational {
     "q36_approx_distinct" -> q36_approx_distinct _)
 
   val oracles: Map[String, String] = Map(
+    "q72_json_props" -> q72_sql,
+    "q73_exists_sql" -> q73_sql,
+    "q74_full_outer" -> q74_sql,
     "q01_pruned_agg" -> q01_sql,
     "q02_filter_project" -> q02_sql,
     "q03_search_rank" -> q03_sql,
