@@ -575,7 +575,37 @@ object CurationQueries {
        |ORDER BY bf.query_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q75 — fuzzy join on edit distance: source-name pairs within
+  // Levenshtein ≤ 2 — the entity-resolution primitive (merge "src1"
+  // with its typo'd variants before grouping). Both engines implement
+  // the classic DP, so distances are integer-exact. The dimension side
+  // is the distinct name set (vocab-sized): broadcast nested-loop over
+  // vocab², never over rows² — the same containment strategy as the
+  // reference's LIMIT-capped substring θ-join (J8).
+  // -------------------------------------------------------------------
+  def q75_fuzzy_join(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.documents(spark, dir)
+      .select(col("source")).distinct()
+    names.as("a").join(broadcast(names.as("b")),
+        col("a.source") < col("b.source") &&
+        levenshtein(col("a.source"), col("b.source")) <= 2)
+      .select(col("a.source").as("name_a"), col("b.source").as("name_b"),
+        levenshtein(col("a.source"), col("b.source")).as("distance"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q75_sql: String =
+    """WITH n AS (SELECT DISTINCT source FROM documents)
+      |SELECT a.source AS name_a, b.source AS name_b,
+      |       CAST(levenshtein(a.source, b.source) AS INT) AS distance
+      |FROM n a JOIN n b
+      |  ON a.source < b.source
+      | AND levenshtein(a.source, b.source) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_fuzzy_join" -> q75_fuzzy_join _,
     "q68_ann_recall" -> q68_ann_recall _,
     "q67_cluster_keepers" -> q67_cluster_keepers _,
     "q66_bm25" -> q66_bm25 _,
@@ -590,6 +620,7 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q75_fuzzy_join" -> q75_sql,
     "q68_ann_recall" -> q68_sql,
     "q67_cluster_keepers" -> q67_sql,
     "q66_bm25" -> q66_sql,

@@ -593,7 +593,36 @@ object Relational {
       |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
       |ORDER BY nationkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q76 — decile binning via ntile: orders bucketed into 10 equal-rank
+  // price bins with per-bin bounds and mass — the quantile-binning op
+  // feature pipelines use for discretization. ntile's bucket formula
+  // is integer rank arithmetic, identical across engines.
+  // -------------------------------------------------------------------
+  def q76_ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("decile"))
+  }
+
+  val q76_sql: String =
+    """WITH d AS (
+      |  SELECT o_totalprice, NTILE(10) OVER (
+      |    ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT decile, COUNT(*) AS n_orders,
+      |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM d GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_ntile" -> q76_ntile _,
     "q72_json_props" -> q72_json_props _,
     "q73_exists_sql" -> q73_exists_sql _,
     "q74_full_outer" -> q74_full_outer _,
@@ -618,6 +647,7 @@ object Relational {
     "q36_approx_distinct" -> q36_approx_distinct _)
 
   val oracles: Map[String, String] = Map(
+    "q76_ntile" -> q76_sql,
     "q72_json_props" -> q72_sql,
     "q73_exists_sql" -> q73_sql,
     "q74_full_outer" -> q74_sql,
