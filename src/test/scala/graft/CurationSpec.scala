@@ -81,6 +81,56 @@ class CurationSpec extends SparkSpec {
     assert(!out.exists(_.getLong(0) == 3L)) // empty doc → no chunks
   }
 
+  test("curate: filters, quality-keeper dedup, and splits compose") {
+    val docs = Seq(
+      // dup group: same 10-token prefix, second has higher quality
+      (1L, ("the and of to is that with " * 12).trim, 300L),
+      (2L, ("the and of to is that with " * 30).trim, 500L),
+      // passes alone
+      (3L, ("a good long document " + "the and of to is with that " * 12)
+        .trim, 400L),
+      // fails: short
+      (4L, "the and of", 10L),
+      // fails: no recognizable language
+      (5L, "zzz qqq xxx " * 30, 360L),
+      // empty
+      (6L, "", 0L)).toDF("doc_id", "text", "n_chars")
+    val out = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+      "n_chars")
+    val rows = out.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === Set(2L, 3L)) // keeper 2 beats 1 on quality
+    assert(rows.forall(r =>
+      Set("train", "val", "test")(r.getAs[String]("split"))))
+    // funnel is cumulative and consistent with the final set
+    val funnel = graft.pipeline.Curation.funnelReport(docs, "doc_id",
+      "text", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("00_total") === 6L)
+    assert(funnel("10_nonempty") === 5L)
+    assert(funnel("50_keeper") === 2L)
+    assert(funnel("50_keeper") <= funnel("40_length"))
+    // reproducible: second run identical
+    val again = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+      "n_chars").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+    assert(again === rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet)
+  }
+
+  test("curate keeper falls to a filter-passing member of a dup group") {
+    // best-quality member of the group FAILS the length filter; the
+    // passing member must still be kept (no shadowing)
+    val good = ("the and of to is that with " * 12).trim // ~320 chars
+    val docs = Seq(
+      (1L, good, 300L),
+      (2L, good.take(80), 80L) // same prefix, shorter: fails minChars
+    ).toDF("doc_id", "text", "n_chars")
+    val ids = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+      "n_chars").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === Set(1L))
+  }
+
   test("frameHex frames the payload byte-exactly") {
     val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
     val df = Seq((7L, payload), (8L, Array.emptyByteArray))
