@@ -1,0 +1,43 @@
+package graft
+
+/** Contract guard over the driver gate: every registered query must
+  * execute at sf0.001 with sane column names, and the oracle map must
+  * stay aligned with the query map. Catches the classic gate breakers
+  * (an unaliased aggregate column, a query added without its oracle)
+  * before the driver does.
+  */
+class GateSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("queries and oracles are key-aligned (q36 rows-only by design)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+    assert((q -- o) === Set("q36_approx_distinct"),
+      s"queries missing an oracle: ${q -- o - "q36_approx_distinct"}")
+  }
+
+  test("every gate query executes at sf0.001 with clean column names") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val cols = df.columns
+        // driver compare sorts columns by NAME — an unaliased
+        // aggregate like `sum(l_quantity)` breaks the hash match
+        cols.filter(c => c.exists(ch => "() ".contains(ch))).foreach {
+          c => bad += s"$name: suspicious column '$c'"
+        }
+        df.count() // must execute, empty results are legal
+      } catch {
+        case e: Throwable => bad += s"$name: ${e.getMessage}"
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
