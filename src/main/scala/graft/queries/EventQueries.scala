@@ -146,15 +146,74 @@ object EventQueries {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q77 — conversion funnel with ORDER semantics: per user, did a
+  // view happen, a click strictly after the first view, a purchase
+  // strictly after that click? min-time cascade (three conditional
+  // mins per user — one shuffle, no self-joins), then one tiny count.
+  // The ordered-funnel query behind every activation dashboard.
+  // -------------------------------------------------------------------
+  def q77_conversion_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("tsu")))
+        .as("t_view"))
+    val withClick = e.join(perUser, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("tsu") > col("t_view"), col("tsu"))).as("t_click"))
+    val withBuy = e.join(withClick, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("tsu") > col("t_click"), col("tsu"))).as("t_buy"))
+    withBuy.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L))
+          .as("n_viewed"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L))
+          .as("n_clicked_after"),
+        sum(when(col("t_buy").isNotNull, 1L).otherwise(0L))
+          .as("n_purchased_after"))
+  }
+
+  val q77_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |v AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN tsu END) AS t_view
+      |  FROM e GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.t_view,
+      |    MIN(CASE WHEN event_type = 'click' AND tsu > t_view
+      |        THEN tsu END) AS t_click
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  GROUP BY e.user_id, v.t_view),
+      |b AS (
+      |  SELECT e.user_id, c.t_view, c.t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' AND tsu > t_click
+      |        THEN tsu END) AS t_buy
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY e.user_id, c.t_view, c.t_click)
+      |SELECT COUNT(*) AS n_users,
+      |  COUNT(*) FILTER (t_view IS NOT NULL) AS n_viewed,
+      |  COUNT(*) FILTER (t_click IS NOT NULL) AS n_clicked_after,
+      |  COUNT(*) FILTER (t_buy IS NOT NULL) AS n_purchased_after
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
-    "q71_unpivot" -> q71_unpivot _)
+    "q71_unpivot" -> q71_unpivot _,
+    "q77_conversion_funnel" -> q77_conversion_funnel _)
 
   val oracles: Map[String, String] = Map(
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,
-    "q71_unpivot" -> q71_sql)
+    "q71_unpivot" -> q71_sql,
+    "q77_conversion_funnel" -> q77_sql)
 }
