@@ -44,16 +44,34 @@ object Dedup {
   // n-gram Jaccard
   // -------------------------------------------------------------------
 
-  /** Word n-gram shingles (n=1 → token set). */
-  def shingles(text: Column, n: Int): Column =
-    if (n <= 1) tokenSet(text)
-    else {
-      val toks = TextAnalysis.tokens(text)
+  /** Word n-gram shingles (n=1 → token set). `toks` should be a BOUND
+    * column (a projected attribute), not an inline `split(...)`: the
+    * transform lambda references it once per element, and an inline
+    * expression would re-tokenize the text O(tokens) times per row —
+    * see [[shingleRows]] for the two-step projection. */
+  def shinglesFromToks(toks: Column, n: Int): Column =
+    if (n <= 1) array_distinct(toks)
+    else
       array_distinct(
         when(size(toks) < n, array().cast("array<string>")).otherwise(
           transform(sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-    }
+
+  /** Word n-gram shingles from raw text (n=1 → token set). Prefer
+    * [[shingleRows]] in bulk paths (single tokenization per row). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromToks(TextAnalysis.tokens(text), n)
+
+  /** Exploded (doc, shingle) rows with the token array materialized in
+    * its own projection first, so tokenization runs exactly once per
+    * row (Catalyst keeps the separate projection — non-cheap
+    * expressions are not re-inlined into the consuming lambda). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc"),
+        explode(shinglesFromToks(col("_toks"), n)).as("shingle"))
 
   /** Pairwise Jaccard similarity over n-gram shingle sets, via a shingle
     * equi-join (docs sharing no shingle never meet). Returns
@@ -64,23 +82,18 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 1, threshold: Double = 0.8,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    val shAll = df.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    val shAll = shingleRows(df, idCol, textCol, n)
     // df-cap: drop shingles shared by more than maxDf docs BEFORE the
     // join — the skew guard that keeps the equi-join linear (a bigram
     // present in every templated doc would otherwise drive the join
     // quadratic). Jaccard is then over the capped sets on both sides.
-    // materialize the exploded shingle rows ONCE — they feed the size
-    // aggregation and both sides of the self-join (plus the df-cap
-    // aggregation), and the shingle transform is an interpreted
-    // higher-order function that would otherwise re-run per branch.
-    // With a cap, only the pre-cap rows are checkpointed: the capped
-    // view is a broadcast-hash anti-join on top (no shuffle), cheap to
-    // recompute per consumer, and checkpointing it too would write the
-    // near-identical row set a second time.
+    // The capped output is materialized ONCE (it feeds the size
+    // aggregation and both self-join sides, and on templated corpora
+    // it is orders of magnitude smaller than the raw shingle rows);
+    // the interpreted shingle transform runs in the same single pass.
     val sh =
       if (maxDf == Long.MaxValue) shAll.localCheckpoint(true)
-      else dfCapped(shAll.localCheckpoint(true), maxDf)
+      else dfCapped(shAll, maxDf).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -99,17 +112,25 @@ object Dedup {
   }
 
   /** Drop shingles appearing in more than maxDf documents before joining —
-    * the skew guard that keeps the shingle join linear at 100 TB. The
-    * HOT set (df > cap) is the small side — broadcast it and anti-join;
-    * broadcasting the rare set would ship nearly the whole vocabulary. */
+    * the skew guard that keeps the shingle join linear at 100 TB.
+    *
+    * Implemented as a count-over-window on the shingle key: ONE shuffle,
+    * no broadcast, and the output stays hash-partitioned by `shingle` —
+    * exactly the partitioning the subsequent self-join needs, so the
+    * exchange is reused. The earlier broadcast-the-hot-set formulation
+    * assumed hot ≪ vocab; on templated corpora the inverse holds (at
+    * sf0.1 the cap keeps 254 of 256k shingle rows — nearly the whole
+    * vocabulary is hot) and collecting/shipping the hot set dominated
+    * the query. The window form is size-agnostic: it never materializes
+    * either side on the driver. NULL shingles are dropped (documented
+    * domain behavior). */
   def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
-    val hot = sh.groupBy(col("shingle")).count()
-      .filter(col("count") > maxDf).select(col("shingle"))
-    // NULL shingles never match an anti-join key and would leak through
-    // (the previous semi-join formulation dropped them) — keep the
-    // helper's domain behavior explicit
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
     sh.filter(col("shingle").isNotNull)
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
   }
 
   /** Exact Jaccard pairs for SMALL vocabularies (≤ 62 distinct shingles):
@@ -122,8 +143,7 @@ object Dedup {
     */
   def jaccardPairsBitmask(df: DataFrame, idCol: String, textCol: String,
       n: Int = 1, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    val sh = shingleRows(df, idCol, textCol, n)
     val vocab = sh.select(col("shingle")).distinct()
       .withColumn("bit", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))) - 1)
@@ -161,7 +181,8 @@ object Dedup {
 
   /** Distinct-shingle count, for choosing the bitmask fast path. */
   def smallVocabSize(df: DataFrame, textCol: String, n: Int = 1): Long =
-    df.select(explode(shingles(col(textCol), n)).as("s"))
+    df.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(explode(shinglesFromToks(col("_toks"), n)).as("s"))
       .agg(countDistinct(col("s"))).collect()(0).getLong(0)
 
   // -------------------------------------------------------------------
