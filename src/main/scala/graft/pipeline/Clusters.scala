@@ -38,7 +38,10 @@ object Clusters {
 
   /** DataFrame engine for the same result (equality-tested alternate,
     * the spillable path): iterate label = min(own, neighbors') to a
-    * fixpoint. Each round is one shuffle; rounds ≈ component diameter.
+    * fixpoint. Each round is one shuffle; rounds ≈ the eccentricity of
+    * each component's min node. Throws if `maxIter` rounds pass without
+    * convergence — an unconverged labeling silently merges nothing and
+    * must not masquerade as components.
     */
   def connectedComponentsDF(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 20): DataFrame = {
@@ -67,6 +70,10 @@ object Clusters {
         .filter(col("cluster_id") =!= col("old")).count()
       labels = next
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsDF did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds scale with component diameter)")
     labels
   }
 

@@ -59,6 +59,18 @@ class CurationSpec extends SparkSpec {
     assert(sizes === Map(1L -> 3L, 10L -> 3L, 20L -> 2L, 4L -> 2L))
   }
 
+  test("connectedComponentsDF refuses an unconverged labeling") {
+    // a 12-node chain: min-label needs ~11 rounds to reach the far end
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Clusters.connectedComponentsDF(chain, "id_a", "id_b", maxIter = 3)
+        .collect()
+    }
+    val ok = Clusters.connectedComponentsDF(chain, "id_a", "id_b",
+      maxIter = 15).collect().map(_.getLong(1)).toSet
+    assert(ok === Set(1L))
+  }
+
   test("connectedComponents merges chained near-dup pairs transitively") {
     // A~B, B~C but never A~C: pairwise keep-one would keep {A, C}
     val pairs = Seq((100L, 200L), (200L, 300L)).toDF("id_a", "id_b")
