@@ -28,9 +28,12 @@ object Centrality {
     * (id, rank_ppm).
     *
     * Scale shape: one join per iteration keyed on the edge endpoint
-    * (partial-aggregated), outdeg computed once and broadcast-joined;
-    * each iteration's result is localCheckpoint'd so the plan stays
-    * O(1) deep — the same loop discipline as [[Traversals]].
+    * (partial-aggregated), outdeg computed once and broadcast-joined.
+    * Unlike the traversal loops (whose frontier feeds TWO consumers and
+    * must materialize per level), each rank is consumed exactly once by
+    * the next iteration — so iterations chain LAZILY into one job, and
+    * a localCheckpoint barrier is inserted only every few iterations to
+    * bound plan-analysis depth on long runs.
     */
   def pageRankInteger(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20,
@@ -42,7 +45,7 @@ object Centrality {
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(eager = true)
     var rank = nodes.withColumn("rank_ppm", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(broadcast(deg), Seq("src"))
         .join(rank.select(col("id").as("src"), col("rank_ppm")), Seq("src"))
@@ -53,7 +56,7 @@ object Centrality {
         .select(col("id"),
           expr("150000 + (850000 * coalesce(s, 0L)) div 1000000")
             .as("rank_ppm"))
-        .localCheckpoint(eager = true)
+      if (i % 8 == 0) rank = rank.localCheckpoint(eager = true)
     }
     rank
   }
