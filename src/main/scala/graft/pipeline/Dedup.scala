@@ -83,16 +83,25 @@ object Dedup {
       n: Int = 1, threshold: Double = 0.8,
       maxDf: Long = Long.MaxValue): DataFrame = {
     val shAll = shingleRows(df, idCol, textCol, n)
-    // df-cap: drop shingles shared by more than maxDf docs BEFORE the
-    // join — the skew guard that keeps the equi-join linear (a bigram
-    // present in every templated doc would otherwise drive the join
-    // quadratic). Jaccard is then over the capped sets on both sides.
-    // The capped output is materialized ONCE (it feeds the size
-    // aggregation and both self-join sides, and on templated corpora
-    // it is orders of magnitude smaller than the raw shingle rows);
-    // the interpreted shingle transform runs in the same single pass.
+    val sh0 =
+      if (maxDf == Long.MaxValue) shAll.localCheckpoint(true) else shAll
+    jaccardPairsFromRows(sh0, threshold, maxDf)
+  }
+
+  /** General path over pre-built (doc, shingle) rows. When uncapped,
+    * `shAll` must already be materialized by the caller (it feeds
+    * three plan branches); with a cap, only the capped output is
+    * materialized ONCE — it feeds the size aggregation and both
+    * self-join sides, and on templated corpora it is orders of
+    * magnitude smaller than the raw shingle rows. The df-cap drops
+    * shingles shared by more than maxDf docs BEFORE the join — the
+    * skew guard that keeps the equi-join linear (a bigram present in
+    * every templated doc would otherwise drive the join quadratic);
+    * Jaccard is then over the capped sets on both sides. */
+  def jaccardPairsFromRows(shAll: DataFrame, threshold: Double,
+      maxDf: Long): DataFrame = {
     val sh =
-      if (maxDf == Long.MaxValue) shAll.localCheckpoint(true)
+      if (maxDf == Long.MaxValue) shAll
       else dfCapped(shAll, maxDf).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -142,8 +151,14 @@ object Dedup {
     * checks the vocabulary bound (see `smallVocabSize`).
     */
   def jaccardPairsBitmask(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 1, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n)
+      n: Int = 1, threshold: Double = 0.8): DataFrame =
+    jaccardPairsBitmaskFromRows(shingleRows(df, idCol, textCol, n),
+      threshold)
+
+  /** Bitmask path over pre-built (doc, shingle) rows — lets the
+    * adaptive entry point materialize the explode exactly once. */
+  def jaccardPairsBitmaskFromRows(sh: DataFrame,
+      threshold: Double): DataFrame = {
     val vocab = sh.select(col("shingle")).distinct()
       .withColumn("bit", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))) - 1)
@@ -184,6 +199,25 @@ object Dedup {
     df.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(explode(shinglesFromToks(col("_toks"), n)).as("s"))
       .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+
+  /** Adaptive Jaccard pairs: materialize the shingle rows ONCE, read
+    * the distinct-shingle count from them, then run the bitmask path
+    * (vocab ≤ 62) or the general equi-join over the same materialized
+    * rows — the one-pass form of the `smallVocabSize` + dispatch
+    * pattern, which otherwise tokenizes the corpus twice. */
+  def jaccardPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.8,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val shAll = shingleRows(df, idCol, textCol, n).localCheckpoint(true)
+    val nVocab = shAll.agg(countDistinct(col("shingle")))
+      .collect()(0).getLong(0)
+    if (nVocab <= 62 && maxDf == Long.MaxValue)
+      jaccardPairsBitmaskFromRows(shAll, threshold)
+        .select(col("id_a"), col("id_b"), col("intersection"),
+          col("size_a"), col("size_b"), col("jaccard"))
+    else
+      jaccardPairsFromRows(shAll, threshold, maxDf)
+  }
 
   // -------------------------------------------------------------------
   // MinHash + LSH

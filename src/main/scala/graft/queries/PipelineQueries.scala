@@ -96,12 +96,11 @@ object PipelineQueries {
   def q23_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // adaptive: tiny shingle vocab → dictionary-encoded popcount path
-    // (identical result); otherwise the general shingle equi-join
-    val pairs =
-      if (Dedup.smallVocabSize(docs, "text", 1) <= 62)
-        Dedup.jaccardPairsBitmask(docs, "doc_id", "text", 1, 0.8)
-      else Dedup.jaccardPairs(docs, "doc_id", "text", 1, 0.8)
-    pairs.withColumn("jaccard", round(col("jaccard"), 6))
+    // (identical result); otherwise the general shingle equi-join.
+    // One materialized shingle pass serves the vocab probe AND the
+    // chosen path (jaccardPairsAdaptive).
+    Dedup.jaccardPairsAdaptive(docs, "doc_id", "text", 1, 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
   }
 
