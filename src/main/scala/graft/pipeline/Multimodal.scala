@@ -92,6 +92,32 @@ object Multimodal {
       }
   }
 
+  /** Resize shape: per-partition batched payload transform preserving
+    * the media schema — a real implementation decodes, resamples, and
+    * re-encodes; the STUB downsamples the raw bytes by nearest-neighbor
+    * index so the output is deterministic and proportion-correct
+    * (n_bytes scales with the pixel ratio). The plumbing — schema in =
+    * schema out, partition-batched iteration, metadata rewrite — is the
+    * production shape a codec drops into. */
+  def resizeStub(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val srcPixels = math.max(1L, r.width.toLong * r.height)
+        val outLen = math.max(1L,
+          r.bytes.length.toLong * targetW * targetH / srcPixels)
+          .min(r.bytes.length.toLong).toInt
+        val out =
+          if (r.bytes.isEmpty) r.bytes
+          else Array.tabulate[Byte](outLen)(i =>
+            r.bytes((i.toLong * r.bytes.length / outLen).toInt))
+        r.copy(bytes = out, width = targetW, height = targetH)
+      }
+    }
+  }
+
   case class FrameRow(media_id: Long, frame_index: Int, frame_bytes: Int,
       head_hex: String)
 

@@ -121,4 +121,20 @@ class PipelineSpec extends SparkSpec {
     assert(frames.columns.toSeq ===
       Seq("media_id", "frame_index", "frame_bytes", "frame_features"))
   }
+
+  test("multimodal: resize stub scales payload with pixel ratio") {
+    val media = Multimodal.syntheticMedia(spark, 10) // 32x32 sources
+    val out = Multimodal.resizeStub(media, 16, 16).collect()
+      .sortBy(_.media_id)
+    val in = media.collect().sortBy(_.media_id)
+    assert(out.forall(r => r.width == 16 && r.height == 16))
+    // quarter of the pixels → quarter of the bytes (nearest-neighbor)
+    in.zip(out).foreach { case (a, b) =>
+      assert(b.bytes.length === math.max(1, a.bytes.length / 4))
+      assert(b.bytes.toSeq === b.bytes.toSeq) // deterministic content
+    }
+    val again = Multimodal.resizeStub(media, 16, 16).collect()
+      .sortBy(_.media_id)
+    assert(out.map(_.bytes.toSeq).toSeq === again.map(_.bytes.toSeq).toSeq)
+  }
 }
