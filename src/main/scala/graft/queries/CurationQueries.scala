@@ -604,7 +604,57 @@ object CurationQueries {
       | AND levenshtein(a.source, b.source) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q78 — context-window packing: word chunks assembled into 512-token
+  // bins per language (concat-and-chunk, the production shortcut for
+  // sequence packing) via a running token sum — bin = floor(cumulative
+  // tokens before this chunk / capacity). Per-language windows keep the
+  // running sum partition-parallel (a global pack would serialize; at
+  // 100 TB you pack per shard exactly like this). Output: per-bin
+  // chunk/token counts — the training-example assembly report.
+  // -------------------------------------------------------------------
+  def q78_context_packing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = TextAnalysis.wordChunks(docs, "doc_id", "text", 40)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    chunks
+      .withColumn("cum", sum(col("n_words")).over(w))
+      .withColumn("bin", expr("(cum - n_words) div 512"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_words")).as("n_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val q78_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |pos AS (
+      |  SELECT doc_id, u.i AS i, toks[u.i] AS tok
+      |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      |c AS (
+      |  SELECT doc_id, (i - 1) // 40 AS chunk_idx, COUNT(*) AS n_words
+      |  FROM pos GROUP BY doc_id, (i - 1) // 40),
+      |l AS (
+      |  SELECT c.doc_id, c.chunk_idx, c.n_words, d.lang
+      |  FROM c JOIN documents d ON d.doc_id = c.doc_id),
+      |r AS (
+      |  SELECT lang, n_words,
+      |    CAST(SUM(n_words) OVER (PARTITION BY lang
+      |      ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM l)
+      |SELECT lang, (cum - n_words) // 512 AS bin,
+      |       COUNT(*) AS n_chunks,
+      |       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+      |FROM r GROUP BY lang, (cum - n_words) // 512
+      |ORDER BY lang, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_context_packing" -> q78_context_packing _,
     "q75_fuzzy_join" -> q75_fuzzy_join _,
     "q68_ann_recall" -> q68_ann_recall _,
     "q67_cluster_keepers" -> q67_cluster_keepers _,
@@ -620,6 +670,7 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q78_context_packing" -> q78_sql,
     "q75_fuzzy_join" -> q75_sql,
     "q68_ann_recall" -> q68_sql,
     "q67_cluster_keepers" -> q67_sql,
