@@ -22,7 +22,12 @@ import graft.pipeline.{Clusters, Dedup, Multimodal, Sampling, TextAnalysis}
   *     chunker at pipeline scale, `documents/parser.go:51-90`);
   *   - q63: event-type pivot (wide activity profile per user);
   *   - q64: inverted-index posting lists (token → df + first docs);
-  *   - q65: byte-exact multimodal frame fan-out over a binary column.
+  *   - q65: byte-exact multimodal frame fan-out over a binary column;
+  *   - q66–q68: integer BM25 ranking, quality-keeper selection, ANN
+  *     recall@3 evaluation;
+  *   - q75/q78: Levenshtein fuzzy join, context-window packing;
+  *   - q79/q80: benchmark decontamination (n-gram overlap) and PII
+  *     scan + redaction.
   */
 object CurationQueries {
 
@@ -653,7 +658,92 @@ object CurationQueries {
       |FROM r GROUP BY lang, (cum - n_words) // 512
       |ORDER BY lang, bin""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q79 — benchmark decontamination: corpus documents sharing any
+  // 4-gram with the eval set (doc_id < 5 stands in for the benchmark;
+  // natural-text pipelines use 8–13-grams, but the synthetic corpus
+  // shares shorter verbatim spans — the operator shape is identical)
+  // are flagged with shared-shingle and benchmark-doc counts. The
+  // n-gram-overlap scan every pretraining corpus runs before training;
+  // the benchmark shingle set is dimension-sized → broadcast equi-join
+  // against the corpus shingles, linear at 100 TB.
+  // -------------------------------------------------------------------
+  def q79_decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = Dedup.shingleRows(docs.filter(col("doc_id") < 5),
+        "doc_id", "text", 4)
+      .select(col("doc").as("bench_id"), col("shingle"))
+    val corpus = Dedup.shingleRows(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", 4)
+    corpus.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_benchmark_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q79_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(tk[i:i+3], ' ')
+      |            FOR i IN generate_series(1, len(tk) - 3)]) AS shingle
+      |  FROM t WHERE len(tk) >= 4),
+      |bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+      |          WHERE doc_id < 5),
+      |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 5)
+      |SELECT c.doc_id, COUNT(*) AS n_shared_shingles,
+      |       COUNT(DISTINCT b.bench_id) AS n_benchmark_docs
+      |FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      |GROUP BY c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q80 — PII scan + redaction: detect emails/URLs (deterministically
+  // injected per doc, since the synthetic corpus has none), count
+  // them, and emit the digest of the REDACTED text — scan and rewrite
+  // in one codegen'd pass (regexp_extract_all + regexp_replace), the
+  // shape a redaction pipeline runs over 100 TB. Patterns restricted
+  // to the RE2 ∩ Java-regex common subset so both engines agree.
+  // -------------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+
+  def q80_pii_redact(spark: SparkSession, dir: String): DataFrame = {
+    val augmented = Tables.documents(spark, dir)
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("https://host"), col("doc_id") % 7, lit(".example/path")))
+    augmented.select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(UrlRe), lit(0)))
+          .as("n_urls"),
+        md5(regexp_replace(
+          regexp_replace(col("aug"), EmailRe, "[EMAIL]"),
+          UrlRe, "[URL]")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q80_sql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, text || ' contact user' || doc_id ||
+       |    '@example.com or https://host' || (doc_id % 7) ||
+       |    '.example/path' AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$UrlRe')) AS n_urls,
+       |  md5(regexp_replace(regexp_replace(aug, '$EmailRe', '[EMAIL]',
+       |    'g'), '$UrlRe', '[URL]', 'g')) AS redacted_md5
+       |FROM a
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_pii_redact" -> q80_pii_redact _,
+    "q79_decontamination" -> q79_decontamination _,
     "q78_context_packing" -> q78_context_packing _,
     "q75_fuzzy_join" -> q75_fuzzy_join _,
     "q68_ann_recall" -> q68_ann_recall _,
@@ -670,6 +760,8 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q80_pii_redact" -> q80_sql,
+    "q79_decontamination" -> q79_sql,
     "q78_context_packing" -> q78_sql,
     "q75_fuzzy_join" -> q75_sql,
     "q68_ann_recall" -> q68_sql,
