@@ -741,7 +741,85 @@ object CurationQueries {
        |FROM a
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q81 — intra-document repetitiveness: fraction of duplicated word
+  // 3-grams per doc, in ppm (the Gopher/C4-family quality signal that
+  // catches boilerplate and degenerate generations). Pure row-local
+  // array expressions over the single tokenization — scan-speed.
+  // -------------------------------------------------------------------
+  def q81_repetitiveness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        Dedup.shinglesFromToks(col("_toks"), 3).as("_uniq"),
+        (size(col("_toks")) - 2).as("_total"))
+      .select(col("doc_id"),
+        when(col("_total") <= 0, 0L).otherwise(col("_total"))
+          .as("n_3grams"),
+        when(col("_total") <= 0, 0L)
+          .otherwise(expr(
+            "(cast(_total - size(_uniq) as bigint) * 1000000) div _total"))
+          .as("dup_3gram_ppm"))
+      .orderBy(col("doc_id"))
+
+  val q81_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(tk) - 2 AS total,
+      |    CASE WHEN len(tk) < 3 THEN []
+      |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+      |            FOR i IN generate_series(1, len(tk) - 2)]) END AS uniq
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN total <= 0 THEN 0 ELSE total END AS n_3grams,
+      |  CASE WHEN total <= 0 THEN 0
+      |       ELSE (CAST(total - len(uniq) AS BIGINT) * 1000000) // total
+      |       END AS dup_3gram_ppm
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q82 — cross-lingual duplicate detection: embedding-space near-dup
+  // pairs whose documents carry DIFFERENT language labels — the
+  // translated-duplicate scan (vec_id ≙ doc_id in the testdata).
+  // Candidates come from the oracle-exact WTA banding (q37's path);
+  // the language join is two broadcast lookups.
+  // -------------------------------------------------------------------
+  def q82_crosslingual_dups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.pipeline.Similarity.embeddingNearDups(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.3, planes = 16, bandBits = 8,
+      dims = ExtendedQueries.EmbDim)
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    pairs
+      .join(broadcast(langs.toDF("id_a", "lang_a")), Seq("id_a"))
+      .join(broadcast(langs.toDF("id_b", "lang_b")), Seq("id_b"))
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("id_a"), col("id_b"), col("sim"),
+        col("lang_a"), col("lang_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q82_sql: String = {
+    val base = ExtendedQueries.q37_sql
+    s"""WITH nd AS (SELECT * FROM ($base))
+       |SELECT nd.id_a, nd.id_b, nd.sim, da.lang AS lang_a,
+       |       db.lang AS lang_b
+       |FROM nd JOIN documents da ON da.doc_id = nd.id_a
+       |        JOIN documents db ON db.doc_id = nd.id_b
+       |WHERE da.lang <> db.lang
+       |ORDER BY nd.id_a, nd.id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_crosslingual_dups" -> q82_crosslingual_dups _,
+    "q81_repetitiveness" -> q81_repetitiveness _,
     "q80_pii_redact" -> q80_pii_redact _,
     "q79_decontamination" -> q79_decontamination _,
     "q78_context_packing" -> q78_context_packing _,
@@ -760,6 +838,8 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q82_crosslingual_dups" -> q82_sql,
+    "q81_repetitiveness" -> q81_sql,
     "q80_pii_redact" -> q80_sql,
     "q79_decontamination" -> q79_sql,
     "q78_context_packing" -> q78_sql,
