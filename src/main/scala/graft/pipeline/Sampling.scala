@@ -42,6 +42,22 @@ object Sampling {
     df.filter(hash60(salt, col(idCol)) % 1000000L < rate)
   }
 
+  /** Exactly-k-per-stratum sampling: rank rows within each stratum by
+    * their id hash (a deterministic uniform shuffle) and keep the
+    * first k — fixed-quota selection (eval-set construction) where
+    * rate-based sampling ([[stratifiedSample]]) would only hit k in
+    * expectation. One window shuffle on the stratum key. */
+  def exactQuotaSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, salt: String = "quota"): DataFrame = {
+    require(k > 0, s"quota k must be positive ($k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hash60(salt, col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Train/validation/test assignment by hash bucket: bucket = hash
     * mod 100; < trainPct → "train", < trainPct+valPct → "val", else
     * "test". Adds `split`. Deterministic and independent of any

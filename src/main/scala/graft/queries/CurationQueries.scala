@@ -817,7 +817,29 @@ object CurationQueries {
        |ORDER BY nd.id_a, nd.id_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q83 — exact-quota sampling: precisely 10 docs per language, chosen
+  // by deterministic hash rank (a seedless uniform shuffle) — how eval
+  // sets are cut when a rate-based sample's ±√n variance is not
+  // acceptable. One window shuffle; rank runs as WindowGroupLimit.
+  // -------------------------------------------------------------------
+  def q83_exact_quota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.exactQuotaSample(Tables.documents(spark, dir), "doc_id",
+        "lang", k = 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val q83_sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+       |    PARTITION BY lang
+       |    ORDER BY ${hash60Sql("quota", "doc_id")}, doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang FROM r WHERE rk <= 10
+       |ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_exact_quota" -> q83_exact_quota _,
     "q82_crosslingual_dups" -> q82_crosslingual_dups _,
     "q81_repetitiveness" -> q81_repetitiveness _,
     "q80_pii_redact" -> q80_pii_redact _,
@@ -838,6 +860,7 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q83_exact_quota" -> q83_sql,
     "q82_crosslingual_dups" -> q82_sql,
     "q81_repetitiveness" -> q81_sql,
     "q80_pii_redact" -> q80_sql,

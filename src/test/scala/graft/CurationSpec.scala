@@ -59,6 +59,22 @@ class CurationSpec extends SparkSpec {
     assert(sizes === Map(1L -> 3L, 10L -> 3L, 20L -> 2L, 4L -> 2L))
   }
 
+  test("exactQuotaSample takes exactly k per stratum, deterministically") {
+    val df = (0L until 500L).map(i => (i, s"s${i % 5}"))
+      .toDF("id", "stratum")
+    val s1 = Sampling.exactQuotaSample(df, "id", "stratum", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.groupBy(_._2).view.mapValues(_.length).toMap ===
+      (0 until 5).map(i => s"s$i" -> 7).toMap)
+    val s2 = Sampling.exactQuotaSample(df, "id", "stratum", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet === s2.toSet)
+    // quota above stratum size → whole stratum, no error
+    val all = Sampling.exactQuotaSample(df.filter($"id" < 3), "id",
+      "stratum", 10).count()
+    assert(all === 3L)
+  }
+
   test("connectedComponentsDF refuses an unconverged labeling") {
     // a 12-node chain: min-label needs ~11 rounds to reach the far end
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
