@@ -27,7 +27,9 @@ import graft.pipeline.{Clusters, Dedup, Multimodal, Sampling, TextAnalysis}
   *     recall@3 evaluation;
   *   - q75/q78: Levenshtein fuzzy join, context-window packing;
   *   - q79/q80: benchmark decontamination (n-gram overlap) and PII
-  *     scan + redaction.
+  *     scan + redaction;
+  *   - q81–q83: duplicated-3-gram repetitiveness, cross-lingual
+  *     duplicate detection, exact-quota per-stratum sampling.
   */
 object CurationQueries {
 
