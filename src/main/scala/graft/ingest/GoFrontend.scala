@@ -28,9 +28,14 @@ object GoFrontend {
       endByte: Int, receiver: String, pkg: String, docstring: String,
       complexity: Int, isExported: Boolean)
 
+  // generic declarations carry a type-parameter list between the name
+  // and the argument list (`func F[T any](…)`, `type X[T any] struct`);
+  // the optional non-capturing bracket group keeps them from being
+  // silently dropped
   private val funcRe =
-    """^func\s+(?:\(\s*\w+\s+\*?([\w\.]+)\s*\)\s+)?(\w+)\s*\(""".r
-  private val typeRe = """^type\s+(\w+)\s+(struct|interface)\s*\{""".r
+    """^func\s+(?:\(\s*\w+\s+\*?([\w\.]+)(?:\[[^\]]*\])?\s*\)\s+)?(\w+)(?:\[[^\]]*\])?\s*\(""".r
+  private val typeRe =
+    """^type\s+(\w+)(?:\[[^\]]*\])?\s+(struct|interface)\s*\{""".r
   private val varRe = """^(?:var|const)\s+(\w+)""".r
   private val pkgRe = """^package\s+(\w+)""".r
 

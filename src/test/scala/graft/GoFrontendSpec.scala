@@ -125,6 +125,41 @@ class GoFrontendSpec extends SparkSpec {
       e.name == "tagged" && e.label === Labels.Variable))
   }
 
+  test("generic functions and types are not dropped") {
+    val src =
+      """package m
+        |
+        |// Map applies f to each element.
+        |func Map[T any, U any](xs []T, f func(T) U) []U {
+        |	return nil
+        |}
+        |
+        |type Pair[K comparable, V any] struct {
+        |	k K
+        |}
+        |""".stripMargin
+    val ents = GoFrontend.parseFile("svc/m.go", src)
+    val m = ents.find(_.name == "Map").get
+    assert(m.label === Labels.Function)
+    assert(m.docstring === "Map applies f to each element.")
+    val p = ents.find(_.name == "Pair").get
+    assert(p.label === Labels.Class)
+  }
+
+  test("generic receiver methods keep the base receiver type") {
+    val src =
+      """package m
+        |
+        |func (c *Cache[K, V]) Get(k K) V {
+        |	return c.m[k]
+        |}
+        |""".stripMargin
+    val ents = GoFrontend.parseFile("svc/m.go", src)
+    val g = ents.find(_.name == "Get").get
+    assert(g.label === Labels.Method)
+    assert(g.receiver === "Cache")
+  }
+
   test("method receiver produces Method label and Class CONTAINS Method") {
     val ents = GoFrontend.parseFile("svc/b.go", fileB)
     val doM = ents.find(_.name == "Do").get
