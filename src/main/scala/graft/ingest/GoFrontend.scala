@@ -48,14 +48,46 @@ object GoFrontend {
     var pendingDoc = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def braceSpanEnd(startIdx: Int): Int = {
-      // find the line where the brace opened on startIdx closes
+      // find the line where the brace opened on startIdx closes;
+      // braces inside string/rune literals and comments must not
+      // count (`s := "{"` would otherwise corrupt the byte span).
+      // Go doubles-quoted strings and rune literals are single-line;
+      // raw strings (backtick) and block comments span lines.
       var depth = 0; var i = startIdx; var seen = false
+      var inRaw = false; var inBlock = false
       while (i < lines.length) {
-        for (ch <- lines(i)) {
-          if (ch == '{') { depth += 1; seen = true }
-          else if (ch == '}') depth -= 1
+        val line = lines(i)
+        var j = 0
+        var inDq = false; var inSq = false; var lineDone = false
+        while (j < line.length && !lineDone) {
+          val ch = line(j)
+          if (inBlock) {
+            if (ch == '*' && j + 1 < line.length && line(j + 1) == '/') {
+              inBlock = false; j += 1
+            }
+          } else if (inRaw) {
+            if (ch == '`') inRaw = false
+          } else if (inDq) {
+            if (ch == '\\') j += 1
+            else if (ch == '"') inDq = false
+          } else if (inSq) {
+            if (ch == '\\') j += 1
+            else if (ch == '\'') inSq = false
+          } else ch match {
+            case '"' => inDq = true
+            case '\'' => inSq = true
+            case '`' => inRaw = true
+            case '/' if j + 1 < line.length && line(j + 1) == '/' =>
+              lineDone = true
+            case '/' if j + 1 < line.length && line(j + 1) == '*' =>
+              inBlock = true; j += 1
+            case '{' => depth += 1; seen = true
+            case '}' => depth -= 1
+            case _ => ()
+          }
+          j += 1
         }
-        if (seen && depth <= 0) return i
+        if (seen && depth <= 0 && !inRaw && !inBlock) return i
         i += 1
       }
       lines.length - 1

@@ -146,6 +146,34 @@ class GoFrontendSpec extends SparkSpec {
     assert(p.label === Labels.Class)
   }
 
+  test("braces inside strings, runes, and comments don't skew spans") {
+    val src =
+      """package m
+        |
+        |func Tricky() string {
+        |	s := "closing } and { opening"
+        |	r := '}'
+        |	// a stray } in a comment
+        |	/* and { another */
+        |	raw := `multi
+        |} line raw`
+        |	_ = r
+        |	_ = raw
+        |	return s
+        |}
+        |
+        |func After() {
+        |}
+        |""".stripMargin
+    val ents = GoFrontend.parseFile("svc/m.go", src)
+    val t = ents.find(_.name == "Tricky").get
+    val slice = src.substring(t.startByte, t.endByte)
+    assert(slice.contains("return s"))
+    assert(slice.trim.endsWith("}"))
+    assert(!slice.contains("func After"))
+    assert(ents.exists(_.name == "After"))
+  }
+
   test("generic receiver methods keep the base receiver type") {
     val src =
       """package m
