@@ -93,10 +93,51 @@ object GoFrontend {
       lines.length - 1
     }
 
+    // code with string/rune/raw-string/comment interiors blanked, for
+    // the branch-keyword count (an `if` inside a log message is not a
+    // branch); same state machine as braceSpanEnd, state carried
+    // across lines for raw strings and block comments
+    def strippedCode(startIdx: Int, endIdx: Int): Seq[String] = {
+      var inRaw = false; var inBlock = false
+      (startIdx to endIdx).map { i =>
+        val line = lines(i)
+        val sb = new StringBuilder
+        var j = 0
+        var inDq = false; var inSq = false; var lineDone = false
+        while (j < line.length && !lineDone) {
+          val ch = line(j)
+          if (inBlock) {
+            if (ch == '*' && j + 1 < line.length && line(j + 1) == '/') {
+              inBlock = false; j += 1
+            }
+          } else if (inRaw) {
+            if (ch == '`') inRaw = false
+          } else if (inDq) {
+            if (ch == '\\') j += 1
+            else if (ch == '"') inDq = false
+          } else if (inSq) {
+            if (ch == '\\') j += 1
+            else if (ch == '\'') inSq = false
+          } else ch match {
+            case '"' => inDq = true; sb.append(' ')
+            case '\'' => inSq = true; sb.append(' ')
+            case '`' => inRaw = true; sb.append(' ')
+            case '/' if j + 1 < line.length && line(j + 1) == '/' =>
+              lineDone = true
+            case '/' if j + 1 < line.length && line(j + 1) == '*' =>
+              inBlock = true; j += 1
+            case c => sb.append(c)
+          }
+          j += 1
+        }
+        sb.toString
+      }
+    }
+
     def complexityOf(startIdx: Int, endIdx: Int): Int = {
       val branchRe = """\b(if|for|switch|case|select)\b|&&|\|\|""".r
-      1 + (startIdx to endIdx)
-        .map(i => branchRe.findAllIn(lines(i)).size).sum
+      1 + strippedCode(startIdx, endIdx)
+        .map(l => branchRe.findAllIn(l).size).sum
     }
 
     // docstring cleanup (`pkg/indexer/static/indexer.go:627-644`): strip

@@ -172,6 +172,8 @@ class GoFrontendSpec extends SparkSpec {
     assert(slice.trim.endsWith("}"))
     assert(!slice.contains("func After"))
     assert(ents.exists(_.name == "After"))
+    // branch keywords inside literals/comments don't inflate complexity
+    assert(t.complexity === 1)
   }
 
   test("generic receiver methods keep the base receiver type") {
