@@ -47,60 +47,14 @@ object GoFrontend {
     var pkg = ""
     var pendingDoc = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    def braceSpanEnd(startIdx: Int): Int = {
-      // find the line where the brace opened on startIdx closes;
-      // braces inside string/rune literals and comments must not
-      // count (`s := "{"` would otherwise corrupt the byte span).
-      // Go doubles-quoted strings and rune literals are single-line;
-      // raw strings (backtick) and block comments span lines.
-      var depth = 0; var i = startIdx; var seen = false
+    // ONE whole-file pass producing code with string/rune/raw-string/
+    // comment interiors blanked — braces inside `s := "{"` or a
+    // comment must not count anywhere; raw strings and block comments
+    // carry state across lines. Everything structural (spans, depth,
+    // complexity) reads this view.
+    val stripped: Array[String] = {
       var inRaw = false; var inBlock = false
-      while (i < lines.length) {
-        val line = lines(i)
-        var j = 0
-        var inDq = false; var inSq = false; var lineDone = false
-        while (j < line.length && !lineDone) {
-          val ch = line(j)
-          if (inBlock) {
-            if (ch == '*' && j + 1 < line.length && line(j + 1) == '/') {
-              inBlock = false; j += 1
-            }
-          } else if (inRaw) {
-            if (ch == '`') inRaw = false
-          } else if (inDq) {
-            if (ch == '\\') j += 1
-            else if (ch == '"') inDq = false
-          } else if (inSq) {
-            if (ch == '\\') j += 1
-            else if (ch == '\'') inSq = false
-          } else ch match {
-            case '"' => inDq = true
-            case '\'' => inSq = true
-            case '`' => inRaw = true
-            case '/' if j + 1 < line.length && line(j + 1) == '/' =>
-              lineDone = true
-            case '/' if j + 1 < line.length && line(j + 1) == '*' =>
-              inBlock = true; j += 1
-            case '{' => depth += 1; seen = true
-            case '}' => depth -= 1
-            case _ => ()
-          }
-          j += 1
-        }
-        if (seen && depth <= 0 && !inRaw && !inBlock) return i
-        i += 1
-      }
-      lines.length - 1
-    }
-
-    // code with string/rune/raw-string/comment interiors blanked, for
-    // the branch-keyword count (an `if` inside a log message is not a
-    // branch); same state machine as braceSpanEnd, state carried
-    // across lines for raw strings and block comments
-    def strippedCode(startIdx: Int, endIdx: Int): Seq[String] = {
-      var inRaw = false; var inBlock = false
-      (startIdx to endIdx).map { i =>
-        val line = lines(i)
+      lines.map { line =>
         val sb = new StringBuilder
         var j = 0
         var inDq = false; var inSq = false; var lineDone = false
@@ -134,10 +88,40 @@ object GoFrontend {
       }
     }
 
+    // brace depth BEFORE each line, over the stripped view: top-level
+    // declarations sit at depth 0; anything deeper is a body
+    val depthBefore: Array[Int] = {
+      val out = new Array[Int](lines.length)
+      var d = 0
+      var i = 0
+      while (i < lines.length) {
+        out(i) = d
+        for (ch <- stripped(i)) {
+          if (ch == '{') d += 1 else if (ch == '}') d -= 1
+        }
+        i += 1
+      }
+      out
+    }
+
+    def braceSpanEnd(startIdx: Int): Int = {
+      // find the line where the brace opened on startIdx closes
+      var depth = 0; var i = startIdx; var seen = false
+      while (i < lines.length) {
+        for (ch <- stripped(i)) {
+          if (ch == '{') { depth += 1; seen = true }
+          else if (ch == '}') depth -= 1
+        }
+        if (seen && depth <= 0) return i
+        i += 1
+      }
+      lines.length - 1
+    }
+
     def complexityOf(startIdx: Int, endIdx: Int): Int = {
       val branchRe = """\b(if|for|switch|case|select)\b|&&|\|\|""".r
-      1 + strippedCode(startIdx, endIdx)
-        .map(l => branchRe.findAllIn(l).size).sum
+      1 + (startIdx to endIdx)
+        .map(i => branchRe.findAllIn(stripped(i)).size).sum
     }
 
     // docstring cleanup (`pkg/indexer/static/indexer.go:627-644`): strip
@@ -161,6 +145,11 @@ object GoFrontend {
     // remainder after a same-line `*/` close; `startByte` is the byte
     // offset of `line` within the file
     def handleDecl(line: String, i: Int, startByte: Int): Unit = {
+      // only TOP-LEVEL declarations are entities: a `var err error` or
+      // nested `type` inside a function body is scope-local (the
+      // reference's AST walk distinguishes decl context the same way).
+      // The body line still detaches any pending doc comment.
+      if (depthBefore(i) > 0) { pendingDoc.clear(); return }
       pkgRe.findFirstMatchIn(line).foreach(m => pkg = m.group(1))
       funcRe.findFirstMatchIn(line) match {
         case Some(m) =>

@@ -176,6 +176,27 @@ class GoFrontendSpec extends SparkSpec {
     assert(t.complexity === 1)
   }
 
+  test("body-local var/type declarations are not emitted as entities") {
+    val src =
+      """package m
+        |
+        |var topLevel = 1
+        |
+        |func F() {
+        |	var local = 2
+        |	type inner struct {
+        |	}
+        |	_ = local
+        |}
+        |""".stripMargin
+    val ents = GoFrontend.parseFile("svc/m.go", src)
+    assert(ents.exists(e => e.name == "topLevel" &&
+      e.label == Labels.Variable))
+    assert(!ents.exists(_.name == "local"))
+    assert(!ents.exists(_.name == "inner"))
+    assert(ents.exists(_.name == "F"))
+  }
+
   test("generic receiver methods keep the base receiver type") {
     val src =
       """package m
