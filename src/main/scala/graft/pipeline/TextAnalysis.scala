@@ -95,6 +95,27 @@ object TextAnalysis {
          |) div 10""".stripMargin)
   }
 
+  /** DuckDB mirror of [[qualityScorePpm]] — kept NEXT to the Scala
+    * formula so the two sides cannot drift (every oracle that scores
+    * quality interpolates this one string). */
+  def qualityScorePpmSql(textCol: String, nCharsCol: String): String = {
+    val swList = defaultStopwords.map(w => s"'$w'").mkString(",")
+    s"""(CAST(least(2000 * $nCharsCol, 1000000) AS BIGINT) * 4 +
+       | (CASE WHEN trim($textCol) = '' THEN 0
+       |   ELSE least((CAST(len(list_filter(
+       |       regexp_split_to_array(trim($textCol), '\\s+'),
+       |       x -> lower(x) IN ($swList))) AS BIGINT)
+       |     * 5000000)
+       |     // len(regexp_split_to_array(trim($textCol), '\\s+')),
+       |     1000000) END) * 3 +
+       | (CASE WHEN length($textCol) = 0 THEN 1000000
+       |   ELSE greatest(0, 1000000 -
+       |     (CAST(length($textCol) -
+       |       length(regexp_replace($textCol, '[^a-zA-Z0-9 ]', '', 'g'))
+       |       AS BIGINT) * 4000000) // length($textCol)) END) * 3
+       |) // 10""".stripMargin
+  }
+
   /** Normalized-content fingerprint: sha256 of lowercased,
     * whitespace-collapsed text (the document-level exact-dup key). */
   def fingerprint(text: Column): Column =

@@ -33,9 +33,6 @@ import graft.pipeline.{Clusters, Dedup, Multimodal, Sampling, TextAnalysis}
   */
 object CurationQueries {
 
-  private val stopwordsSqlList: String =
-    TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(",")
-
   /** 60-bit md5 prefix hash in SQL — mirror of [[Sampling.hash60]]. */
   private def hash60Sql(salt: String, idExpr: String): String =
     s"CAST(('0x' || substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), " +
@@ -149,20 +146,8 @@ object CurationQueries {
        |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
        |         WHEN h_fr > 0 THEN 'fr'
        |         ELSE 'und' END AS predicted,
-       |    (CAST(least(2000 * n_chars, 1000000) AS BIGINT) * 4 +
-       |     (CASE WHEN trim(text) = '' THEN 0
-       |       ELSE least((CAST(len(list_filter(
-       |           regexp_split_to_array(trim(text), '\\s+'),
-       |           x -> lower(x) IN ($stopwordsSqlList))) AS BIGINT)
-       |         * 5000000)
-       |         // len(regexp_split_to_array(trim(text), '\\s+')),
-       |         1000000) END) * 3 +
-       |     (CASE WHEN length(text) = 0 THEN 1000000
-       |       ELSE greatest(0, 1000000 -
-       |         (CAST(length(text) -
-       |           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-       |           AS BIGINT) * 4000000) // length(text)) END) * 3
-       |    ) // 10 AS q_ppm
+       |${TextAnalysis.qualityScorePpmSql("text", "n_chars")}
+       |  AS q_ppm
        |  FROM h),
        |f AS (
        |  SELECT trim(text) <> '' AS f1,
@@ -516,20 +501,8 @@ object CurationQueries {
        |    md5(array_to_string(list_slice(
        |      regexp_split_to_array(trim(text), '\\s+'), 1, 10), ' '))
        |      AS fp,
-       |    (CAST(least(2000 * n_chars, 1000000) AS BIGINT) * 4 +
-       |     (CASE WHEN trim(text) = '' THEN 0
-       |       ELSE least((CAST(len(list_filter(
-       |           regexp_split_to_array(trim(text), '\\s+'),
-       |           x -> lower(x) IN ($stopwordsSqlList))) AS BIGINT)
-       |         * 5000000)
-       |         // len(regexp_split_to_array(trim(text), '\\s+')),
-       |         1000000) END) * 3 +
-       |     (CASE WHEN length(text) = 0 THEN 1000000
-       |       ELSE greatest(0, 1000000 -
-       |         (CAST(length(text) -
-       |           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-       |           AS BIGINT) * 4000000) // length(text)) END) * 3
-       |    ) // 10 AS q_ppm
+       |${TextAnalysis.qualityScorePpmSql("text", "n_chars")}
+       |  AS q_ppm
        |  FROM documents WHERE trim(text) <> ''),
        |r AS (
        |  SELECT doc_id, fp, q_ppm,

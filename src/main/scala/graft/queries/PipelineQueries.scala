@@ -275,23 +275,12 @@ object PipelineQueries {
         TextAnalysis.qualityScorePpm("text", "n_chars").as("quality_ppm"))
       .orderBy(col("doc_id"))
 
-  // Integer-exact mirror of qualityScorePpm: floor division everywhere.
+  // Integer-exact mirror of qualityScorePpm: floor division everywhere
+  // (shared fragment — see TextAnalysis.qualityScorePpmSql).
   val q28_sql: String =
-    s"""SELECT doc_id, (
-       |  CAST(least(2000 * n_chars, 1000000) AS BIGINT) * 4 +
-       |  (CASE WHEN trim(text) = '' THEN 0
-       |    ELSE least((CAST(len(list_filter(
-       |        regexp_split_to_array(trim(text), '\\s+'),
-       |        x -> lower(x) IN ($stopwordsSqlList))) AS BIGINT)
-       |      * 5000000)
-       |      // len(regexp_split_to_array(trim(text), '\\s+')),
-       |      1000000) END) * 3 +
-       |  (CASE WHEN length(text) = 0 THEN 1000000
-       |    ELSE greatest(0, 1000000 -
-       |      (CAST(length(text) -
-       |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-       |        AS BIGINT) * 4000000) // length(text)) END) * 3
-       |  ) // 10 AS quality_ppm
+    s"""SELECT doc_id,
+       |${TextAnalysis.qualityScorePpmSql("text", "n_chars")}
+       | AS quality_ppm
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
