@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.ExtendedQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.QualityQueries.oracles
 }

@@ -388,4 +388,38 @@ object Dedup {
         lit(0).cast("int").as("hamming"))
     intra.unionByName(inter)
   }
+
+  /** Shingle-set containment pairs: documents whose entire n-gram set
+    * appears inside a strictly larger document's set — the quote/
+    * snippet/excerpt duplicates that symmetric Jaccard misses (a short
+    * doc embedded in a long one scores low Jaccard but 100%
+    * containment). Directional: returns (inner_id, outer_id,
+    * size_inner, size_outer) with inner ⊂ outer.
+    *
+    * Same scale shape as [[jaccardPairs]]: one shingle equi-join (docs
+    * sharing no shingle never meet) + two size joins; the exploded
+    * shingle rows are materialized once and feed all three plan
+    * branches. `maxDf` applies the same skew cap — containment is then
+    * over the capped sets (document it at call sites). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, maxDf: Long = Long.MaxValue): DataFrame = {
+    val shAll = shingleRows(df, idCol, textCol, n)
+    val sh = (if (maxDf == Long.MaxValue) shAll else dfCapped(shAll, maxDf))
+      .localCheckpoint(eager = true)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as("inner_id"), col("b.doc").as("outer_id"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "inner_id")
+        .withColumnRenamed("sz", "size_inner"), Seq("inner_id"))
+      .join(sizes.withColumnRenamed("doc", "outer_id")
+        .withColumnRenamed("sz", "size_outer"), Seq("outer_id"))
+      .filter(col("intersection") === col("size_inner") &&
+        col("size_inner") < col("size_outer"))
+      .select(col("inner_id"), col("outer_id"),
+        col("size_inner"), col("size_outer"))
+  }
 }

@@ -72,4 +72,37 @@ object Sampling {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Token-weighted mixture rebalancing: given a target token budget
+    * per stratum (source/domain), derive the per-stratum Bernoulli
+    * keep-rate `rate_ppm = min(1e6, target·1e6 div stratum_tokens)`
+    * and the deterministic per-row keep decision. This is the "data
+    * mixture" step of a pretraining pipeline — down-sampling
+    * over-represented sources to hit prescribed token proportions —
+    * expressed so the achieved mixture is reproducible run-to-run.
+    *
+    * `weightCol` is the row's token count. Adds `rate_ppm` and `kept`
+    * (0/1). Shape: one aggregation over the (few) strata joined back
+    * broadcast — the per-row decision stays row-local, so the pass is
+    * scan-speed at 100 TB with no repartitioning of the corpus.
+    */
+  def tokenMixtureSample(df: DataFrame, idCol: String,
+      stratumCol: String, weightCol: String,
+      targetTokens: Map[String, Long], defaultTarget: Long,
+      salt: String = "mix"): DataFrame = {
+    val target = targetTokens.foldLeft(lit(defaultTarget)) {
+      case (acc, (stratum, t)) =>
+        when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+    }
+    val totalsWithTarget = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).cast("long").as("_total"))
+      .withColumn("_target", target)
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(_target * 1000000) div _total")))
+      .select(col(stratumCol), col("rate_ppm"))
+    df.join(broadcast(totalsWithTarget), Seq(stratumCol))
+      .withColumn("kept",
+        when(hash60(salt, col(idCol)) % 1000000L < col("rate_ppm"), 1)
+          .otherwise(0))
+  }
 }

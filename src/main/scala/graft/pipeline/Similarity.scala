@@ -290,4 +290,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Symmetric int8 scalar quantization — the storage/compute shrink a
+    * 100 TB embedding store runs before ANN serving (4× smaller than
+    * float32, SIMD-friendly integer dot products downstream).
+    *
+    * Per vector: scale = max(|v_i|); q_i = floor(v_i/scale·127 + 0.5)
+    * ∈ [-127, 127] (round-half-up, exact in IEEE double so any engine
+    * reproduces it bit-for-bit); the all-zero vector quantizes to zeros
+    * with scale 0. Returns (idCol, scale_ppb, q) where scale_ppb is the
+    * scale in integer parts-per-billion and q is array<long>.
+    *
+    * Row-local projection — no shuffle, runs at scan speed and
+    * composes with pushed filters/column pruning.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val m = array_max(transform(v, x => abs(x)))
+    df.select(col(idCol),
+        v.as("_v"), m.as("_m"))
+      .select(col(idCol),
+        floor(col("_m") * 1e9).cast("long").as("scale_ppb"),
+        when(col("_m") > 0.0,
+            transform(col("_v"),
+              x => floor(x / col("_m") * 127.0 + 0.5).cast("long")))
+          .otherwise(transform(col("_v"), _ => lit(0L)))
+          .as("q"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -143,6 +144,86 @@ object TextAnalysis {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
+  /** Stopword list for the Gopher-style "has common words" rule —
+    * deliberately the same family as [[defaultStopwords]] (the published
+    * rule uses {the, be, to, of, and, that, have, with}). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality rule flags (Rae et al. 2021 §A1.1
+    * repetition/quality heuristics, integer-exact): word-count bounds,
+    * mean-word-length bounds, max 10% symbol-only words, min 80% words
+    * containing an alphabetic char, ≥2 distinct common stopwords.
+    * Returns the id column plus 0/1 ints `r_wordcount, r_meanlen,
+    * r_symbol, r_alpha, r_stopword, pass`.
+    *
+    * Shape: a single row-local projection — the token array and every
+    * derived count materialize exactly once per row in their own
+    * projections (the interpreted-lambda-argument trap: an inline
+    * tokenization referenced from `filter`/`aggregate` lambdas
+    * re-evaluates per element), then the flags read integer columns.
+    * No shuffle; runs at scan speed over 100 TB. */
+  def gopherRulesDf(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val sw = array(gopherStopwords.map(lit): _*)
+    val counted = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"),
+        tokens(lower(col(textCol))).as("_ltoks"))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("_nw"),
+        aggregate(col("_toks"), lit(0L), (a, t) => a + length(t))
+          .as("_sumlen"),
+        size(filter(col("_toks"), t => t.rlike("[A-Za-z]")))
+          .cast("long").as("_alpha"),
+        size(filter(col("_toks"), t => !t.rlike("[A-Za-z0-9]")))
+          .cast("long").as("_sym"),
+        size(filter(sw, w => array_contains(col("_ltoks"), w)))
+          .cast("long").as("_stop"))
+    val b2i = (c: Column) => when(c, 1).otherwise(0)
+    counted.select(col(idCol),
+        b2i(col("_nw") >= minWords && col("_nw") <= maxWords)
+          .as("r_wordcount"),
+        b2i(col("_nw") > 0 &&
+            expr("(_sumlen * 1000000) div _nw").between(3000000L, 10000000L))
+          .as("r_meanlen"),
+        b2i(col("_nw") > 0 && col("_sym") * 10 <= col("_nw"))
+          .as("r_symbol"),
+        b2i(col("_nw") > 0 && col("_alpha") * 5 >= col("_nw") * 4)
+          .as("r_alpha"),
+        b2i(col("_stop") >= 2).as("r_stopword"))
+      .withColumn("pass",
+        b2i(col("r_wordcount") + col("r_meanlen") + col("r_symbol") +
+          col("r_alpha") + col("r_stopword") === 5))
+  }
+
+  /** Content-defined chunking: a chunk boundary falls AFTER any token
+    * whose 60-bit hash ≡ 0 (mod `modulus`) — the FastCDC/rolling-hash
+    * idea applied at word granularity. Unlike fixed windows
+    * ([[wordChunks]]), boundaries are content-anchored: inserting a
+    * word near the front shifts every fixed window but only the one
+    * containing chunk here, so downstream chunk-level dedup stays
+    * stable under edits. Expected chunk length = `modulus` words.
+    *
+    * Returns (doc_id, chunk_idx, n_words). One window shuffle on the
+    * doc key (the running boundary count), one aggregation reusing the
+    * same partitioning; no per-doc driver state. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16, salt: String = "cdc"): DataFrame = {
+    require(modulus > 0, s"modulus must be positive ($modulus)")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("_bnd",
+        when(Sampling.hash60(salt, col("tok")) % modulus === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("_bnd")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"))
   }
 
   /** Distinctive-stopword profiles for the Latin-script languages the

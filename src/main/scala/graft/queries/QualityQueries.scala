@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+
+/** Round-4 coverage: the published-heuristic curation ops a pretraining
+  * pipeline layers on top of the scoring/dedup stages — all
+  * deterministic, integer-exact where division appears, and
+  * DuckDB-oracled:
+  *
+  *   - q84: Gopher-style rule filtering (Rae et al. 2021 §A1.1) — the
+  *     five word-level quality gates as 0/1 flags per document;
+  *   - q85: shingle-set containment dedup — the directional
+  *     quote/excerpt duplicates symmetric Jaccard misses;
+  *   - q86: symmetric int8 embedding quantization (scale + integer
+  *     checksums, bit-exact on any IEEE engine);
+  *   - q87: content-defined chunking — word-hash boundaries that stay
+  *     stable under edits (FastCDC at word granularity), vs the fixed
+  *     windows of q62;
+  *   - q88: token-weighted mixture rebalancing — per-source keep rates
+  *     that hit a target token budget, with deterministic membership.
+  */
+object QualityQueries {
+
+  /** 60-bit md5 prefix hash in SQL — mirror of [[Sampling.hash60]]. */
+  private def hash60Sql(salt: String, idExpr: String): String =
+    s"CAST(('0x' || substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), " +
+      "1, 15)) AS BIGINT)"
+
+  // -------------------------------------------------------------------
+  // q84 — Gopher rule flags per document. Word-count bounds [50,1e5],
+  // mean word length in [3,10] (ppm integer division — no float
+  // boundaries), ≤10% symbol-only words, ≥80% words containing a
+  // letter, ≥2 distinct common stopwords. Row-local projection.
+  // -------------------------------------------------------------------
+  def q84_gopher_rules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRulesDf(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q84_sql: String = {
+    val swList = TextAnalysis.gopherStopwords.map(w => s"'$w'")
+      .mkString(",")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+       |         END AS ltk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS nw,
+       |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+       |      AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS alpha,
+       |    CAST(len(list_filter(tk,
+       |      x -> NOT regexp_matches(x, '[A-Za-z0-9]'))) AS BIGINT) AS sym,
+       |    CAST(len(list_filter([$swList],
+       |      w -> list_contains(ltk, w))) AS BIGINT) AS stop
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0
+       |      END AS r_wordcount,
+       |    CASE WHEN nw > 0 AND (sumlen * 1000000) // nw
+       |      BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS r_meanlen,
+       |    CASE WHEN nw > 0 AND sym * 10 <= nw THEN 1 ELSE 0
+       |      END AS r_symbol,
+       |    CASE WHEN nw > 0 AND alpha * 5 >= nw * 4 THEN 1 ELSE 0
+       |      END AS r_alpha,
+       |    CASE WHEN stop >= 2 THEN 1 ELSE 0 END AS r_stopword
+       |  FROM c)
+       |SELECT doc_id, r_wordcount, r_meanlen, r_symbol, r_alpha,
+       |  r_stopword,
+       |  CASE WHEN r_wordcount + r_meanlen + r_symbol + r_alpha +
+       |    r_stopword = 5 THEN 1 ELSE 0 END AS pass
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q85 — bigram-set containment pairs (inner ⊂ outer, strictly
+  // smaller): the excerpt/quote duplicates a Jaccard threshold misses.
+  // -------------------------------------------------------------------
+  def q85_containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id",
+        "text", n = 2)
+      .orderBy(col("inner_id"), col("outer_id"))
+
+  val q85_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM t,
+      |    unnest([array_to_string(tk[i:i+1], ' ')
+      |            FOR i IN generate_series(1, len(tk) - 1)]) AS u(s)
+      |  WHERE len(tk) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+      |         COUNT(*) AS n
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT inner_id, outer_id,
+      |  sa.sz AS size_inner, sb.sz AS size_outer
+      |FROM inter
+      |JOIN sizes sa ON inner_id = sa.doc_id
+      |JOIN sizes sb ON outer_id = sb.doc_id
+      |WHERE n = sa.sz AND sa.sz < sb.sz
+      |ORDER BY inner_id, outer_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q86 — int8 embedding quantization: per-vector scale (ppb integer)
+  // plus integer checksums of the quantized vector (sum, L1, min, max).
+  // Every step is IEEE-double exact, so the checksums hash-match any
+  // engine.
+  // -------------------------------------------------------------------
+  def q86_embed_quantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id",
+        "embedding")
+      .select(col("vec_id"), col("scale_ppb"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy(col("vec_id"))
+
+  val q86_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, dv,
+      |    list_max(list_transform(dv, x -> abs(x))) AS mx
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id,
+      |    CAST(floor(mx * 1e9) AS BIGINT) AS scale_ppb,
+      |    CASE WHEN mx > 0.0
+      |      THEN list_transform(dv,
+      |        x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))
+      |      ELSE list_transform(dv, x -> CAST(0 AS BIGINT)) END AS lq
+      |  FROM m)
+      |SELECT vec_id, scale_ppb,
+      |  CAST(list_sum(lq) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(lq, x -> abs(x))) AS BIGINT) AS q_l1,
+      |  list_min(lq) AS q_min,
+      |  list_max(lq) AS q_max
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q87 — content-defined chunking: boundary after any token whose
+  // 60-bit hash ≡ 0 (mod 16); expected chunk ≈ 16 words, boundaries
+  // stable under edits. Per-chunk word counts.
+  // -------------------------------------------------------------------
+  def q87_cdc_chunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cdcChunks(Tables.documents(spark, dir), "doc_id",
+        "text", modulus = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q87_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE trim(text) <> ''),
+       |w AS (
+       |  SELECT doc_id, i, tk[i] AS tok
+       |  FROM t, unnest(generate_series(1, len(tk))) AS g(i)),
+       |b AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN ${hash60Sql("cdc", "tok")} % 16 = 0 THEN 1 ELSE 0
+       |      END AS bnd
+       |  FROM w),
+       |ch AS (
+       |  SELECT doc_id,
+       |    coalesce(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_idx
+       |  FROM b)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  COUNT(*) AS n_words
+       |FROM ch
+       |GROUP BY doc_id, chunk_idx
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q88 — token-weighted mixture rebalancing: src0/src1 are capped at a
+  // 400-token budget (down-sampled), every other source keeps its full
+  // token mass. Report per source: corpus size, derived keep rate, and
+  // the achieved (deterministic) sample.
+  // -------------------------------------------------------------------
+  def q88_source_mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("n_toks",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sampling.tokenMixtureSample(docs, "doc_id", "source", "n_toks",
+        targetTokens = Map("src0" -> 400L, "src1" -> 400L),
+        defaultTarget = 1000000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        max(col("rate_ppm")).as("rate_ppm"),
+        sum(col("kept")).cast("long").as("kept_docs"),
+        sum(col("kept") * col("n_toks")).cast("long").as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q88_sql: String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents WHERE trim(text) <> ''),
+       |tot AS (
+       |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS total FROM tc
+       |  GROUP BY source),
+       |r AS (
+       |  SELECT source,
+       |    least(1000000, (CAST(CASE source WHEN 'src0' THEN 400
+       |      WHEN 'src1' THEN 400 ELSE 1000000 END AS BIGINT)
+       |      * 1000000) // total) AS rate_ppm
+       |  FROM tot),
+       |k AS (
+       |  SELECT tc.source, tc.n_toks, r.rate_ppm,
+       |    CASE WHEN ${hash60Sql("mix", "tc.doc_id")} % 1000000
+       |      < r.rate_ppm THEN 1 ELSE 0 END AS kept
+       |  FROM tc JOIN r ON tc.source = r.source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  MAX(rate_ppm) AS rate_ppm,
+       |  CAST(SUM(kept) AS BIGINT) AS kept_docs,
+       |  CAST(SUM(kept * n_toks) AS BIGINT) AS kept_tokens
+       |FROM k
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_gopher_rules" -> q84_gopher_rules _,
+    "q85_containment" -> q85_containment _,
+    "q86_embed_quantize" -> q86_embed_quantize _,
+    "q87_cdc_chunks" -> q87_cdc_chunks _,
+    "q88_source_mixture" -> q88_source_mixture _)
+
+  val oracles: Map[String, String] = Map(
+    "q84_gopher_rules" -> q84_sql,
+    "q85_containment" -> q85_sql,
+    "q86_embed_quantize" -> q86_sql,
+    "q87_cdc_chunks" -> q87_sql,
+    "q88_source_mixture" -> q88_sql)
+}

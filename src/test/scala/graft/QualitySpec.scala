@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherRulesDf flags each rule independently") {
+    val good = (Seq.fill(10)("the") ++ Seq.fill(10)("and") ++
+      Seq.fill(40)("word")).mkString(" ") // 60 words, all alpha
+    val df = Seq(
+      (1L, good),                                // passes everything
+      (2L, "short text the and"),                // fails word count
+      (3L, ("the and " + Seq.fill(60)("#!").mkString(" "))), // symbols
+      (4L, good.replace("the", "zzz").replace("and", "yyy")) // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRulesDf(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("pass") === 1)
+    assert(out(1).getAs[Int]("r_wordcount") === 0)
+    assert(out(2).getAs[Int]("r_symbol") === 0)
+    assert(out(2).getAs[Int]("r_alpha") === 0)
+    assert(out(3).getAs[Int]("r_stopword") === 0)
+    assert(out(3).getAs[Int]("pass") === 0)
+  }
+
+  test("containmentPairs finds strict subset docs directionally") {
+    val df = Seq(
+      (1L, "a b c d"),          // bigrams {a b, b c, c d}
+      (2L, "a b c d e f"),      // superset of 1's bigrams
+      (3L, "x y z"),            // unrelated
+      (4L, "a b c d")           // identical to 1 — equal size, excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (4L, 2L)))
+  }
+
+  test("quantizeInt8 is exact on known vectors and handles zeros") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(out(0).getAs[Long]("scale_ppb") === 1000000000L)
+    assert(out(0).getAs[Seq[Long]]("q") === Seq(127L, -63L, 32L))
+    assert(out(1).getAs[Long]("scale_ppb") === 0L)
+    assert(out(1).getAs[Seq[Long]]("q") === Seq(0L, 0L, 0L))
+  }
+
+  test("cdcChunks boundaries are content-anchored (edit-stable)") {
+    val words = (1 to 200).map(i => s"w$i").mkString(" ")
+    val orig = Seq((1L, words)).toDF("doc_id", "text")
+    val chunksOf = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.cdcChunks(df, "doc_id", "text", modulus = 8)
+        .orderBy("chunk_idx")
+        .collect().map(_.getAs[Long]("n_words")).toSeq
+    val base = chunksOf(orig)
+    assert(base.sum === 200L)
+    assert(base.length > 1) // hash boundaries actually fire
+    // prepend an edit: only the FIRST chunk changes, the tail of the
+    // chunking (content-defined) is identical
+    val edited = Seq((1L, "zedit " + words)).toDF("doc_id", "text")
+    val after = chunksOf(edited)
+    assert(after.sum === 201L)
+    assert(after.takeRight(base.length - 1) === base.tail)
+  }
+
+  test("tokenMixtureSample caps over-budget strata and keeps the rest") {
+    val df = (0L until 300L).map { i =>
+      (i, if (i < 200) "big" else "small", 10L)
+    }.toDF("id", "src", "toks")
+    // big has 2000 tokens vs target 500 → rate 250k ppm; small under
+    // budget → rate capped at 1e6 (keep all)
+    val out = Sampling.tokenMixtureSample(df, "id", "src", "toks",
+      Map("big" -> 500L), defaultTarget = 1000000L)
+    val rates = out.groupBy("src").agg(max("rate_ppm")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("big") === 250000L)
+    assert(rates("small") === 1000000L)
+    val kept = out.filter(col("src") === "small" && col("kept") === 0)
+    assert(kept.count() === 0L) // rate 1e6 keeps every row
+    // deterministic: same membership on re-run
+    val k1 = out.filter(col("kept") === 1).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val k2 = Sampling.tokenMixtureSample(df, "id", "src", "toks",
+        Map("big" -> 500L), defaultTarget = 1000000L)
+      .filter(col("kept") === 1).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(k1 === k2)
+  }
+}
