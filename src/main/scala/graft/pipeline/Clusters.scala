@@ -82,4 +82,35 @@ object Clusters {
   def clusterSizes(labels: DataFrame): DataFrame =
     labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** One Lloyd (k-means) centroid-recompute step over an assigned
+    * corpus — the embedding-clustering reduce that pairs with
+    * [[Similarity.ivfAssign]]'s assignment step to make the IVF
+    * codebook trainable instead of fixed.
+    *
+    * `assigned` is (vid, cid); `vectors` is (vid, vec: array<double>).
+    * Returns (cid, dim, n_members, dim_sum_ppm): the per-dimension
+    * component sums in integer parts-per-million (decimal-exact
+    * accumulation, so the result is order-independent and
+    * engine-portable; the new centroid coordinate is
+    * dim_sum_ppm / (1e6 · n_members), a division deferred to the
+    * caller to keep every emitted value integer).
+    *
+    * Scale shape: vectors explode to (cid, dim, component) rows and
+    * reduce in ONE hash aggregation keyed by (cid, dim) with map-side
+    * partial sums — the long-format wide-mean that spreads a
+    * billion-vector reduce across the cluster instead of folding
+    * whole arrays on few keys (k keys would bottleneck k tasks; k·dims
+    * keys parallelize fully).
+    */
+  def centroidRecompute(assigned: DataFrame,
+      vectors: DataFrame): DataFrame =
+    assigned.join(vectors, "vid")
+      .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "component")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        floor(sum(col("component")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6))) *
+          lit(1000000))
+          .cast("long").as("dim_sum_ppm"))
 }

@@ -396,29 +396,53 @@ object Dedup {
     * containment). Directional: returns (inner_id, outer_id,
     * size_inner, size_outer) with inner ⊂ outer.
     *
-    * Same scale shape as [[jaccardPairs]]: one shingle equi-join (docs
-    * sharing no shingle never meet) + two size joins; the exploded
-    * shingle rows are materialized once and feed all three plan
-    * branches. `maxDf` applies the same skew cap — containment is then
-    * over the capped sets (document it at call sites). */
+    * Uses the PPJoin-family prefix filter, which is LOSSLESS for
+    * containment: if inner ⊆ outer then outer contains every inner
+    * shingle — in particular inner's globally RAREST ones — so joining
+    * only each doc's two rarest shingles (by corpus document
+    * frequency, shingle tie-break) against all shingle rows, and
+    * keeping pairs that matched on BOTH, finds every true pair while
+    * multiplying the two selectivities (one rare shingle alone is a
+    * weak filter on small-vocabulary/templated corpora). Survivors are
+    * verified with a native array_intersect against the collected
+    * shingle sets — candidate counts are small by then, so the
+    * quadratic-ish per-pair check touches few rows. The all-pairs
+    * equi-join this replaces is Σ df² — quadratic on templated
+    * corpora. The shingle rows materialize once and feed the df-rank,
+    * set-collect, and candidate branches. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, maxDf: Long = Long.MaxValue): DataFrame = {
-    val shAll = shingleRows(df, idCol, textCol, n)
-    val sh = (if (maxDf == Long.MaxValue) shAll else dfCapped(shAll, maxDf))
-      .localCheckpoint(eager = true)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-        col("a.doc") =!= col("b.doc"))
-      .groupBy(col("a.doc").as("inner_id"), col("b.doc").as("outer_id"))
-      .agg(count(lit(1)).as("intersection"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "inner_id")
-        .withColumnRenamed("sz", "size_inner"), Seq("inner_id"))
-      .join(sizes.withColumnRenamed("doc", "outer_id")
-        .withColumnRenamed("sz", "size_outer"), Seq("outer_id"))
-      .filter(col("intersection") === col("size_inner") &&
-        col("size_inner") < col("size_outer"))
+      n: Int = 2): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n).localCheckpoint(true)
+    // document frequency as groupBy + join-back (NOT a window over the
+    // full shingle rows): AQE broadcasts the df table when the
+    // vocabulary is small, and on huge vocabularies it stays a shuffle
+    // join on the same key the window would have shuffled on — never
+    // worse, often one wide exchange cheaper
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val wRarest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("_df"), col("shingle"))
+    val prefix = sh.join(dfc, Seq("shingle"))
+      .withColumn("_rk", row_number().over(wRarest))
+      .filter(col("_rk") <= 2)
+      .select(col("doc"), col("shingle"))
+    val sets = sh.groupBy(col("doc"))
+      .agg(collect_list(col("shingle")).as("set"),
+        count(lit(1)).as("sz"))
+    val cand = prefix.as("r").join(sh.as("o"),
+        col("r.shingle") === col("o.shingle") &&
+        col("r.doc") =!= col("o.doc"))
+      .groupBy(col("r.doc").as("inner_id"), col("o.doc").as("outer_id"))
+      .agg(count(lit(1)).as("_matched"))
+    cand
+      .join(sets.select(col("doc").as("inner_id"),
+        col("set").as("_iset"), col("sz").as("size_inner")), Seq("inner_id"))
+      // a 1-shingle doc has a 1-long prefix — require the full prefix
+      .filter(col("_matched") === least(lit(2), col("size_inner")))
+      .join(sets.select(col("doc").as("outer_id"),
+        col("set").as("_oset"), col("sz").as("size_outer")), Seq("outer_id"))
+      .filter(col("size_inner") < col("size_outer") &&
+        size(array_intersect(col("_iset"), col("_oset"))) ===
+          col("size_inner"))
       .select(col("inner_id"), col("outer_id"),
         col("size_inner"), col("size_outer"))
   }

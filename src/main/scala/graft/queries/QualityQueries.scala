@@ -21,7 +21,9 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
   *     stable under edits (FastCDC at word granularity), vs the fixed
   *     windows of q62;
   *   - q88: token-weighted mixture rebalancing — per-source keep rates
-  *     that hit a target token budget, with deterministic membership.
+  *     that hit a target token budget, with deterministic membership;
+  *   - q89: one k-means Lloyd step (assign + decimal-exact centroid
+  *     recompute) — the trainable-codebook companion to q38's IVF.
   */
 object QualityQueries {
 
@@ -87,6 +89,8 @@ object QualityQueries {
   // -------------------------------------------------------------------
   // q85 — bigram-set containment pairs (inner ⊂ outer, strictly
   // smaller): the excerpt/quote duplicates a Jaccard threshold misses.
+  // Prefix-filtered (rarest-shingle candidates, then verify) — the
+  // all-pairs join this replaces went quadratic on templated corpora.
   // -------------------------------------------------------------------
   def q85_containment(spark: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id",
@@ -242,17 +246,64 @@ object QualityQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q89 — one k-means (Lloyd) step: assign every embedding to its
+  // nearest codebook centroid (every-25th vector, q38's deterministic
+  // codebook), then recompute the per-(centroid, dimension) component
+  // sums decimal-exactly. Assignment reuses the oracle-proven
+  // round(cosine,5) + id tie-break; the reduce is the long-format
+  // wide-mean that scales to billion-vector corpora.
+  // -------------------------------------------------------------------
+  def q89_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("vec"))
+    val cents = v.filter(col("vid") % 25 === 0)
+      .select(col("vid").as("cid"), col("vec").as("cv"))
+    val assigned = Similarity.ivfAssign(
+      v.withColumnRenamed("vec", "v"), cents)
+    graft.pipeline.Clusters.centroidRecompute(assigned, v)
+      .orderBy(col("cid"), col("dim"))
+  }
+
+  val q89_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |cents AS (SELECT vid AS cid, vec AS cv FROM v WHERE vid % 25 = 0),
+      |asg0 AS (
+      |  SELECT vid, cid,
+      |         round(list_cosine_similarity(v.vec, cents.cv), 5) AS csim
+      |  FROM v CROSS JOIN cents),
+      |asg AS (
+      |  SELECT vid, cid FROM (
+      |    SELECT vid, cid, ROW_NUMBER() OVER (
+      |      PARTITION BY vid ORDER BY csim DESC, cid) AS rn
+      |    FROM asg0) WHERE rn = 1),
+      |d AS (
+      |  SELECT a.cid, g.i - 1 AS dim, v.vec[g.i] AS component
+      |  FROM asg a JOIN v ON a.vid = v.vid,
+      |       unnest(generate_series(1, len(v.vec))) AS g(i))
+      |SELECT cid, CAST(dim AS INT) AS dim, COUNT(*) AS n_members,
+      |  CAST(floor(SUM(CAST(component AS DECIMAL(30,6))) * 1000000)
+      |    AS BIGINT) AS dim_sum_ppm
+      |FROM d
+      |GROUP BY cid, dim
+      |ORDER BY cid, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
     "q86_embed_quantize" -> q86_embed_quantize _,
     "q87_cdc_chunks" -> q87_cdc_chunks _,
-    "q88_source_mixture" -> q88_source_mixture _)
+    "q88_source_mixture" -> q88_source_mixture _,
+    "q89_kmeans_step" -> q89_kmeans_step _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
     "q85_containment" -> q85_sql,
     "q86_embed_quantize" -> q86_sql,
     "q87_cdc_chunks" -> q87_sql,
-    "q88_source_mixture" -> q88_sql)
+    "q88_source_mixture" -> q88_sql,
+    "q89_kmeans_step" -> q89_sql)
 }

@@ -69,6 +69,22 @@ class QualitySpec extends SparkSpec {
     assert(after.takeRight(base.length - 1) === base.tail)
   }
 
+  test("centroidRecompute sums components decimal-exactly per (cid, dim)") {
+    val vectors = Seq(
+      (1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0)), (3L, Array(10.0, 0.5))
+    ).toDF("vid", "vec")
+    val assigned = Seq((1L, 100L), (2L, 100L), (3L, 200L))
+      .toDF("vid", "cid")
+    val out = graft.pipeline.Clusters.centroidRecompute(assigned, vectors)
+      .orderBy("cid", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      (100L, 0, 2L, 4000000L),  // 1+3
+      (100L, 1, 2L, 6000000L),  // 2+4
+      (200L, 0, 1L, 10000000L),
+      (200L, 1, 1L, 500000L)))
+  }
+
   test("tokenMixtureSample caps over-budget strata and keeps the rest") {
     val df = (0L until 300L).map { i =>
       (i, if (i < 200) "big" else "small", 10L)
