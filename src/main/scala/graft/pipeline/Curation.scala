@@ -82,4 +82,29 @@ object Curation {
     scored.withColumn("_pass",
       filtersOk && row_number().over(w) === 1)
   }
+
+  /** Snapshot diff — the change-detection pass that drives incremental
+    * rebuilds: given two corpus snapshots keyed by `idCol` with a
+    * content fingerprint `fpCol`, classify every id as `added`
+    * (new-only), `removed` (old-only), `changed` (both, fingerprints
+    * differ) or `unchanged`. Downstream stages then recompute only the
+    * added/changed partitions instead of the whole 100 TB corpus — the
+    * batch analogue of the reference's designed-but-unbuilt
+    * tree-sitter incremental path (`research.md:280-323`).
+    *
+    * One full outer join hash-partitioned on the id; both fingerprint
+    * columns are tiny (the scan reads id + fingerprint only, so column
+    * pruning keeps the diff cheap however wide the corpus rows are).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, fpCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"), col(fpCol).as("_fp_old"))
+    val n = newSnap.select(col(idCol).as("id"), col(fpCol).as("_fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -203,7 +203,40 @@ object EventQueries {
       |  COUNT(*) FILTER (t_buy IS NOT NULL) AS n_purchased_after
       |FROM b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q90 — cohort retention matrix: users grouped by first-seen day
+  // (cohort), activity counted by days-since-cohort (age) — the
+  // product-analytics query every event warehouse serves. Two shuffles
+  // on user_id (first-seen min, then the self-alignment), distinct
+  // users partial-aggregated per (cohort, age). Day arithmetic in
+  // integer nano-days — identical on any engine.
+  // -------------------------------------------------------------------
+  def q90_retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("age_days"))
+  }
+
+  val q90_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+      |      GROUP BY user_id)
+      |SELECT f.cohort_day, e.day - f.cohort_day AS age_days,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, age_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_retention" -> q90_retention _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -211,6 +244,7 @@ object EventQueries {
     "q77_conversion_funnel" -> q77_conversion_funnel _)
 
   val oracles: Map[String, String] = Map(
+    "q90_retention" -> q90_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,

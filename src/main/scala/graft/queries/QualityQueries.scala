@@ -23,7 +23,13 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
   *   - q88: token-weighted mixture rebalancing — per-source keep rates
   *     that hit a target token budget, with deterministic membership;
   *   - q89: one k-means Lloyd step (assign + decimal-exact centroid
-  *     recompute) — the trainable-codebook companion to q38's IVF.
+  *     recompute) — the trainable-codebook companion to q38's IVF;
+  *   - q91: snapshot diff (added/removed/changed/unchanged by content
+  *     fingerprint) — the change detection an incremental rebuild runs;
+  *   - q92: KMV sketch merge — partial per-language sketches unioned
+  *     into script groups, the mergeability that distributes
+  *     approximate distinct counting. (q90 retention lives with the
+  *     other event queries.)
   */
 object QualityQueries {
 
@@ -291,13 +297,136 @@ object QualityQueries {
       |GROUP BY cid, dim
       |ORDER BY cid, dim""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q91 — snapshot diff (incremental-rebuild change detection): two
+  // deterministic synthetic snapshots of the corpus (old = ids not
+  // ≡0 mod 20; new = ids not ≡0 mod 30, with ids ≡0 mod 7 edited) are
+  // classified added/removed/changed/unchanged by content fingerprint.
+  // One column-pruned full outer join on the id.
+  // -------------------------------------------------------------------
+  def q91_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 20 =!= 0)
+      .withColumn("fp", md5(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 30 =!= 0)
+      .withColumn("fp", md5(
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+          .otherwise(col("text"))))
+    graft.pipeline.Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+      .orderBy(col("doc_id"))
+  }
+
+  val q91_sql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents
+      |  WHERE doc_id % 20 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT'
+      |        ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 30 <> 0)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.fp IS NULL THEN 'added'
+      |       WHEN n.fp IS NULL THEN 'removed'
+      |       WHEN o.fp <> n.fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q92 — KMV sketch MERGE: per-language k-minimum-values sketches of
+  // the distinct token space are merged into script groups (latin vs
+  // cjk) by unioning the retained minima and re-taking the k smallest
+  // — the mergeability that makes sketch aggregation distributable
+  // (partial sketches per partition/shard, one tiny reduce; never a
+  // global distinct over 100 TB). Estimate vs exact per group.
+  // -------------------------------------------------------------------
+  private val KmvK = 64
+
+  def q92_kmv_merge(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val grpOf = (c: org.apache.spark.sql.Column) =>
+      when(c === "zh", "cjk").otherwise("latin")
+    val hashed = toks.withColumn("h",
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    // per-language sketch: the k smallest hashes of that language
+    val perLang = hashed.withColumn("rn", row_number().over(
+        w.partitionBy(col("lang")).orderBy(col("h"), col("tok"))))
+      .filter(col("rn") <= KmvK)
+    // merge: union member sketches, dedupe shared tokens, re-take k
+    val merged = perLang.select(grpOf(col("lang")).as("grp"), col("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"))
+      .withColumn("kmv_distinct",
+        when(col("cnt") < KmvK, col("cnt"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) *
+            lit(1152921504606846976.0) / col("kth")).cast("long")))
+    val exact = toks.select(grpOf(col("lang")).as("grp"), col("tok"))
+      .distinct()
+      .groupBy(col("grp")).agg(countDistinct(col("tok")).as("exact_toks"))
+    merged.join(exact, Seq("grp"))
+      .select(col("grp"), col("kmv_distinct"), col("exact_toks"))
+      .orderBy(col("grp"))
+  }
+
+  val q92_sql: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT lang, tok FROM (
+       |    SELECT lang,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents WHERE trim(text) <> '')),
+       |h AS (
+       |  SELECT lang, tok,
+       |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |pl AS (
+       |  SELECT lang, h FROM (
+       |    SELECT lang, h, ROW_NUMBER() OVER (
+       |      PARTITION BY lang ORDER BY h, tok) AS rn
+       |    FROM h) WHERE rn <= $KmvK),
+       |mg AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END AS grp, h
+       |  FROM pl),
+       |mk AS (
+       |  SELECT grp, h FROM (
+       |    SELECT grp, h, ROW_NUMBER() OVER (
+       |      PARTITION BY grp ORDER BY h) AS rn
+       |    FROM mg) WHERE rn <= $KmvK),
+       |s AS (
+       |  SELECT grp, COUNT(*) AS cnt, MAX(h) AS kth FROM mk
+       |  GROUP BY grp),
+       |e AS (
+       |  SELECT grp, COUNT(DISTINCT tok) AS exact_toks FROM (
+       |    SELECT CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END
+       |      AS grp, tok FROM toks)
+       |  GROUP BY grp)
+       |SELECT s.grp,
+       |  CASE WHEN cnt < $KmvK THEN cnt
+       |       ELSE CAST(floor(${KmvK - 1}.0 * 1152921504606846976 / kth)
+       |         AS BIGINT) END AS kmv_distinct,
+       |  e.exact_toks
+       |FROM s JOIN e ON s.grp = e.grp
+       |ORDER BY s.grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
     "q86_embed_quantize" -> q86_embed_quantize _,
     "q87_cdc_chunks" -> q87_cdc_chunks _,
     "q88_source_mixture" -> q88_source_mixture _,
-    "q89_kmeans_step" -> q89_kmeans_step _)
+    "q89_kmeans_step" -> q89_kmeans_step _,
+    "q91_snapshot_diff" -> q91_snapshot_diff _,
+    "q92_kmv_merge" -> q92_kmv_merge _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
@@ -305,5 +434,7 @@ object QualityQueries {
     "q86_embed_quantize" -> q86_sql,
     "q87_cdc_chunks" -> q87_sql,
     "q88_source_mixture" -> q88_sql,
-    "q89_kmeans_step" -> q89_sql)
+    "q89_kmeans_step" -> q89_sql,
+    "q91_snapshot_diff" -> q91_sql,
+    "q92_kmv_merge" -> q92_sql)
 }

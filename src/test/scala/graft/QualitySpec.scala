@@ -85,6 +85,18 @@ class QualitySpec extends SparkSpec {
       (200L, 1, 1L, 500000L)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "fp")
+    val newSnap = Seq((2L, "b"), (3L, "C"), (4L, "d"))
+      .toDF("id", "fp")
+    val out = graft.pipeline.Curation
+      .snapshotDiff(oldSnap, newSnap, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("tokenMixtureSample caps over-budget strata and keeps the rest") {
     val df = (0L until 300L).map { i =>
       (i, if (i < 200) "big" else "small", 10L)
