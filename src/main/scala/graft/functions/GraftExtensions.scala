@@ -22,5 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_cosine expects exactly 2 arguments")
         CosineSimilarity(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_int_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_int_dot expects exactly 2 arguments")
+        IntDotProduct(children(0), children(1))
+      }))
   }
 }

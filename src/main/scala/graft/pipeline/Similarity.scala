@@ -43,6 +43,15 @@ object Similarity {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** Native-expression integer dot product over array<bigint>
+    * (graft.functions.IntDotProduct) — the exact, order-independent
+    * scoring kernel for int8-quantized vectors ([[quantizeInt8]]). */
+  def intDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IntDotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus

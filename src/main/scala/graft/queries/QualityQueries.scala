@@ -418,6 +418,63 @@ object QualityQueries {
        |FROM s JOIN e ON s.grp = e.grp
        |ORDER BY s.grp""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q93 — quantized ANN re-rank: the int8 pipeline end-to-end. Corpus
+  // and queries (every 50th vector, q38's query set) quantize with
+  // quantizeInt8; candidates score with the native integer dot-product
+  // expression (one fused codegen loop, exact integer arithmetic —
+  // order-independent, the property float scoring lacks); top-3 per
+  // query by (score desc, id). Query side broadcasts; the corpus is
+  // scanned once — the int8 brute-force that 4x-outscans float32.
+  // -------------------------------------------------------------------
+  def q93_quantized_ann(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, dir),
+      "vec_id", "embedding")
+    val corpus = q.select(col("vec_id").as("neighbor_id"),
+      col("q").as("cq"))
+    val queries = q.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", Similarity.intDot(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q93_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, dv,
+      |    list_max(list_transform(dv, x -> abs(x))) AS mx
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN mx > 0.0
+      |      THEN list_transform(dv,
+      |        x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))
+      |      ELSE list_transform(dv, x -> CAST(0 AS BIGINT)) END AS lq
+      |  FROM m),
+      |scored AS (
+      |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_dot_product(
+      |      CAST(qs.lq AS DOUBLE[]), CAST(c.lq AS DOUBLE[])) AS BIGINT)
+      |      AS dot
+      |  FROM q qs JOIN q c ON qs.vec_id % 50 = 0
+      |    AND c.vec_id <> qs.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, dot, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
@@ -426,7 +483,8 @@ object QualityQueries {
     "q88_source_mixture" -> q88_source_mixture _,
     "q89_kmeans_step" -> q89_kmeans_step _,
     "q91_snapshot_diff" -> q91_snapshot_diff _,
-    "q92_kmv_merge" -> q92_kmv_merge _)
+    "q92_kmv_merge" -> q92_kmv_merge _,
+    "q93_quantized_ann" -> q93_quantized_ann _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
@@ -436,5 +494,6 @@ object QualityQueries {
     "q88_source_mixture" -> q88_sql,
     "q89_kmeans_step" -> q89_sql,
     "q91_snapshot_diff" -> q91_sql,
-    "q92_kmv_merge" -> q92_sql)
+    "q92_kmv_merge" -> q92_sql,
+    "q93_quantized_ann" -> q93_sql)
 }

@@ -85,6 +85,33 @@ class QualitySpec extends SparkSpec {
       (200L, 1, 1L, 500000L)))
   }
 
+  test("native IntDotProduct matches the fold formula and handles nulls") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (1 to 30).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(255) - 127).toLong),
+        Array.fill(64)((rnd.nextInt(255) - 127).toLong))
+    }.toDF("id", "a", "b")
+    val both = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("ref"),
+      Similarity.intDot(col("a"), col("b")).as("fast")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val bad = Seq((Some(Array(1L, 2L)), Some(Array(1L))),
+      (None, Some(Array(1L)))).toDF("a", "b")
+    val out = bad.select(Similarity.intDot(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("graft_int_dot callable from spark.sql after live registration") {
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "graft_int_dot",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.IntDotProduct(children(0), children(1)))
+    val v = spark.sql(
+      "SELECT graft_int_dot(array(2L, 3L), array(4L, 5L)) AS d")
+      .collect()(0).getLong(0)
+    assert(v === 23L)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("id", "fp")
