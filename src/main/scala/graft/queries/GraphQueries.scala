@@ -164,13 +164,68 @@ object GraphQueries {
        |ORDER BY rank_ppm DESC, id
        |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q95 — triangle counting (per-node, top 10): the standard graph-
+  // cohesion metric, on the tree ∪ predecessor-chain graph (every odd
+  // k ≥ 3 closes the triangle {k, k−1, k div 2}, so triangles are
+  // dense and deterministic). Edges canonicalize to ordered pairs
+  // a < b < c, so each triangle materializes exactly once and the
+  // wedge join (e1.b = e2.a) plus the closing-edge join are plain
+  // equi-joins — Σ deg² wedge work spread by hash partitioning, no
+  // driver-side graph. Per-node membership = explode the 3 corners.
+  // ---------------------------------------------------------------------
+  def q95_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_partkey") >= 2)
+    val raw = p.select(col("p_partkey").as("s"),
+        expr("p_partkey div 2").as("d"))
+      .unionAll(p.select(col("p_partkey").as("s"),
+        (col("p_partkey") - 1).as("d")))
+    val und = raw.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"), col("e3.a") === col("e1.a") &&
+        col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(10)
+  }
+
+  val q95_sql: String =
+    """WITH raw AS (
+      |  SELECT p_partkey AS s, p_partkey // 2 AS d FROM part
+      |  WHERE p_partkey >= 2
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey - 1 FROM part WHERE p_partkey >= 2),
+      |und AS (
+      |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      |  FROM raw WHERE s <> d),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (
+      |  SELECT unnest([x, y, z]) AS node FROM tri)
+      |SELECT node, COUNT(*) AS n_triangles
+      |FROM corners
+      |GROUP BY node
+      |ORDER BY n_triangles DESC, node
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_triangles" -> q95_triangles _,
     "q17_bfs_reach" -> q17_bfs_reach _,
     "q18_closure_depths" -> q18_closure_depths _,
     "q19_path_capture" -> q19_path_capture _,
     "q69_pagerank" -> q69_pagerank _)
 
   val oracles: Map[String, String] = Map(
+    "q95_triangles" -> q95_sql,
     "q17_bfs_reach" -> q17_sql,
     "q18_closure_depths" -> q18_sql,
     "q19_path_capture" -> q19_sql,

@@ -28,8 +28,13 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
   *     fingerprint) — the change detection an incremental rebuild runs;
   *   - q92: KMV sketch merge — partial per-language sketches unioned
   *     into script groups, the mergeability that distributes
-  *     approximate distinct counting. (q90 retention lives with the
-  *     other event queries.)
+  *     approximate distinct counting;
+  *   - q93: quantized ANN re-rank — int8 codes scored with the native
+  *     integer dot-product expression (exact, order-independent);
+  *   - q94: Bloom-filter decontamination — q79 with a constant-size
+  *     (4096-bit) broadcast instead of the full benchmark shingle set.
+  *     (q90 retention lives with the other event queries; q95
+  *     triangles with the graph queries.)
   */
 object QualityQueries {
 
@@ -475,6 +480,97 @@ object QualityQueries {
       |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q94 — Bloom-filter decontamination: q79's benchmark-overlap scan
+  // with the benchmark shingle set compressed into a 4096-bit Bloom
+  // filter (3 salted hash positions per shingle). The filter is 64
+  // longs REGARDLESS of benchmark size — the broadcast stays
+  // constant-size where q79's exact set grows with the eval suite —
+  // at the price of deterministic false positives (same bit layout on
+  // any engine, so even the FPs oracle exactly). Per corpus doc:
+  // Bloom-flagged shingles vs total.
+  // -------------------------------------------------------------------
+  private val BloomBits = 4096
+
+  def q94_bloom_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def positions(c: org.apache.spark.sql.Column) = array(
+      Sampling.hash60("b0", c) % BloomBits,
+      Sampling.hash60("b1", c) % BloomBits,
+      Sampling.hash60("b2", c) % BloomBits)
+    val bitset = Dedup.shingleRows(docs.filter(col("doc_id") < 5),
+        "doc_id", "text", 4)
+      .select(explode(positions(col("shingle"))).as("pos")).distinct()
+      .select(expr("pos div 64").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+          .as("bit"))
+      .groupBy(col("word")).agg(bit_or(col("bit")).as("mask"))
+    val corpus = Dedup.shingleRows(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", 4)
+      .select(col("doc"), col("shingle"),
+        posexplode(positions(col("shingle"))).as(Seq("i", "pos")))
+      .select(col("doc"), col("shingle"),
+        expr("pos div 64").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+          .as("bit"))
+    val hits = corpus.join(broadcast(bitset), Seq("word"), "left")
+      .withColumn("set",
+        when(coalesce(col("mask"), lit(0L)).bitwiseAND(col("bit")) =!= 0L,
+          1L).otherwise(0L))
+      .groupBy(col("doc"), col("shingle"))
+      .agg(sum(col("set")).as("n_set"))
+    hits.groupBy(col("doc").as("doc_id"))
+      .agg(sum(when(col("n_set") === 3, 1L).otherwise(0L))
+          .as("n_flagged"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_flagged") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val q94_sql: String = {
+    def pos(salt: String) =
+      s"${hash60Sql(salt, "shingle")} % $BloomBits"
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE trim(text) <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(tk[i:i+3], ' ')
+       |            FOR i IN generate_series(1, len(tk) - 3)]) AS shingle
+       |  FROM t WHERE len(tk) >= 4),
+       |bpos AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT unnest([${pos("b0")}, ${pos("b1")}, ${pos("b2")}])
+       |      AS pos
+       |    FROM sh WHERE doc_id < 5)),
+       |bits AS (
+       |  -- UBIGINT: DuckDB range-checks signed shifts (1::BIGINT << 63
+       |  -- errors); the bit PATTERN matches Spark's signed long
+       |  SELECT pos // 64 AS word,
+       |    bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS mask
+       |  FROM bpos GROUP BY 1),
+       |cpos AS (
+       |  SELECT doc_id, shingle, u.pos
+       |  FROM sh, unnest([${pos("b0")}, ${pos("b1")}, ${pos("b2")}])
+       |       AS u(pos)
+       |  WHERE doc_id >= 5),
+       |probe AS (
+       |  SELECT c.doc_id, c.shingle,
+       |    SUM(CASE WHEN (coalesce(b.mask, CAST(0 AS UBIGINT)) &
+       |      (CAST(1 AS UBIGINT) << CAST(c.pos % 64 AS INT))) <> 0
+       |      THEN 1 ELSE 0 END) AS n_set
+       |  FROM cpos c LEFT JOIN bits b ON c.pos // 64 = b.word
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN n_set = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  COUNT(*) AS n_shingles
+       |FROM probe
+       |GROUP BY doc_id
+       |HAVING SUM(CASE WHEN n_set = 3 THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
@@ -484,7 +580,8 @@ object QualityQueries {
     "q89_kmeans_step" -> q89_kmeans_step _,
     "q91_snapshot_diff" -> q91_snapshot_diff _,
     "q92_kmv_merge" -> q92_kmv_merge _,
-    "q93_quantized_ann" -> q93_quantized_ann _)
+    "q93_quantized_ann" -> q93_quantized_ann _,
+    "q94_bloom_decontam" -> q94_bloom_decontam _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
@@ -495,5 +592,6 @@ object QualityQueries {
     "q89_kmeans_step" -> q89_sql,
     "q91_snapshot_diff" -> q91_sql,
     "q92_kmv_merge" -> q92_sql,
-    "q93_quantized_ann" -> q93_sql)
+    "q93_quantized_ann" -> q93_sql,
+    "q94_bloom_decontam" -> q94_sql)
 }
