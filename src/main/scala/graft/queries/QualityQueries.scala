@@ -494,42 +494,50 @@ object QualityQueries {
 
   def q94_bloom_decontam(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def positions(c: org.apache.spark.sql.Column) = array(
-      Sampling.hash60("b0", c) % BloomBits,
-      Sampling.hash60("b1", c) % BloomBits,
-      Sampling.hash60("b2", c) % BloomBits)
-    val bitset = Dedup.shingleRows(docs.filter(col("doc_id") < 5),
-        "doc_id", "text", 4)
-      .select(explode(positions(col("shingle"))).as("pos")).distinct()
+    // all 3 positions from ONE md5 (disjoint 40-bit substrings), the
+    // hash materialized in its own projection so it computes once per
+    // shingle row — not three salted hashes
+    def withPositions(sh: DataFrame): DataFrame =
+      sh.withColumn("_h", md5(col("shingle")))
+        .withColumn("_positions", array(Seq(1, 11, 21).map(off =>
+          conv(substring(col("_h"), off, 10), 16, 10).cast("long")
+            % BloomBits): _*))
+    val bitset = withPositions(
+        Dedup.shingleRows(docs.filter(col("doc_id") < 5),
+          "doc_id", "text", 4))
+      .select(explode(col("_positions")).as("pos")).distinct()
       .select(expr("pos div 64").as("word"),
         expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
           .as("bit"))
       .groupBy(col("word")).agg(bit_or(col("bit")).as("mask"))
-    val corpus = Dedup.shingleRows(docs.filter(col("doc_id") >= 5),
-        "doc_id", "text", 4)
-      .select(col("doc"), col("shingle"),
-        posexplode(positions(col("shingle"))).as(Seq("i", "pos")))
-      .select(col("doc"), col("shingle"),
-        expr("pos div 64").as("word"),
-        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
-          .as("bit"))
-    val hits = corpus.join(broadcast(bitset), Seq("word"), "left")
-      .withColumn("set",
-        when(coalesce(col("mask"), lit(0L)).bitwiseAND(col("bit")) =!= 0L,
-          1L).otherwise(0L))
-      .groupBy(col("doc"), col("shingle"))
-      .agg(sum(col("set")).as("n_set"))
-    hits.groupBy(col("doc").as("doc_id"))
-      .agg(sum(when(col("n_set") === 3, 1L).otherwise(0L))
-          .as("n_flagged"),
+    // probe WITHOUT exploding: each of the 3 positions becomes a cheap
+    // broadcast join against the 64-row bitset, the flag is the AND of
+    // the three bit tests, and ONE per-doc aggregation remains — no 3×
+    // row blowup, no per-(doc, shingle) re-grouping
+    val probed = (1 to 3).foldLeft(withPositions(
+        Dedup.shingleRows(docs.filter(col("doc_id") >= 5),
+          "doc_id", "text", 4))) { (df, i) =>
+      df.withColumn(s"_w$i", expr(s"element_at(_positions, $i) div 64"))
+        .withColumn(s"_b$i", expr("shiftleft(cast(1 as bigint), " +
+          s"cast(element_at(_positions, $i) % 64 as int))"))
+        .join(broadcast(bitset.select(col("word").as(s"_w$i"),
+          col("mask").as(s"_m$i"))), Seq(s"_w$i"), "left")
+    }
+    val flagged = (1 to 3).map(i =>
+      coalesce(col(s"_m$i"), lit(0L)).bitwiseAND(col(s"_b$i")) =!= 0L)
+      .reduce(_ && _)
+    probed
+      .groupBy(col("doc").as("doc_id"))
+      .agg(sum(when(flagged, 1L).otherwise(0L)).as("n_flagged"),
         count(lit(1)).as("n_shingles"))
       .filter(col("n_flagged") > 0)
       .orderBy(col("doc_id"))
   }
 
   val q94_sql: String = {
-    def pos(salt: String) =
-      s"${hash60Sql(salt, "shingle")} % $BloomBits"
+    def pos(off: Int) =
+      s"CAST(('0x' || substr(md5(shingle), $off, 10)) AS BIGINT) " +
+        s"% $BloomBits"
     s"""WITH t AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
        |  FROM documents WHERE trim(text) <> ''),
@@ -540,7 +548,7 @@ object QualityQueries {
        |  FROM t WHERE len(tk) >= 4),
        |bpos AS (
        |  SELECT DISTINCT pos FROM (
-       |    SELECT unnest([${pos("b0")}, ${pos("b1")}, ${pos("b2")}])
+       |    SELECT unnest([${pos(1)}, ${pos(11)}, ${pos(21)}])
        |      AS pos
        |    FROM sh WHERE doc_id < 5)),
        |bits AS (
@@ -551,7 +559,7 @@ object QualityQueries {
        |  FROM bpos GROUP BY 1),
        |cpos AS (
        |  SELECT doc_id, shingle, u.pos
-       |  FROM sh, unnest([${pos("b0")}, ${pos("b1")}, ${pos("b2")}])
+       |  FROM sh, unnest([${pos(1)}, ${pos(11)}, ${pos(21)}])
        |       AS u(pos)
        |  WHERE doc_id >= 5),
        |probe AS (
