@@ -173,6 +173,9 @@ object GraphQueries {
   // wedge join (e1.b = e2.a) plus the closing-edge join are plain
   // equi-joins — Σ deg² wedge work spread by hash partitioning, no
   // driver-side graph. Per-node membership = explode the 3 corners.
+  // On skewed degree distributions, orient wedges from the lower-
+  // degree endpoint (compact-forward) before the join to bound the
+  // per-key fan-out; this graph's degree is ≤ 3 so id order suffices.
   // ---------------------------------------------------------------------
   def q95_triangles(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).filter(col("p_partkey") >= 2)
