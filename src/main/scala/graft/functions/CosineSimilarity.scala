@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * materializes a zipped array per pair). Numerically identical to
   * dot(a,b)/(sqrt(Σa²)·sqrt(Σb²)) with left-to-right accumulation.
   *
-  * Null if either side is null or lengths differ; NaN propagates like
-  * plain double arithmetic (0-norm inputs divide to NaN).
+  * Null if either side is null, lengths differ, or any element is null
+  * (SQL semantics: a NULL component poisons the accumulation); NaN
+  * propagates like plain double arithmetic (0-norm inputs divide to
+  * NaN).
   */
 @ExpressionDescription(
   usage = "_FUNC_(a, b) - cosine similarity of two array<double> vectors")
@@ -49,6 +51,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xi = x.getDouble(i); val yi = y.getDouble(i)
         dot += xi * yi; na += xi * xi; nb += yi * yi
         i += 1
@@ -73,12 +76,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    final double $xi = $a.getDouble($i);
          |    final double $yi = $b.getDouble($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
-         |    java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+         |      java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

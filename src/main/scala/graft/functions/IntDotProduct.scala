@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * hardware). Exact and order-independent, so results are bit-identical
   * on any engine/partitioning.
   *
-  * Null if either side is null or lengths differ. Values are expected
+  * Null if either side is null, lengths differ, or any element is null
+  * (SQL semantics: x·NULL = NULL poisons the sum). Values are expected
   * int8-range; a 64-dim int8 dot is ≤ 64·127² ≪ Long.MaxValue, so no
   * overflow handling is needed at quantized magnitudes.
   */
@@ -50,6 +51,7 @@ case class IntDotProduct(left: Expression, right: Expression)
       var dot = 0L
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         dot += x.getLong(i) * y.getLong(i)
         i += 1
       }
@@ -69,9 +71,12 @@ case class IntDotProduct(left: Expression, right: Expression)
          |} else {
          |  long $dot = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    $dot += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

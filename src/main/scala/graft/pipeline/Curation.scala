@@ -98,13 +98,18 @@ object Curation {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, fpCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol).as("id"), col(fpCol).as("_fp_old"))
-    val n = newSnap.select(col(idCol).as("id"), col(fpCol).as("_fp_new"))
+    // presence is tracked with explicit marker columns — inferring it
+    // from fingerprint nullness would misclassify rows whose
+    // fingerprint is itself null (e.g. md5 of a null text column)
+    val o = oldSnap.select(col(idCol).as("id"), col(fpCol).as("_fp_old"),
+      lit(1).as("_in_old"))
+    val n = newSnap.select(col(idCol).as("id"), col(fpCol).as("_fp_new"),
+      lit(1).as("_in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
-        when(col("_fp_old").isNull, "added")
-          .when(col("_fp_new").isNull, "removed")
-          .when(col("_fp_old") =!= col("_fp_new"), "changed")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(!(col("_fp_old") <=> col("_fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

@@ -29,6 +29,13 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), lit(":"),
       id.cast("string"))), 1, 15), 16, 10).cast("long")
 
+  /** DuckDB mirror of [[hash60]] — kept NEXT to the Scala formula so
+    * the two sides cannot drift (every oracle that samples/hashes
+    * interpolates this one string). */
+  def hash60Sql(salt: String, idExpr: String): String =
+    s"CAST(('0x' || substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), " +
+      "1, 15)) AS BIGINT)"
+
   /** Keep a row iff hash(salt:id) mod 1e6 < ratePpm(stratum) — per-
     * stratum Bernoulli sampling with deterministic membership. Strata
     * missing from `ratesPpm` use `defaultPpm`. */
@@ -94,13 +101,20 @@ object Sampling {
       case (acc, (stratum, t)) =>
         when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
     }
+    // a zero/null-weight stratum divides to null and least() skips it →
+    // rate 1e6 (keep-all): nothing to down-sample is the right answer
     val totalsWithTarget = df.groupBy(col(stratumCol))
       .agg(sum(col(weightCol)).cast("long").as("_total"))
       .withColumn("_target", target)
       .withColumn("rate_ppm",
         least(lit(1000000L), expr("(_target * 1000000) div _total")))
-      .select(col(stratumCol), col("rate_ppm"))
-    df.join(broadcast(totalsWithTarget), Seq(stratumCol))
+      .select(col(stratumCol).as("_stratum"), col("rate_ppm"))
+    // null-safe join: a null stratum is a stratum (it aggregates to a
+    // null-key group above) — a plain equi-join would silently drop
+    // those rows, unlike sibling stratifiedSample which keeps them
+    df.join(broadcast(totalsWithTarget),
+        col(stratumCol) <=> col("_stratum"))
+      .drop("_stratum")
       .withColumn("kept",
         when(hash60(salt, col(idCol)) % 1000000L < col("rate_ppm"), 1)
           .otherwise(0))

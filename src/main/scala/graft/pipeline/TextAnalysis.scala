@@ -168,9 +168,12 @@ object TextAnalysis {
   def gopherRulesDf(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val sw = array(gopherStopwords.map(lit): _*)
+    // lowercasing never changes whitespace boundaries, so the
+    // lowercase tokens derive from _toks — one regex split per row
     val counted = df
-      .select(col(idCol), tokens(col(textCol)).as("_toks"),
-        tokens(lower(col(textCol))).as("_ltoks"))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        transform(col("_toks"), t => lower(t)).as("_ltoks"))
       .select(col(idCol),
         size(col("_toks")).cast("long").as("_nw"),
         aggregate(col("_toks"), lit(0L), (a, t) => a + length(t))

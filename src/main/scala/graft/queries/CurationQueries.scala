@@ -33,10 +33,8 @@ import graft.pipeline.{Clusters, Dedup, Multimodal, Sampling, TextAnalysis}
   */
 object CurationQueries {
 
-  /** 60-bit md5 prefix hash in SQL — mirror of [[Sampling.hash60]]. */
   private def hash60Sql(salt: String, idExpr: String): String =
-    s"CAST(('0x' || substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), " +
-      "1, 15)) AS BIGINT)"
+    Sampling.hash60Sql(salt, idExpr)
 
   // -------------------------------------------------------------------
   // q57 — deterministic stratified sampling: per-language keep rates,

@@ -38,10 +38,8 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
   */
 object QualityQueries {
 
-  /** 60-bit md5 prefix hash in SQL — mirror of [[Sampling.hash60]]. */
   private def hash60Sql(salt: String, idExpr: String): String =
-    s"CAST(('0x' || substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), " +
-      "1, 15)) AS BIGINT)"
+    Sampling.hash60Sql(salt, idExpr)
 
   // -------------------------------------------------------------------
   // q84 — Gopher rule flags per document. Word-count bounds [50,1e5],
@@ -376,7 +374,6 @@ object QualityQueries {
           .otherwise(floor(lit((KmvK - 1).toDouble) *
             lit(1152921504606846976.0) / col("kth")).cast("long")))
     val exact = toks.select(grpOf(col("lang")).as("grp"), col("tok"))
-      .distinct()
       .groupBy(col("grp")).agg(countDistinct(col("tok")).as("exact_toks"))
     merged.join(exact, Seq("grp"))
       .select(col("grp"), col("kmv_distinct"), col("exact_toks"))

@@ -29,6 +29,12 @@ class CosineSpec extends SparkSpec {
     ).toDF("a", "b")
     val out = df.select(Similarity.cosineFast(col("a"), col("b"))).collect()
     assert(out.forall(_.isNullAt(0)))
+    // null ELEMENT → null result (SQL semantics), not read-as-0.0
+    val nullElem = spark.sql(
+      "SELECT array(1.0d, CAST(NULL AS DOUBLE)) AS a, " +
+        "array(1.0d, 2.0d) AS b")
+      .select(Similarity.cosineFast(col("a"), col("b"))).collect()
+    assert(nullElem(0).isNullAt(0))
   }
 
   test("graft_cosine callable from spark.sql after live registration") {

@@ -100,6 +100,11 @@ class QualitySpec extends SparkSpec {
       (None, Some(Array(1L)))).toDF("a", "b")
     val out = bad.select(Similarity.intDot(col("a"), col("b"))).collect()
     assert(out.forall(_.isNullAt(0)))
+    // a null ELEMENT poisons the product (SQL semantics), not read-as-0
+    val nullElem = spark.sql(
+      "SELECT array(1L, CAST(NULL AS BIGINT)) AS a, array(2L, 3L) AS b")
+      .select(Similarity.intDot(col("a"), col("b"))).collect()
+    assert(nullElem(0).isNullAt(0))
   }
 
   test("graft_int_dot callable from spark.sql after live registration") {
@@ -122,6 +127,15 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
+    // presence comes from markers, not fingerprint nullness: an
+    // old-only id with a NULL fingerprint is still "removed"
+    val oldNull = Seq((1L, Option.empty[String]), (2L, Some("b")))
+      .toDF("id", "fp")
+    val newNull = Seq((2L, Option.empty[String])).toDF("id", "fp")
+    val out2 = graft.pipeline.Curation
+      .snapshotDiff(oldNull, newNull, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 === Map(1L -> "removed", 2L -> "changed"))
   }
 
   test("tokenMixtureSample caps over-budget strata and keeps the rest") {
@@ -146,5 +160,14 @@ class QualitySpec extends SparkSpec {
       .filter(col("kept") === 1).select("id")
       .collect().map(_.getLong(0)).toSet
     assert(k1 === k2)
+    // a NULL stratum is a stratum: rows survive (null-safe join), with
+    // the default target applied to the null-key group
+    val withNull = Seq((1L, Some("big"), 10L), (2L, None, 10L))
+      .toDF("id", "src", "toks")
+    val outN = Sampling.tokenMixtureSample(withNull, "id", "src", "toks",
+      Map.empty, defaultTarget = 1000000L)
+    assert(outN.count() === 2L)
+    assert(outN.filter(col("src").isNull && col("kept") === 1)
+      .count() === 1L)
   }
 }
