@@ -80,6 +80,34 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Weighted priority sampling (Duffield/Lund/Thorup shape): rank
+    * rows within each stratum by `hash60 div weight` ascending — a
+    * row's selection odds scale with its weight, yet membership stays
+    * a pure function of the id hash (no RNG). Integer floor division
+    * keeps the priority engine-portable where the textbook
+    * u^(1/w) float form would not be. Keep the k smallest priorities
+    * per stratum. One window shuffle on the stratum key; the
+    * per-partition top-k (WindowGroupLimit) trims before the shuffle.
+    *
+    * Returns the input plus `priority` and `rank` (1-based by
+    * (priority, id)). Rows with weight ≤ 0 are excluded (they would
+    * divide to infinity — a zero-weight row is definitionally never
+    * sampled). */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+      stratumCol: String, weightCol: String, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"sample size k must be positive ($k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("priority"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("_h", hash60(salt, col(idCol)))
+      .withColumn("priority", expr(s"_h div $weightCol"))
+      .drop("_h")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Token-weighted mixture rebalancing: given a target token budget
     * per stratum (source/domain), derive the per-stratum Bernoulli
     * keep-rate `rate_ppm = min(1e6, target·1e6 div stratum_tokens)`

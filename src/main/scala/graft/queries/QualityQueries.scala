@@ -576,6 +576,32 @@ object QualityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q96 — weighted priority sampling: 10 docs per language, selection
+  // odds proportional to document length (n_chars), membership still a
+  // pure hash function (reproducible, no RNG). Integer priority =
+  // hash60 div weight — the Duffield-style priority sample made
+  // engine-portable by floor division.
+  // -------------------------------------------------------------------
+  def q96_weighted_sample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedPrioritySample(Tables.documents(spark, dir),
+        "doc_id", "lang", "n_chars", k = 10)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+
+  val q96_sql: String =
+    s"""WITH p AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    ${hash60Sql("wsample", "doc_id")} // n_chars AS priority
+       |  FROM documents WHERE n_chars > 0),
+       |r AS (
+       |  SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY priority, doc_id) AS rank
+       |  FROM p)
+       |SELECT lang, rank, doc_id, n_chars FROM r
+       |WHERE rank <= 10
+       |ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
@@ -586,7 +612,8 @@ object QualityQueries {
     "q91_snapshot_diff" -> q91_snapshot_diff _,
     "q92_kmv_merge" -> q92_kmv_merge _,
     "q93_quantized_ann" -> q93_quantized_ann _,
-    "q94_bloom_decontam" -> q94_bloom_decontam _)
+    "q94_bloom_decontam" -> q94_bloom_decontam _,
+    "q96_weighted_sample" -> q96_weighted_sample _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
@@ -598,5 +625,6 @@ object QualityQueries {
     "q91_snapshot_diff" -> q91_sql,
     "q92_kmv_merge" -> q92_sql,
     "q93_quantized_ann" -> q93_sql,
-    "q94_bloom_decontam" -> q94_sql)
+    "q94_bloom_decontam" -> q94_sql,
+    "q96_weighted_sample" -> q96_sql)
 }

@@ -117,6 +117,23 @@ class QualitySpec extends SparkSpec {
     assert(v === 23L)
   }
 
+  test("weightedPrioritySample favors heavy rows and is deterministic") {
+    // weight 1000 vs 1: heavy rows should dominate a k=5 sample
+    val df = (0L until 100L).map { i =>
+      (i, "s", if (i < 10) 1000L else 1L)
+    }.toDF("id", "stratum", "w")
+    val pick = (d: org.apache.spark.sql.DataFrame) =>
+      Sampling.weightedPrioritySample(d, "id", "stratum", "w", 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s1 = pick(df)
+    assert(s1 === pick(df)) // hash-deterministic
+    assert(s1.count(_ < 10L) >= 4) // heavy rows win ~always
+    // zero-weight rows are never sampled
+    val withZero = df.withColumn("w",
+      when(col("id") === 50L, 0L).otherwise(col("w")))
+    assert(!pick(withZero).contains(50L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("id", "fp")
