@@ -602,6 +602,65 @@ object QualityQueries {
        |WHERE rank <= 10
        |ORDER BY lang, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q97 — incremental aggregate maintenance: per-language (n_docs,
+  // total_chars) for the NEW snapshot, computed WITHOUT scanning it —
+  // the old snapshot's aggregate is merged with +/- deltas derived
+  // from the q91 snapshot diff (added: +1/+len; removed: -1/-len;
+  // changed: length delta). The oracle aggregates the new snapshot
+  // directly, so a hash match PROVES the incremental path equals the
+  // full recompute — the property that lets a 100 TB rebuild touch
+  // only changed rows. Delta volume ~ churn, not corpus size.
+  // -------------------------------------------------------------------
+  def q97_incremental_agg(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 20 =!= 0)
+      .withColumn("len", length(col("text")).cast("long"))
+      .withColumn("fp", md5(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 30 =!= 0)
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+          .otherwise(col("text")))
+      .withColumn("len", length(col("text2")).cast("long"))
+      .withColumn("fp", md5(col("text2")))
+    val oldAgg = oldSnap.groupBy(col("lang"))
+      .agg(count(lit(1)).as("c0"), sum(col("len")).as("s0"))
+    // per-id deltas from the diff classification (lang is stable)
+    val diff = graft.pipeline.Curation.snapshotDiff(
+      oldSnap, newSnap, "doc_id", "fp")
+    val deltas = diff.filter(col("status") =!= "unchanged")
+      .join(oldSnap.select(col("doc_id"), col("lang").as("_lo"),
+        col("len").as("_llo")), Seq("doc_id"), "left")
+      .join(newSnap.select(col("doc_id"), col("lang").as("_ln"),
+        col("len").as("_lln")), Seq("doc_id"), "left")
+      .select(coalesce(col("_ln"), col("_lo")).as("lang"),
+        when(col("status") === "added", 1L)
+          .when(col("status") === "removed", -1L)
+          .otherwise(0L).as("dc"),
+        (coalesce(col("_lln"), lit(0L)) - coalesce(col("_llo"), lit(0L)))
+          .as("ds"))
+      .groupBy(col("lang"))
+      .agg(sum(col("dc")).as("dc"), sum(col("ds")).as("ds"))
+    oldAgg.join(deltas, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .as("total_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy(col("lang"))
+  }
+
+  val q97_sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT'
+      |    ELSE text END)) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id % 30 <> 0
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
@@ -613,7 +672,8 @@ object QualityQueries {
     "q92_kmv_merge" -> q92_kmv_merge _,
     "q93_quantized_ann" -> q93_quantized_ann _,
     "q94_bloom_decontam" -> q94_bloom_decontam _,
-    "q96_weighted_sample" -> q96_weighted_sample _)
+    "q96_weighted_sample" -> q96_weighted_sample _,
+    "q97_incremental_agg" -> q97_incremental_agg _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
@@ -626,5 +686,6 @@ object QualityQueries {
     "q92_kmv_merge" -> q92_sql,
     "q93_quantized_ann" -> q93_sql,
     "q94_bloom_decontam" -> q94_sql,
-    "q96_weighted_sample" -> q96_sql)
+    "q96_weighted_sample" -> q96_sql,
+    "q97_incremental_agg" -> q97_sql)
 }
