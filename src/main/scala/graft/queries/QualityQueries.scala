@@ -32,7 +32,12 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
   *   - q93: quantized ANN re-rank — int8 codes scored with the native
   *     integer dot-product expression (exact, order-independent);
   *   - q94: Bloom-filter decontamination — q79 with a constant-size
-  *     (4096-bit) broadcast instead of the full benchmark shingle set.
+  *     (4096-bit) broadcast instead of the full benchmark shingle set;
+  *   - q96: deterministic weighted priority sampling (hash div weight);
+  *   - q97: incremental aggregate maintenance — old agg + diff deltas
+  *     hash-matches the full recompute oracle;
+  *   - q98: mergeable second-moment statistics (variance/covariance/
+  *     correlation sufficient stats as exact integer sums).
   *     (q90 retention lives with the other event queries; q95
   *     triangles with the graph queries.)
   */
@@ -661,6 +666,48 @@ object QualityQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q98 — distributed sufficient statistics (second moments): per
+  // return flag, the exact integer sums (n, Σq, Σq², Σd, Σd², Σqd)
+  // over scaled quantity/discount — everything variance, covariance,
+  // and Pearson correlation derive from. The POINT is mergeability:
+  // each partition's partial moments combine by addition (one map-side
+  // combine + tiny reduce at 100 TB), where a direct corr()/stddev()
+  // would depend on the engine's accumulation algorithm and never
+  // hash-match across engines. Values scale to integers with
+  // floor(x·100 + 0.5) so every sum is exact.
+  // -------------------------------------------------------------------
+  def q98_stat_moments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"),
+        sum(col("d")).as("sum_d"),
+        sum(col("d") * col("d")).as("sum_d2"),
+        sum(col("q") * col("d")).as("sum_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q98_sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+      |  CAST(SUM(d) AS BIGINT) AS sum_d,
+      |  CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+      |  CAST(SUM(q * d) AS BIGINT) AS sum_qd
+      |FROM s
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
@@ -673,7 +720,8 @@ object QualityQueries {
     "q93_quantized_ann" -> q93_quantized_ann _,
     "q94_bloom_decontam" -> q94_bloom_decontam _,
     "q96_weighted_sample" -> q96_weighted_sample _,
-    "q97_incremental_agg" -> q97_incremental_agg _)
+    "q97_incremental_agg" -> q97_incremental_agg _,
+    "q98_stat_moments" -> q98_stat_moments _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
@@ -687,5 +735,6 @@ object QualityQueries {
     "q93_quantized_ann" -> q93_sql,
     "q94_bloom_decontam" -> q94_sql,
     "q96_weighted_sample" -> q96_sql,
-    "q97_incremental_agg" -> q97_sql)
+    "q97_incremental_agg" -> q97_sql,
+    "q98_stat_moments" -> q98_sql)
 }
