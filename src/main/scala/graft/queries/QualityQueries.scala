@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Round-4 coverage: the published-heuristic curation ops a pretraining
   * pipeline layers on top of the scoring/dedup stages — all
@@ -708,6 +708,113 @@ object QualityQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q99 — cross-media frame dedup: the multimodal fan-out (q65's
+  // byte-exact frames, 16-byte granularity) composed with exact dedup —
+  // duplicate frame groups across ALL media, the content-addressable-
+  // storage scan that dedups repeated stills/silence/headers in a
+  // 100 TB media lake. One groupBy on the frame bytes; the typed
+  // flatMap fan-out is the same production plumbing a real decoder
+  // slots into.
+  // -------------------------------------------------------------------
+  def q99_frame_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.frameHex(media, "doc_id", "payload", frameSize = 16,
+        headBytes = 16)
+      .toDF()
+      .groupBy(col("head_hex").as("frame_hex"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("media_id")).as("n_media"))
+      .filter(col("n_frames") > 1)
+      .orderBy(col("frame_hex"))
+  }
+
+  val q99_sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |fr AS (
+      |  SELECT doc_id, substring(hx, u.i * 32 + 1, 32) AS frame_hex
+      |  FROM b, unnest(generate_series(0, CAST((n + 15) // 16 AS BIGINT)
+      |    - 1)) AS u(i))
+      |SELECT frame_hex, COUNT(*) AS n_frames,
+      |       COUNT(DISTINCT doc_id) AS n_media
+      |FROM fr
+      |GROUP BY frame_hex
+      |HAVING COUNT(*) > 1
+      |ORDER BY frame_hex""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q100 — the END-TO-END curation build through the oracle:
+  // Curation.curate chains language ID → quality scoring → the filter
+  // gauntlet → best-quality keeper per prefix fingerprint → split
+  // assignment, and the DuckDB mirror recomputes the whole chain from
+  // its shared SQL fragments. A hash match here certifies the entire
+  // pipeline composition, not just its stages. One corpus scan + one
+  // fingerprint-window shuffle; split/sample decisions row-local.
+  // -------------------------------------------------------------------
+  def q100_curate_e2e(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.curate(Tables.documents(spark, dir),
+        "doc_id", "text", "n_chars")
+      .select(col("doc_id"), col("predicted"), col("q_ppm"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val q100_sql: String = {
+    val hitSql = TextAnalysis.langProfiles.map { case (code, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, x -> x IN ($list))) AS h_$code"
+    }.mkString(",\n|    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, n_chars,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, text, n_chars,
+       |    $hitSql
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |         WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+       |         WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |         WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0
+       |           THEN 'en'
+       |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
+       |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+       |         WHEN h_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS predicted,
+       |${TextAnalysis.qualityScorePpmSql("text", "n_chars")}
+       |  AS q_ppm
+       |  FROM h),
+       |flt AS (
+       |  SELECT doc_id, predicted, q_ppm,
+       |    (trim(text) <> '' AND predicted <> 'und' AND
+       |     q_ppm >= 500000 AND n_chars >= 200) AS ok,
+       |    md5(array_to_string(
+       |      (CASE WHEN trim(text) = '' THEN []
+       |            ELSE regexp_split_to_array(trim(text), '\\s+')
+       |       END)[1:10], ' ')) AS fp
+       |  FROM p),
+       |k AS (
+       |  SELECT doc_id, predicted, q_ppm, ok, ROW_NUMBER() OVER (
+       |    PARTITION BY fp
+       |    ORDER BY (CASE WHEN ok THEN 0 ELSE 1 END), q_ppm DESC,
+       |      doc_id) AS rn
+       |  FROM flt)
+       |SELECT doc_id, predicted, q_ppm,
+       |  CASE WHEN ${hash60Sql("split", "doc_id")} % 100 < 80
+       |         THEN 'train'
+       |       WHEN ${hash60Sql("split", "doc_id")} % 100 < 90
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM k
+       |WHERE ok AND rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
@@ -721,7 +828,9 @@ object QualityQueries {
     "q94_bloom_decontam" -> q94_bloom_decontam _,
     "q96_weighted_sample" -> q96_weighted_sample _,
     "q97_incremental_agg" -> q97_incremental_agg _,
-    "q98_stat_moments" -> q98_stat_moments _)
+    "q98_stat_moments" -> q98_stat_moments _,
+    "q99_frame_dedup" -> q99_frame_dedup _,
+    "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
     "q84_gopher_rules" -> q84_sql,
@@ -736,5 +845,7 @@ object QualityQueries {
     "q94_bloom_decontam" -> q94_sql,
     "q96_weighted_sample" -> q96_sql,
     "q97_incremental_agg" -> q97_sql,
-    "q98_stat_moments" -> q98_sql)
+    "q98_stat_moments" -> q98_sql,
+    "q99_frame_dedup" -> q99_sql,
+    "q100_curate_e2e" -> q100_sql)
 }
