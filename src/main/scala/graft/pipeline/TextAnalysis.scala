@@ -272,6 +272,31 @@ object TextAnalysis {
     langIdFromHits(text, en, es, de, fr)
   }
 
+  /** DuckDB mirror of the per-language stopword hit counts (select-list
+    * fragment producing `h_<code>` columns from a `toks` array column) —
+    * kept NEXT to [[langProfiles]] so the two sides cannot drift; every
+    * oracle that classifies language interpolates this and
+    * [[langIdCaseSql]]. */
+  def langHitsSql(toksCol: String = "toks"): String =
+    langProfiles.map { case (code, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(",")
+      s"len(list_filter($toksCol, x -> x IN ($list))) AS h_$code"
+    }.mkString(",\n|    ")
+
+  /** DuckDB mirror of [[langIdFromHits]]: the script-regex + hit-count
+    * CASE chain, reading `h_<code>` columns from [[langHitsSql]]. */
+  def langIdCaseSql(textCol: String = "text"): String =
+    s"""CASE WHEN regexp_matches($textCol, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN regexp_matches($textCol, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |         WHEN regexp_matches($textCol, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+       |         WHEN regexp_matches($textCol, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |         WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0
+       |           THEN 'en'
+       |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
+       |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+       |         WHEN h_fr > 0 THEN 'fr'
+       |         ELSE 'und' END""".stripMargin
+
   /** Bulk language-ID over a DataFrame: tokens and the four hit counts
     * are each computed exactly once per row (separate projections that
     * Catalyst keeps — non-cheap expressions are not re-inlined), then

@@ -119,31 +119,19 @@ object CurationQueries {
       .orderBy(col("stage"))
   }
 
+  // Language-ID fragments shared with langIdDf (see TextAnalysis).
   val q59_sql: String = {
-    val hitSql = TextAnalysis.langProfiles.map { case (code, ws) =>
-      val list = ws.map(w => s"'$w'").mkString(",")
-      s"len(list_filter(toks, x -> x IN ($list))) AS h_$code"
-    }.mkString(",\n|    ")
     s"""WITH t AS (
        |  SELECT doc_id, text, n_chars,
        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |  FROM documents),
        |h AS (
        |  SELECT doc_id, text, n_chars,
-       |    $hitSql
+       |    ${TextAnalysis.langHitsSql()}
        |  FROM t),
        |p AS (
        |  SELECT doc_id, text, n_chars,
-       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-       |         WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
-       |         WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
-       |         WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
-       |         WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0
-       |           THEN 'en'
-       |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
-       |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
-       |         WHEN h_fr > 0 THEN 'fr'
-       |         ELSE 'und' END AS predicted,
+       |    ${TextAnalysis.langIdCaseSql()} AS predicted,
        |${TextAnalysis.qualityScorePpmSql("text", "n_chars")}
        |  AS q_ppm
        |  FROM h),

@@ -235,36 +235,25 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
 
-  val q27_sql: String = {
-    val hitSql = TextAnalysis.langProfiles.map { case (code, ws) =>
-      val list = ws.map(w => s"'$w'").mkString(",")
-      s"len(list_filter(toks, x -> x IN ($list))) AS h_$code"
-    }.mkString(",\n|    ")
+  // Language-ID fragments shared with langIdDf (TextAnalysis.langHitsSql
+  // / langIdCaseSql — defined next to the Scala formulas so the two
+  // sides cannot drift).
+  val q27_sql: String =
     s"""WITH t AS (
        |  SELECT lang, text,
        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |  FROM documents),
        |h AS (
        |  SELECT lang, text,
-       |    $hitSql
+       |    ${TextAnalysis.langHitsSql()}
        |  FROM t),
        |p AS (
        |  SELECT lang,
-       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-       |         WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
-       |         WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
-       |         WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
-       |         WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0
-       |           THEN 'en'
-       |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
-       |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
-       |         WHEN h_fr > 0 THEN 'fr'
-       |         ELSE 'und' END AS predicted
+       |    ${TextAnalysis.langIdCaseSql()} AS predicted
        |  FROM h)
        |SELECT lang, predicted, COUNT(*) AS n_docs FROM p
        |GROUP BY lang, predicted
        |ORDER BY lang, predicted""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // q28 — composite quality score

@@ -37,7 +37,11 @@ import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   *   - q97: incremental aggregate maintenance — old agg + diff deltas
   *     hash-matches the full recompute oracle;
   *   - q98: mergeable second-moment statistics (variance/covariance/
-  *     correlation sufficient stats as exact integer sums).
+  *     correlation sufficient stats as exact integer sums);
+  *   - q99: cross-media frame dedup (the q65 fan-out composed with
+  *     exact dedup — content-addressable media storage);
+  *   - q100: the end-to-end Curation.curate build certified against a
+  *     single composed oracle.
   *     (q90 retention lives with the other event queries; q95
   *     triangles with the graph queries.)
   */
@@ -631,24 +635,29 @@ object QualityQueries {
       .withColumn("fp", md5(col("text2")))
     val oldAgg = oldSnap.groupBy(col("lang"))
       .agg(count(lit(1)).as("c0"), sum(col("len")).as("s0"))
-    // per-id deltas from the diff classification (lang is stable)
-    val diff = graft.pipeline.Curation.snapshotDiff(
-      oldSnap, newSnap, "doc_id", "fp")
-    val deltas = diff.filter(col("status") =!= "unchanged")
-      .join(oldSnap.select(col("doc_id"), col("lang").as("_lo"),
-        col("len").as("_llo")), Seq("doc_id"), "left")
+    // ONE payload-carrying full outer join computes the diff status AND
+    // the deltas together (q91 exercises the general snapshotDiff op;
+    // re-joining its (id, status) output back to both snapshots would
+    // add two corpus-width shuffles just to recover lang/len)
+    val deltas = oldSnap
+      .select(col("doc_id"), col("lang").as("_lo"),
+        col("len").as("_llo"), col("fp").as("_fo"), lit(1).as("_io"))
       .join(newSnap.select(col("doc_id"), col("lang").as("_ln"),
-        col("len").as("_lln")), Seq("doc_id"), "left")
-      .select(coalesce(col("_ln"), col("_lo")).as("lang"),
-        when(col("status") === "added", 1L)
-          .when(col("status") === "removed", -1L)
+          col("len").as("_lln"), col("fp").as("_fn"), lit(1).as("_in")),
+        Seq("doc_id"), "full_outer")
+      .filter(col("_io").isNull || col("_in").isNull ||
+        !(col("_fo") <=> col("_fn"))) // churn rows only
+      .select(coalesce(col("_ln"), col("_lo")).as("_dl"),
+        when(col("_io").isNull, 1L).when(col("_in").isNull, -1L)
           .otherwise(0L).as("dc"),
         (coalesce(col("_lln"), lit(0L)) - coalesce(col("_llo"), lit(0L)))
           .as("ds"))
-      .groupBy(col("lang"))
+      .groupBy(col("_dl"))
       .agg(sum(col("dc")).as("dc"), sum(col("ds")).as("ds"))
-    oldAgg.join(deltas, Seq("lang"), "full_outer")
-      .select(col("lang"),
+    // null-safe merge: a null lang is a stratum — a plain equi-join
+    // would split its old-agg and delta rows into two outputs
+    oldAgg.join(deltas, col("lang") <=> col("_dl"), "full_outer")
+      .select(coalesce(col("lang"), col("_dl")).as("lang"),
         (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
           .as("n_docs"),
         (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L)))
@@ -761,31 +770,19 @@ object QualityQueries {
       .select(col("doc_id"), col("predicted"), col("q_ppm"), col("split"))
       .orderBy(col("doc_id"))
 
+  // Language-ID fragments shared with langIdDf (see TextAnalysis).
   val q100_sql: String = {
-    val hitSql = TextAnalysis.langProfiles.map { case (code, ws) =>
-      val list = ws.map(w => s"'$w'").mkString(",")
-      s"len(list_filter(toks, x -> x IN ($list))) AS h_$code"
-    }.mkString(",\n|    ")
     s"""WITH t AS (
        |  SELECT doc_id, text, n_chars,
        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |  FROM documents),
        |h AS (
        |  SELECT doc_id, text, n_chars,
-       |    $hitSql
+       |    ${TextAnalysis.langHitsSql()}
        |  FROM t),
        |p AS (
        |  SELECT doc_id, text, n_chars,
-       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-       |         WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
-       |         WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
-       |         WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
-       |         WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0
-       |           THEN 'en'
-       |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
-       |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
-       |         WHEN h_fr > 0 THEN 'fr'
-       |         ELSE 'und' END AS predicted,
+       |    ${TextAnalysis.langIdCaseSql()} AS predicted,
        |${TextAnalysis.qualityScorePpmSql("text", "n_chars")}
        |  AS q_ppm
        |  FROM h),
