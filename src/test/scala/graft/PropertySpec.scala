@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.Gen.Parameters
+import org.scalacheck.rng.Seed
+
+import graft.ops.AsOf
+import graft.pipeline.{Dedup, Similarity}
+
+/** Property-based checks for the operators whose correctness rests on a
+  * non-obvious equivalence: each is compared against a naive reference
+  * implementation (or analytic bound) on generated inputs. Fixed-seed
+  * raw ScalaCheck (no scalatestplus bridge in the offline cache);
+  * datasets stay small so each property runs a handful of Spark jobs,
+  * not hundreds.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed0: Long, n: Int): Seq[A] = {
+    var seed = Seed(seed0)
+    (1 to n).map { _ =>
+      val v = g.pureApply(Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+  }
+
+  test("asofBackward matches the naive per-row maximum-at-or-before") {
+    val leftGen = for {
+      k <- Gen.choose(0, 3); t <- Gen.choose(0L, 50L)
+    } yield (k.toString, t)
+    val rightGen = for {
+      k <- Gen.choose(0, 3); t <- Gen.choose(0L, 50L)
+      p <- Gen.choose(100L, 999L)
+    } yield (k.toString, t, p)
+    val left = sample(leftGen, 7L, 60)
+    val right = sample(rightGen, 11L, 40)
+      // mirror the operator's documented tie rule (max payload per
+      // (key, time)) exactly in the naive model by pre-deduping
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val out = AsOf.asofBackward(
+        left.toDF("key", "time"), right.toDF("key", "time", "payload"),
+        "key", "time", "payload")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sorted
+    val naive = left.map { case (k, t) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      (k, t, if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.sorted
+    assert(out === naive)
+  }
+
+  test("containmentPairs equals brute-force subset check") {
+    val docGen = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+        .map(_.mkString(" ")))
+    val docs = sample(docGen, 13L, 25).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bigrams(t: String): Set[String] =
+      t.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> bigrams(t) }
+    val naive = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib && sa.size < sb.size && sa.subsetOf(sb)
+    } yield (ia, ib)).toSet
+    assert(out === naive)
+  }
+
+  test("quantizeInt8 codes stay in range with bounded reconstruction error") {
+    val vecGen = Gen.listOfN(16,
+      Gen.choose(-1000000, 1000000).map(_ / 1e6f))
+    val vecs = sample(vecGen, 17L, 30).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val rows = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val scale = r.getLong(1) / 1e9
+      val q = r.getSeq[Long](2)
+      assert(q.forall(x => x >= -127 && x <= 127), s"range violated at $id")
+      val orig = vecs.find(_._1 == id).get._2
+      if (scale > 0) {
+        // round-half-up to 127 steps → error ≤ half a step plus the
+        // ppb floor on the published scale
+        val step = scale / 127.0
+        orig.zip(q).foreach { case (v, qi) =>
+          assert(math.abs(v.toDouble - qi * step) <= step / 2 + 1e-6,
+            s"reconstruction error too large at $id")
+        }
+      } else assert(q.forall(_ == 0L))
+    }
+  }
+}
