@@ -134,6 +134,26 @@ class QualitySpec extends SparkSpec {
     assert(!pick(withZero).contains(50L))
   }
 
+  test("round-4 ops degrade gracefully on empty and degenerate input") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.gopherRulesDf(empty, "doc_id", "text")
+      .count() === 0L)
+    assert(TextAnalysis.cdcChunks(empty, "doc_id", "text").count() === 0L)
+    assert(Dedup.containmentPairs(empty, "doc_id", "text").count() === 0L)
+    // a single doc can never be contained in another
+    val one = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(one, "doc_id", "text").count() === 0L)
+    // empty-text doc: zero words fail every count-based gopher rule
+    val blank = TextAnalysis.gopherRulesDf(
+      Seq((1L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(blank.getAs[Int]("pass") === 0)
+    // cdcChunks drops empty docs entirely (no zero-word chunk rows)
+    assert(TextAnalysis.cdcChunks(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .count() === 0L)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("id", "fp")
