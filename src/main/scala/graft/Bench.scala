@@ -18,24 +18,36 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Each query runs twice: cold (first plan + codegen + scan) and warm
+    // (plan/codegen JIT'd, OS page cache hot). Warm is the number to
+    // compare against BASELINE.md's steady-state gates; cold absorbs
+    // per-query JVM warm-up that would otherwise be misattributed.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      case (name, fn) => (name, time(fn), time(fn))
+    }
     // The harness that collects this line keeps only the tail of the
-    // process output; the JSON must stay well under 2000 chars or its
+    // process output; the JSON must stay compact (~2k chars) or its
     // head is truncated and it no longer parses. Short keys ("q01" for
-    // "q01_pruned_agg") and millisecond precision keep 83 queries at
-    // ~1.2k chars.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    // "q01_pruned_agg") and 2-decimal [cold, warm] pairs keep ~100
+    // queries under that budget.
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"bench JSON key collision after prefix-truncation: " +
+        shortKeys.diff(shortKeys.distinct).mkString(","))
+    val qs = results.zip(shortKeys).map { case ((_, cold, warm), k) =>
+      "\"" + k + "\":[" + fmt(cold, 2) + "," + fmt(warm, 2) + "]"
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._2).sum
+    val warmTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

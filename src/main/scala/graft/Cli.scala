@@ -87,6 +87,11 @@ object Cli {
       case "integrity" => Some(cg.integrityChecks())
       case "source" =>
         Some(cg.sourceLocation(rest.head))
+      case "mcp" =>
+        new graft.mcp.McpServer(store.nodes, store.edges).run(
+          new java.io.BufferedReader(
+            new java.io.InputStreamReader(System.in)), System.out)
+        None
       case other =>
         println(s"unknown command: $other\n$usage")
         None
@@ -104,5 +109,6 @@ object Cli {
       |  impact <function> [depth]      downstream impact (CALLS<=depth)
       |  callers <name> | callees <name>
       |  stats | doc-stats | integrity
-      |  source <function>              source span metadata""".stripMargin
+      |  source <function>              source span metadata
+      |  mcp                            serve MCP JSON-RPC on stdin/stdout""".stripMargin
 }

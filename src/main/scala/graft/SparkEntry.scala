@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.QualityQueries.queries
+      graft.queries.QualityQueries.queries ++
+      graft.queries.ApiQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.ExtendedQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
-      graft.queries.QualityQueries.oracles
+      graft.queries.QualityQueries.oracles ++
+      graft.queries.ApiQueries.oracles
 }

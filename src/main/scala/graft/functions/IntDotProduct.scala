@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * overflow handling is needed at quantized magnitudes.
   */
 @ExpressionDescription(
-  usage = "_FUNC_(a, b) - integer dot product of two array<bigint> vectors")
+  usage = "_FUNC_(a, b) - integer dot product of two array<bigint> " +
+    "vectors. Intended for int8-quantized embeddings: the multiply-" +
+    "accumulate is plain 64-bit arithmetic with NO overflow check, so " +
+    "elements must stay small enough that sum(|a_i*b_i|) < 2^63 " +
+    "(any length at int8 magnitudes; ~2^23 elements at int16). " +
+    "Larger inputs wrap silently.")
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -1,6 +1,7 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality in INTEGER arithmetic — rank functions/services by
@@ -28,7 +29,13 @@ object Centrality {
     * (id, rank_ppm).
     *
     * Scale shape: one join per iteration keyed on the edge endpoint
-    * (partial-aggregated), outdeg computed once and broadcast-joined.
+    * (partial-aggregated). `outdeg` is static across iterations, so it
+    * is folded into the edge table ONCE before the loop — and that join
+    * is NOT hint-broadcast (`deg` has one row per non-dangling node; at
+    * 10⁹ nodes a forced broadcast ships GBs to every executor). It is a
+    * plain shuffle join keyed on `src`, co-partitioned with the edge
+    * table, and AQE still broadcasts at runtime when it measures small.
+    * Each iteration then performs exactly ONE join: rank ⋈ edges.
     * Unlike the traversal loops (whose frontier feeds TWO consumers and
     * must materialize per level), each rank is consumed exactly once by
     * the next iteration — so iterations chain LAZILY into one job, and
@@ -41,13 +48,19 @@ object Centrality {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(eager = true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // outdeg is iteration-invariant: fold it into the edges once, so the
+    // loop body is a single join per iteration instead of two. The
+    // checkpoint is taken AFTER a repartition on `src` (LogicalRDD keeps
+    // the child's output partitioning), so every iteration's rank join
+    // reuses this layout and only the rank side moves.
+    val eDeg = e.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(eager = true)
     var rank = nodes.withColumn("rank_ppm", lit(1000000L))
     for (i <- 1 to iters) {
-      val contrib = e
-        .join(broadcast(deg), Seq("src"))
+      val contrib = eDeg
         .join(rank.select(col("id").as("src"), col("rank_ppm")), Seq("src"))
         .select(col("dst").as("id"),
           expr("rank_ppm div outdeg").as("c"))
@@ -59,6 +72,44 @@ object Centrality {
       if (i % 8 == 0) rank = rank.localCheckpoint(eager = true)
     }
     rank
+  }
+
+  /** The vertex-parallel engine for the same recurrence: GraphX
+    * aggregateMessages per synchronized iteration (bit-identical to
+    * [[pageRankInteger]] — integer arithmetic has no accumulation-order
+    * drift; equality is spec-tested). This is the engine q69 runs on:
+    * the graph is partitioned ONCE and iterations exchange only
+    * messages, where the DataFrame loop pays two shuffles per
+    * iteration. An explicit loop (not `Pregel`) because Pregel's
+    * active-set semantics skip vprog on vertices that received no
+    * message, which would freeze a source-only node at its initial rank
+    * instead of decaying it to the 150 000 ppm base.
+    */
+  def pageRankIntegerGraphX(spark: SparkSession, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters ($iters) out of the sane unrolled range")
+    import spark.implicits._
+    val eRdd = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    // Graph.fromEdges keeps parallel edges — a multigraph contributes
+    // once per edge, matching the DataFrame engine and the SQL mirror.
+    val base = Graph.fromEdges(eRdd, ())
+    // vertex attr = (rank_ppm, outdeg); dangling nodes keep outdeg 0 and
+    // never send (aggregateMessages walks edges, so no div-by-zero).
+    var g = base.outerJoinVertices(base.outDegrees)(
+      (_, _, d) => (1000000L, d.getOrElse(0))).cache()
+    for (i <- 1 to iters) {
+      val msgs = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
+        _ + _)
+      g = g.outerJoinVertices(msgs)((_, attr, s) =>
+        (150000L + (850000L * s.getOrElse(0L)) / 1000000L, attr._2))
+      if (i % 8 == 0) g.cache()
+    }
+    g.vertices.map { case (vid, (rank, _)) => (vid, rank) }
+      .toDF("id", "rank_ppm")
   }
 
   /** The SQL mirror: the same iterations unrolled as chained CTEs.

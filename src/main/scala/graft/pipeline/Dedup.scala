@@ -159,9 +159,16 @@ object Dedup {
     * adaptive entry point materialize the explode exactly once. */
   def jaccardPairsBitmaskFromRows(sh: DataFrame,
       threshold: Double): DataFrame = {
-    val vocab = sh.select(col("shingle")).distinct()
-      .withColumn("bit", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))) - 1)
+    // The vocabulary is ≤ 62 entries here (the adaptive dispatch guard),
+    // so the dictionary is built on the DRIVER — an O(62) collect of an
+    // already-aggregated distinct — instead of a global ordinal window
+    // (which would be a single-partition sort of the whole shingle set,
+    // the exact degenerate-window shape this module bans).
+    val spark = sh.sparkSession
+    val vocabArr = sh.select(col("shingle")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val vocab = spark.createDataFrame(vocabArr.zipWithIndex.toSeq)
+      .toDF("shingle", "bit")
     val masks = sh.join(broadcast(vocab), Seq("shingle"))
       .groupBy(col("doc"))
       .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"),

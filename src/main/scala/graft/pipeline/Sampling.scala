@@ -97,13 +97,23 @@ object Sampling {
       stratumCol: String, weightCol: String, k: Int,
       salt: String = "wsample"): DataFrame = {
     require(k > 0, s"sample size k must be positive ($k)")
+    // `priority`/`rank` are documented OUTPUT columns — refuse rather
+    // than silently overwrite same-named input columns
+    require(!df.columns.contains("priority") && !df.columns.contains("rank"),
+      "input already has a priority/rank column; rename it first")
+    // collision-safe temp name + backtick-quoted identifiers, so column
+    // names needing quoting can't break the integer-div expression
+    val tmpH = Iterator.from(0).map(i => s"_h$i")
+      .find(c => !df.columns.contains(c)).get
+    def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(col("priority"), col(idCol))
     df.filter(col(weightCol) > 0)
-      .withColumn("_h", hash60(salt, col(idCol)))
-      .withColumn("priority", expr(s"_h div $weightCol"))
-      .drop("_h")
+      .withColumn(tmpH, hash60(salt, col(idCol)))
+      .withColumn("priority",
+        expr(s"${quoted(tmpH)} div ${quoted(weightCol)}"))
+      .drop(tmpH)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -154,7 +154,8 @@ object GraphQueries {
       |  WHERE p_partkey <> (p_partkey * p_partkey) % 1000""".stripMargin
 
   def q69_pagerank(spark: SparkSession, dir: String): DataFrame =
-    graft.graph.Centrality.pageRankInteger(prEdges(spark, dir), PrIters)
+    graft.graph.Centrality
+      .pageRankIntegerGraphX(spark, prEdges(spark, dir), PrIters)
       .orderBy(col("rank_ppm").desc, col("id"))
       .limit(50)
 

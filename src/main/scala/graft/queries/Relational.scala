@@ -494,17 +494,37 @@ object Relational {
        |ORDER BY status, priority""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q36 — HLL approximate distinct (bonus; rows-only — sketch
-  // implementations differ across engines by design).
+  // q36 — HLL approximate distinct with a TOLERANCE oracle. HLL sketches
+  // are not bit-portable across engines, so instead of comparing the raw
+  // estimate we gate on the property the sketch guarantees: each engine
+  // runs its OWN approx_count_distinct next to the exact count and emits
+  // `approx_ok = |approx − exact| / exact ≤ 0.10` (5× the requested 2 %
+  // rsd — comfortable headroom for both Spark's and DuckDB's HLL
+  // parameterizations). The hash-compared output (flag, exact count,
+  // boolean) is deterministic on both sides.
   // ---------------------------------------------------------------------
   def q36_approx_distinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02)
-        .as("approx_parts"),
+        .as("_approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("_approx") - col("exact_parts")).cast("double") /
+          greatest(col("exact_parts"), lit(1L)) <= lit(0.10))
+          .as("approx_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+  val q36_sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  (CAST(ABS(approx_count_distinct(l_partkey)
+      |            - COUNT(DISTINCT l_partkey)) AS DOUBLE)
+      |   / GREATEST(COUNT(DISTINCT l_partkey), 1)) <= 0.10 AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** All queries + oracles in this module. */
   // -------------------------------------------------------------------
@@ -594,18 +614,65 @@ object Relational {
       |ORDER BY nationkey""".stripMargin
 
   // -------------------------------------------------------------------
-  // q76 — decile binning via ntile: orders bucketed into 10 equal-rank
-  // price bins with per-bin bounds and mass — the quantile-binning op
-  // feature pipelines use for discretization. ntile's bucket formula
-  // is integer rank arithmetic, identical across engines.
+  // q76 — decile binning (ntile semantics) via a DISTRIBUTED CDF. A
+  // naive `ntile(10) OVER (ORDER BY price)` moves the whole fact table
+  // to ONE partition; instead we aggregate a price histogram (one
+  // linear shuffle), build the cumulative distribution with a
+  // triangular join over a tiny coarse-bucket table plus a PARTITIONED
+  // within-bucket window (partition size is bounded by the price range
+  // of a bucket — at most ~102k distinct cent values — independent of
+  // row count), and assign deciles by a broadcast range join against
+  // the 10-row boundary table. No global sort anywhere; identical to
+  // ntile because the decile aggregate (count, lo, hi) depends only on
+  // which GLOBAL RANK RANGE each distinct price value straddles —
+  // the o_orderkey tie-break shuffles rows of EQUAL price between
+  // adjacent deciles, which cannot change min/max price or the fixed
+  // ntile bucket sizes.
   // -------------------------------------------------------------------
   def q76_ntile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("decile", ntile(10).over(w))
+    // (price, cnt) histogram — linear, one shuffle. Checkpointed because
+    // THREE consumers derive from it (bucket totals, the total count,
+    // the CDF join): without it each one re-scans the fact table, and at
+    // 100 TB the scan is the dominant cost. Post-aggregation the row
+    // count is bounded by the price-value range, not the data volume.
+    val perPrice = Tables.orders(spark, dir)
+      .select(col("o_totalprice"))
+      .groupBy(col("o_totalprice")).agg(count(lit(1)).as("cnt"))
+      .withColumn("grp", floor(col("o_totalprice") / lit(1024.0)))
+      .localCheckpoint(eager = true)
+    // Coarse bucket totals: tiny (price range / 1024 rows) regardless
+    // of data scale. Cumulative count BEFORE each bucket comes from a
+    // triangular self-join on this tiny table — no unpartitioned window.
+    val grpTot = perPrice.groupBy(col("grp")).agg(sum(col("cnt")).as("gcnt"))
+    val grpBefore = grpTot.as("g")
+      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
+      .groupBy(col("g.grp").as("grp"))
+      .agg(coalesce(sum(col("h.gcnt")), lit(0L)).as("before"))
+    // ntile(10) bucket boundaries — first (n mod 10) buckets get one
+    // extra row — derived LAZILY from the 1-row total (no driver
+    // round-trip, no action before the final one).
+    val total = grpTot.agg(coalesce(sum(col("gcnt")), lit(0L)).as("n"))
+    val decDf = spark.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(total))
+      .select(col("decile").cast("int").as("decile"),
+        (expr("n div 10") +
+          when(col("decile") <= col("n") % 10, 1L).otherwise(0L)).as("sz"),
+        ((col("decile") - 1) * expr("n div 10") +
+          least(col("decile") - 1, col("n") % 10) + 1).as("rank_start"))
+      .withColumn("rank_end", col("rank_start") + col("sz") - 1)
+      .filter(col("sz") > 0)
+    // Global rank range occupied by each distinct price: bucket offset
+    // + within-bucket running count. The window IS partitioned, and each
+    // partition is bounded by the coarse bucket's value range (≤ ~102k
+    // cent values), independent of row count.
+    val wg = Window.partitionBy(col("grp")).orderBy(col("o_totalprice"))
+    val cdf = perPrice.join(broadcast(grpBefore), Seq("grp"))
+      .withColumn("cum", col("before") + sum(col("cnt")).over(wg))
+      .withColumn("lo_rank", col("cum") - col("cnt") + 1)
+    cdf.join(broadcast(decDf),
+        col("lo_rank") <= col("rank_end") && col("cum") >= col("rank_start"))
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_orders"),
+      .agg(min(col("sz")).as("n_orders"),
         min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"))
       .orderBy(col("decile"))
@@ -668,5 +735,6 @@ object Relational {
     "q15_merge_latest" -> q15_sql,
     "q16_isin_not" -> q16_sql,
     "q34_completion" -> q34_sql,
-    "q35_rollup" -> q35_sql)
+    "q35_rollup" -> q35_sql,
+    "q36_approx_distinct" -> q36_sql)
 }

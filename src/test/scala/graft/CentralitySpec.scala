@@ -35,6 +35,18 @@ class CentralitySpec extends SparkSpec {
     assert(got(1L) > got(5L))
   }
 
+  test("GraphX engine equals the DataFrame engine exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 4L),
+      (1L, 6L), (4L, 1L)) ++ (1L to 200L).map(i => (i, i * i % 97))
+        .filter { case (a, b) => a != b }
+    val df = Centrality.pageRankInteger(edges.toDF("src", "dst"), 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = Centrality.pageRankIntegerGraphX(spark,
+        edges.toDF("src", "dst"), 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gx === df)
+  }
+
   test("pageRankInteger is deterministic across partitionings") {
     val edges = (1L to 200L).map(i => (i, i * i % 97))
       .filter { case (a, b) => a != b }

@@ -10,12 +10,11 @@ class GateSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("queries and oracles are key-aligned (q36 rows-only by design)") {
+  test("queries and oracles are key-aligned (every query oracled)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
-    assert((q -- o) === Set("q36_approx_distinct"),
-      s"queries missing an oracle: ${q -- o - "q36_approx_distinct"}")
+    assert((q -- o).isEmpty, s"queries missing an oracle: ${q -- o}")
   }
 
   test("every gate query executes at sf0.001 with clean column names") {
