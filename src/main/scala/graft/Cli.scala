@@ -51,10 +51,14 @@ object Cli {
         None
       case "ingest-scip" =>
         val (path, service) = (rest(0), rest(1))
-        import spark.implicits._
-        val index = spark.read.option("multiLine", "true").json(path)
-          .as[ScipIngest.ScipIndex].collect()(0)
-        ScipIngest.ingest(store, spark, index, service)
+        if (path.endsWith(".scip")) // real protobuf index
+          ScipIngest.ingestScipFile(store, spark, path, service)
+        else { // JSON rendering of scip.Index
+          import spark.implicits._
+          val index = spark.read.option("multiLine", "true").json(path)
+            .as[ScipIngest.ScipIndex].collect()(0)
+          ScipIngest.ingest(store, spark, index, service)
+        }
         println(s"ingested SCIP index $path for service $service")
         None
       case "search" =>

@@ -213,6 +213,37 @@ object Traversals {
     */
   def pathsGraphX(spark: SparkSession, edges: DataFrame,
       seedIds: Seq[Long], maxHops: Int): DataFrame = {
+    val seeds = seedIds.toSet
+    pathsGraphXInit(spark, edges, maxHops,
+      g => g.mapVertices { (vid, _) =>
+        val self: PathSet = if (seeds.contains(vid)) Set(Vector(vid))
+          else Set.empty
+        (Set.empty: PathSet, self)
+      })
+  }
+
+  /** DataFrame-seed variant of [[pathsGraphX]]: seed membership joins
+    * into the vertex init (nothing collected to the driver), for
+    * unbounded seed sets. */
+  def pathsGraphX(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val seedRdd = seeds.select(col(seeds.columns.head).cast("long"))
+      .as[Long].rdd.map(id => (id, ()))
+    pathsGraphXInit(spark, edges, maxHops,
+      g => g.outerJoinVertices(seedRdd) { (vid, _, s) =>
+        val self: PathSet = if (s.isDefined) Set(Vector(vid))
+          else Set.empty
+        (Set.empty: PathSet, self)
+      })
+  }
+
+  private type PathSet = Set[Vector[Long]]
+
+  private def pathsGraphXInit(spark: SparkSession, edges: DataFrame,
+      maxHops: Int,
+      seedInit: Graph[Unit, Unit] => Graph[(PathSet, PathSet), Unit])
+      : DataFrame = {
     require(maxHops <= 15,
       s"pathsGraphX holds all simple paths in vertex memory; maxHops " +
         s"($maxHops) above the reference's 15-hop cap risks " +
@@ -221,15 +252,10 @@ object Traversals {
     val edgeRdd = edges.select(col("src"), col("dst")).as[(Long, Long)]
       .rdd.map { case (s, d) => Edge(s, d, ()) }
     val graph = Graph.fromEdges(edgeRdd, ())
-    val seeds = seedIds.toSet
-    type Paths = Set[Vector[Long]]
+    type Paths = PathSet
     // accumulated = paths already emitted at this vertex;
     // frontier = paths that arrived last superstep (still extending)
-    val init = graph.mapVertices { (vid, _) =>
-      val self: Paths = if (seeds.contains(vid)) Set(Vector(vid))
-        else Set.empty
-      (Set.empty: Paths, self)
-    }
+    val init = seedInit(graph)
     val result = Pregel(init, Set.empty: Paths, maxHops,
       EdgeDirection.Out)(
       // the initial (empty) message must NOT flush the seed frontier;
@@ -258,20 +284,48 @@ object Traversals {
   /** GraphX Pregel min-depth reachability — the vertex-parallel engine for
     * dense call graphs where the DataFrame frontier grows large. Returns
     * (id, depth) like [[reachable]].
+    *
+    * Seed-set shapes: the `Seq[Long]` overload matches the reference's
+    * point-seed semantics (impact analysis starts from one user-selected
+    * function) and ships the set in the task closure; the `DataFrame`
+    * overload joins seeds into the vertex init (RDD join, nothing
+    * collected to the driver) for unbounded seed sets — e.g. "impact of
+    * every function in this service" at 100 TB.
     */
   def reachableGraphX(spark: SparkSession, edges: DataFrame,
       seedIds: Seq[Long], maxHops: Int): DataFrame = {
+    val seeds = seedIds.toSet
+    reachableGraphXInit(spark, edges, maxHops,
+      g => g.mapVertices((vid, _) =>
+        if (seeds.contains(vid)) (0, Int.MaxValue)
+        else (Int.MaxValue, Int.MaxValue)))
+  }
+
+  /** DataFrame-seed variant: `seeds` is a single-column frame of vertex
+    * ids; membership arrives at each vertex via `outerJoinVertices`. */
+  def reachableGraphX(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val seedRdd = seeds.select(col(seeds.columns.head).cast("long"))
+      .as[Long].rdd.map(id => (id, ()))
+    reachableGraphXInit(spark, edges, maxHops,
+      g => g.outerJoinVertices(seedRdd)((_, _, s) =>
+        if (s.isDefined) (0, Int.MaxValue)
+        else (Int.MaxValue, Int.MaxValue)))
+  }
+
+  private def reachableGraphXInit(spark: SparkSession, edges: DataFrame,
+      maxHops: Int,
+      seedInit: Graph[Unit, Unit] => Graph[(Int, Int), Unit]): DataFrame = {
     import spark.implicits._
     val edgeRdd = edges.select(col("src"), col("dst")).as[(Long, Long)]
       .rdd.map { case (s, d) => Edge(s, d, ()) }
     val graph = Graph.fromEdges(edgeRdd, ())
-    val seeds = seedIds.toSet
     val Inf = Int.MaxValue
     // attr = (propagation depth, reported discovery depth): a seed
     // propagates at 0 but its own discovery via a cycle is tracked in the
     // report slot, matching [[reachable]].
-    val init = graph.mapVertices((vid, _) =>
-      if (seeds.contains(vid)) (0, Inf) else (Inf, Inf))
+    val init = seedInit(graph)
     val result = Pregel(init, Inf, maxHops, EdgeDirection.Out)(
       vprog = (_, attr: (Int, Int), msg: Int) =>
         (math.min(attr._1, msg), math.min(attr._2, msg)),

@@ -8,10 +8,10 @@ import graft.store.GraphStore
 
 /** SCIP-occurrence ingest frontend — the Spark-native re-expression of the
   * reference's SCIP indexer (`pkg/indexer/static/scip_parser.go`,
-  * `scip_indexer.go`). Input is the JSON rendering of a `scip.Index`
-  * (documents[] with occurrences, externalSymbols[]); the protobuf decode
-  * itself would be a `binaryFile` + `mapPartitions` stage (SURVEY S11) and
-  * is orthogonal to the graph build.
+  * `scip_indexer.go`). Input is a `scip.Index` — either real protobuf
+  * `.scip` bytes (decoded by [[ScipProto]]; distributed boundary in
+  * [[occurrencesFromBinary]], SURVEY S11) or its JSON rendering
+  * (documents[] with occurrences, externalSymbols[]).
   *
   * The reference's two sequential passes with one Bolt MERGE per entity
   * (`scip_indexer.go:174-229`) collapse into two DataFrame MERGE writes.
@@ -92,6 +92,41 @@ object ScipIngest {
     val lines = content.split("\n", -1)
     val before = lines.take(line).map(_.length + 1).sum
     before + math.min(col, lines.lift(line).map(_.length).getOrElse(0))
+  }
+
+  /** S11 — distributed decode boundary for real `.scip` protobuf files:
+    * binaryFile scan → per-partition [[ScipProto.decodeIndex]] → one
+    * occurrence row per (file, occurrence), same schema as
+    * [[occurrences]]. For multi-index directories this is the shape
+    * that scales: bytes never leave the executor that read them. */
+  def occurrencesFromBinary(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Sources.binaryFiles(spark, glob)
+      .select(col("content")).as[Array[Byte]]
+      .mapPartitions(_.flatMap { bytes =>
+        val index = ScipProto.decodeIndex(bytes)
+        index.documents.iterator.flatMap { d =>
+          d.occurrences.iterator.map { o =>
+            val (sl, sc, el, ec) = decodeRange(o.range)
+            (d.relativePath, o.symbol, sl, sc, el, ec,
+              (o.symbolRoles & 1) == 1)
+          }
+        }
+      })
+      .toDF("filePath", "symbol", "startLine", "startColumn", "endLine",
+        "endColumn", "isDefinition")
+  }
+
+  /** Decode one binary `.scip` file and run the standard two-pass graph
+    * build — the protobuf twin of the JSON entry point (the reference's
+    * `ParseFile`, `scip_parser.go:25-38`, feeding its indexer). */
+  def ingestScipFile(store: GraphStore, spark: SparkSession, path: String,
+      serviceName: String,
+      fileContents: Map[String, String] = Map.empty): Unit = {
+    val bytes = graft.sources.Sources.binaryFiles(spark, path)
+      .select(col("content")).collect()(0).getAs[Array[Byte]](0)
+    ingest(store, spark, ScipProto.decodeIndex(bytes), serviceName,
+      fileContents)
   }
 
   /** Flatten an index into one occurrence row per (file, occurrence). */

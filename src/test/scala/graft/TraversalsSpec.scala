@@ -99,4 +99,24 @@ class TraversalsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(df === gx)
   }
+
+  test("DataFrame-seed overloads equal the collected-seed variants") {
+    // multi-seed set, including a seed that is absent from the graph
+    // (vanishes in both variants) and one mid-cycle
+    val seedSeq = Seq(1L, 5L, 99L)
+    val seedDf = seedSeq.toDF("id")
+    val rSeq = Traversals.reachableGraphX(spark, edges, seedSeq, 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rDf = Traversals.reachableGraphX(spark, edges, seedDf, 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rDf === rSeq)
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[List[Long]] =
+      rows.map(r => r.getSeq[Long](r.fieldIndex("path")).toList).toSet
+    val pSeq = canon(Traversals.pathsGraphX(spark, edges, seedSeq, 10)
+      .collect())
+    val pDf = canon(Traversals.pathsGraphX(spark, edges, seedDf, 10)
+      .collect())
+    assert(pDf === pSeq)
+    assert(rDf.nonEmpty && pDf.nonEmpty)
+  }
 }
