@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all executor threads in ONE JVM on a
+  // 128 GiB box: 8g thrashes GC once ~100 queries' shuffle/broadcast/
+  // checkpoint blocks accumulate in a single session (measured 141 s →
+  // 82 s on the full bench). 32g leaves ample headroom for the OS cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

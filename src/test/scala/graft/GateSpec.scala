@@ -39,4 +39,19 @@ class GateSpec extends SparkSpec {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bench JSON line stays within the tail-truncation budget") {
+    // worst-ish case: every query at >10s cold and warm
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .map(name => (name, 88.88, 77.77))
+    val line = Bench.renderJson(results, "/root/testdata/sf0.1")
+    assert(line.length < 2000, s"bench JSON ${line.length} chars")
+    // the line must parse as JSON with one [cold,warm] pair per query
+    import org.json4s._
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val JObject(qs) = (parsed \ "queries"): @unchecked
+    assert(qs.size === results.size)
+    assert(qs.forall { case (_, JArray(vs)) => vs.size == 2
+      case _ => false })
+  }
 }
