@@ -49,6 +49,26 @@ object Cli {
         DocumentPipeline.ingest(store, Sources.documentFiles(spark, glob))
         println(s"ingested documents from $glob")
         None
+      case "ingest-go" => // reference `index project` (main.go:237-276)
+        val (glob, service) = (rest(0), rest(1))
+        graft.ingest.GoFrontend.ingest(store,
+          Sources.sourceFiles(spark, glob), service)
+        println(s"indexed Go sources $glob as service $service")
+        None
+      case "status" => // reference `status` (main.go:97-129)
+        val n = store.nodes.count(); val e = store.edges.count()
+        println(s"Store Status: ok")
+        println(s"Path: $storeDir")
+        println(s"Nodes: $n")
+        println(s"Edges: $e")
+        None
+      case "schema" => // reference `schema info` (main.go:186-229): the
+        // constraint surface here is the merge-key map (deterministic
+        // ids make uniqueness structural, not enforced post-hoc)
+        import spark.implicits._
+        Some(graft.model.Model.MergeKeys.toSeq.sortBy(_._1)
+          .map { case (label, keys) => (label, keys.mkString(",")) }
+          .toDF("label", "mergeKeys"))
       case "ingest-scip" =>
         val (path, service) = (rest(0), rest(1))
         if (path.endsWith(".scip")) // real protobuf index
@@ -105,7 +125,9 @@ object Cli {
   val usage: String =
     """usage: Cli <storeDir> <command> [args...]
       |  ingest-docs <glob>             index markdown/text documents
-      |  ingest-scip <json> <service>   index a SCIP occurrence dump
+      |  ingest-go <glob> <service>     index Go sources (AST frontend)
+      |  ingest-scip <path> <service>   index a SCIP index (.scip or JSON)
+      |  status | schema                store counts / merge-key constraints
       |  search <term> [limit]          ranked multi-field search
       |  def <symbol>                   go to definition
       |  refs <symbol>                  find references

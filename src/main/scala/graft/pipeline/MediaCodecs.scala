@@ -1,0 +1,236 @@
+package graft.pipeline
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real decoders for the codec-FREE media containers — PCM WAV (RIFF)
+  * and uncompressed 24-bit BMP — in pure JVM byte arithmetic, so the
+  * multimodal layer genuinely decodes where no codec library is needed.
+  * Compressed formats (JPEG, H.264, …) still fall back to the declared
+  * stub ([[Multimodal.decodeStub]]); this container has no codecs, and
+  * an honest stub beats a fake decoder.
+  *
+  * Everything here is a pure function of the byte array — executor-safe
+  * inside `mapPartitions`, deterministic on any partitioning.
+  */
+object MediaCodecs {
+
+  // ------------------------------------------------------------- WAV
+  /** PCM WAV metadata: fmt-chunk fields + frame count. */
+  case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Int)
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decode 16-bit PCM WAV: walk RIFF chunks (skipping unknown ones —
+    * LIST/INFO etc.), read `fmt ` and `data`. Returns meta + interleaved
+    * samples, or None when not PCM-16 or structurally invalid. */
+  def decodeWav(bytes: Array[Byte]): Option[(WavMeta, Array[Short])] = {
+    if (!isWav(bytes)) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bps)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = buf.getShort(pos + 8).toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((buf.getShort(pos + 10).toInt, buf.getInt(pos + 12),
+            buf.getShort(pos + 22).toInt))
+        case "data" => data = Some((pos + 8, size))
+        case _ => () // skip LIST, fact, cue, …
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for {
+      (channels, rate, bps) <- fmt
+      (off, len) <- data
+      if bps == 16 && channels >= 1
+    } yield {
+      val n = len / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = buf.getShort(off + i * 2); i += 1 }
+      (WavMeta(rate, channels, bps, n / channels), samples)
+    }
+  }
+
+  /** Encode interleaved 16-bit PCM samples as a canonical 44-byte-header
+    * WAV — the synthesis side for tests/demos and the re-encode side of
+    * audio transforms. */
+  def encodeWav(samples: Array[Short], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(channels >= 1, "channels must be >= 1")
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** 8-dim audio features: RMS energy of 8 equal time segments,
+    * normalized to [0, 1] (full-scale square wave → 1.0). */
+  def wavFeatures(meta: WavMeta, samples: Array[Short]): Array[Float] = {
+    val out = new Array[Float](8)
+    if (samples.isEmpty) return out
+    val seg = math.max(1, samples.length / 8)
+    var s = 0
+    while (s < 8) {
+      val from = s * seg
+      val to = if (s == 7) samples.length else math.min((s + 1) * seg,
+        samples.length)
+      if (from < to) {
+        var acc = 0.0
+        var i = from
+        while (i < to) { val v = samples(i).toDouble; acc += v * v; i += 1 }
+        out(s) = (math.sqrt(acc / (to - from)) / 32768.0).toFloat
+      }
+      s += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- BMP
+  /** Top-down row-major RGB image (3 bytes per pixel). */
+  case class BmpImage(width: Int, height: Int, rgb: Array[Byte]) {
+    require(rgb.length == width * height * 3, "rgb length mismatch")
+  }
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+
+  /** Decode uncompressed 24-bit BMP (BITMAPINFOHEADER; bottom-up rows,
+    * or top-down via negative height; 4-byte row padding). */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpImage] = {
+    if (!isBmp(bytes)) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    if (bpp != 24 || compression != 0 || width <= 0 || height == 0)
+      return None
+    val rowSize = (width * 3 + 3) / 4 * 4
+    if (dataOffset.toLong + rowSize.toLong * height > bytes.length)
+      return None
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val src = dataOffset + srcRow * rowSize
+      var x = 0
+      while (x < width) {
+        val d = (y * width + x) * 3
+        // BMP stores BGR
+        rgb(d) = bytes(src + x * 3 + 2)
+        rgb(d + 1) = bytes(src + x * 3 + 1)
+        rgb(d + 2) = bytes(src + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(width, height, rgb))
+  }
+
+  /** Encode as canonical bottom-up 24-bit BMP. */
+  def encodeBmp(img: BmpImage): Array[Byte] = {
+    val rowSize = (img.width * 3 + 3) / 4 * 4
+    val dataLen = rowSize * img.height
+    val buf = ByteBuffer.allocate(54 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(img.width).putInt(img.height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = img.height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        buf.put(img.rgb(s + 2)).put(img.rgb(s + 1)).put(img.rgb(s))
+        x += 1
+      }
+      var pad = rowSize - img.width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Nearest-neighbor resize on REAL pixels. */
+  def resizeBmp(img: BmpImage, targetW: Int, targetH: Int): BmpImage = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val rgb = new Array[Byte](targetW * targetH * 3)
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * img.height / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val sx = (x.toLong * img.width / targetW).toInt
+        val s = (sy * img.width + sx) * 3
+        val d = (y * targetW + x) * 3
+        rgb(d) = img.rgb(s); rgb(d + 1) = img.rgb(s + 1)
+        rgb(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(targetW, targetH, rgb)
+  }
+
+  /** 8-dim image features: mean R/G/B, luminance of the 4 quadrants,
+    * and aspect ratio — all in [0, 1]-ish ranges, deterministic. */
+  def bmpFeatures(img: BmpImage): Array[Float] = {
+    val out = new Array[Float](8)
+    val n = img.width * img.height
+    if (n == 0) return out
+    var (r, g, b) = (0L, 0L, 0L)
+    val quad = new Array[Long](4)
+    val quadN = new Array[Long](4)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        val (pr, pg, pb) = (img.rgb(s) & 0xff, img.rgb(s + 1) & 0xff,
+          img.rgb(s + 2) & 0xff)
+        r += pr; g += pg; b += pb
+        val q = (if (y * 2 >= img.height) 2 else 0) +
+          (if (x * 2 >= img.width) 1 else 0)
+        // integer luma (ITU-R 601 weights scaled by 1000)
+        quad(q) += 299L * pr + 587L * pg + 114L * pb
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    out(0) = r.toFloat / n / 255f
+    out(1) = g.toFloat / n / 255f
+    out(2) = b.toFloat / n / 255f
+    var q = 0
+    while (q < 4) {
+      if (quadN(q) > 0) out(3 + q) = (quad(q).toDouble / quadN(q) / 255000.0)
+        .toFloat
+      q += 1
+    }
+    out(7) = img.width.toFloat / math.max(1, img.height)
+    out
+  }
+}

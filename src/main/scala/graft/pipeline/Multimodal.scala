@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed per-partition in batches.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch iteration shape, feature output schema. The actual media decode
-  * is STUBBED (this container has no image/audio codecs): `decodeStub`
-  * derives deterministic fake features from the bytes. Swap `decodeStub`
-  * for a real codec (e.g. JNI/javacv) without touching the plumbing.
+  * batch iteration shape, feature output schema. Decode is REAL for the
+  * codec-free containers ([[MediaCodecs]]: PCM WAV and uncompressed
+  * 24-bit BMP, pure byte arithmetic); compressed formats (JPEG/H.264 —
+  * this container has no codec libraries) fall back to `decodeStub`,
+  * which derives deterministic fake features from the bytes. Swap the
+  * stub branch for a real codec (e.g. JNI/javacv) without touching the
+  * plumbing.
   */
 object Multimodal {
 
@@ -19,6 +22,20 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, modality: String,
       n_bytes: Int, checksum: Long, features: Array[Float])
+
+  /** Content-sniffing decode: REAL parsing for PCM WAV and 24-bit BMP
+    * payloads ([[MediaCodecs]]), deterministic stub for everything else
+    * (compressed formats need codec libraries absent in this container).
+    * Always 8 floats, always a pure function of the bytes. */
+  def decodeFeatures(bytes: Array[Byte]): Array[Float] =
+    if (MediaCodecs.isWav(bytes))
+      MediaCodecs.decodeWav(bytes)
+        .map { case (meta, samples) => MediaCodecs.wavFeatures(meta, samples) }
+        .getOrElse(decodeStub(bytes))
+    else if (MediaCodecs.isBmp(bytes))
+      MediaCodecs.decodeBmp(bytes).map(MediaCodecs.bmpFeatures)
+        .getOrElse(decodeStub(bytes))
+    else decodeStub(bytes)
 
   /** STUB decode: a real implementation would decode the image/audio and
     * compute embeddings; this derives a deterministic 8-dim feature vector
@@ -45,7 +62,7 @@ object Multimodal {
         var cks = 0L
         r.bytes.foreach(b => cks = cks * 31 + (b & 0xff))
         MediaFeatures(r.media_id, r.modality, r.bytes.length, cks,
-          decodeStub(r.bytes))
+          decodeFeatures(r.bytes))
       }
     }
   }
@@ -92,28 +109,38 @@ object Multimodal {
       }
   }
 
-  /** Resize shape: per-partition batched payload transform preserving
-    * the media schema — a real implementation decodes, resamples, and
-    * re-encodes; the STUB downsamples the raw bytes by nearest-neighbor
-    * index so the output is deterministic and proportion-correct
-    * (n_bytes scales with the pixel ratio). The plumbing — schema in =
-    * schema out, partition-batched iteration, metadata rewrite — is the
-    * production shape a codec drops into. */
+  /** Resize: per-partition batched payload transform preserving the
+    * media schema. BMP payloads get a REAL decode → nearest-neighbor
+    * pixel resize → re-encode ([[MediaCodecs.resizeBmp]]); everything
+    * else takes the STUB byte-downsample (deterministic and proportion-
+    * correct: n_bytes scales with the pixel ratio). The plumbing —
+    * schema in = schema out, partition-batched iteration, metadata
+    * rewrite — is the production shape any further codec drops into. */
   def resizeStub(media: Dataset[MediaRow], targetW: Int,
       targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     require(targetW > 0 && targetH > 0, "target dims must be positive")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val srcPixels = math.max(1L, r.width.toLong * r.height)
-        val outLen = math.max(1L,
-          r.bytes.length.toLong * targetW * targetH / srcPixels)
-          .min(r.bytes.length.toLong).toInt
-        val out =
-          if (r.bytes.isEmpty) r.bytes
-          else Array.tabulate[Byte](outLen)(i =>
-            r.bytes((i.toLong * r.bytes.length / outLen).toInt))
-        r.copy(bytes = out, width = targetW, height = targetH)
+        val real = if (MediaCodecs.isBmp(r.bytes))
+          MediaCodecs.decodeBmp(r.bytes).map(img =>
+            MediaCodecs.encodeBmp(
+              MediaCodecs.resizeBmp(img, targetW, targetH)))
+        else None
+        real match {
+          case Some(out) =>
+            r.copy(bytes = out, width = targetW, height = targetH)
+          case None =>
+            val srcPixels = math.max(1L, r.width.toLong * r.height)
+            val outLen = math.max(1L,
+              r.bytes.length.toLong * targetW * targetH / srcPixels)
+              .min(r.bytes.length.toLong).toInt
+            val out =
+              if (r.bytes.isEmpty) r.bytes
+              else Array.tabulate[Byte](outLen)(i =>
+                r.bytes((i.toLong * r.bytes.length / outLen).toInt))
+            r.copy(bytes = out, width = targetW, height = targetH)
+        }
       }
     }
   }

@@ -235,8 +235,49 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY cohort_day, age_days""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q103 — the STREAMING engine under the batch oracle (§2.8, upgraded
+  // from spec-only): the events table replayed through a parquet file
+  // stream → Incremental.windowedEventCounts (watermarked tumbling
+  // windows, the real Structured Streaming pipeline) → memory sink in
+  // Complete mode → the same (hour_bucket, event_type, count, decimal-
+  // exact sum) shape as q30, hash-compared against the identical DuckDB
+  // SQL. Event-time semantics make the result independent of micro-
+  // batch boundaries, which is exactly the property worth gating.
+  // -------------------------------------------------------------------
+  def q103_stream_windows(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    // the table is a single parquet FILE; the file-stream source wants a
+    // directory, so scan the sf dir with a glob filter selecting it
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("event_ts"),
+        col("event_type"), col("value"))
+    val agg = graft.streaming.Incremental
+      .windowedEventCounts(stream, "event_ts")
+    val sink = s"q103_sink_${System.nanoTime()}"
+    val query = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    spark.table(sink)
+      .select((unix_timestamp(col("window_start")) / 3600)
+          .cast("long").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
+  val q103_sql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_bucket, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
+    "q103_stream_windows" -> q103_stream_windows _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -245,6 +286,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
+    "q103_stream_windows" -> q103_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,

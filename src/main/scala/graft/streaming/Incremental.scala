@@ -20,7 +20,10 @@ import graft.store.GraphStore
 object Incremental {
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
-    * state. Works on a streaming OR batch DataFrame (same plan). */
+    * state. Works on a streaming OR batch DataFrame (same plan).
+    * The value sum accumulates as decimal(30,6) and casts back to double
+    * once, so the result is independent of partition/arrival order —
+    * which also makes the streaming path DuckDB-oracle-able (q103). */
   def windowedEventCounts(events: DataFrame, tsCol: String,
       windowDur: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
@@ -29,7 +32,8 @@ object Incremental {
       else events
     src.groupBy(window(col(tsCol), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
   }

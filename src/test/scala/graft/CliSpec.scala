@@ -28,6 +28,28 @@ class CliSpec extends SparkSpec {
     assert(ds.getAs[Long]("nFeatures") >= 1L)
   }
 
+  test("cli: ingest-go then search finds parsed entities") {
+    val src = Files.createTempDirectory("cligo")
+    Files.writeString(src.resolve("m.go"),
+      "package m\n\nfunc Greet() string {\n\treturn \"hi\"\n}\n")
+    val store = FixtureGraph.store(spark)
+    val dir = storeDirOf(store)
+    assert(Cli.run(spark, dir, "ingest-go",
+      List(s"$src/*.go", "gosvc")).isEmpty)
+    val got = Cli.run(spark, dir, "search", List("Greet")).get.collect()
+    assert(got.exists(_.getAs[String]("name") == "Greet"))
+  }
+
+  test("cli: schema lists merge-key constraints per label") {
+    val store = FixtureGraph.store(spark)
+    val rows = Cli.run(spark, storeDirOf(store), "schema", Nil)
+      .get.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("Symbol") === "symbol")
+    assert(rows("Function") === "signature,filePath")
+    assert(rows.size === graft.model.Model.MergeKeys.size)
+  }
+
   test("cli: impact by function name") {
     val store = FixtureGraph.store(spark)
     val out = Cli.run(spark, storeDirOf(store), "impact", List("Main"))
