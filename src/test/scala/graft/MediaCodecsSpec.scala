@@ -135,6 +135,42 @@ class MediaCodecsSpec extends SparkSpec {
     assert(f(7) === 2.0f) // aspect 8/4
   }
 
+  test("property: random WAV and BMP payloads round-trip exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Gen.Parameters
+    import org.scalacheck.rng.Seed
+    var seed = Seed(7L)
+    def draw[A](g: Gen[A]): A = {
+      val v = g.pureApply(Parameters.default, seed); seed = seed.next; v
+    }
+    (1 to 30).foreach { i =>
+      // WAV: random sample payload, rate, channels (payload length a
+      // multiple of channel count so frames divide evenly)
+      val channels = draw(Gen.choose(1, 4))
+      val frames = draw(Gen.choose(0, 300))
+      val samples = Array.fill[Short](frames * channels)(
+        draw(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+          .toShort)
+      val rate = draw(Gen.oneOf(8000, 16000, 44100))
+      val Some((meta, got)) =
+        MediaCodecs.decodeWav(MediaCodecs.encodeWav(samples, rate,
+          channels)): @unchecked
+      assert(meta === WavMeta(rate, channels, 16, frames), s"wav $i")
+      assert(got.toSeq === samples.toSeq, s"wav $i")
+      // BMP: random dims incl. every padding remainder, random pixels
+      val w = draw(Gen.choose(1, 9))
+      val h = draw(Gen.choose(1, 9))
+      val rgb = Array.fill[Byte](w * h * 3)(
+        draw(Gen.choose(-128, 127)).toByte)
+      val img = BmpImage(w, h, rgb)
+      assertSameImage(MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img)),
+        img)
+      // same-size nearest-neighbor resize is the identity
+      val same = MediaCodecs.resizeBmp(img, w, h)
+      assert(same.rgb.toSeq === rgb.toSeq, s"bmp resize-id $i")
+    }
+  }
+
   // ------------------------------------------- pipeline dispatch
   test("decodeFeatures sniffs WAV/BMP and falls back to the stub") {
     val wav = MediaCodecs.encodeWav(Array.fill[Short](160)(16384), 8000, 1)

@@ -140,6 +140,43 @@ class ScipProtoSpec extends SparkSpec {
     assert(eb === ej)
   }
 
+  test("property: random indexes round-trip through the wire format") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Gen.Parameters
+    import org.scalacheck.rng.Seed
+    val genOcc = for {
+      sym <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      n <- Gen.oneOf(3, 4)
+      range <- Gen.listOfN(n, Gen.choose(0, 100000))
+      roles <- Gen.choose(0, 7)
+    } yield ScipIngest.ScipOccurrence(s"scip $sym", range, roles)
+    val genDoc = for {
+      path <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      occs <- Gen.listOf(genOcc)
+    } yield ScipIngest.ScipDocument(s"pkg/$path.go", occs)
+    val genExt = for {
+      sym <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      doc <- Gen.alphaNumStr
+    } yield ScipIngest.ScipExternalSymbol(s"scip $sym", "", doc)
+    val genIndex = for {
+      docs <- Gen.listOf(genDoc)
+      ext <- Gen.listOf(genExt)
+    } yield ScipIngest.ScipIndex(docs, ext)
+    var seed = Seed(42L)
+    (1 to 50).foreach { i =>
+      val idx = genIndex.pureApply(Parameters.default, seed)
+      seed = seed.next
+      val bytes = index(
+        docs = idx.documents.map(d => document(d.relativePath,
+          d.occurrences.map(o => occurrence(o.symbol, o.range,
+            o.symbolRoles, packedRange = i % 2 == 0)))),
+        ext = idx.externalSymbols.map(s =>
+          symbolInfo(s.symbol, if (s.documentation.isEmpty) Nil
+            else Seq(s.documentation), 0)))
+      assert(ScipProto.decodeIndex(bytes) === idx, s"iteration $i")
+    }
+  }
+
   test("occurrencesFromBinary matches the in-memory flatten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scipd")
     java.nio.file.Files.write(dir.resolve("a.scip"),
