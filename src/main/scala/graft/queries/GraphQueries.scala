@@ -35,15 +35,17 @@ object GraphQueries {
   // Runs on the GraphX Pregel engine: one superstep barrier instead of
   // one driver-scheduled job per level (2× faster even locally); the
   // DataFrame BFS (Traversals.reachable) is the equivalent relational
-  // engine, equality-tested in TraversalsSpec. Seed ids are collected —
-  // impact-analysis seed sets are user-selected and small by contract.
+  // engine, equality-tested in TraversalsSpec. The seed set here is
+  // DERIVED (every 97th part key), so it grows with the data — it goes
+  // in as a DataFrame (vertex-join init), never collected: the form
+  // that holds at 100 TB. Point lookups (one user-selected function)
+  // may still use the Seq overload.
   // ---------------------------------------------------------------------
   def q17_bfs_reach(spark: SparkSession, dir: String): DataFrame = {
     val seeds = Tables.part(spark, dir)
       .filter(col("p_partkey") % 97 === 0)
       .select(col("p_partkey").as("id"))
-    Traversals.reachableGraphX(spark, treeEdges(spark, dir),
-        seeds.collect().map(_.getLong(0)).toSeq, 10)
+    Traversals.reachableGraphX(spark, treeEdges(spark, dir), seeds, 10)
       .orderBy(col("id"))
   }
 
@@ -102,9 +104,9 @@ object GraphQueries {
       .select(col("p_partkey").as("id"))
     // Pregel engine (one superstep barrier per hop, no per-level driver
     // scheduling); the DataFrame engine (Traversals.paths) is equality-
-    // tested against it in TraversalsSpec
-    Traversals.pathsGraphX(spark, treeEdges(spark, dir),
-        seeds.collect().map(_.getLong(0)).toSeq, 15)
+    // tested against it in TraversalsSpec. Derived seed set → DataFrame
+    // overload (vertex-join init, nothing collected to the driver).
+    Traversals.pathsGraphX(spark, treeEdges(spark, dir), seeds, 15)
       .select(col("start").as("start_id"), col("end").as("end_id"),
         col("depth"), array_join(col("path"), "->").as("path"))
       .orderBy(col("start_id"), col("depth"))
