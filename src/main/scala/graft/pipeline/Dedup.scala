@@ -167,6 +167,11 @@ object Dedup {
     val spark = sh.sparkSession
     val vocabArr = sh.select(col("shingle")).distinct()
       .collect().map(_.getString(0)).sorted
+    // hard guard, not just a caller contract: bit 63 is the sign bit and
+    // bit 64 wraps — a larger vocabulary would corrupt masks silently
+    require(vocabArr.length <= 62,
+      s"bitmask fast path needs <= 62 distinct shingles, got " +
+        s"${vocabArr.length} — use jaccardPairs")
     val vocab = spark.createDataFrame(vocabArr.zipWithIndex.toSeq)
       .toDF("shingle", "bit")
     val masks = sh.join(broadcast(vocab), Seq("shingle"))
