@@ -36,3 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 82 s on the full bench). 32g leaves ample headroom for the OS cache.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// Optional JVM diagnostics for chasing bench-time stalls: set
+// SPARK_GRAFT_JVMLOG=/tmp/jvm.log to record GC + safepoint timing of the
+// forked run (long safepoints show up here; query-time variance that does
+// NOT show up here is external to the JVM).
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVMLOG")
+  .map(f => s"-Xlog:gc,safepoint:file=$f:time,uptime").toSeq

@@ -458,4 +458,54 @@ object Dedup {
       .select(col("inner_id"), col("outer_id"),
         col("size_inner"), col("size_outer"))
   }
+
+  /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * any `n`-token window whose text occurs in MORE than one document
+    * marks its token span as duplicated; per document, report how many
+    * token positions fall inside at least one duplicated window and the
+    * resulting duplicated fraction. The paper's suffix array is replaced
+    * by the Spark-native equivalent: a sliding-window equi-join — one
+    * shuffle on the window key — then a position explode + distinct for
+    * the span union. Work is linear in corpus tokens × n (the explode
+    * factor), never pairwise in documents, so the shape survives 100 TB;
+    * the window key could be hashed to a fixed 8 bytes at scale to cap
+    * shuffle width (kept as raw text here for oracle portability).
+    *
+    * Returns (doc_id, n_toks, dup_tokens, dup_frac) for every document
+    * with non-blank text; docs shorter than `n` tokens report 0.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window must be at least 2 tokens, got $n")
+    val base = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+    // one window row per start position (1-based, matching SQL slicing)
+    val wins = base.filter(col("n_toks") >= n)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1L), col("n_toks") - (n - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("tk"), col("i"), lit(n)), " ").as("win"))
+      // THREE consumers (dup keys, the join-back, and the position
+      // explode below all reread it) — materialize the explode once
+      .localCheckpoint(eager = true)
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") > 1)
+      .select(col("win"))
+    val covered = wins.join(dup, Seq("win"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_dup"))
+    base.join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("_dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("_dup"), lit(0L)) / col("n_toks"), 5)
+          .as("dup_frac"))
+  }
 }

@@ -157,4 +157,37 @@ object Sampling {
         when(hash60(salt, col(idCol)) % 1000000L < col("rate_ppm"), 1)
           .otherwise(0))
   }
+
+  /** Temperature-scaled source mixture (the α-sampling of multilingual
+    * pretraining, Conneau & Lample 2019 / XLM-R: sample source s with
+    * probability ∝ mass_s^α, α ∈ (0,1) flattening the head and boosting
+    * the tail). α is fixed at 1/2 and the weight is computed as the
+    * INTEGER sqrt — floor(sqrt(tokens)) — so every derived number is
+    * integer-exact and any engine reproduces it bit-for-bit (double
+    * sqrt is correctly rounded per IEEE-754, and floor only straddles a
+    * representability boundary at perfect squares, where sqrt is exact).
+    *
+    * Input: one row per item with (stratumCol, weightCol). Output: one
+    * row per stratum with its token mass, the natural share_ppm, the
+    * temperature-scaled mix_ppm, and boost_x1000 = mix/share scaled by
+    * 1000 (integer) — > 1000 means the source is up-weighted.
+    *
+    * Shape: one groupBy to stratum granularity, then all arithmetic on
+    * the tiny stratum table (a broadcast total, no second pass over the
+    * corpus) — scan-speed at 100 TB.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+      weightCol: String): DataFrame = {
+    val mass = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = mass.agg(sum(col("n_tokens")).as("_tt"),
+      sum(col("w")).as("_tw"))
+    mass.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_tokens"),
+        expr("(n_tokens * 1000000) div _tt").as("share_ppm"),
+        expr("(w * 1000000) div _tw").as("mix_ppm"))
+      .withColumn("boost_x1000",
+        expr("(mix_ppm * 1000) div share_ppm"))
+  }
 }

@@ -300,6 +300,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-partitioned cosine. Every vector is
+    * assigned to its nearest codebook centroid (here the deterministic
+    * every-`centroidMod`-th vector, so the result is oracle-reproducible;
+    * at scale the k-means centroids from `Clusters.centroidRecompute`
+    * slot in without changing the query shape), and near-duplicate
+    * comparison happens ONLY inside a cluster: a vector is dropped when
+    * its cluster holds a lower-id vector with cosine ≥ `threshold`
+    * (keep-lowest-id representative — deterministic, no scoring model).
+    *
+    * 100 TB shape: the codebook is a broadcast, the assignment is a
+    * scan-speed projection, and pair enumeration is a self-join on
+    * `cid` — Σ|cluster|² work, the SemDeDup design point (clusters are
+    * thousands of vectors out of billions), never corpus².
+    *
+    * Returns (vid, cid, dropped 0/1) for every input vector.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidMod: Int, roundTo: Int = 5): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val cents = df.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val assigned = ivfAssign(v, cents, roundTo).join(v, Seq("vid"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .filter(round(cosineFast(col("a.v"), col("b.v")), roundTo)
+        >= threshold)
+      .select(col("b.vid").as("vid")).distinct()
+    assigned
+      .join(dropped.withColumn("_d", lit(1)), Seq("vid"), "left_outer")
+      .select(col("vid"), col("cid"),
+        coalesce(col("_d"), lit(0)).as("dropped"))
+  }
+
   /** Symmetric int8 scalar quantization — the storage/compute shrink a
     * 100 TB embedding store runs before ANN serving (4× smaller than
     * float32, SIMD-friendly integer dot products downstream).

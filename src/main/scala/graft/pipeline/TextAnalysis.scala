@@ -122,6 +122,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
 
+  /** fastText-shaped hashed linear classifier score (Joulin et al.
+    * 2016, arXiv:1607.01759 — the architecture behind CCNet/RedPajama
+    * quality classifiers): each token hashes into one of `buckets`
+    * feature slots (engine-portable md5 hash), a weight per slot, and
+    * the document score is the bag-of-words sum. The weights here are
+    * a DETERMINISTIC STUB derived from the slot index (training is out
+    * of engine scope); the shape — feature hashing, a weight table
+    * small enough to broadcast (real classifiers: ~2M buckets × 8 B),
+    * and row-local integer scoring — is exactly what a learned filter
+    * runs over 100 TB: one codegen'd projection, no shuffle, no UDF.
+    * Integer end-to-end so any engine reproduces it bit-for-bit. */
+  def hashedClassifierScore(text: Column, buckets: Int = 1024,
+      salt: String = "feat"): Column = {
+    val slot = (t: Column) =>
+      conv(substring(md5(concat(lit(salt), lit(":"), t)), 1, 15), 16, 10)
+        .cast("long") % buckets
+    // stub weight: (slot * Knuth-hash) mod 2001 - 1000 ∈ [-1000, 1000]
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ((slot(t) * 2654435761L) % 2001L - 1000L))
+  }
+
   /** Fixed-size word-window chunking — the pipeline form of the
     * reference's paragraph chunking (`documents/parser.go:51-90`, ≤1000
     * words per chunk), for corpora without paragraph breaks: token k

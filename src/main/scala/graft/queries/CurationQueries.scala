@@ -799,7 +799,50 @@ object CurationQueries {
        |SELECT doc_id, lang FROM r WHERE rk <= 10
        |ORDER BY lang, doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q105 — exact-substring deduplication (Lee et al. 2022): any 8-token
+  // window occurring in more than one document marks its span; per doc,
+  // the count and fraction of token positions inside a duplicated span.
+  // The suffix-array formulation becomes a sliding-window equi-join
+  // (one shuffle on the window key) + position-explode span union —
+  // linear in corpus tokens, never pairwise in documents.
+  // -------------------------------------------------------------------
+  def q105_substring_dedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(spark, dir), "doc_id", "text",
+        n = 8)
+      .orderBy(col("doc_id"))
+
+  val q105_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |base AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks, tk FROM t),
+      |w0 AS (
+      |  SELECT doc_id, tk, unnest(generate_series(1, n_toks - 7)) AS i
+      |  FROM base),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS win
+      |  FROM w0),
+      |dup AS (
+      |  SELECT win FROM w GROUP BY win
+      |  HAVING COUNT(DISTINCT doc_id) > 1),
+      |pos AS (
+      |  SELECT DISTINCT doc_id, p FROM (
+      |    SELECT doc_id, unnest(generate_series(i, i + 7)) AS p
+      |    FROM w JOIN dup USING (win)) x),
+      |cov AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens
+      |  FROM pos GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_toks,
+      |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+      |  round(COALESCE(c.dup_tokens, 0) / CAST(b.n_toks AS DOUBLE), 5)
+      |    AS dup_frac
+      |FROM base b LEFT JOIN cov c USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_substring_dedup" -> q105_substring_dedup _,
     "q83_exact_quota" -> q83_exact_quota _,
     "q82_crosslingual_dups" -> q82_crosslingual_dups _,
     "q81_repetitiveness" -> q81_repetitiveness _,
@@ -821,6 +864,7 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q105_substring_dedup" -> q105_sql,
     "q83_exact_quota" -> q83_sql,
     "q82_crosslingual_dups" -> q82_sql,
     "q81_repetitiveness" -> q81_sql,

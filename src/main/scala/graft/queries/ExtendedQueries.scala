@@ -846,7 +846,46 @@ object ExtendedQueries {
        |ORDER BY p.id_a, p.id_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q104 — SemDeDup (Abbas et al. 2023): semantic dedup by cluster-
+  // partitioned cosine. Same deterministic codebook as q38's IVF
+  // (every 25th vector); pairs are enumerated within a cluster only and
+  // the higher id of any pair with cosine ≥ 0.3 is dropped. At 100 TB
+  // the corpus is stored partitioned by cluster id, so the pair join is
+  // Σ|cluster|², never corpus².
+  // -------------------------------------------------------------------
+  def q104_semdedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", threshold = 0.3, centroidMod = 25)
+      .orderBy(col("vid"))
+
+  val q104_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |cents AS (SELECT vid AS cid, vec AS cv FROM v WHERE vid % 25 = 0),
+      |scored AS (
+      |  SELECT v.vid, c.cid,
+      |    round(list_cosine_similarity(v.vec, c.cv), 5) AS csim
+      |  FROM v CROSS JOIN cents c),
+      |assign AS (
+      |  SELECT vid, cid FROM (
+      |    SELECT vid, cid, ROW_NUMBER() OVER (
+      |      PARTITION BY vid ORDER BY csim DESC, cid) AS rn
+      |    FROM scored) t WHERE rn = 1),
+      |av AS (SELECT a.vid, a.cid, v.vec FROM assign a
+      |       JOIN v ON v.vid = a.vid),
+      |dropped AS (
+      |  SELECT DISTINCT b.vid
+      |  FROM av a JOIN av b ON a.cid = b.cid AND a.vid < b.vid
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 5) >= 0.3)
+      |SELECT av.vid, av.cid,
+      |  CASE WHEN d.vid IS NULL THEN 0 ELSE 1 END AS dropped
+      |FROM av LEFT JOIN dropped d ON d.vid = av.vid
+      |ORDER BY av.vid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_semdedup" -> q104_semdedup _,
     "q56_minhash_estimate" -> q56_minhash_estimate _,
     "q55_grouping_sets" -> q55_grouping_sets _,
     "q54_range_join" -> q54_range_join _,
@@ -869,6 +908,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q104_semdedup" -> q104_sql,
     "q56_minhash_estimate" -> q56_sql,
     "q55_grouping_sets" -> q55_sql,
     "q54_range_join" -> q54_sql,

@@ -812,7 +812,78 @@ object QualityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q106 — temperature-scaled source mixture (α-sampling, Conneau &
+  // Lample 2019 / XLM-R, α=1/2): mixture weight ∝ sqrt(source token
+  // mass), flattening the head sources and boosting the tail. Integer
+  // sqrt keeps every derived ppm engine-exact. Companion to q88: q88
+  // enforces an absolute token budget, q106 reshapes relative shares.
+  // -------------------------------------------------------------------
+  def q106_temp_mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("n_toks",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sampling.temperatureMixture(docs, "source", "n_toks")
+      .orderBy(col("source"))
+  }
+
+  val q106_sql: String =
+    """WITH tc AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |mass AS (
+      |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(SUM(n_toks) AS BIGINT))) AS BIGINT) AS w
+      |  FROM tc GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+      |         CAST(SUM(w) AS BIGINT) AS tw FROM mass)
+      |SELECT source, n_tokens,
+      |  (n_tokens * 1000000) // tt AS share_ppm,
+      |  (w * 1000000) // tw AS mix_ppm,
+      |  (((w * 1000000) // tw) * 1000) // ((n_tokens * 1000000) // tt)
+      |    AS boost_x1000
+      |FROM mass, tot
+      |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q107 — hashed linear quality classifier (the fastText/CCNet scoring
+  // shape): md5 feature hashing into 1024 slots, deterministic stub
+  // weights, bag-of-words integer score, keep = score > 0. One
+  // codegen'd projection over the corpus — the scan-speed path a
+  // learned quality filter takes at 100 TB.
+  // -------------------------------------------------------------------
+  def q107_hash_classifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextAnalysis.hashedClassifierScore(col("text")).as("score"))
+      .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+
+  val q107_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM(((CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
+      |      AS BIGINT) % 1024) * 2654435761) % 2001 - 1000) AS score
+      |  FROM e GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+      |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+      |  CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END AS keep
+      |FROM t LEFT JOIN s USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_hash_classifier" -> q107_hash_classifier _,
+    "q106_temp_mixture" -> q106_temp_mixture _,
     "q84_gopher_rules" -> q84_gopher_rules _,
     "q85_containment" -> q85_containment _,
     "q86_embed_quantize" -> q86_embed_quantize _,
@@ -830,6 +901,8 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q107_hash_classifier" -> q107_sql,
+    "q106_temp_mixture" -> q106_sql,
     "q84_gopher_rules" -> q84_sql,
     "q85_containment" -> q85_sql,
     "q86_embed_quantize" -> q86_sql,

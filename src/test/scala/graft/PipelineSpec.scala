@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -136,5 +136,63 @@ class PipelineSpec extends SparkSpec {
     val again = Multimodal.resizeStub(media, 16, 16).collect()
       .sortBy(_.media_id)
     assert(out.map(_.bytes.toSeq).toSeq === again.map(_.bytes.toSeq).toSeq)
+  }
+
+  test("semDedup drops the higher id of within-cluster near-dups only") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // centroid (id % 2 == 0), cluster 0
+      (1L, Array(0.99f, 0.01f)),  // near-dup of 0 → dropped
+      (2L, Array(0.0f, 1.0f)),    // centroid, cluster 2
+      (3L, Array(0.0f, 0.9f)),    // parallel to 2 → dropped
+      (5L, Array(-1.0f, 0.1f))    // lands in cluster 2, dissimilar → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.8, centroidMod = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(out === Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 5L -> 0))
+  }
+
+  test("duplicatedSpans unions overlapping shared windows per doc") {
+    val d = Seq(
+      (1L, "a b c d e"),            // shares "a b c" + "b c d"
+      (2L, "x y a b c"),            // shares "a b c" at the tail
+      (3L, "a b c d"),              // fully covered by shared windows
+      (4L, "unique words only here"), // nothing shared
+      (6L, "ab")                    // shorter than the window
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) === ((5L, 4L, 0.8)))  // positions 1-4 of 5
+    assert(out(2L) === ((5L, 3L, 0.6)))  // positions 3-5 of 5
+    assert(out(3L) === ((4L, 4L, 1.0)))  // every position duplicated
+    assert(out(4L) === ((4L, 0L, 0.0)))
+    assert(out(6L) === ((1L, 0L, 0.0)))
+  }
+
+  test("hashedClassifierScore is deterministic, additive, 0 on empty") {
+    val d = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, ""),
+      (4L, "alpha"), (5L, "beta")).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+        TextAnalysis.hashedClassifierScore($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(2L))           // pure function of content
+    assert(out(3L) === 0L)                // empty bag scores 0
+    assert(out(1L) === out(4L) + out(5L)) // bag-of-words additivity
+    assert(out(4L) !== out(5L))           // distinct tokens, distinct slots
+  }
+
+  test("temperatureMixture boosts tail sources above natural share") {
+    val rows = Seq(("small", 100L), ("big", 10000L))
+      .toDF("source", "n_toks")
+    val out = Sampling.temperatureMixture(rows, "source", "n_toks")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // tt = 10100, tw = floor(sqrt(100)) + floor(sqrt(10000)) = 110
+    assert(out("small") === ((100L, 9900L, 90909L, 9182L)))
+    assert(out("big") === ((10000L, 990099L, 909090L, 918L)))
+    assert(out("small")._3 > out("small")._2) // tail boosted
+    assert(out("big")._3 < out("big")._2)     // head flattened
   }
 }
