@@ -35,10 +35,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // checkpoint blocks accumulate in a single session (measured 141 s →
   // 82 s on the full bench). 32g leaves ample headroom for the OS cache.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // A 100+-query whole-stage-codegen session generates thousands of
+  // Janino classes; at the JVM's default 240 MB ReservedCodeCacheSize
+  // the JIT starts flushing/recompiling hot methods mid-bench and
+  // expression-heavy queries (md5/cosine loops) intermittently run
+  // interpreted — observed as roving 10-100x per-query slowdowns with
+  // the C2 compiler pegged. 1 GB keeps every compiled method resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )
 // Optional JVM diagnostics for chasing bench-time stalls: set
 // SPARK_GRAFT_JVMLOG=/tmp/jvm.log to record GC + safepoint timing of the
 // forked run (long safepoints show up here; query-time variance that does
 // NOT show up here is external to the JVM).
 javaOptions ++= sys.env.get("SPARK_GRAFT_JVMLOG")
-  .map(f => s"-Xlog:gc,safepoint:file=$f:time,uptime").toSeq
+  .map(f => s"-Xlog:gc,safepoint,codecache*=debug,jit+compilation=debug:file=$f:time,uptime").toSeq

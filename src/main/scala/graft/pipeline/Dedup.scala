@@ -235,19 +235,44 @@ object Dedup {
   // MinHash + LSH
   // -------------------------------------------------------------------
 
-  /** K min-hash signatures per doc. Hash family: md5(token ":" seed) —
-    * lexicographic min of the hex digest is a uniform min-hash, and is
-    * reproducible in any engine with md5. Returns (doc, seed, sig). */
+  /** Mersenne prime 2³¹−1 — the modulus of the min-hash family. */
+  val MinHashP = 2147483647L
+
+  /** Kirsch–Mitzenmacher hash family (2006, "Less Hashing, Same
+    * Performance"): ONE digest per token, K hashes derived as
+    * h_i = (h1 + i·h2) mod P from two independent 28-bit halves of the
+    * md5. Replaces the earlier md5(token ":" seed) family, which paid K
+    * digest instantiations per token row — at 100 TB the MinHash scan
+    * is digest-bound (MessageDigest.getInstance per call inside Spark's
+    * md5), so this is a ~K× kernel win with the same estimator
+    * guarantees (pairwise independence suffices for MinHash). All
+    * arithmetic is 64-bit integer — any engine with md5 + substring
+    * reproduces it exactly. Projects (doc, h1, h2) plus `keep`. */
+  private def kmTokenHashes(toks: DataFrame, keep: Seq[String] = Nil)
+      : DataFrame =
+    toks
+      .select((col("doc") +: keep.map(col) :+ md5(col("tok")).as("_m")): _*)
+      .select((col("doc") +: keep.map(col) :+
+        conv(substring(col("_m"), 1, 7), 16, 10).cast("long").as("h1") :+
+        conv(substring(col("_m"), 8, 7), 16, 10).cast("long").as("h2")): _*)
+
+  /** The i-th Kirsch–Mitzenmacher hash (h1 + i·h2 mod P): h1,h2 < 2²⁸,
+    * so h1 + i·h2 stays far below 2⁶³ for any practical K. */
+  private def kmHash(i: Int): Column =
+    (col("h1") + lit(i.toLong) * col("h2")) % MinHashP
+
+  /** K min-hash signatures per doc (Kirsch–Mitzenmacher family, one
+    * digest per token). Returns (doc, seed, sig: long). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
-      explode(tokenSet(col(textCol))).as("tok"))
+    val toks = kmTokenHashes(df.select(col(idCol).as("doc"),
+      explode(tokenSet(col(textCol))).as("tok")))
     val seeds = df.sparkSession.range(numHashes)
       .select(col("id").cast("int").as("seed"))
     toks.crossJoin(broadcast(seeds))
       .groupBy(col("doc"), col("seed"))
-      .agg(min(md5(concat(col("tok"), lit(":"),
-        col("seed").cast("string")))).as("sig"))
+      .agg(min((col("h1") + col("seed") * col("h2")) % MinHashP)
+        .as("sig"))
   }
 
   /** LSH band keys: rowsPerBand signatures concatenated and re-hashed.
@@ -257,7 +282,7 @@ object Dedup {
       .groupBy(col("doc"), col("band"))
       .agg(md5(concat_ws("|",
         sort_array(collect_list(struct(col("seed"), col("sig"))))
-          .getField("sig"))).as("band_key"))
+          .getField("sig").cast("array<string>"))).as("band_key"))
 
   /** Candidate pairs from banded LSH: (id_a, id_b, shared_bands).
     * All K min-hashes are computed in ONE aggregation over the token rows
@@ -269,15 +294,15 @@ object Dedup {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be divisible by rowsPerBand " +
         s"($rowsPerBand) — a partial band would silently be dropped")
-    val toks = df.select(col(idCol).as("doc"),
-      explode(tokenSet(col(textCol))).as("tok"))
+    val toks = kmTokenHashes(df.select(col(idCol).as("doc"),
+      explode(tokenSet(col(textCol))).as("tok")))
     val sigCols = (0 until numHashes).map(i =>
-      min(md5(concat(col("tok"), lit(s":$i")))).as(s"sig$i"))
+      min(kmHash(i)).as(s"sig$i"))
     val wide = toks.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
     val nBands = numHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val sigs = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"sig$i"))
+        .map(i => col(s"sig$i").cast("string"))
       struct(lit(b.toLong).as("band"),
         md5(concat_ws("|", sigs: _*)).as("band_key"))
     }

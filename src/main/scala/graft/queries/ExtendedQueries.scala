@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.ingest.{DocumentPipeline, ScipIngest}
-import graft.pipeline.{Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Round-2 coverage widening: embedding near-dup + IVF ANN (the brief's
   * scale-path similarity ops), the document-pipeline scalar ops of
@@ -779,9 +779,19 @@ object ExtendedQueries {
     val toks = docs.select(col("doc_id").as("doc"),
       explode(array_distinct(TextAnalysis.tokens(col("text"))))
         .as("tok"))
+      // Kirsch–Mitzenmacher: ONE md5 per token; K hashes derived as
+      // (h1 + i·h2) mod 2³¹−1 from two 28-bit digest halves (the same
+      // family as Dedup.minHashCandidates — K× fewer digest calls)
+      .withColumn("_m", md5(col("tok")))
+      .withColumn("h1",
+        conv(substring(col("_m"), 1, 7), 16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(col("_m"), 8, 7), 16, 10).cast("long"))
+      .drop("_m")
       .localCheckpoint(true)
     val sigCols = (0 until MhK).map(i =>
-      min(md5(concat(col("tok"), lit(s":$i")))).as(s"sig$i"))
+      min((col("h1") + lit(i.toLong) * col("h2")) % Dedup.MinHashP)
+        .as(s"sig$i"))
     val wide = toks.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
       .localCheckpoint(true)
     val sizes = toks.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
@@ -814,17 +824,22 @@ object ExtendedQueries {
 
   val q56_sql: String = {
     val sigSql = (0 until MhK).map(i =>
-      s"min(md5(tok || ':$i')) AS sig$i").mkString(",\n|    ")
+      s"min((h1 + $i * h2) % 2147483647) AS sig$i").mkString(",\n|    ")
     val agreeSql = (0 until MhK).map(i =>
       s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id AS doc,
        |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |  FROM documents WHERE length(trim(text)) > 0),
+       |hh AS (
+       |  SELECT doc, tok,
+       |    CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(tok), 8, 7)) AS BIGINT) AS h2
+       |  FROM toks),
        |wide AS (
        |  SELECT doc,
        |    $sigSql
-       |  FROM toks GROUP BY doc),
+       |  FROM hh GROUP BY doc),
        |sizes AS (SELECT doc, COUNT(*) AS sz FROM toks GROUP BY doc),
        |pairs AS (
        |  SELECT a.doc AS id_a, b.doc AS id_b,

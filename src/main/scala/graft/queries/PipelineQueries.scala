@@ -133,14 +133,20 @@ object PipelineQueries {
 
   val q24_sql: String =
     s"""WITH $toksCte,
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(tok), 8, 7)) AS BIGINT) AS h2
+       |  FROM toks),
        |sigs AS (
        |  SELECT doc_id, s.i AS seed,
-       |         min(md5(tok || ':' || CAST(s.i AS VARCHAR))) AS sig
-       |  FROM toks CROSS JOIN generate_series(0, 7) AS s(i)
+       |         min((h1 + s.i * h2) % 2147483647) AS sig
+       |  FROM h CROSS JOIN generate_series(0, 7) AS s(i)
        |  GROUP BY doc_id, s.i),
        |bands AS (
        |  SELECT doc_id, seed // 2 AS band,
-       |         md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+       |         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed))
+       |           AS band_key
        |  FROM sigs GROUP BY doc_id, seed // 2),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
