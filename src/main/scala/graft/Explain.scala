@@ -1,12 +1,16 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SimpleMode
 
-/** Dev tool: print the formatted physical plan of SparkEntry queries.
-  * Usage: sbt "runMain graft.Explain /root/testdata/sf0.001 q38_ivf_ann"
+/** Plan-audit tool: print the optimized physical plan of the named
+  * queries (short "q104" or full names) without executing them.
+  *
+  *   SPARK_GRAFT_SF_DIR=… sbt "runMain graft.Explain q104 q105"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -15,10 +19,13 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = args(0)
-    args.drop(1).foreach { q =>
-      println(s"===== $q =====")
-      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    val all = SparkEntry.queries
+    args.foreach { a =>
+      val name = all.keys.find(k => k == a || k.takeWhile(_ != '_') == a)
+        .getOrElse(sys.error(s"unknown query: $a"))
+      println(s"\n########## $name")
+      println(all(name)(spark, sfDir).queryExecution
+        .explainString(SimpleMode))
     }
     spark.stop()
   }

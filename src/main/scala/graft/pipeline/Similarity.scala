@@ -322,7 +322,11 @@ object Similarity {
     val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val cents = df.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    // THREE consumers (both sides of the pair self-join + the final
+    // left join) — materialize the corpus×codebook assignment once, or
+    // the full cosine-assignment subtree re-executes per consumer
     val assigned = ivfAssign(v, cents, roundTo).join(v, Seq("vid"))
+      .localCheckpoint(eager = true)
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
       .filter(round(cosineFast(col("a.v"), col("b.v")), roundTo)
