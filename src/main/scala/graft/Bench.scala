@@ -18,26 +18,34 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // Each query runs twice: cold (first plan + codegen + scan) and warm
-    // (plan/codegen JIT'd, OS page cache hot). Warm is the number to
-    // compare against BASELINE.md's steady-state gates; cold absorbs
-    // per-query JVM warm-up that would otherwise be misattributed.
+    // Each query runs three times: one cold pass (first plan + codegen +
+    // scan) then two warm passes, reported as [cold, min(warm1, warm2)].
+    // Warm is the number to compare against BASELINE.md's steady-state
+    // gates. The warm passes run as SEPARATE sweeps over the whole query
+    // list (not back-to-back per query): this box shows occasional
+    // multi-minute external stall windows (see SCALING.md), and two
+    // back-to-back runs both land inside one window, while two sweeps
+    // ~a session apart rarely do — min across sweeps reports the
+    // machine's actual steady state instead of the weather.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release localCheckpoint/cache blocks the query pinned — in a
+      // 100-query single-JVM session they otherwise accumulate in
+      // storage memory until GC gets around to the RDD references,
+      // and the tail of the run pays for the head's leftovers
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val r = (name, time(fn), time(fn))
-        // release localCheckpoint/cache blocks the query pinned — in a
-        // 100-query single-JVM session they otherwise accumulate in
-        // storage memory until GC gets around to the RDD references,
-        // and the tail of the run pays for the head's leftovers
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        r
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val cold = sorted.map { case (name, fn) => name -> time(fn) }.toMap
+    val warm1 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
+    val warm2 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
+    val results = sorted.map { case (name, _) =>
+      (name, cold(name), math.min(warm1(name), warm2(name)))
     }
     println(renderJson(results, sfDir))
     spark.stop()

@@ -99,4 +99,63 @@ class PropertySpec extends SparkSpec {
       } else assert(q.forall(_ == 0L))
     }
   }
+
+  test("duplicatedSpans: naive reference agreement on random corpora") {
+    // docs from a tiny vocabulary so shared windows actually occur
+    val n = 3
+    val docGen = Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val docs = sample(docGen, 23L, 20).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), "doc_id",
+        "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // naive reference: enumerate windows, count multi-doc window texts,
+    // union covered positions per doc
+    val wins = docs.flatMap { case (id, t) =>
+      val tk = t.split("\\s+")
+      tk.sliding(n).zipWithIndex.map { case (w, i) =>
+        (id, i, w.mkString(" "))
+      }
+    }
+    val dupWins = wins.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size > 1).keySet
+    docs.foreach { case (id, t) =>
+      val nToks = t.split("\\s+").length.toLong
+      val covered = wins.filter(w => w._1 == id && dupWins(w._3))
+        .flatMap(w => w._2 until (w._2 + n)).distinct.size.toLong
+      assert(got(id) === ((nToks, covered)), s"doc $id")
+    }
+  }
+
+  test("semDedup: every dropped vector has a lower-id near-dup in its " +
+      "cluster; every kept vector has none") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    val vecs = sample(vecGen, 29L, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        threshold = 0.9, centroidMod = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(dot / (na * nb))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.toMap
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (vid, cid, dropped) =>
+      val lowerSameCluster = out.filter(o =>
+        o._1 < vid && o._2 == cid &&
+        cos(byId(o._1), byId(vid)) >= 0.9)
+      if (dropped == 1)
+        assert(lowerSameCluster.nonEmpty, s"$vid dropped w/o witness")
+      else
+        assert(lowerSameCluster.isEmpty, s"$vid kept despite near-dup")
+    }
+  }
 }
