@@ -533,4 +533,71 @@ object Dedup {
         round(coalesce(col("_dup"), lit(0L)) / col("n_toks"), 5)
           .as("dup_frac"))
   }
+
+  // -------------------------------------------------------------------
+  // Repeated-chunk removal (C4-style boilerplate dedup)
+  // -------------------------------------------------------------------
+
+  /** Corpus-level repeated-chunk removal — the C4 "three-sentence"
+    * dedup (Raffel et al. 2020 §2.2) at fixed token-chunk granularity:
+    * a document is cut into non-overlapping `c`-token chunks, any chunk
+    * whose text occurs in more than one document is dropped everywhere
+    * it appears (boilerplate: headers, footers, license blocks), and
+    * the surviving chunks are re-joined in order. Complements
+    * [[duplicatedSpans]], which only *measures* overlapping-window
+    * duplication — this one produces the rewritten corpus.
+    *
+    * Shape at 100 TB: chunking is a per-row explode (no shuffle); the
+    * boilerplate set is one groupBy on the chunk key; removal is a
+    * left-anti equi-join on the same key, so the exchange is reused.
+    * Work is linear in corpus tokens — never pairwise in documents.
+    * The reassembly is a per-document sort of ≤ n_chunks elements
+    * inside an aggregation buffer (no global sort). At scale the chunk
+    * join key would be a fixed-width hash of the text (xxhash64); raw
+    * text is kept here so the DuckDB oracle can mirror it exactly.
+    *
+    * Returns (doc_id, n_chunks, kept_chunks, clean_fp) per non-blank
+    * document, where clean_fp = sha256 of the reassembled text (empty
+    * string when every chunk was boilerplate) — fingerprint rather than
+    * the full rewritten text so the result stays result-set-sized while
+    * still certifying the reassembly byte-for-byte.
+    */
+  def dropRepeatedChunks(df: DataFrame, idCol: String, textCol: String,
+      c: Int): DataFrame = {
+    require(c >= 2, s"chunk must be at least 2 tokens, got $c")
+    val base = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+      .withColumn("n_chunks", expr(s"(n_toks + ${c - 1}) div $c"))
+    // one row per chunk, 1-based index; slice clamps the final partial
+    // chunk on both engines
+    val chunks = base
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1L), col("n_chunks"))).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        array_join(
+          slice(col("tk"), ((col("ci") - 1) * c + 1).cast("int"), lit(c)),
+          " ").as("chunk"))
+      // two consumers (boilerplate-set groupBy + the anti-join) reread
+      // the explode — materialize it once
+      .localCheckpoint(eager = true)
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") > 1)
+      .select(col("chunk"))
+    val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ci"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("_clean"))
+    base.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        sha2(coalesce(col("_clean"), lit("")), 256).as("clean_fp"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-items (heavy-hitter) detection over corpus tokens: the
+  * sketch-prune-then-exact-verify shape that replaces a full-vocabulary
+  * groupBy when the vocabulary does not fit anywhere.
+  *
+  * Pass 1 runs a Misra-Gries summary (Misra & Gries 1982) per partition
+  * and merges the constant-size summaries on the driver via
+  * `treeAggregate` — the same mergeable-sketch pattern as the KMV
+  * estimator. MG with capacity m guarantees every token whose true
+  * count exceeds N/(m+1) survives the merge (the bound holds under
+  * arbitrary merge order, Agarwal et al. 2013), so with a threshold
+  * above that bound the candidate set has NO false negatives. Pass 2
+  * re-scans with an `isin` filter on the ≤ m candidates and counts them
+  * exactly, so the final output is exact — false positives from the
+  * sketch are filtered by the real count, and the sketch's count error
+  * never reaches the result.
+  *
+  * At 100 TB: the summary is O(capacity) per partition regardless of
+  * data size, the merge is a driver-side fold over one map per
+  * partition, and the verify pass is a scan with a broadcast in-set
+  * predicate followed by a groupBy over ≤ capacity distinct keys —
+  * nothing anywhere is vocabulary-sized. Natural pipeline use: finding
+  * boilerplate tokens/domains/fingerprints worth a stop-list, the same
+  * role as the reference's stop-word filter over backtick tokens
+  * (pkg/indexer/documents/parser.go) but discovered from the corpus
+  * instead of hard-coded.
+  */
+object Frequency {
+
+  /** Add one observation to an MG summary of size ≤ capacity. */
+  private[graft] def mgAdd(m: Map[String, Long], k: String,
+      capacity: Int): Map[String, Long] =
+    if (m.contains(k) || m.size < capacity) {
+      m.updated(k, m.getOrElse(k, 0L) + 1L)
+    } else {
+      // full and k absent: decrement every counter (the classic
+      // "cancel capacity+1 distinct items" step), dropping zeros
+      m.flatMap { case (key, v) =>
+        if (v > 1L) Some(key -> (v - 1L)) else None
+      }
+    }
+
+  /** Merge two MG summaries back to capacity: sum counts, then subtract
+    * the (capacity+1)-th largest count from all (Agarwal et al. 2013's
+    * merge rule — keeps the N/(m+1) deficit bound). */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+      capacity: Int): Map[String, Long] = {
+    val m = b.foldLeft(a) { case (acc, (k, v)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + v)
+    }
+    if (m.size <= capacity) m
+    else {
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      m.flatMap { case (k, v) =>
+        if (v > cut) Some(k -> (v - cut)) else None
+      }
+    }
+  }
+
+  /** Tokens appearing in at least `minFracPpm` parts-per-million of all
+    * corpus token positions, with their EXACT counts, ordered by count
+    * desc then token. `minFracPpm * (capacity+1)` must exceed 1e6 so
+    * the MG guarantee covers the threshold (no false negatives at any
+    * corpus size).
+    */
+  def heavyHitters(df: DataFrame, textCol: String, minFracPpm: Long,
+      capacity: Int = 256): DataFrame = {
+    require(minFracPpm >= 1 && minFracPpm <= 1000000L,
+      s"minFracPpm must be in [1, 1e6], got $minFracPpm")
+    require(minFracPpm * (capacity + 1) > 1000000L,
+      s"threshold ${minFracPpm}ppm is below the MG guarantee " +
+        s"1e6/(capacity+1) = ${1000000L / (capacity + 1)}ppm — raise " +
+        "capacity or the threshold, or false negatives are possible")
+    val toks = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    // pass 1: (MG summary, total token count) in one scan
+    val (sketch, total) = toks.rdd
+      .map(_.getString(0))
+      .treeAggregate((Map.empty[String, Long], 0L))(
+        seqOp = { case ((m, n), t) => (mgAdd(m, t, capacity), n + 1L) },
+        combOp = { case ((m1, n1), (m2, n2)) =>
+          (mgMerge(m1, m2, capacity), n1 + n2)
+        })
+    if (total == 0L || sketch.isEmpty) {
+      toks.select(col("token"), lit(0L).as("cnt")).limit(0)
+    } else {
+      // pass 2: exact counts for the ≤ capacity candidates only;
+      // cnt/total >= minFrac/1e6 as an integer cross-multiplication
+      toks.filter(col("token").isin(sketch.keys.toSeq: _*))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 1000000L >= lit(minFracPpm) * lit(total))
+        .orderBy(col("cnt").desc, col("token"))
+    }
+  }
+}

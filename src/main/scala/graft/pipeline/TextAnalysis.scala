@@ -333,4 +333,52 @@ object TextAnalysis {
         col("_h_en"), col("_h_es"), col("_h_de"), col("_h_fr")))
       .drop("_toks", "_h_en", "_h_es", "_h_de", "_h_fr")
   }
+
+  /** Corpus-trained bigram language-model fluency score — the
+    * LM-quality-filter stage of published pipelines (CCNet, Wenzek et
+    * al. 2020, filters on KenLM perplexity). The model is the corpus
+    * itself: P(w2|w1) = count(w1 w2) / count(w1 ·), and each document
+    * scores the mean of its bigrams' conditional probabilities in parts
+    * per million. A document of improbable transitions (shuffled text,
+    * gibberish, wrong-language mix) scores low exactly as it would on
+    * perplexity; the linear-space mean replaces the log-space mean so
+    * every intermediate is integer arithmetic, bit-portable across
+    * engines (no libm log in either plan).
+    *
+    * Shape at 100 TB: bigram explode is per-row; the model is two
+    * groupBys on (w1,w2) and w1 — bigram-vocabulary-sized, not
+    * corpus-sized; scoring joins the bigram stream to the model on
+    * (w1,w2), co-partitioned with the model build so the exchange is
+    * reused. A production variant would prune the model to the top-V
+    * bigrams and broadcast it; the full-model join here keeps the
+    * DuckDB oracle exact.
+    *
+    * Returns (doc_id, n_bigrams, mean_p_ppm) for documents with ≥ 2
+    * tokens.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = base
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+      // two consumers (model build + scoring join) reread the explode —
+      // materialize it once
+      .localCheckpoint(eager = true)
+    val m2 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val m1 = m2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val p = m2.join(m1, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("c2 * 1000000 div c1").as("p_ppm"))
+    bg.join(p, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+  }
 }

@@ -841,7 +841,48 @@ object CurationQueries {
       |FROM base b LEFT JOIN cov c USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q109 — repeated-chunk removal (C4-style boilerplate dedup, Raffel
+  // et al. 2020 §2.2): documents are cut into non-overlapping 10-token
+  // chunks, chunks occurring in >1 document are dropped everywhere, and
+  // the survivors are re-joined in order — certified by sha256 of the
+  // reassembled text. The rewrite companion to q105's measurement.
+  // -------------------------------------------------------------------
+  def q109_chunk_dedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatedChunks(Tables.documents(spark, dir), "doc_id",
+        "text", c = 10)
+      .orderBy(col("doc_id"))
+
+  val q109_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |base AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks, tk,
+      |    (CAST(len(tk) AS BIGINT) + 9) // 10 AS n_chunks FROM t),
+      |cidx AS (
+      |  SELECT doc_id, tk, unnest(generate_series(1, n_chunks)) AS ci
+      |  FROM base),
+      |ch AS (
+      |  SELECT doc_id, ci, array_to_string(tk[(ci-1)*10+1:ci*10], ' ')
+      |    AS chunk
+      |  FROM cidx),
+      |boiler AS (
+      |  SELECT chunk FROM ch GROUP BY chunk
+      |  HAVING COUNT(DISTINCT doc_id) > 1),
+      |kept AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+      |    string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+      |  FROM ch ANTI JOIN boiler USING (chunk)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_chunks,
+      |  COALESCE(k.kept_chunks, 0) AS kept_chunks,
+      |  sha256(COALESCE(k.clean_text, '')) AS clean_fp
+      |FROM base b LEFT JOIN kept k USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_chunk_dedup" -> q109_chunk_dedup _,
     "q105_substring_dedup" -> q105_substring_dedup _,
     "q83_exact_quota" -> q83_exact_quota _,
     "q82_crosslingual_dups" -> q82_crosslingual_dups _,
@@ -864,6 +905,7 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q109_chunk_dedup" -> q109_sql,
     "q105_substring_dedup" -> q105_sql,
     "q83_exact_quota" -> q83_sql,
     "q82_crosslingual_dups" -> q82_sql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Frequency, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Round-4 coverage: the published-heuristic curation ops a pretraining
   * pipeline layers on top of the scoring/dedup stages — all
@@ -881,7 +881,63 @@ object QualityQueries {
       |FROM t LEFT JOIN s USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q110 — heavy hitters via Misra-Gries sketch + exact verify: tokens
+  // covering ≥ 1% of all corpus token positions, with exact counts. The
+  // sketch pass (capacity 256, guarantee bound 1e6/257 ≈ 3891 ppm < the
+  // 10000 ppm threshold) prunes to ≤ 256 candidates without a
+  // vocabulary-sized groupBy; the verify pass makes the output exact,
+  // which is what the DuckDB oracle checks.
+  // -------------------------------------------------------------------
+  def q110_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
+    Frequency.heavyHitters(Tables.documents(spark, dir), "text",
+      minFracPpm = 10000L, capacity = 256)
+
+  val q110_sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE trim(text) <> ''),
+      |tot AS (SELECT COUNT(*) AS n FROM tok)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM tok, tot GROUP BY token, tot.n
+      |HAVING COUNT(*) * 1000000 >= 10000 * tot.n
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q111 — corpus-trained bigram LM fluency score (the CCNet-style LM
+  // quality filter, integer-exact): mean P(w2|w1) in ppm per document,
+  // model trained on the corpus itself. Top/bottom scorers are the
+  // fluent/gibberish split a perplexity filter would make.
+  // -------------------------------------------------------------------
+  def q111_lm_score(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(Tables.documents(spark, dir), "doc_id",
+        "text")
+      .orderBy(col("doc_id"))
+
+  val q111_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |b0 AS (
+      |  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |  FROM t WHERE len(tk) >= 2),
+      |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM b0),
+      |m2 AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM bg GROUP BY w1, w2),
+      |m1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM m2 GROUP BY w1),
+      |p AS (
+      |  SELECT w1, w2, c2 * 1000000 // c1 AS p_ppm
+      |  FROM m2 JOIN m1 USING (w1))
+      |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm
+      |FROM bg JOIN p USING (w1, w2)
+      |GROUP BY bg.doc_id
+      |ORDER BY bg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_heavy_hitters" -> q110_heavy_hitters _,
+    "q111_lm_score" -> q111_lm_score _,
     "q107_hash_classifier" -> q107_hash_classifier _,
     "q106_temp_mixture" -> q106_temp_mixture _,
     "q84_gopher_rules" -> q84_gopher_rules _,
@@ -901,6 +957,8 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q110_heavy_hitters" -> q110_sql,
+    "q111_lm_score" -> q111_sql,
     "q107_hash_classifier" -> q107_sql,
     "q106_temp_mixture" -> q106_sql,
     "q84_gopher_rules" -> q84_sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Frequency, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -194,5 +194,67 @@ class PipelineSpec extends SparkSpec {
     assert(out("big") === ((10000L, 990099L, 909090L, 918L)))
     assert(out("small")._3 > out("small")._2) // tail boosted
     assert(out("big")._3 < out("big")._2)     // head flattened
+  }
+
+  test("dropRepeatedChunks removes cross-doc chunks and reassembles") {
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (1L, "a b c d e f"), // chunks: "a b" | "c d" | "e f"
+      (2L, "a b x y"),     // shares boilerplate chunk "a b"
+      (3L, "p q r"),       // "p q" | "r" — untouched, partial tail chunk
+      (4L, "a b"),         // single chunk, all boilerplate → empty text
+      (5L, "")             // blank — excluded entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedChunks(d, "doc_id", "text", c = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 2L, sha("c d e f"))))
+    assert(out(2L) === ((2L, 1L, sha("x y"))))
+    assert(out(3L) === ((2L, 2L, sha("p q r"))))
+    assert(out(4L) === ((1L, 0L, sha(""))))
+    assert(!out.contains(5L))
+  }
+
+  test("heavyHitters returns exact counts above the ppm threshold") {
+    val d = Seq(
+      (1L, "x x x x x x x x x x"), // 10×x
+      (2L, "x y y y z"),           // x=11 total, y count grows
+      (3L, "y y w")                // 18 tokens: x=11 y=5 z=1 w=1
+    ).toDF("doc_id", "text")
+    // 20% of 18 tokens = 3.6 → x (11) and y (5) qualify, z/w do not
+    val out = Frequency.heavyHitters(d, "text", minFracPpm = 200000L,
+        capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("x", 11L), ("y", 5L)))
+    // threshold below the MG guarantee bound must be refused
+    intercept[IllegalArgumentException] {
+      Frequency.heavyHitters(d, "text", minFracPpm = 1000L, capacity = 16)
+    }
+    // empty corpus → empty result, same schema
+    val empty = Frequency.heavyHitters(
+      Seq((1L, "")).toDF("doc_id", "text"), "text",
+      minFracPpm = 200000L, capacity = 16)
+    assert(empty.columns.toSeq === Seq("token", "cnt"))
+    assert(empty.count() === 0L)
+  }
+
+  test("bigramLmScore computes integer mean conditional probability") {
+    val d = Seq(
+      (1L, "a b a b a"), // bigrams ab, ba, ab, ba
+      (2L, "a c"),       // bigram ac
+      (3L, "solo"),      // single token — excluded
+      (4L, "")           // blank — excluded
+    ).toDF("doc_id", "text")
+    // model: c(a,b)=2 c(b,a)=2 c(a,c)=1; contexts a=3, b=2
+    // p_ppm: ab = 2000000 div 3 = 666666; ba = 1000000; ac = 333333
+    val out = TextAnalysis.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((4L, (666666L * 2 + 1000000L * 2) / 4)))
+    assert(out(2L) === ((1L, 333333L)))
+    assert(out.keySet === Set(1L, 2L))
   }
 }

@@ -6,7 +6,7 @@ import org.scalacheck.Gen.Parameters
 import org.scalacheck.rng.Seed
 
 import graft.ops.AsOf
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Frequency, Similarity}
 
 /** Property-based checks for the operators whose correctness rests on a
   * non-obvious equivalence: each is compared against a naive reference
@@ -156,6 +156,38 @@ class PropertySpec extends SparkSpec {
         assert(lowerSameCluster.nonEmpty, s"$vid dropped w/o witness")
       else
         assert(lowerSameCluster.isEmpty, s"$vid kept despite near-dup")
+    }
+  }
+
+  test("Misra-Gries summary never loses an item above N/(m+1), under " +
+      "any partitioning") {
+    // skewed streams from a small alphabet so heavy items exist
+    val tokGen = Gen.frequency(
+      5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      1 -> Gen.oneOf("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8"))
+    (0 until 5).foreach { round =>
+      val stream = sample(tokGen, 100 + round, 400)
+      val m = 4
+      val exact = stream.groupBy(identity).map { case (k, v) =>
+        k -> v.size.toLong
+      }
+      // random 4-way partitioning, summaries merged pairwise
+      val parts = stream.zipWithIndex.groupBy(_._2 % 4).values
+        .map(_.map(_._1))
+      val summaries = parts.map(_.foldLeft(Map.empty[String, Long])(
+        (acc, t) => Frequency.mgAdd(acc, t, m)))
+      val merged = summaries.reduce(Frequency.mgMerge(_, _, m))
+      assert(merged.size <= m)
+      val bound = stream.size.toLong / (m + 1)
+      exact.filter(_._2 > bound).keys.foreach { k =>
+        assert(merged.contains(k),
+          s"round $round: lost $k (count ${exact(k)} > bound $bound)")
+      }
+      // deficit bound: retained estimates undercount by at most N/(m+1)
+      merged.foreach { case (k, est) =>
+        assert(est <= exact(k) && exact(k) - est <= bound,
+          s"round $round: estimate for $k out of deficit bound")
+      }
     }
   }
 }
