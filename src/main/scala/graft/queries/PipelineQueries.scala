@@ -370,7 +370,80 @@ object PipelineQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q112 — LSH recall evaluation: what fraction (ppm) of TRUE near-dup
+  // pairs (unigram Jaccard ≥ 0.8, the q23 truth) does the banded
+  // MinHash LSH (q24's 8 hashes, 4 bands × 2 rows) actually surface as
+  // candidates? This is the tuning measurement behind every (b, r)
+  // choice: run it on a sample, pick the cheapest banding whose recall
+  // clears the target, then run the real dedup with that banding. Both
+  // sides are deterministic (hash-exact MinHash), so the oracle is
+  // exact — no tolerance needed even though LSH is "approximate".
+  // Scale shape: truth is the q23 shingle equi-join, candidates the q24
+  // bucket join, and the recall join is on (id_a, id_b) — on a sample
+  // in practice; nothing here is all-pairs.
+  // -------------------------------------------------------------------
+  def q112_lsh_recall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truth = Dedup.jaccardPairsAdaptive(docs, "doc_id", "text", 1, 0.8)
+      .select(col("id_a"), col("id_b"))
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2)
+      .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
+    truth.join(cand, Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        expr("n_hit * 1000000 div greatest(n_true, 1)").as("recall_ppm"))
+  }
+
+  val q112_sql: String =
+    s"""WITH $toksCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         COUNT(*) AS intersection
+       |  FROM toks a JOIN toks b
+       |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(intersection AS DOUBLE) /
+       |        (sa.sz + sb.sz - intersection) >= 0.8),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(tok), 8, 7)) AS BIGINT) AS h2
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id, s.i AS seed,
+       |         min((h1 + s.i * h2) % 2147483647) AS sig
+       |  FROM h CROSS JOIN generate_series(0, 7) AS s(i)
+       |  GROUP BY doc_id, s.i),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed))
+       |           AS band_key
+       |  FROM sigs GROUP BY doc_id, seed // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |hits AS (
+       |  SELECT CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM truth t
+       |  LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(SUM(hit), 0) * 1000000
+       |       // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_ppm
+       |FROM hits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_lsh_recall" -> q112_lsh_recall _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
     "q22_fingerprint" -> q22_fingerprint _,
@@ -385,6 +458,7 @@ object PipelineQueries {
     "q33_dedup_keep" -> q33_dedup_keep _)
 
   val oracles: Map[String, String] = Map(
+    "q112_lsh_recall" -> q112_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,
     "q22_fingerprint" -> q22_sql,

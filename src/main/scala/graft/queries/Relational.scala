@@ -688,7 +688,90 @@ object Relational {
       |FROM d GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q113 — one-pass column profiler (ANALYZE TABLE semantics): null
+  // count, distinct count, min, max for each profiled column, computed
+  // in a SINGLE aggregation over one scan (the multi-count-distinct
+  // Expand, not four scans), then unpivoted to long format with stack.
+  // The statistics pass every optimizer and data-quality monitor runs
+  // first — only integer/string columns profiled so min/max stringify
+  // identically on both engines.
+  // -------------------------------------------------------------------
+  private val profileCols =
+    Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+
+  def q113_col_profile(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${profileCols.size}, " +
+        profileCols.map(c =>
+          s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+          .mkString(", ") +
+        ") as (col_name, n_nulls, n_distinct, min_s, max_s)")
+      .orderBy(col("col_name"))
+  }
+
+  val q113_sql: String = profileCols.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_nulls,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(MIN($c) AS VARCHAR) AS min_s,
+       |  CAST(MAX($c) AS VARCHAR) AS max_s
+       |FROM orders""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // -------------------------------------------------------------------
+  // q114 — approximate quantiles under a tolerance oracle (the q36
+  // pattern for the quantile-sketch family): each engine runs its OWN
+  // approximate-quantile sketch (Spark: Greenwald-Khanna at accuracy
+  // 10000; DuckDB: t-digest) next to the exact PERCENTILE_DISC and
+  // emits `approx_ok = |approx − exact| / exact ≤ 0.02`. The
+  // hash-compared columns (label, exact discrete quantile — an actual
+  // data element, so bit-identical across engines — and the boolean)
+  // are deterministic. Mergeable quantile sketches are the only way to
+  // get percentiles at 100 TB without a global sort; the tolerance gate
+  // certifies the sketch is inside its error budget.
+  // -------------------------------------------------------------------
+  private val quantilePoints = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+
+  def q114_approx_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = quantilePoints.flatMap { case (l, q) =>
+      Seq(expr(s"percentile_disc($q) WITHIN GROUP " +
+          "(ORDER BY l_extendedprice)").as(s"e_$l"),
+        expr(s"percentile_approx(l_extendedprice, $q, 10000)").as(s"a_$l"))
+    }
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${quantilePoints.size}, " +
+        quantilePoints.map { case (l, _) =>
+          s"'$l', e_$l, abs(a_$l - e_$l) / e_$l <= 0.02"
+        }.mkString(", ") +
+        ") as (q, exact_price, approx_ok)")
+      .orderBy(col("q"))
+  }
+
+  val q114_sql: String = {
+    val sels = quantilePoints.map { case (l, q) =>
+      s"quantile_disc(l_extendedprice, $q) AS e_$l,\n" +
+        s"  approx_quantile(l_extendedprice, $q) AS a_$l"
+    }.mkString(",\n  ")
+    val rows = quantilePoints.map { case (l, _) =>
+      s"SELECT '$l' AS q, e_$l AS exact_price,\n" +
+        s"  ABS(a_$l - e_$l) / e_$l <= 0.02 AS approx_ok FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"WITH s AS (SELECT\n  $sels\nFROM lineitem)\n$rows\nORDER BY q"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_col_profile" -> q113_col_profile _,
+    "q114_approx_quantiles" -> q114_approx_quantiles _,
     "q76_ntile" -> q76_ntile _,
     "q72_json_props" -> q72_json_props _,
     "q73_exists_sql" -> q73_exists_sql _,
@@ -714,6 +797,8 @@ object Relational {
     "q36_approx_distinct" -> q36_approx_distinct _)
 
   val oracles: Map[String, String] = Map(
+    "q113_col_profile" -> q113_sql,
+    "q114_approx_quantiles" -> q114_sql,
     "q76_ntile" -> q76_sql,
     "q72_json_props" -> q72_sql,
     "q73_exists_sql" -> q73_sql,

@@ -144,4 +144,51 @@ class ExtendedSpec extends SparkSpec {
     assert(out.map(_.getString(3)).toSeq ==
       Seq("Client", "Client#run", ""))
   }
+
+  test("q112 LSH recall is a valid ppm fraction with hits ≤ truth") {
+    val r = graft.queries.PipelineQueries
+      .q112_lsh_recall(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length === 1)
+    val (nTrue, nHit, ppm) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(nTrue > 0 && nHit <= nTrue)
+    assert(ppm === nHit * 1000000L / nTrue)
+    // 4 bands × 2 rows at J ≥ 0.8 has pair-catch probability ≥ 0.97
+    // analytically (1-(1-s²)⁴ at s=0.8); corpus recall stays well above
+    // one half on any non-adversarial data
+    assert(ppm > 500000L)
+  }
+
+  test("q113 profiler matches directly-computed column stats") {
+    val out = graft.queries.Relational
+      .q113_col_profile(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val expected = orders.agg(
+      countDistinct(col("o_orderstatus")),
+      min(col("o_orderkey")).cast("string"),
+      max(col("o_orderkey")).cast("string")).collect()(0)
+    assert(out("o_orderstatus")._1 === 0L)
+    assert(out("o_orderstatus")._2 === expected.getLong(0))
+    assert(out("o_orderkey")._3 === expected.getString(1))
+    assert(out("o_orderkey")._4 === expected.getString(2))
+    assert(out.keySet === Set("o_custkey", "o_orderkey",
+      "o_orderpriority", "o_orderstatus"))
+  }
+
+  test("q114 approximate quantiles stay within tolerance, ordered") {
+    val out = graft.queries.Relational
+      .q114_approx_quantiles(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq === Seq("p25", "p50", "p75"))
+    assert(out.forall(_._3), "a quantile sketch left its error budget")
+    assert(out(0)._2 <= out(1)._2 && out(1)._2 <= out(2)._2)
+    // disc quantile must be an actual data element
+    val prices = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_extendedprice")).distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(out.forall(o => prices.contains(o._2)))
+  }
 }
