@@ -31,6 +31,7 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.registerAll(spark)
     try run(spark, storeDir, cmd, rest) match {
       case Some(df) => df.show(50, truncate = false)
       case None => ()

@@ -145,6 +145,30 @@ class ExtendedSpec extends SparkSpec {
       Seq("Client", "Client#run", ""))
   }
 
+  test("graft_* SQL functions match their DataFrame columns exactly") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_fingerprint('  The   QUICK fox ') AS fp,
+        |  graft_tokens(' a  b ') AS tk,
+        |  graft_token_count(' a  b  c ') AS tc,
+        |  graft_subwords('camelCase42') AS sw,
+        |  graft_punct_ratio('ab,!') AS pr,
+        |  graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS cos,
+        |  graft_int_dot(array(2L, 3L), array(4L, 5L)) AS dot
+        |""".stripMargin).collect()(0)
+    val df = Seq("  The   QUICK fox ").toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).collect()(0).getString(0)
+    assert(r.getString(0) === df)
+    assert(r.getSeq[String](1) === Seq("a", "b"))
+    assert(r.getInt(2) === 3)
+    assert(r.getInt(3) === 3)   // camel + Case + 42
+    assert(r.getDouble(4) === 0.5)
+    assert(r.getDouble(5) === 0.0)
+    assert(r.getLong(6) === 23L)
+    // arity errors surface as analysis-time failures, not wrong answers
+    intercept[Exception] { spark.sql("SELECT graft_fingerprint('a','b')") }
+  }
+
   test("q112 LSH recall is a valid ppm fraction with hits ≤ truth") {
     val r = graft.queries.PipelineQueries
       .q112_lsh_recall(spark, "/root/testdata/sf0.001").collect()
