@@ -12,7 +12,12 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * The `graft_*` text functions are Catalyst trees over built-in
   * expressions — mirroring [[graft.pipeline.TextAnalysis]]'s Column
   * definitions node for node (ExtendedSpec asserts SQL ≡ DataFrame on
-  * sample inputs, so the two surfaces cannot silently drift).
+  * sample inputs, so the two surfaces cannot silently drift). They
+  * cannot simply reuse the Column trees via GraftBridge: a Column
+  * converted back with `GraftBridge.expression` stays a
+  * ColumnNodeExpression, which the analyzer only resolves on the
+  * DataFrame path — returned from a FunctionRegistry builder it
+  * reaches codegen unresolved and throws (Unevaluable).
   *
   * Wire up via
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`,

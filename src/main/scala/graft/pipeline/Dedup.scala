@@ -580,8 +580,8 @@ object Dedup {
         array_join(
           slice(col("tk"), ((col("ci") - 1) * c + 1).cast("int"), lit(c)),
           " ").as("chunk"))
-      // two consumers (boilerplate-set groupBy + the anti-join) reread
-      // the explode — materialize it once
+      // three consumers (boilerplate-set groupBy, the anti-join, and
+      // the per-doc totals) reread the explode — materialize it once
       .localCheckpoint(eager = true)
     val boiler = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("_nd"))
@@ -595,7 +595,12 @@ object Dedup {
             array_sort(collect_list(struct(col("ci"), col("chunk")))),
             s => s.getField("chunk")),
           " ").as("_clean"))
-    base.join(kept, Seq("doc_id"), "left_outer")
+    // per-doc totals from the materialized chunk rows (ci covers
+    // 1..n_chunks for every non-blank doc, so max(ci) = n_chunks) —
+    // joining back through `base` would re-tokenize the whole corpus
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(max(col("ci")).as("n_chunks"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         sha2(coalesce(col("_clean"), lit("")), 256).as("clean_fp"))

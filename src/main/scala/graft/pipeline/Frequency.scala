@@ -89,12 +89,17 @@ object Frequency {
     if (total == 0L || sketch.isEmpty) {
       toks.select(col("token"), lit(0L).as("cnt")).limit(0)
     } else {
-      // pass 2: exact counts for the ≤ capacity candidates only;
-      // cnt/total >= minFrac/1e6 as an integer cross-multiplication
+      // pass 2: exact counts for the ≤ capacity candidates only.
+      // cnt ≥ ceil(minFracPpm·total/1e6) ⟺ cnt·1e6 ≥ minFracPpm·total
+      // for positive ints, but the cross-multiplication overflows Long
+      // at ~9.2e12 tokens — at the corpus sizes this module targets —
+      // so the threshold is computed once, exactly, in BigInt
+      val threshold =
+        ((BigInt(minFracPpm) * BigInt(total) + 999999) / 1000000).toLong
       toks.filter(col("token").isin(sketch.keys.toSeq: _*))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") * 1000000L >= lit(minFracPpm) * lit(total))
+        .filter(col("cnt") >= lit(threshold))
         .orderBy(col("cnt").desc, col("token"))
     }
   }

@@ -392,7 +392,10 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
     truth.join(cand, Seq("id_a", "id_b"), "left_outer")
       .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        // sum over ZERO rows is null, not 0 — coalesce at the aggregate
+        // level too, or an empty truth set diverges from the oracle's 0
+        coalesce(sum(coalesce(col("_hit"), lit(0L))), lit(0L))
+          .as("n_hit"))
       .select(col("n_true"), col("n_hit"),
         expr("n_hit * 1000000 div greatest(n_true, 1)").as("recall_ppm"))
   }
