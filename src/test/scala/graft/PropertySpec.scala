@@ -6,7 +6,7 @@ import org.scalacheck.Gen.Parameters
 import org.scalacheck.rng.Seed
 
 import graft.ops.AsOf
-import graft.pipeline.{Dedup, Frequency, Similarity}
+import graft.pipeline.{Dedup, Frequency, Similarity, TextAnalysis}
 
 /** Property-based checks for the operators whose correctness rests on a
   * non-obvious equivalence: each is compared against a naive reference
@@ -156,6 +156,65 @@ class PropertySpec extends SparkSpec {
         assert(lowerSameCluster.nonEmpty, s"$vid dropped w/o witness")
       else
         assert(lowerSameCluster.isEmpty, s"$vid kept despite near-dup")
+    }
+  }
+
+  test("dropRepeatedChunks: naive reference agreement on random corpora") {
+    val c = 3
+    val docGen = Gen.choose(1, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val docs = sample(docGen, 31L, 18).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = Dedup.dropRepeatedChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", c)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // naive reference: chunk, count docs per chunk text, drop shared
+    val chunked = docs.map { case (id, t) =>
+      id -> t.split("\\s+").grouped(c).map(_.mkString(" ")).toSeq
+    }
+    val docsPerChunk = chunked.flatMap { case (id, ch) =>
+      ch.distinct.map(_ -> id)
+    }.groupBy(_._1).map { case (ch, v) => ch -> v.map(_._2).distinct.size }
+    chunked.foreach { case (id, ch) =>
+      val keep = ch.filter(docsPerChunk(_) == 1)
+      assert(got(id) ===
+        ((ch.size.toLong, keep.size.toLong, sha(keep.mkString(" ")))),
+        s"doc $id")
+    }
+  }
+
+  test("bigramLmScore: naive reference agreement on random corpora") {
+    val docGen = Gen.choose(1, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+    val docs = sample(docGen, 37L, 15).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = TextAnalysis.bigramLmScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bigrams = docs.flatMap { case (id, t) =>
+      val tk = t.split("\\s+")
+      tk.sliding(2).filter(_.length == 2).map(w => (id, w(0), w(1)))
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) =>
+      k -> v.size.toLong
+    }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> m.values.sum
+    }
+    docs.foreach { case (id, t) =>
+      val bg = bigrams.filter(_._1 == id)
+      if (bg.isEmpty) assert(!got.contains(id), s"doc $id")
+      else {
+        val ps = bg.map(b => c2((b._2, b._3)) * 1000000L / c1(b._2))
+        assert(got(id) === ((bg.size.toLong, ps.sum / bg.size)),
+          s"doc $id")
+      }
     }
   }
 
