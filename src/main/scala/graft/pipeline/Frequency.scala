@@ -61,6 +61,76 @@ object Frequency {
     }
   }
 
+  /** Tokenizer-style vocabulary build: the `maxSize` most frequent
+    * corpus tokens (ties broken by token text), each assigned a dense
+    * 1-based id in (count desc, token) order — the id table every
+    * featurizer/tokenizer consumes. The corpus-sized work is one
+    * groupBy on the token key; the global top-`maxSize` cut runs as a
+    * distributed TakeOrdered (no full sort), and the dense ids come
+    * from sorted `zipWithIndex` over ONLY the ≤ maxSize-row result —
+    * not from a global row_number window, whose empty partition spec
+    * would plan the single-partition `WindowExec` this library bans.
+    * The index is a per-partition offset sum, so the assigned ids are
+    * total-order correct regardless of where the range partitioner
+    * places its boundaries.
+    *
+    * Returns (token, cnt, token_id), ordered by token_id.
+    */
+  def buildVocab(df: DataFrame, textCol: String, maxSize: Int)
+      : DataFrame = {
+    require(maxSize >= 1 && maxSize <= 10000000,
+      s"maxSize must be in [1, 1e7] (a vocabulary is broadcast-sized " +
+        s"by definition), got $maxSize")
+    val spark = df.sparkSession
+    val top = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(maxSize)
+    val ranked = top.orderBy(col("cnt").desc, col("token")).rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1L) }
+    spark.createDataFrame(ranked).toDF("token", "cnt", "token_id")
+      .orderBy(col("token_id"))
+  }
+
+  /** Apply a [[buildVocab]] vocabulary to the corpus — the tokenizer
+    * "encode" step. Each document's whitespace tokens map to their
+    * dense ids (out-of-vocabulary → 0), summarized per document as
+    * token/OOV counts plus an md5 fingerprint of the comma-joined id
+    * sequence — a portable witness that the full encoded sequence is
+    * identical across engines without comparing giant arrays.
+    *
+    * Scale shape: the vocabulary is collected and shipped as a literal
+    * map — a vocabulary's defining property is that every worker holds
+    * a copy (that is what a tokenizer IS), so the lookup is a
+    * broadcast-style `element_at` inside one codegen'd projection.
+    * Tokens of a document never leave their row (`transform` over the
+    * token array), so encoding adds ZERO shuffles: no explode, no
+    * token→id join, no per-doc regroup. At 100 TB this runs at scan
+    * speed and composes with pushed filters.
+    *
+    * Returns (id, n_toks, n_oov, ids_fp), ordered by id.
+    */
+  def encodeWithVocab(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val entries: Map[String, Long] = vocab.select("token", "token_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vmap = typedLit(entries)
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("ids", transform(col("tk"),
+        t => coalesce(element_at(vmap, t), lit(0L))))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_toks"),
+        size(filter(col("ids"), _ === 0L)).cast("long").as("n_oov"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ","))
+          .as("ids_fp"))
+      .orderBy(col(idCol))
+  }
+
   /** Tokens appearing in at least `minFracPpm` parts-per-million of all
     * corpus token positions, with their EXACT counts, ordered by count
     * desc then token. `minFracPpm * (capacity+1)` must exceed 1e6 so

@@ -935,9 +935,37 @@ object QualityQueries {
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q115 — tokenizer vocabulary build: top-1000 corpus tokens with
+  // dense 1-based ids in (count desc, token) order. Corpus work is one
+  // token groupBy; the dense ids come from sorted zipWithIndex over
+  // the already-cut ≤1000-row table (deliberately NOT a row_number
+  // window: even with a literal partition key, Catalyst folds the key
+  // away and plans the banned single-partition WindowExec).
+  // -------------------------------------------------------------------
+  def q115_vocab_build(spark: SparkSession, dir: String): DataFrame =
+    Frequency.buildVocab(Tables.documents(spark, dir), "text",
+      maxSize = 1000)
+
+  val q115_sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE trim(text) <> ''),
+      |cnts AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY token),
+      |ranked AS (
+      |  SELECT token, cnt, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY cnt DESC, token) AS BIGINT) AS token_id
+      |  FROM cnts)
+      |SELECT token, cnt, token_id FROM ranked
+      |WHERE token_id <= 1000
+      |ORDER BY token_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_heavy_hitters" -> q110_heavy_hitters _,
     "q111_lm_score" -> q111_lm_score _,
+    "q115_vocab_build" -> q115_vocab_build _,
     "q107_hash_classifier" -> q107_hash_classifier _,
     "q106_temp_mixture" -> q106_temp_mixture _,
     "q84_gopher_rules" -> q84_gopher_rules _,
@@ -959,6 +987,7 @@ object QualityQueries {
   val oracles: Map[String, String] = Map(
     "q110_heavy_hitters" -> q110_sql,
     "q111_lm_score" -> q111_sql,
+    "q115_vocab_build" -> q115_sql,
     "q107_hash_classifier" -> q107_sql,
     "q106_temp_mixture" -> q106_sql,
     "q84_gopher_rules" -> q84_sql,

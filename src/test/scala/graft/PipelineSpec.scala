@@ -241,6 +241,21 @@ class PipelineSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("buildVocab assigns dense frequency-ranked ids with text ties") {
+    val d = Seq(
+      (1L, "b b b a a c z"),
+      (2L, "b a y"),   // b=4 a=3 c=1 y=1 z=1
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val all = Frequency.buildVocab(d, "text", maxSize = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSeq === Seq(("b", 4L, 1L), ("a", 3L, 2L),
+      ("c", 1L, 3L), ("y", 1L, 4L), ("z", 1L, 5L)))
+    val cut = Frequency.buildVocab(d, "text", maxSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(cut.toSeq === Seq(("b", 1L), ("a", 2L)))
+  }
+
   test("bigramLmScore computes integer mean conditional probability") {
     val d = Seq(
       (1L, "a b a b a"), // bigrams ab, ba, ab, ba
