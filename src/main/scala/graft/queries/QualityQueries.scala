@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Frequency, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Frequency, Multimodal, Sampling, Selection, Similarity, TextAnalysis}
 
 /** Round-4 coverage: the published-heuristic curation ops a pretraining
   * pipeline layers on top of the scoring/dedup stages — all
@@ -962,7 +962,93 @@ object QualityQueries {
       |WHERE token_id <= 1000
       |ORDER BY token_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q116 — tokenizer encode: apply the q115 vocabulary to every
+  // document (OOV → 0), reporting token/OOV counts plus an md5
+  // fingerprint of the full id sequence — the portable witness that the
+  // encoded sequences are bit-identical across engines. The vocab ships
+  // as a literal map into one codegen'd projection: zero shuffles.
+  // -------------------------------------------------------------------
+  def q116_vocab_encode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Frequency.encodeWithVocab(docs, "doc_id", "text",
+      Frequency.buildVocab(docs, "text", maxSize = 1000))
+  }
+
+  val q116_sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE trim(text) <> ''),
+      |cnts AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY token),
+      |vocab AS (
+      |  SELECT token, token_id FROM (
+      |    SELECT token, CAST(ROW_NUMBER() OVER (
+      |      ORDER BY cnt DESC, token) AS BIGINT) AS token_id
+      |    FROM cnts) WHERE token_id <= 1000),
+      |t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |e AS (
+      |  SELECT doc_id, unnest(tk) AS tok,
+      |    unnest(generate_series(1, len(tk))) AS pos
+      |  FROM t),
+      |m AS (
+      |  SELECT e.doc_id, e.pos, COALESCE(v.token_id, 0) AS id
+      |  FROM e LEFT JOIN vocab v ON e.tok = v.token)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  md5(array_to_string(list(id ORDER BY pos), ',')) AS ids_fp
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q117 — DSIR data selection (Xie et al. 2023): hashed-bigram
+  // importance scores against the lang='en' target distribution, top-50
+  // resample. Integer-exact likelihood-ratio surrogate — see
+  // pipeline/Selection.scala for the published-method mapping.
+  // -------------------------------------------------------------------
+  def q117_dsir_select(spark: SparkSession, dir: String): DataFrame =
+    Selection.dsirSelect(Tables.documents(spark, dir), "doc_id", "text",
+      col("lang") === "en", keep = 50, buckets = 1024)
+
+  val q117_sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+      |    regexp_split_to_array(trim(text), '\\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |t2 AS (SELECT * FROM t WHERE len(tk) >= 2),
+      |occ AS (
+      |  SELECT doc_id, is_target,
+      |    (${Sampling.hash60Sql("dsir", "bg")} % 1024) AS bucket
+      |  FROM (
+      |    SELECT doc_id, is_target,
+      |      unnest([tk[i] || ' ' || tk[i+1]
+      |        FOR i IN generate_series(1, len(tk)-1)]) AS bg
+      |    FROM t2)),
+      |c AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+      |    CAST(SUM(is_target) AS BIGINT) AS ct
+      |  FROM occ GROUP BY bucket),
+      |tot AS (SELECT SUM(cr) AS r_tot, SUM(ct) AS t_tot FROM c),
+      |lam AS (
+      |  SELECT bucket,
+      |    ((ct + 1) * (r_tot + 1024) * 1000000)
+      |      // ((cr + 1) * (t_tot + 1024)) AS lam
+      |  FROM c, tot),
+      |s AS (
+      |  SELECT o.doc_id, MAX(o.is_target) AS is_target,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(l.lam) AS sl
+      |  FROM occ o JOIN lam l USING (bucket) GROUP BY o.doc_id)
+      |SELECT doc_id, CAST(is_target AS BIGINT) AS is_target, n_bigrams,
+      |  CAST(sl // n_bigrams AS BIGINT) AS mean_ratio_micro
+      |FROM s ORDER BY mean_ratio_micro DESC, doc_id LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_vocab_encode" -> q116_vocab_encode _,
+    "q117_dsir_select" -> q117_dsir_select _,
     "q110_heavy_hitters" -> q110_heavy_hitters _,
     "q111_lm_score" -> q111_lm_score _,
     "q115_vocab_build" -> q115_vocab_build _,
@@ -985,6 +1071,8 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q116_vocab_encode" -> q116_sql,
+    "q117_dsir_select" -> q117_sql,
     "q110_heavy_hitters" -> q110_sql,
     "q111_lm_score" -> q111_sql,
     "q115_vocab_build" -> q115_sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Frequency, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Frequency, Multimodal, Sampling, Selection, Similarity, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -254,6 +254,91 @@ class PipelineSpec extends SparkSpec {
     val cut = Frequency.buildVocab(d, "text", maxSize = 2)
       .collect().map(r => (r.getString(0), r.getLong(2)))
     assert(cut.toSeq === Seq(("b", 1L), ("a", 2L)))
+  }
+
+  test("encodeWithVocab maps tokens to dense ids with OOV zeros") {
+    val d = Seq(
+      (1L, "b b b a a c z"),
+      (2L, "b a y"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    // vocab cut at 2: b->1, a->2; c/y/z are OOV
+    val enc = Frequency.encodeWithVocab(d, "doc_id", "text",
+      Frequency.buildVocab(d, "text", maxSize = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    def fp(ids: Seq[Long]) = java.security.MessageDigest
+      .getInstance("MD5").digest(ids.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(enc.toSeq === Seq(
+      (1L, 7L, 2L, fp(Seq(1, 1, 1, 2, 2, 0, 0))),
+      (2L, 3L, 1L, fp(Seq(1, 2, 0)))))
+  }
+
+  test("dsirScores ranks target-like documents above off-target ones") {
+    // target = lang "en"; doc 5 is raw-only but made of target bigrams,
+    // doc 6 is raw-only with bigrams seen nowhere in the target
+    val d = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the cat ran"),
+      (3L, "fr", "le chat noir dort"),
+      (4L, "fr", "le chien court vite"),
+      (5L, "xx", "the cat sat"),
+      (6L, "xx", "zz yy xx ww"),
+      (7L, "xx", "solo")
+    ).toDF("doc_id", "lang", "text")
+    val s = Selection.dsirScores(d, "doc_id", "text",
+      col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!s.contains(7L)) // single-token doc carries no bigram
+    assert(s(1L)._1 === 1L && s(3L)._1 === 0L)
+    assert(s(1L)._2 === 5L) // bigram count
+    // target-like raw doc outscores the alien one, and targets outscore
+    // off-target docs
+    assert(s(5L)._3 > s(6L)._3)
+    assert(s(1L)._3 > s(3L)._3)
+    // deterministic across re-runs
+    val again = Selection.dsirScores(d, "doc_id", "text",
+      col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === s)
+  }
+
+  test("dsirScores matches a naive single-machine reference") {
+    val docs = Seq(
+      (1L, "en", "a b c a b"),
+      (2L, "en", "b c d"),
+      (3L, "fr", "x y z x"),
+      (4L, "xx", "a b x y c d")
+    )
+    val buckets = 64
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(bg: String): Long =
+      java.lang.Long.parseLong(md5hex("dsir:" + bg).take(15), 16) % buckets
+    val occ = docs.flatMap { case (id, lang, text) =>
+      val tk = text.trim.split("\\s+").toSeq
+      tk.sliding(2).filter(_.size == 2)
+        .map(p => (id, lang == "en", bucket(p.mkString(" ")))).toSeq
+    }
+    val cr = occ.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val ct = occ.filter(_._2).groupBy(_._3)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val rTot = occ.size.toLong
+    val tTot = occ.count(_._2).toLong
+    def lam(b: Long): Long =
+      ((ct.getOrElse(b, 0L) + 1) * (rTot + buckets) * 1000000L) /
+        ((cr(b) + 1) * (tTot + buckets))
+    val expect = occ.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(x => lam(x._3)).sum / xs.size }
+    val got = Selection.dsirScores(
+      docs.toDF("doc_id", "lang", "text"), "doc_id", "text",
+      col("lang") === "en", buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === expect)
   }
 
   test("bigramLmScore computes integer mean conditional probability") {
