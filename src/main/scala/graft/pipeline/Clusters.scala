@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.graphx.{Edge, Graph}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: near-dup candidate PAIRS (from MinHash
@@ -103,6 +103,71 @@ object Clusters {
     * whole arrays on few keys (k keys would bottleneck k tasks; k·dims
     * keys parallelize fully).
     */
+  /** k-means|| seeding (Bahmani et al. 2012, "Scalable k-means++",
+    * VLDB): pick an initial candidate center set in a constant number
+    * of corpus passes instead of k-means++'s k sequential ones. Each
+    * round scores every point by its distance to the current candidate
+    * set and samples points with probability ∝ ℓ·d/φ (φ = Σd), then
+    * the surviving candidates are weighted by how many points they
+    * attract — the weighted set a driver-side k-means++ reduces to k
+    * final seeds (here the weights ARE the output; the reduction over
+    * |C| ≈ ℓ·rounds rows is trivially driver-sized).
+    *
+    * Determinism, cross-engine: distance is the oracle-proven rounded
+    * cosine, integerized to d = 10⁵ − round(cos·10⁵) (an integral
+    * double on both engines, exact to cast); φ and the sampling
+    * threshold min(10⁶, ℓ·d·10⁶ div φ) are pure i64 arithmetic; the
+    * coin flip is the portable 60-bit hash of (salt+round, id) — no
+    * RNG, so the seeding is reproducible across runs, engines, and
+    * partitionings. Exact centers have d = 0 and can never resample.
+    *
+    * Scale shape: the candidate set is driver-sized BY CONSTRUCTION
+    * (that is the algorithm's point — |C| ≪ corpus), so each round is
+    * ONE shuffle-free projection against candidate literals (no join,
+    * no explode: `array_min` over a struct array computes min-distance
+    * and argmin in-row) plus two tiny actions (φ, new candidates); the
+    * final weighting is one groupBy over |C| keys with map-side
+    * partial aggregation. Total: 2·rounds + 1 corpus passes, the
+    * paper's cost.
+    *
+    * Returns (cid, w): candidate center ids with attraction weights,
+    * ordered by cid.
+    */
+  def kmeansParInit(vecs: DataFrame, idCol: String, vecCol: String,
+      ell: Int, rounds: Int, salt: String = "kpp"): DataFrame = {
+    require(ell >= 1 && rounds >= 1, s"need ell/rounds >= 1")
+    val v = vecs.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // nearest-candidate (distance, cid) in one in-row expression
+    def nearest(centers: Seq[(Long, Seq[Double])]): Column =
+      array_min(array(centers.map { case (cid, cv) =>
+        struct(
+          (lit(100000L) - round(Similarity.cosineFast(col("vec"),
+            typedLit(cv)) * 100000, 0).cast("long")).as("d"),
+          lit(cid).as("cid"))
+      }: _*))
+    val firstId = v.agg(min(col("vid"))).head().getLong(0)
+    var centers: Seq[(Long, Seq[Double])] =
+      v.filter(col("vid") === firstId).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    for (r <- 1 to rounds) {
+      val scored = v.withColumn("dmin", nearest(centers).getField("d"))
+      val phi = scored.agg(sum(col("dmin"))).head().getLong(0)
+      if (phi > 0) {
+        val sampled = scored
+          .filter(Sampling.hash60(s"$salt$r", col("vid")) % 1000000L <
+            least(lit(1000000L),
+              expr(s"(${ell}L * dmin * 1000000L) div ${phi}L")))
+          .select(col("vid"), col("vec")).collect()
+          .map(row => row.getLong(0) -> row.getSeq[Double](1).toSeq)
+        centers = centers ++ sampled
+      }
+    }
+    v.select(col("vid"), nearest(centers).getField("cid").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("w"))
+      .orderBy(col("cid"))
+  }
+
   def centroidRecompute(assigned: DataFrame,
       vectors: DataFrame): DataFrame =
     assigned.join(vectors, "vid")

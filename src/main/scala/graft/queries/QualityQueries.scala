@@ -1046,7 +1046,57 @@ object QualityQueries {
       |  CAST(sl // n_bigrams AS BIGINT) AS mean_ratio_micro
       |FROM s ORDER BY mean_ratio_micro DESC, doc_id LIMIT 50""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q118 — k-means|| seeding (Bahmani et al. 2012): 2 oversampling
+  // rounds at ℓ=8 over the embeddings, deterministic hash coins,
+  // integerized rounded-cosine distances; output = candidate centers
+  // with attraction weights. See pipeline/Clusters.kmeansParInit.
+  // -------------------------------------------------------------------
+  def q118_kmeanspp_init(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Clusters.kmeansParInit(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      ell = 8, rounds = 2)
+
+  val q118_sql: String = {
+    def dist(vecA: String, vecB: String): String =
+      s"(100000 - CAST(round(list_cosine_similarity($vecA, $vecB) " +
+        s"* 100000) AS BIGINT))"
+    s"""WITH v AS (
+      |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |c0 AS (SELECT vid, vec FROM v WHERE vid = (SELECT MIN(vid) FROM v)),
+      |dm1 AS (
+      |  SELECT p.vid, MIN(${dist("p.vec", "c.vec")}) AS dmin
+      |  FROM v p CROSS JOIN c0 c GROUP BY p.vid),
+      |phi1 AS (SELECT SUM(dmin) AS phi FROM dm1),
+      |s1 AS (
+      |  SELECT p.vid, p.vec FROM v p JOIN dm1 USING (vid), phi1
+      |  WHERE (${Sampling.hash60Sql("kpp1", "p.vid")} % 1000000) <
+      |    LEAST(1000000, (8 * dmin * 1000000) // phi)),
+      |c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
+      |dm2 AS (
+      |  SELECT p.vid, MIN(${dist("p.vec", "c.vec")}) AS dmin
+      |  FROM v p CROSS JOIN c1 c GROUP BY p.vid),
+      |phi2 AS (SELECT SUM(dmin) AS phi FROM dm2),
+      |s2 AS (
+      |  SELECT p.vid, p.vec FROM v p JOIN dm2 USING (vid), phi2
+      |  WHERE (${Sampling.hash60Sql("kpp2", "p.vid")} % 1000000) <
+      |    LEAST(1000000, (8 * dmin * 1000000) // phi)),
+      |c2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM s2),
+      |asg AS (
+      |  SELECT p.vid, c.vid AS cid, ${dist("p.vec", "c.vec")} AS d
+      |  FROM v p CROSS JOIN c2 c),
+      |near AS (
+      |  SELECT vid, cid FROM (
+      |    SELECT vid, cid, ROW_NUMBER() OVER (
+      |      PARTITION BY vid ORDER BY d, cid) AS rn
+      |    FROM asg) WHERE rn = 1)
+      |SELECT cid, CAST(COUNT(*) AS BIGINT) AS w
+      |FROM near GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_kmeanspp_init" -> q118_kmeanspp_init _,
     "q116_vocab_encode" -> q116_vocab_encode _,
     "q117_dsir_select" -> q117_dsir_select _,
     "q110_heavy_hitters" -> q110_heavy_hitters _,
@@ -1071,6 +1121,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q118_kmeanspp_init" -> q118_sql,
     "q116_vocab_encode" -> q116_sql,
     "q117_dsir_select" -> q117_sql,
     "q110_heavy_hitters" -> q110_sql,

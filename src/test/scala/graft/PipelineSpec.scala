@@ -341,6 +341,31 @@ class PipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("kmeansParInit seeds deterministically on exact-cosine geometry") {
+    import graft.pipeline.Clusters
+    val e1 = Seq(1.0, 0.0, 0.0)
+    val e2 = Seq(0.0, 1.0, 0.0)
+    // ids 1-3 share e1 (d=0 to the first center, never sampled);
+    // ids 4-9 share e2: round-1 φ = 6·10⁵, so p = min(10⁶,
+    // 8·10⁵·10⁶ div 6·10⁵) = 10⁶ — every e2 point is sampled with
+    // certainty, no hash luck involved; round 2 has φ = 0 and is a
+    // no-op. Nearest-center tie-break (d, cid) sends all e2 points to
+    // cid 4.
+    val v = ((1L to 3L).map(i => (i, e1)) ++ (4L to 9L).map(i => (i, e2)))
+      .toDF("vec_id", "embedding")
+    val got = Clusters.kmeansParInit(v, "vec_id", "embedding",
+      ell = 8, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3L), (4L, 6L)))
+    // degenerate corpus: all identical → φ = 0 every round, the single
+    // seed attracts everything
+    val same = (1L to 5L).map(i => (i, e1)).toDF("vec_id", "embedding")
+    val one = Clusters.kmeansParInit(same, "vec_id", "embedding",
+      ell = 8, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq === Seq((1L, 5L)))
+  }
+
   test("bigramLmScore computes integer mean conditional probability") {
     val d = Seq(
       (1L, "a b a b a"), // bigrams ab, ba, ab, ba
