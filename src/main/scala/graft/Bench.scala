@@ -53,9 +53,14 @@ object Bench {
 
   /** One compact JSON line. The harness that collects it keeps only the
     * tail of the process output; the JSON must stay compact (~2k chars)
-    * or its head is truncated and it no longer parses. Short keys
-    * ("q01" for "q01_pruned_agg") and 2-decimal [cold, warm] pairs keep
-    * ~100 queries under that budget (size-guarded in GateSpec).
+    * or its head is truncated and it no longer parses. Per query the
+    * line carries the WARM seconds (min of two separated sweeps — the
+    * number BASELINE.md gates compare against); per-query cold times
+    * are warmup-dominated noise and at 120 queries the [cold, warm]
+    * pairs no longer fit the tail window at useful precision, so cold
+    * is reported as the session total only ("value"; warm total in
+    * "warm_value"). ~11 chars/query leaves headroom to ~160 queries at
+    * 2-decimal precision (size-guarded in GateSpec).
     */
   def renderJson(results: Seq[(String, Double, Double)],
       sfDir: String): String = {
@@ -68,8 +73,8 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
     def render(dp: Int): String = {
-      val qs = results.zip(shortKeys).map { case ((_, cold, warm), k) =>
-        "\"" + k + "\":[" + fmt(cold, dp) + "," + fmt(warm, dp) + "]"
+      val qs = results.zip(shortKeys).map { case ((_, _, warm), k) =>
+        "\"" + k + "\":" + fmt(warm, dp)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,"sf":"$sfDir"}"""
     }

@@ -605,4 +605,79 @@ object Dedup {
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         sha2(coalesce(col("_clean"), lit("")), 256).as("clean_fp"))
   }
+
+  /** Cross-source duplication matrix — WHERE duplicates come from, the
+    * diagnostic that decides which feed to dedup against which. For
+    * every pair of sources (src_a ≤ src_b) counts the normalized-text
+    * fingerprints shared by both (diagonal entries: fingerprints with
+    * ≥ 2 docs inside ONE source). A mirror-heavy crawl shows up as a
+    * hot off-diagonal cell; boilerplate inside one feed as a hot
+    * diagonal one.
+    *
+    * Scale shape: one groupBy on (fingerprint, source) — the only
+    * corpus-sized shuffle — then a self-equi-join on the fingerprint
+    * key over the already-aggregated table (both sides reuse the same
+    * exchange) and a final groupBy over ≤ |sources|² keys. Nothing is
+    * ever all-pairs over documents.
+    *
+    * `prefixTokens` = 0 fingerprints the whole normalized text (exact
+    * duplication); k > 0 fingerprints only the first k lowercase
+    * tokens — the shared-leading-boilerplate variant that catches
+    * feeds stamping the same template header on distinct bodies.
+    *
+    * Returns (src_a, src_b, n_dup_fps) ordered by (src_a, src_b).
+    */
+  def dupSourceMatrix(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, prefixTokens: Int = 0): DataFrame = {
+    val fp =
+      if (prefixTokens <= 0) TextAnalysis.fingerprint(col(textCol))
+      else md5(concat_ws(" ",
+        slice(TextAnalysis.tokens(lower(col(textCol))), 1, prefixTokens)))
+    val perSrc = df.filter(length(trim(col(textCol))) > 0)
+      .select(fp.as("fp"), col(srcCol).as("src"))
+      .groupBy(col("fp"), col("src")).agg(count(lit(1)).as("n"))
+    val cross = perSrc.as("a")
+      .join(perSrc.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"))
+    val within = perSrc.filter(col("n") >= 2)
+      .select(col("src").as("src_a"), col("src").as("src_b"))
+    // each input row is already unique per (fp, src_a, src_b), so a
+    // plain count counts distinct shared fingerprints
+    cross.union(within)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_dup_fps"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Per-document n-gram uniqueness — the memorization-risk /
+    * novelty score: what fraction (ppm) of a document's distinct
+    * n-gram shingles appear in NO other document. Unique-heavy
+    * documents carry content the model can only learn here (high
+    * value, high memorization risk); unique-poor documents are
+    * recombinations of corpus boilerplate.
+    *
+    * Scale shape: distinct (doc, shingle) rows, one groupBy on the
+    * shingle key for document frequencies, one equi-join back on the
+    * same key (exchange reused), one groupBy on the doc key.
+    * Boilerplate mega-shingles skew the join-back key — AQE skew
+    * splitting handles it (the df value is identical across split
+    * partitions), and integer ppm keeps the score exact.
+    *
+    * Returns (doc, n_shingles, n_unique, uniq_ppm) ordered by doc;
+    * documents with fewer than `n` tokens have no shingles and no row.
+    */
+  def shingleUniqueness(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n).distinct()
+    val dfreq = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000L div n_shingles").as("uniq_ppm"))
+      .orderBy(col("doc"))
+  }
 }

@@ -1095,7 +1095,65 @@ object QualityQueries {
       |FROM near GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q119 — cross-source duplication matrix over leading-boilerplate
+  // fingerprints (first 8 lowercase tokens): which source pairs stamp
+  // the same template header (diagonal = within-source). The full-text
+  // variant is exact-empty on this corpus (q20: all docs distinct), so
+  // the demo uses the prefix fingerprint, which has real collisions.
+  // -------------------------------------------------------------------
+  def q119_dup_sources(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSourceMatrix(Tables.documents(spark, dir), "doc_id",
+      "text", "source", prefixTokens = 8)
+
+  val q119_sql: String =
+    """WITH f AS (
+      |  SELECT source AS src, md5(array_to_string(
+      |    (regexp_split_to_array(trim(lower(text)), '\s+'))[1:8],
+      |    ' ')) AS fp
+      |  FROM documents WHERE trim(text) <> ''),
+      |p AS (SELECT fp, src, COUNT(*) AS n FROM f GROUP BY fp, src),
+      |pairs AS (
+      |  SELECT a.src AS src_a, b.src AS src_b
+      |  FROM p a JOIN p b ON a.fp = b.fp AND a.src < b.src
+      |  UNION ALL
+      |  SELECT src AS src_a, src AS src_b FROM p WHERE n >= 2)
+      |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_dup_fps
+      |FROM pairs GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q120 — per-document 5-gram uniqueness (memorization-risk /
+  // novelty score): ppm of each doc's distinct 5-gram shingles that
+  // appear in no other document. See Dedup.shingleUniqueness.
+  // -------------------------------------------------------------------
+  def q120_ngram_uniqueness(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleUniqueness(Tables.documents(spark, dir), "doc_id",
+      "text", n = 5)
+
+  val q120_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+4], ' ')
+      |            FOR i IN generate_series(1, len(t) - 4)]) AS shingle
+      |  FROM toks WHERE len(t) >= 5),
+      |dfreq AS (
+      |  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+      |SELECT sh.doc_id AS doc,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS uniq_ppm
+      |FROM sh JOIN dfreq USING (shingle)
+      |GROUP BY sh.doc_id ORDER BY doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_dup_sources" -> q119_dup_sources _,
+    "q120_ngram_uniqueness" -> q120_ngram_uniqueness _,
     "q118_kmeanspp_init" -> q118_kmeanspp_init _,
     "q116_vocab_encode" -> q116_vocab_encode _,
     "q117_dsir_select" -> q117_dsir_select _,
@@ -1121,6 +1179,8 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q119_dup_sources" -> q119_sql,
+    "q120_ngram_uniqueness" -> q120_sql,
     "q118_kmeanspp_init" -> q118_sql,
     "q116_vocab_encode" -> q116_sql,
     "q117_dsir_select" -> q117_sql,

@@ -45,13 +45,17 @@ class GateSpec extends SparkSpec {
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(name => (name, 88.88, 77.77))
     val line = Bench.renderJson(results, "/root/testdata/sf0.1")
-    assert(line.length < 2000, s"bench JSON ${line.length} chars")
-    // the line must parse as JSON with one [cold,warm] pair per query
+    assert(line.length < 1950, s"bench JSON ${line.length} chars")
+    // the line must parse as JSON with one warm number per query at
+    // full 2-decimal precision (the degradation ladder must NOT be
+    // needed at the current query count), plus both session totals
     import org.json4s._
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val JObject(qs) = (parsed \ "queries"): @unchecked
     assert(qs.size === results.size)
-    assert(qs.forall { case (_, JArray(vs)) => vs.size == 2
+    assert(qs.forall { case (_, JDouble(v)) => v == 77.77
       case _ => false })
+    val JDouble(coldTotal) = (parsed \ "value"): @unchecked
+    assert(math.abs(coldTotal - 88.88 * results.size) < 0.01)
   }
 }

@@ -366,6 +366,48 @@ class PipelineSpec extends SparkSpec {
     assert(one.toSeq === Seq((1L, 5L)))
   }
 
+  test("dupSourceMatrix counts shared fingerprints per source pair") {
+    val d = Seq(
+      (1L, "web", "Hello   World"),
+      (2L, "books", "hello world"),   // normalized dup of 1 → web×books
+      (3L, "web", "same text"),
+      (4L, "web", "same  TEXT"),      // within-web dup
+      (5L, "books", "unique content"),
+      (6L, "", "")
+    ).toDF("doc_id", "source", "text")
+    val m = Dedup.dupSourceMatrix(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.toSeq === Seq(("books", "web", 1L), ("web", "web", 1L)))
+    // prefix variant: docs 3 and 5 share only their first token, so a
+    // 1-token boilerplate fingerprint links web×books while the
+    // full-text variant does not
+    val p = Seq(
+      (3L, "web", "same text"),
+      (5L, "books", "same content here")
+    ).toDF("doc_id", "source", "text")
+    val pm = Dedup.dupSourceMatrix(p, "doc_id", "text", "source",
+      prefixTokens = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pm.toSeq === Seq(("books", "web", 1L)))
+    assert(Dedup.dupSourceMatrix(p, "doc_id", "text", "source")
+      .count() === 0L)
+  }
+
+  test("shingleUniqueness scores docs by globally-unique shingle ppm") {
+    val d = Seq(
+      (1L, "a b c d"),     // shingles: "a b","b c","c d"
+      (2L, "a b c e"),     // shares "a b","b c"; unique "c e"
+      (3L, "x"),           // too short for bigrams → no row
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val u = Dedup.shingleUniqueness(d, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(u.toSeq === Seq(
+      (1L, 3L, 1L, 333333L),   // "c d" unique of 3
+      (2L, 3L, 1L, 333333L)))  // "c e" unique of 3
+  }
+
   test("bigramLmScore computes integer mean conditional probability") {
     val d = Seq(
       (1L, "a b a b a"), // bigrams ab, ba, ab, ba
