@@ -1151,7 +1151,48 @@ object QualityQueries {
       |FROM sh JOIN dfreq USING (shingle)
       |GROUP BY sh.doc_id ORDER BY doc""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q121 — tokenizer fertility by language: subwords-per-word in ppm
+  // (the multilingual tokenizer-equity diagnostic — a language whose
+  // fertility is high pays more tokens per word under the tokenizer,
+  // skewing its effective compute share; cf. the fragmentation analyses
+  // around mBERT/XLM-R, e.g. Ács 2019, Rust et al. 2021). One scan,
+  // one groupBy over |langs| keys, integer-exact ppm.
+  // -------------------------------------------------------------------
+  def q121_fertility(spark: SparkSession, dir: String): DataFrame =
+    fertilityByLang(Tables.documents(spark, dir))
+
+  /** q121 body on an arbitrary (lang, text) frame — factored for the
+    * hand-sample spec. */
+  def fertilityByLang(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+        TextAnalysis.subwordCountPortable(col("text")).cast("long").as("s"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tot_words"),
+        sum(col("s")).as("tot_subwords"))
+      .select(col("lang"), col("n_docs"), col("tot_words"),
+        col("tot_subwords"),
+        expr("tot_subwords * 1000000L div tot_words").as("fertility_ppm"))
+      .orderBy(col("lang"))
+
+  val q121_sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+      |    AS BIGINT) AS tot_words,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '[A-Z][a-z]*|[a-z]+|[0-9]+'))) AS BIGINT) AS tot_subwords,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '[A-Z][a-z]*|[a-z]+|[0-9]+'))) * 1000000
+      |    // SUM(len(regexp_split_to_array(trim(text), '\s+')))
+      |    AS BIGINT) AS fertility_ppm
+      |FROM documents WHERE trim(text) <> ''
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_fertility" -> q121_fertility _,
     "q119_dup_sources" -> q119_dup_sources _,
     "q120_ngram_uniqueness" -> q120_ngram_uniqueness _,
     "q118_kmeanspp_init" -> q118_kmeanspp_init _,
@@ -1179,6 +1220,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q121_fertility" -> q121_sql,
     "q119_dup_sources" -> q119_sql,
     "q120_ngram_uniqueness" -> q120_sql,
     "q118_kmeanspp_init" -> q118_sql,

@@ -730,28 +730,56 @@ object Relational {
   // -------------------------------------------------------------------
   // q114 — approximate quantiles under a tolerance oracle (the q36
   // pattern for the quantile-sketch family): each engine runs its OWN
-  // approximate-quantile sketch (Spark: Greenwald-Khanna at accuracy
-  // 10000; DuckDB: t-digest) next to the exact PERCENTILE_DISC and
+  // approximate-quantile sketch (Spark: one shared Greenwald-Khanna
+  // summary at accuracy 1000 — error bound 0.1%, 20× inside the 2%
+  // gate; DuckDB: t-digest) next to the exact PERCENTILE_DISC and
   // emits `approx_ok = |approx − exact| / exact ≤ 0.02`. The
   // hash-compared columns (label, exact discrete quantile — an actual
   // data element, so bit-identical across engines — and the boolean)
-  // are deterministic. Mergeable quantile sketches are the only way to
-  // get percentiles at 100 TB without a global sort; the tolerance gate
-  // certifies the sketch is inside its error budget.
+  // are deterministic.
+  //
+  // The EXACT side deliberately avoids Spark's percentile_disc, whose
+  // aggregation buffer holds every distinct value per partition — at
+  // 100 TB of near-unique doubles that buffer is the data. Instead it
+  // reuses the q76 distributed-CDF shape: a value histogram (one
+  // linear shuffle, rows bounded by the value range post-aggregation),
+  // a triangular join over the tiny coarse-bucket table, a PARTITIONED
+  // within-bucket window, then PERCENTILE_DISC(q) = min value whose
+  // cumulative count ≥ ⌈q·N⌉ — identical semantics, no global sort, no
+  // all-values buffer anywhere.
   // -------------------------------------------------------------------
   private val quantilePoints = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
 
   def q114_approx_quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = quantilePoints.flatMap { case (l, q) =>
-      Seq(expr(s"percentile_disc($q) WITHIN GROUP " +
-          "(ORDER BY l_extendedprice)").as(s"e_$l"),
-        expr(s"percentile_approx(l_extendedprice, $q, 10000)").as(s"a_$l"))
+    val li = Tables.lineitem(spark, dir)
+    // histogram feeds bucket totals AND the CDF join — checkpointed so
+    // the fact table scans once for the exact side
+    val perVal = li.select(col("l_extendedprice").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("grp", floor(col("v") / lit(1024.0)))
+      .localCheckpoint(eager = true)
+    val grpTot = perVal.groupBy(col("grp")).agg(sum(col("cnt")).as("gcnt"))
+    val grpBefore = grpTot.as("g")
+      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
+      .groupBy(col("g.grp").as("grp"))
+      .agg(coalesce(sum(col("h.gcnt")), lit(0L)).as("before"))
+    val total = grpTot.agg(coalesce(sum(col("gcnt")), lit(0L)).as("n"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val cdf = perVal.join(broadcast(grpBefore), Seq("grp"))
+      .withColumn("cum", col("before") + sum(col("cnt")).over(wg))
+    val exAggs = quantilePoints.map { case (l, q) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("v")))
+        .as(s"e_$l")
     }
-    Tables.lineitem(spark, dir)
-      .agg(aggs.head, aggs.tail: _*)
+    val exact = cdf.crossJoin(broadcast(total))
+      .agg(exAggs.head, exAggs.tail: _*)
+    val approx = li.agg(
+      expr("percentile_approx(l_extendedprice, array(" +
+        quantilePoints.map(_._2).mkString(",") + "), 1000)").as("a_arr"))
+    exact.crossJoin(approx)
       .selectExpr(s"stack(${quantilePoints.size}, " +
-        quantilePoints.map { case (l, _) =>
-          s"'$l', e_$l, abs(a_$l - e_$l) / e_$l <= 0.02"
+        quantilePoints.zipWithIndex.map { case ((l, _), i) =>
+          s"'$l', e_$l, abs(a_arr[$i] - e_$l) / e_$l <= 0.02"
         }.mkString(", ") +
         ") as (q, exact_price, approx_ok)")
       .orderBy(col("q"))

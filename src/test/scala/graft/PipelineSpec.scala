@@ -408,6 +408,21 @@ class PipelineSpec extends SparkSpec {
       (2L, 3L, 1L, 333333L)))  // "c e" unique of 3
   }
 
+  test("fertility: subword-per-word ppm per language on hand samples") {
+    val d = Seq(
+      (1L, "en", "Hello world"),        // 2 words, 2 subwords
+      (2L, "en", "CamelCase x9"),       // 2 words, 4 subwords (Camel,Case,x,9)
+      (3L, "de", "Donaudampfschiff"),   // 1 word, 1 subword
+      (4L, "de", "")
+    ).toDF("doc_id", "lang", "text")
+    val f = graft.queries.QualityQueries.fertilityByLang(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(f.toSeq === Seq(
+      ("de", 1L, 1L, 1L, 1000000L),
+      ("en", 2L, 4L, 6L, 1500000L)))
+  }
+
   test("bigramLmScore computes integer mean conditional probability") {
     val d = Seq(
       (1L, "a b a b a"), // bigrams ab, ba, ab, ba
