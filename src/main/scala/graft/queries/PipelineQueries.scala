@@ -159,6 +159,63 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q122 — edit-similarity-verified near-dups: MinHash LSH candidates
+  // over 5-gram shingles (8 hashes, 4 rows/band) verified by
+  // Levenshtein on the 160-char prefix, keep sim ≥ 0.5 — the NearDup
+  // candidate→verify shape (Lee et al. 2022: 5-gram MinHash + edit
+  // similarity) with an exactly-portable integer DP. 5-grams, not
+  // unigrams: the token SETS of this corpus are near-identical, so
+  // unigram banding degenerates to all-pairs. See Dedup.editSimPairs.
+  // -------------------------------------------------------------------
+  def q122_editsim_dedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editSimPairs(Tables.documents(spark, dir), "doc_id", "text",
+      numHashes = 8, rowsPerBand = 4, prefixLen = 160,
+      minSimPpm = 500000L, shingleN = 5)
+
+  val q122_sql: String =
+    s"""WITH tk5 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |sh5 AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(t[i:i+4], ' ')
+       |            FOR i IN generate_series(1, len(t) - 4)]) AS tok
+       |  FROM tk5 WHERE len(t) >= 5),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(tok), 8, 7)) AS BIGINT) AS h2
+       |  FROM sh5),
+       |sigs AS (
+       |  SELECT doc_id, s.i AS seed,
+       |         min((h1 + s.i * h2) % 2147483647) AS sig
+       |  FROM h CROSS JOIN generate_series(0, 7) AS s(i)
+       |  GROUP BY doc_id, s.i),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed))
+       |           AS band_key
+       |  FROM sigs GROUP BY doc_id, seed // 4),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |t AS (SELECT doc_id, substr(trim(text), 1, 160) AS tp
+       |      FROM documents),
+       |v AS (
+       |  SELECT id_a, id_b, levenshtein(ta.tp, tb.tp) AS lev,
+       |         GREATEST(len(ta.tp), len(tb.tp)) AS mx
+       |  FROM pairs JOIN t ta ON pairs.id_a = ta.doc_id
+       |             JOIN t tb ON pairs.id_b = tb.doc_id
+       |  WHERE GREATEST(len(ta.tp), len(tb.tp)) > 0)
+       |SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+       |  CAST((mx - lev) * 1000000 // mx AS BIGINT) AS sim_ppm
+       |FROM v WHERE (mx - lev) * 1000000 // mx >= 500000
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // q25 — brute-force cosine top-k ANN baseline
   // -------------------------------------------------------------------
   def q25_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
@@ -447,6 +504,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_lsh_recall" -> q112_lsh_recall _,
+    "q122_editsim_dedup" -> q122_editsim_dedup _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
     "q22_fingerprint" -> q22_fingerprint _,
@@ -462,6 +520,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q112_lsh_recall" -> q112_sql,
+    "q122_editsim_dedup" -> q122_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,
     "q22_fingerprint" -> q22_sql,

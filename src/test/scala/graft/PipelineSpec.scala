@@ -423,6 +423,51 @@ class PipelineSpec extends SparkSpec {
       ("en", 2L, 4L, 6L, 1500000L)))
   }
 
+  test("editSimPairs verifies LSH candidates with exact Levenshtein") {
+    val s1 = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val s3 = s1.dropRight(4) + "dome" // last word home→dome: lev 1
+    val d = Seq(
+      (1L, s1),
+      (2L, s1),  // identical
+      (3L, s3),  // single-char edit; shares 10 of 11 5-gram shingles
+      (4L, "completely unrelated content about spark engines " +
+        "running wide analytic scans across many executor threads")
+    ).toDF("doc_id", "text")
+    // loose banding (4 bands of 2) so the J=10/12 near-dup is a candidate
+    val pairs = Dedup.editSimPairs(d, "doc_id", "text", numHashes = 8,
+      rowsPerBand = 2, prefixLen = 160, minSimPpm = 500000L, shingleN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val m = pairs.map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    // identical docs: lev 0, sim 1.0
+    assert(m((1L, 2L)) === (0L, 1000000L))
+    // home→dome is one substitution
+    assert(m((1L, 3L))._1 === 1L)
+    assert(m((1L, 3L))._2 ===
+      (s1.length - 1L) * 1000000L / s1.length)
+    // the unrelated doc survives no verify
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
+  }
+
+  test("editSimPairs 5-gram candidates stay sparse on low-diversity text") {
+    // every doc draws from the SAME tiny vocabulary (near-identical
+    // token SETS) but in different orders — unigram LSH would pair all
+    // of them; 5-gram shingles must not
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 12L).map { i =>
+      val r = new scala.util.Random(i) // deterministic per-doc order
+      val words = (0 until 24).map(_ => vocab(r.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "text")
+    val pairs = Dedup.editSimPairs(d, "doc_id", "text", numHashes = 8,
+      rowsPerBand = 4, prefixLen = 160, minSimPpm = 0L, shingleN = 5)
+      .collect()
+    // docs whose word ORDER differs share few 5-grams — far from all-pairs
+    assert(pairs.length < 12 * 11 / 4,
+      s"5-gram banding produced ${pairs.length} of ${12 * 11 / 2} pairs")
+  }
+
   test("bigramLmScore computes integer mean conditional probability") {
     val d = Seq(
       (1L, "a b a b a"), // bigrams ab, ba, ab, ba
