@@ -173,4 +173,51 @@ object Frequency {
         .orderBy(col("cnt").desc, col("token"))
     }
   }
+
+  /** Collocation (phrase) mining, word2phrase-style (Mikolov et al.
+    * 2013, "Distributed Representations of Words and Phrases", §4):
+    * score adjacent word pairs by a discounted lift
+    *
+    *   score_ppm = ((n_ab − δ)·10⁶ div n_a) · N div n_b
+    *
+    * where n_ab is the bigram count, n_a/n_b the unigram counts, N the
+    * corpus token total, and δ the discount that suppresses rare-pair
+    * noise. The two-step floor division is the DEFINITION here (not an
+    * approximation of a real-valued formula): it keeps every
+    * intermediate ≤ max(10⁶·n_ab, 10⁶·N) — integer-exact and portable
+    * to any engine with 64-bit div up to ~9×10¹² corpus tokens.
+    *
+    * Shape at scale: bigram and unigram counts are vocabulary-sized
+    * groupBys; scoring is two equi-joins on word keys; N is a 1-row
+    * aggregate cross-joined in. Top-k is a TakeOrdered (orderBy+limit),
+    * never a single-partition window. Returns
+    * (w1, w2, n_ab, n_a, n_b, score_ppm) — top `k` by
+    * (score_ppm desc, w1, w2), pairs with n_ab ≥ minCount only.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      discount: Long = 5L, k: Int = 50): DataFrame = {
+    val base = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(TextAnalysis.tokens(col(textCol)).as("tk"))
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val n_total = uni.agg(sum(col("n")).as("n_tot"))
+    val bg = base
+      .filter(size(col("tk")) >= 2)
+      .select(col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount && col("n_ab") > discount)
+    bg.join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(n_total)
+      .withColumn("score_ppm",
+        expr(s"((n_ab - $discount) * 1000000 div n_a) * n_tot div n_b"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

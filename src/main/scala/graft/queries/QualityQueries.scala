@@ -1191,7 +1191,42 @@ object QualityQueries {
       |FROM documents WHERE trim(text) <> ''
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q123 — collocation (phrase) mining, word2phrase-style (Mikolov et
+  // al. 2013 §4): discounted integer lift over adjacent word pairs,
+  // top-50. Vocabulary-sized groupBys + two word-key joins; top-k is
+  // TakeOrdered. See Frequency.collocations for the two-step floor-
+  // division score definition and its overflow bound.
+  // -------------------------------------------------------------------
+  def q123_collocations(spark: SparkSession, dir: String): DataFrame =
+    Frequency.collocations(Tables.documents(spark, dir), "text",
+      minCount = 5L, discount = 5L, k = 50)
+
+  val q123_sql: String =
+    """WITH tk AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |u AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+      |tot AS (SELECT SUM(n) AS n_tot FROM u),
+      |b AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+      |         CAST(COUNT(*) AS BIGINT) AS n_ab FROM (
+      |    SELECT unnest([t[i] || ' ' || t[i + 1]
+      |                   FOR i IN generate_series(1, len(t) - 1)]) AS bg
+      |    FROM tk WHERE len(t) >= 2)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5 AND COUNT(*) > 5)
+      |SELECT b.w1, b.w2, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+      |  CAST(((b.n_ab - 5) * 1000000 // ua.n) * tot.n_tot // ub.n
+      |    AS BIGINT) AS score_ppm
+      |FROM b JOIN u ua ON b.w1 = ua.w
+      |       JOIN u ub ON b.w2 = ub.w
+      |       CROSS JOIN tot
+      |ORDER BY score_ppm DESC, b.w1, b.w2 LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_collocations" -> q123_collocations _,
     "q121_fertility" -> q121_fertility _,
     "q119_dup_sources" -> q119_dup_sources _,
     "q120_ngram_uniqueness" -> q120_ngram_uniqueness _,
@@ -1220,6 +1255,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q123_collocations" -> q123_sql,
     "q121_fertility" -> q121_sql,
     "q119_dup_sources" -> q119_sql,
     "q120_ngram_uniqueness" -> q120_sql,

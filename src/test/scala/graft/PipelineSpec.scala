@@ -468,6 +468,23 @@ class PipelineSpec extends SparkSpec {
       s"5-gram banding produced ${pairs.length} of ${12 * 11 / 2} pairs")
   }
 
+  test("collocations score discounted integer lift on hand-counts") {
+    // "new york" appears 6×; "the cat" 6×; tokens chosen so the counts
+    // are hand-checkable
+    val d = Seq.fill(6)((1L, "new york")) ++ Seq.fill(6)((2L, "the cat")) ++
+      Seq((3L, "the dog saw the bird and the fish"))
+    val out = Frequency.collocations(d.toDF("doc_id", "text"), "text",
+      minCount = 5L, discount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // unigrams: new 6, york 6, the 9, cat 6; N = 12 + 12 + 8 = 32 toks
+    // new york: ((6-5)*1e6 div 6) * 32 div 6 = 166666*32 div 6 = 888885
+    // the cat:  ((6-5)*1e6 div 9) * 32 div 6 = 111111*32 div 6 = 592592
+    assert(out.toSeq === Seq(
+      ("new", "york", 6L, 6L, 6L, 888885L),
+      ("the", "cat", 6L, 9L, 6L, 592592L)))
+  }
+
   test("bigramLmScore computes integer mean conditional probability") {
     val d = Seq(
       (1L, "a b a b a"), // bigrams ab, ba, ab, ba
