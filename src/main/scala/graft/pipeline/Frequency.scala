@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frequent-items (heavy-hitter) detection over corpus tokens: the
@@ -219,5 +219,52 @@ object Frequency {
         col("score_ppm"))
       .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** Vocabulary-growth (Heaps'-law) curve: cumulative distinct token
+    * types vs cumulative token count over an ingest order (doc-id
+    * order), in `buckets` id-range buckets — the corpus diagnostic for
+    * "is the vocabulary still growing, and at what exponent?" (Heaps
+    * 1978; sub-linear growth is the expected shape, a flat curve means
+    * heavy duplication, a linear one noise/ids).
+    *
+    * Shape at scale: a token's contribution to the curve is decided
+    * entirely by its FIRST-occurrence doc — one vocabulary-sized
+    * groupBy(min) — and per-bucket doc/token totals are one linear
+    * groupBy. Cumulation happens on the ≤`buckets`-row table via a
+    * triangular self-join (the q76 CDF idiom: no unpartitioned
+    * window anywhere). Returns
+    * (bucket, cum_docs, cum_tokens, cum_types) ordered by bucket.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val base = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("tk"))
+    val bounds = base.agg(min(col("doc")).as("lo"), max(col("doc")).as("hi"))
+    val b1 = buckets - 1
+    def bucketOf(c: String): Column =
+      expr(s"least(($c - lo) * $buckets div (hi - lo + 1), $b1)")
+    val docStats = base
+      .select(col("doc"), size(col("tk")).cast("long").as("n_toks"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucketOf("doc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val firstOcc = base
+      .select(col("doc"), explode(array_distinct(col("tk"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucketOf("first_doc"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val per = docStats.join(firstOcc, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    per.as("a").join(per.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.n_docs")).as("cum_docs"),
+        sum(col("b.n_tokens")).as("cum_tokens"),
+        sum(col("b.new_types")).as("cum_types"))
+      .orderBy(col("bucket"))
   }
 }

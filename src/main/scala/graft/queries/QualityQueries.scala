@@ -1225,7 +1225,47 @@ object QualityQueries {
       |       CROSS JOIN tot
       |ORDER BY score_ppm DESC, b.w1, b.w2 LIMIT 50""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q124 — vocabulary-growth (Heaps'-law) curve: cumulative distinct
+  // token types vs cumulative tokens over doc-id order in 20 id-range
+  // buckets. First-occurrence groupBy + triangular cumsum on the
+  // 20-row bucket table (q76 CDF idiom — no unpartitioned window).
+  // See Frequency.vocabGrowth.
+  // -------------------------------------------------------------------
+  def q124_vocab_growth(spark: SparkSession, dir: String): DataFrame =
+    Frequency.vocabGrowth(Tables.documents(spark, dir), "doc_id", "text",
+      buckets = 20)
+
+  val q124_sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM base),
+      |db AS (
+      |  SELECT least((doc_id - lo) * 20 // (hi - lo + 1), 19) AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+      |  FROM base CROSS JOIN bounds GROUP BY 1),
+      |fo AS (
+      |  SELECT tok, min(doc_id) AS first_doc
+      |  FROM (SELECT DISTINCT doc_id, unnest(t) AS tok FROM base)
+      |  GROUP BY tok),
+      |fb AS (
+      |  SELECT least((first_doc - lo) * 20 // (hi - lo + 1), 19) AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS new_types
+      |  FROM fo CROSS JOIN bounds GROUP BY 1),
+      |per AS (
+      |  SELECT db.bucket, n_docs, n_tokens,
+      |         COALESCE(new_types, 0) AS new_types
+      |  FROM db LEFT JOIN fb ON db.bucket = fb.bucket)
+      |SELECT a.bucket, CAST(SUM(b.n_docs) AS BIGINT) AS cum_docs,
+      |  CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(b.new_types) AS BIGINT) AS cum_types
+      |FROM per a JOIN per b ON b.bucket <= a.bucket
+      |GROUP BY a.bucket ORDER BY a.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_vocab_growth" -> q124_vocab_growth _,
     "q123_collocations" -> q123_collocations _,
     "q121_fertility" -> q121_fertility _,
     "q119_dup_sources" -> q119_dup_sources _,
@@ -1255,6 +1295,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q124_vocab_growth" -> q124_sql,
     "q123_collocations" -> q123_sql,
     "q121_fertility" -> q121_sql,
     "q119_dup_sources" -> q119_sql,

@@ -485,6 +485,22 @@ class PipelineSpec extends SparkSpec {
       ("the", "cat", 6L, 9L, 6L, 592592L)))
   }
 
+  test("vocabGrowth accumulates first-occurrence types per bucket") {
+    // ids 0..3, 2 buckets → docs 0,1 in bucket 0; docs 2,3 in bucket 1
+    val d = Seq(
+      (0L, "a b a"),       // types a,b first here; 3 tokens
+      (1L, "b c"),         // c new; 2 tokens
+      (2L, "a c d"),       // d new; 3 tokens
+      (3L, "d e")          // e new; 2 tokens
+    ).toDF("doc_id", "text")
+    val out = Frequency.vocabGrowth(d, "doc_id", "text", buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 5L, 3L),   // a,b,c seen after docs 0-1
+      (1L, 4L, 10L, 5L))) // +d,e after docs 2-3
+  }
+
   test("bigramLmScore computes integer mean conditional probability") {
     val d = Seq(
       (1L, "a b a b a"), // bigrams ab, ba, ab, ba
