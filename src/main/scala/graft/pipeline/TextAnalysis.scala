@@ -356,6 +356,52 @@ object TextAnalysis {
     * Returns (doc_id, n_bigrams, mean_p_ppm) for documents with ≥ 2
     * tokens.
     */
+  /** C4/RefinedWeb-style LINE-level cleaning (Raffel et al. 2020 §2.2;
+    * Penedo et al. 2023 line-wise corrections): split on newline, keep
+    * lines passing the per-line rules, re-join survivors in order, and
+    * flag documents failing the doc-level rules. Rules (each
+    * parametrized, C4's defaults documented):
+    *   - line has ≥ `minLineWords` whitespace words (C4: 3)
+    *   - if `requireTerminalPunct`, line ends in . ! or ? (C4: on)
+    *   - line does not contain `bannedLineWord` case-insensitively
+    *     (C4 drops lines containing "javascript")
+    *   - doc is FLAGGED dropped if lowercase text contains any of
+    *     `docBannedSubstrings` (C4: "lorem ipsum", "{") or fewer than
+    *     `minKeptLines` lines survive (C4's ≥-sentences gate).
+    *
+    * Everything is array ops inside ONE codegen'd projection — zero
+    * shuffles, scan-speed at any scale; the reassembled text is
+    * certified by sha256 so engines can be compared without shipping
+    * the cleaned corpus. Returns (id, n_lines, kept_lines, dropped
+    * 0/1, clean_fp) ordered by id.
+    */
+  def lineFilter(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, requireTerminalPunct: Boolean = true,
+      bannedLineWord: String = "javascript",
+      docBannedSubstrings: Seq[String] = Seq("lorem ipsum", "{"),
+      minKeptLines: Int = 1): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def lineOk(l: Column): Column = {
+      val words = size(split(trim(l), "\\s+")) >= minLineWords
+      val punct = if (requireTerminalPunct)
+        trim(l).rlike("[.!?]$") else lit(true)
+      val banned = lower(l).contains(bannedLineWord.toLowerCase)
+      words && punct && !banned
+    }
+    val docBanned = docBannedSubstrings
+      .map(s => lower(col(textCol)).contains(s.toLowerCase))
+      .reduce(_ || _)
+    df.select(col(idCol), lines.as("_lines"), docBanned.as("_db"))
+      .withColumn("_kept", filter(col("_lines"), lineOk(_)))
+      .select(col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("kept_lines"),
+        when(col("_db") || size(col("_kept")) < minKeptLines, 1L)
+          .otherwise(0L).as("dropped"),
+        sha2(array_join(col("_kept"), "\n"), 256).as("clean_fp"))
+      .orderBy(col(idCol))
+  }
+
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val base = df

@@ -1264,7 +1264,38 @@ object QualityQueries {
       |FROM per a JOIN per b ON b.bucket <= a.bucket
       |GROUP BY a.bucket ORDER BY a.bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q125 — C4/RefinedWeb line-level cleaning: per-line keep rules +
+  // doc-level drop flags + sha256-certified reassembly, one codegen'd
+  // projection, zero shuffles. This corpus is single-line and
+  // punctuation-free, so the terminal-punct rule is off and the
+  // min-words rule carries the split (30 words drops ~1/5 of docs);
+  // the multi-line/punct/banned-word paths are spec-covered on
+  // synthetic text. See TextAnalysis.lineFilter.
+  // -------------------------------------------------------------------
+  def q125_line_filter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lineFilter(Tables.documents(spark, dir), "doc_id",
+      "text", minLineWords = 30, requireTerminalPunct = false,
+      bannedLineWord = "javascript",
+      docBannedSubstrings = Seq("lorem ipsum", "{"), minKeptLines = 1)
+
+  val q125_sql: String =
+    """SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS kept_lines,
+      |  CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+      |         OR contains(lower(text), '{')
+      |         OR len(kept) < 1 THEN 1 ELSE 0 END AS BIGINT) AS dropped,
+      |  sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp
+      |FROM (
+      |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      len(regexp_split_to_array(trim(l), '\s+')) >= 30
+      |      AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_line_filter" -> q125_line_filter _,
     "q124_vocab_growth" -> q124_vocab_growth _,
     "q123_collocations" -> q123_collocations _,
     "q121_fertility" -> q121_fertility _,
@@ -1295,6 +1326,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q125_line_filter" -> q125_sql,
     "q124_vocab_growth" -> q124_sql,
     "q123_collocations" -> q123_sql,
     "q121_fertility" -> q121_sql,

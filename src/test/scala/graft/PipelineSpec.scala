@@ -485,6 +485,34 @@ class PipelineSpec extends SparkSpec {
       ("the", "cat", 6L, 9L, 6L, 592592L)))
   }
 
+  test("lineFilter applies C4 line rules and certifies reassembly") {
+    val d = Seq(
+      // keeps lines 1+3: line 2 too short, line 4 no terminal punct,
+      // line 5 contains javascript
+      (1L, "This is a good first sentence.\nshort one.\n" +
+        "Another long enough line to survive!\nno punctuation here at all\n" +
+        "Enable javascript to view this page."),
+      (2L, "Totally fine text. But lorem ipsum appears here."), // doc ban
+      (3L, "Uses a { curly brace } in config."),                // doc ban
+      (4L, "tiny.\nalso tiny.")                                 // 0 kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineFilter(d, "doc_id", "text",
+      minLineWords = 3, requireTerminalPunct = true,
+      bannedLineWord = "javascript",
+      docBannedSubstrings = Seq("lorem ipsum", "{"), minKeptLines = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq === Seq(
+      (1L, 5L, 2L, 0L), (2L, 1L, 1L, 1L), (3L, 1L, 1L, 1L),
+      (4L, 2L, 0L, 1L)))
+    // reassembly is exactly the surviving lines joined by \n
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("This is a good first sentence.\n" +
+        "Another long enough line to survive!").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.head._5 === expected)
+  }
+
   test("vocabGrowth accumulates first-occurrence types per bucket") {
     // ids 0..3, 2 buckets → docs 0,1 in bucket 0; docs 2,3 in bucket 1
     val d = Seq(
