@@ -70,10 +70,24 @@ object Sampling {
     * "test". Adds `split`. Deterministic and independent of any
     * sampling decision drawn with a different salt. */
   def splitAssign(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10, salt: String = "split"): DataFrame =
+    splitByKey(df, col(idCol), trainPct, valPct, salt)
+
+  /** [[splitAssign]] generalized to an arbitrary assignment KEY: every
+    * row with the same key value lands on the same side. Hashing a
+    * CLUSTER key instead of the row id is what makes a split
+    * LEAKAGE-FREE: when near/exact duplicates exist, splitting by row
+    * id scatters copies of the same content across train and val, and
+    * the eval set silently measures memorization (the contamination
+    * mechanism Lee et al. 2022 §6 measure). Pass md5(text) for
+    * exact-dup integrity, or a connected-component id from
+    * [[graft.pipeline.Clusters]] for near-dup integrity. Adds `split`;
+    * one projection, zero shuffles. */
+  def splitByKey(df: DataFrame, key: Column, trainPct: Int = 80,
       valPct: Int = 10, salt: String = "split"): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages ($trainPct, $valPct)")
-    val bucket = hash60(salt, col(idCol)) % 100L
+    val bucket = hash60(salt, key) % 100L
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")

@@ -800,6 +800,36 @@ object CurationQueries {
        |ORDER BY lang, doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q126 — leakage-free train/val/test split: assignment hashes the
+  // CONTENT key (md5 of text), not the row id, so exact duplicates can
+  // never straddle a split boundary and leak train content into eval
+  // (the Lee et al. 2022 §6 contamination mechanism). Per-split doc and
+  // cluster counts; the no-straddle property itself is spec-asserted
+  // and holds by construction (same content ⇒ same hash ⇒ same side).
+  // One projection + one small groupBy. See Sampling.splitByKey.
+  // -------------------------------------------------------------------
+  def q126_leakfree_split(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitByKey(Tables.documents(spark, dir),
+        md5(col("text")), trainPct = 80, valPct = 10, salt = "leakfree")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_clusters"))
+      .orderBy(col("split"))
+
+  val q126_sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, md5(text) AS ck,
+       |    CASE WHEN ${hash60Sql("leakfree", "md5(text)")} % 100 < 80
+       |           THEN 'train'
+       |         WHEN ${hash60Sql("leakfree", "md5(text)")} % 100 < 90
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_clusters
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // -------------------------------------------------------------------
   // q105 — exact-substring deduplication (Lee et al. 2022): any 8-token
   // window occurring in more than one document marks its span; per doc,
   // the count and fraction of token positions inside a duplicated span.
@@ -882,6 +912,7 @@ object CurationQueries {
       |ORDER BY b.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_leakfree_split" -> q126_leakfree_split _,
     "q109_chunk_dedup" -> q109_chunk_dedup _,
     "q105_substring_dedup" -> q105_substring_dedup _,
     "q83_exact_quota" -> q83_exact_quota _,
@@ -905,6 +936,7 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _)
 
   val oracles: Map[String, String] = Map(
+    "q126_leakfree_split" -> q126_sql,
     "q109_chunk_dedup" -> q109_sql,
     "q105_substring_dedup" -> q105_sql,
     "q83_exact_quota" -> q83_sql,

@@ -40,6 +40,33 @@ class CurationSpec extends SparkSpec {
     assert(joint("train").toDouble / out("train") < 0.6)
   }
 
+  test("splitByKey keeps duplicate content on one side (leak-free)") {
+    import spark.implicits._
+    // 300 distinct contents, each duplicated 1-3×, ids interleaved so
+    // an id-hash split WOULD scatter copies
+    val docs = (0L until 300L).flatMap { c =>
+      (0 to (c % 3).toInt).map(k => (c * 10 + k, s"content number $c"))
+    }.toDF("doc_id", "text")
+    val out = Sampling.splitByKey(docs, md5(col("text")))
+    // no content hash appears in more than one split
+    val straddlers = out.groupBy(md5(col("text")).as("ck"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddlers === 0L)
+    // all three splits are populated and proportions are sane
+    val m = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("train", "val", "test"))
+    assert(m("train") > m("val") && m("train") > m("test"))
+    // the id-hash split DOES scatter at least one duplicate group —
+    // the control that makes the zero above meaningful
+    val controlStraddlers = Sampling.splitAssign(docs, "doc_id")
+      .groupBy(md5(col("text")).as("ck"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(controlStraddlers > 0L)
+  }
+
   test("connectedComponents: GraphX and DataFrame engines agree") {
     // two chains, one triangle, one isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
