@@ -402,6 +402,43 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Longest run of consecutive identical tokens per document — the
+    * "degenerate repetition" detector (looping generations, scraped
+    * pagination junk, `spam spam spam`): filters commonly cap
+    * consecutive-token repeats, complementing the duplicated-n-gram
+    * FRACTION (q81) which misses one long contiguous loop in a long
+    * document. Computed entirely inside one `aggregate` higher-order
+    * expression over the token array — row-local, zero shuffles, scan
+    * speed at any corpus size. Ties: the FIRST maximal run's token is
+    * reported (strict-greater update). Returns
+    * (id, n_toks, max_run, run_tok) for non-blank docs, ordered by id.
+    */
+  def maxTokenRun(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("_r", expr(
+        """aggregate(
+          |  tk,
+          |  named_struct(
+          |    'best', cast(0 as bigint), 'cur', cast(0 as bigint),
+          |    'prev', cast(null as string), 'btok', cast(null as string)),
+          |  (a, x) -> named_struct(
+          |    'best', greatest(a.best,
+          |      if(a.prev is not null and x = a.prev, a.cur + 1,
+          |         cast(1 as bigint))),
+          |    'cur', if(a.prev is not null and x = a.prev, a.cur + 1,
+          |              cast(1 as bigint)),
+          |    'prev', x,
+          |    'btok', if(if(a.prev is not null and x = a.prev, a.cur + 1,
+          |                  cast(1 as bigint)) > a.best, x, a.btok)),
+          |  a -> a)""".stripMargin))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_toks"),
+        col("_r.best").as("max_run"),
+        col("_r.btok").as("run_tok"))
+      .orderBy(col(idCol))
+
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val base = df

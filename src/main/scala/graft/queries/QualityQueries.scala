@@ -1294,7 +1294,46 @@ object QualityQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q127 — longest consecutive identical-token run per doc (looping /
+  // degenerate-repetition detector). Spark computes it in ONE
+  // row-local aggregate() higher-order expression (zero shuffles); the
+  // oracle reformulates as gaps-and-islands windows partitioned per
+  // doc. See TextAnalysis.maxTokenRun.
+  // -------------------------------------------------------------------
+  def q127_max_run(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.maxTokenRun(Tables.documents(spark, dir), "doc_id",
+      "text")
+
+  val q127_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |pos AS (
+      |  SELECT doc_id, len(tk) AS n_toks, unnest(tk) AS tok,
+      |         unnest(generate_series(1, len(tk))) AS i
+      |  FROM t),
+      |m AS (
+      |  SELECT doc_id, n_toks, tok, i,
+      |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+      |           IS DISTINCT FROM tok THEN 1 ELSE 0 END AS is_start
+      |  FROM pos),
+      |g AS (
+      |  SELECT doc_id, n_toks, tok, i,
+      |    SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id, n_toks, tok, grp,
+      |    CAST(COUNT(*) AS BIGINT) AS run_len, MIN(i) AS start_i
+      |  FROM g GROUP BY doc_id, n_toks, tok, grp)
+      |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |  run_len AS max_run, tok AS run_tok
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY run_len DESC, start_i) AS rk FROM r)
+      |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_max_run" -> q127_max_run _,
     "q125_line_filter" -> q125_line_filter _,
     "q124_vocab_growth" -> q124_vocab_growth _,
     "q123_collocations" -> q123_collocations _,
@@ -1326,6 +1365,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q127_max_run" -> q127_sql,
     "q125_line_filter" -> q125_sql,
     "q124_vocab_growth" -> q124_sql,
     "q123_collocations" -> q123_sql,

@@ -513,6 +513,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.head._5 === expected)
   }
 
+  test("maxTokenRun finds the first longest identical-token run") {
+    val d = Seq(
+      (1L, "a a a b b"),          // run of 3 a's
+      (2L, "x y x y x y"),        // no repeats: max 1, first token
+      (3L, "p q q r r r r q q"),  // run of 4 r's
+      (4L, "solo"),               // single token
+      (5L, "t t u u")             // tie 2-2: FIRST run (t) wins
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.maxTokenRun(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 3L, "a"), (2L, 6L, 1L, "x"), (3L, 9L, 4L, "r"),
+      (4L, 1L, 1L, "solo"), (5L, 4L, 2L, "t")))
+  }
+
   test("vocabGrowth accumulates first-occurrence types per bucket") {
     // ids 0..3, 2 buckets → docs 0,1 in bucket 0; docs 2,3 in bucket 1
     val d = Seq(
