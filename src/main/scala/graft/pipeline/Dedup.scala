@@ -658,6 +658,62 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS algorithm): hash every word k-gram, slide a window of w
+    * consecutive hashes, keep each window's MINIMUM — a deterministic
+    * ~2/(w+1) sample of positions with the paper's guarantee that any
+    * shared token run of length ≥ w+k−1 shares at least one selected
+    * fingerprint (unlike MinHash there are NO probabilistic misses).
+    * Values only, not positions: equal 60-bit hashes ⇒ same k-gram
+    * (for cross-doc matching the value set suffices; the paper's
+    * positions locate matches within a doc, which [[duplicatedSpans]]
+    * already covers exactly).
+    *
+    * Selection is pure array ops in one projection — zero shuffles;
+    * cost O(len·w) per doc. Docs with < k+w−1 tokens have no full
+    * window and yield no rows (documented; the guarantee is vacuous
+    * below the match length anyway). Returns (doc, shingle) rows with
+    * distinct selected hash values, [[dfCapped]]-compatible.
+    */
+  def winnowRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1, w >= 2 (got k=$k, w=$w)")
+    df.select(col(idCol).as("doc"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k + w - 1)
+      .withColumn("h", expr(
+        s"""transform(sequence(1, size(tk) - ${k - 1}),
+           |  i -> cast(conv(substring(md5(
+           |         concat_ws(' ', slice(tk, i, $k))), 1, 15), 16, 10)
+           |       as bigint))""".stripMargin))
+      .withColumn("fps", expr(
+        s"""array_distinct(transform(sequence(1, size(h) - ${w - 1}),
+           |  i -> array_min(slice(h, i, $w))))""".stripMargin))
+      .select(col("doc"), explode(col("fps")).as("shingle"))
+  }
+
+  /** Candidate near-dup pairs from winnowing fingerprints: docs sharing
+    * ≥ `minShared` selected values, counted via the fingerprint
+    * equi-join (docs sharing none never meet). The join input is the
+    * winnowed ~2/(w+1) sample of the k-gram rows — same linear shape
+    * as the shingle join, several× smaller, with [[dfCapped]] as the
+    * boilerplate-fingerprint skew guard. Returns
+    * (id_a, id_b, shared_fps), ordered. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxDf: Long = 1000L): DataFrame = {
+    val rows = dfCapped(winnowRows(df, idCol, textCol, k, w), maxDf)
+      .localCheckpoint(eager = true) // both join sides read it
+    rows.as("a").join(rows.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Cross-source duplication matrix — WHERE duplicates come from, the
     * diagnostic that decides which feed to dedup against which. For
     * every pair of sources (src_a ≤ src_b) counts the normalized-text

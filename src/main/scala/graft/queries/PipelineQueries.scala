@@ -216,6 +216,41 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q128 — winnowing fingerprint near-dup pairs (Schleimer et al. 2003 /
+  // MOSS): per-window minimum k-gram hash selection (deterministic
+  // ~2/(w+1) position sample, guaranteed detection of shared runs
+  // ≥ w+k−1 tokens), then a fingerprint equi-join counts shared
+  // selected values per doc pair. See Dedup.winnowRows/winnowPairs.
+  // -------------------------------------------------------------------
+  def q128_winnow_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, w = 4, minShared = 2L, maxDf = 1000L)
+
+  val q128_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 6),
+      |kg AS (
+      |  SELECT doc_id,
+      |    [CAST(('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')),
+      |       1, 15)) AS BIGINT)
+      |     FOR i IN generate_series(1, len(tk) - 2)] AS h
+      |  FROM t),
+      |sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_distinct([list_min(h[i:i+3])
+      |      FOR i IN generate_series(1, len(h) - 3)])) AS fp
+      |  FROM kg),
+      |keep AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 1000),
+      |s2 AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keep USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+      |FROM s2 a JOIN s2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // q25 — brute-force cosine top-k ANN baseline
   // -------------------------------------------------------------------
   def q25_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
@@ -505,6 +540,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_lsh_recall" -> q112_lsh_recall _,
     "q122_editsim_dedup" -> q122_editsim_dedup _,
+    "q128_winnow_pairs" -> q128_winnow_pairs _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
     "q22_fingerprint" -> q22_fingerprint _,
@@ -521,6 +557,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q112_lsh_recall" -> q112_sql,
     "q122_editsim_dedup" -> q122_sql,
+    "q128_winnow_pairs" -> q128_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,
     "q22_fingerprint" -> q22_sql,

@@ -513,6 +513,29 @@ class PipelineSpec extends SparkSpec {
     assert(out.head._5 === expected)
   }
 
+  test("winnowing guarantees detection of shared runs >= w+k-1 tokens") {
+    // docs 1 and 2 share an 8-token run (> w+k-1 = 6) inside otherwise
+    // different text — winnowing MUST select a common fingerprint
+    val shared = "the big pipeline reads every shard twice nightly"
+    val d = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two three four five $shared six"),
+      (3L, "entirely different words with no overlap at all here okay")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text", k = 3, w = 4,
+      minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 === 1L && p._2 === 2L && p._3 >= 1L))
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))
+    // selection density: ~2/(w+1) of k-gram positions, never zero for
+    // docs with at least one full window
+    val rows = Dedup.winnowRows(d, "doc_id", "text", k = 3, w = 4)
+    val perDoc = rows.groupBy("doc").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.keySet === Set(1L, 2L, 3L))
+    assert(perDoc.values.forall(_ >= 1L))
+  }
+
   test("maxTokenRun finds the first longest identical-token run") {
     val d = Seq(
       (1L, "a a a b b"),          // run of 3 a's
