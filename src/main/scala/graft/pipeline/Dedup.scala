@@ -747,6 +747,35 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Split-document continuation detection: doc A's LAST m tokens equal
+    * doc B's FIRST m tokens ⇒ B plausibly continues A — the ingestion
+    * artifact where pagination/chunked scraping splits one document
+    * into several records (the repair is concatenation, the inverse of
+    * chunking; cf. the overlap heuristics in shard-stitching/pagination
+    * cleanup). One md5 boundary fingerprint per side, one equi-join on
+    * it — linear at any scale; [[dfCapped]] guards both sides against
+    * boilerplate boundaries (a shared header/footer would otherwise
+    * cross-product). Head and tail must not overlap (needs ≥ 2m
+    * tokens). Returns (prev_id, next_id, boundary_fp), ordered. */
+  def continuationPairs(df: DataFrame, idCol: String, textCol: String,
+      m: Int = 4, maxDf: Long = 100L): DataFrame = {
+    require(m >= 1, s"boundary length m must be positive ($m)")
+    val base = df
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2 * m)
+    val tails = dfCapped(base.select(col("doc"),
+      md5(concat_ws(" ", slice(col("tk"), -m, m))).as("shingle")), maxDf)
+    val heads = dfCapped(base.select(col("doc"),
+      md5(concat_ws(" ", slice(col("tk"), 1, m))).as("shingle")), maxDf)
+    tails.as("a").join(heads.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("prev_id"), col("b.doc").as("next_id"),
+        col("a.shingle").as("boundary_fp"))
+      .orderBy(col("prev_id"), col("next_id"))
+  }
+
   /** Cross-source duplication matrix — WHERE duplicates come from, the
     * diagnostic that decides which feed to dedup against which. For
     * every pair of sources (src_a ≤ src_b) counts the normalized-text

@@ -251,6 +251,37 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q129 — split-document continuation pairs: tail-of-A = head-of-B on
+  // a 4-token boundary fingerprint (pagination/chunked-scrape repair
+  // candidates). One equi-join on the md5 boundary fp, df-capped both
+  // sides. See Dedup.continuationPairs.
+  // -------------------------------------------------------------------
+  def q129_continuations(spark: SparkSession, dir: String): DataFrame =
+    Dedup.continuationPairs(Tables.documents(spark, dir), "doc_id",
+      "text", m = 4, maxDf = 100L)
+
+  val q129_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+      |tl AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(tk[len(tk)-3:len(tk)], ' ')) AS fp
+      |  FROM t),
+      |hd AS (
+      |  SELECT doc_id, md5(array_to_string(tk[1:4], ' ')) AS fp
+      |  FROM t),
+      |tlc AS (SELECT tl.* FROM tl JOIN (
+      |  SELECT fp FROM tl GROUP BY fp HAVING COUNT(*) <= 100) USING (fp)),
+      |hdc AS (SELECT hd.* FROM hd JOIN (
+      |  SELECT fp FROM hd GROUP BY fp HAVING COUNT(*) <= 100) USING (fp))
+      |SELECT a.doc_id AS prev_id, b.doc_id AS next_id,
+      |  a.fp AS boundary_fp
+      |FROM tlc a JOIN hdc b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+      |ORDER BY prev_id, next_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q25 — brute-force cosine top-k ANN baseline
   // -------------------------------------------------------------------
   def q25_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
@@ -541,6 +572,7 @@ object PipelineQueries {
     "q112_lsh_recall" -> q112_lsh_recall _,
     "q122_editsim_dedup" -> q122_editsim_dedup _,
     "q128_winnow_pairs" -> q128_winnow_pairs _,
+    "q129_continuations" -> q129_continuations _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
     "q22_fingerprint" -> q22_fingerprint _,
@@ -558,6 +590,7 @@ object PipelineQueries {
     "q112_lsh_recall" -> q112_sql,
     "q122_editsim_dedup" -> q122_sql,
     "q128_winnow_pairs" -> q128_sql,
+    "q129_continuations" -> q129_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,
     "q22_fingerprint" -> q22_sql,

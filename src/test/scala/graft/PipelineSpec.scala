@@ -536,6 +536,18 @@ class PipelineSpec extends SparkSpec {
     assert(perDoc.values.forall(_ >= 1L))
   }
 
+  test("continuationPairs joins tail fingerprints to head fingerprints") {
+    val d = Seq(
+      (1L, "page one text ends with a cliff hanger here"),   // tail: "a cliff hanger here"
+      (2L, "a cliff hanger here resolves in part two text"), // head matches 1's tail
+      (3L, "unrelated document with entirely different body words"),
+      (4L, "short doc")                                      // < 2m tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.continuationPairs(d, "doc_id", "text", m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+
   test("maxTokenRun finds the first longest identical-token run") {
     val d = Seq(
       (1L, "a a a b b"),          // run of 3 a's
