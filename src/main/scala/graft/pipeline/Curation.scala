@@ -112,4 +112,39 @@ object Curation {
           .when(!(col("_fp_old") <=> col("_fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Export-shard manifest: deterministic shard assignment (id hash mod
+    * `numShards`) with per-shard integrity checksums — the table a
+    * reproducible training-data export publishes next to its files so
+    * any consumer (or re-run) can verify a shard without reading the
+    * corpus. The checksum must be ORDER-INDEPENDENT (writers emit rows
+    * in partition-arrival order): per shard we sum 60-bit content
+    * hashes (in decimal(38,0) — a long sum of 2⁶⁰-scale values wraps
+    * already at hundreds of rows, and Spark wraps while other engines
+    * promote, so the wrap would diverge) and XOR them, both invariant
+    * under row permutation and exactly portable. A re-run that
+    * produces the same manifest row set proves byte-level shard
+    * equivalence without comparing files.
+    *
+    * One projection + one groupBy on the shard key (≤ numShards
+    * groups). Returns (shard, n_docs, tot_chars, sum_fp, xor_fp),
+    * ordered by shard. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int, salt: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive ($numShards)")
+    val fp60 = conv(substring(md5(col(textCol)), 1, 15), 16, 10)
+      .cast("long")
+    docs
+      .select((Sampling.hash60(salt, col(idCol)) % numShards).as("shard"),
+        length(col(textCol)).cast("long").as("n_chars"), fp60.as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"),
+        // decimal sum rendered as STRING: DuckDB's pandas bridge turns
+        // DECIMAL(38,0) into float64 (19 significant digits do not fit),
+        // so both engines publish the exact digits as text
+        sum(col("fp").cast("decimal(38,0)")).cast("string").as("sum_fp"),
+        // bit_xor aggregate: order-independent by algebra
+        expr("cast(bit_xor(fp) as bigint)").as("xor_fp"))
+      .orderBy(col("shard"))
+  }
 }

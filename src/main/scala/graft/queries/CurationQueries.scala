@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Clusters, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.pipeline.{Clusters, Curation, Dedup, Multimodal, Sampling, TextAnalysis}
 
 /** Round-3 coverage: the curation stages a large-scale training-data
   * pipeline runs AFTER the per-document scoring ops (q20–q29) — all
@@ -830,6 +830,28 @@ object CurationQueries {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
 
   // -------------------------------------------------------------------
+  // q130 — export-shard manifest: deterministic shard assignment (id
+  // hash mod 16) + order-independent per-shard integrity checksums
+  // (decimal-exact hash sum + bit_xor) — what a reproducible export
+  // publishes next to its shard files. See Curation.shardManifest.
+  // -------------------------------------------------------------------
+  def q130_shard_manifest(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardManifest(Tables.documents(spark, dir), "doc_id",
+      "text", numShards = 16)
+
+  val q130_sql: String =
+    s"""WITH s AS (
+       |  SELECT ${hash60Sql("shard", "doc_id")} % 16 AS shard,
+       |    CAST(len(text) AS BIGINT) AS n_chars,
+       |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
+       |  FROM documents)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+       |  CAST(SUM(CAST(fp AS HUGEINT)) AS VARCHAR) AS sum_fp,
+       |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  // -------------------------------------------------------------------
   // q105 — exact-substring deduplication (Lee et al. 2022): any 8-token
   // window occurring in more than one document marks its span; per doc,
   // the count and fraction of token positions inside a duplicated span.
@@ -913,6 +935,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_leakfree_split" -> q126_leakfree_split _,
+    "q130_shard_manifest" -> q130_shard_manifest _,
     "q109_chunk_dedup" -> q109_chunk_dedup _,
     "q105_substring_dedup" -> q105_substring_dedup _,
     "q83_exact_quota" -> q83_exact_quota _,
@@ -937,6 +960,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q126_leakfree_split" -> q126_sql,
+    "q130_shard_manifest" -> q130_sql,
     "q109_chunk_dedup" -> q109_sql,
     "q105_substring_dedup" -> q105_sql,
     "q83_exact_quota" -> q83_sql,

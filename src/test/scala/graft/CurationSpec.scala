@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Clusters, Multimodal, Sampling, TextAnalysis}
+import graft.pipeline.{Clusters, Curation, Multimodal, Sampling, TextAnalysis}
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -65,6 +65,24 @@ class CurationSpec extends SparkSpec {
       .agg(countDistinct(col("split")).as("ns"))
       .filter(col("ns") > 1).count()
     assert(controlStraddlers > 0L)
+  }
+
+  test("shardManifest checksums are invariant under row order/partitioning") {
+    import spark.implicits._
+    val docs = (1L to 97L).map(i => (i, s"document body number $i"))
+    val a = Curation.shardManifest(docs.toDF("doc_id", "text"),
+      "doc_id", "text", numShards = 4).collect()
+    val b = Curation.shardManifest(
+      scala.util.Random.shuffle(docs).toDF("doc_id", "text")
+        .repartition(7), "doc_id", "text", numShards = 4).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.map(_.getLong(1)).sum === 97L)       // every doc in a shard
+    assert(a.map(_.getLong(0)).toSet.subsetOf((0L to 3L).toSet))
+    // checksums differ if any one document's content changes
+    val c = Curation.shardManifest(
+      docs.updated(10, (11L, "tampered content")).toDF("doc_id", "text"),
+      "doc_id", "text", numShards = 4).collect()
+    assert(c.map(_.toSeq).toSeq !== a.map(_.toSeq).toSeq)
   }
 
   test("connectedComponents: GraphX and DataFrame engines agree") {
