@@ -365,4 +365,78 @@ object Similarity {
           .otherwise(transform(col("_v"), _ => lit(0L)))
           .as("q"))
   }
+
+  /** Product quantization + asymmetric-distance top-k (Jégou, Douze &
+    * Schmid 2011, "Product Quantization for Nearest Neighbor Search"):
+    * vectors are int8-quantized on a GLOBAL scale (one shared scale so
+    * subspace distances are comparable — unlike [[quantizeInt8]]'s
+    * per-vector scale), split into `numSub` subvectors, and each
+    * subvector encoded as the id of its nearest codebook entry under
+    * integer L2². Queries then score the whole corpus through the
+    * code LUT: adc² = Σ_s d²(query_sub[s], codebook[s][code[s]]) — the
+    * memory-bandwidth trick that makes billion-scale search fit in
+    * RAM (a D-dim vector becomes numSub bytes).
+    *
+    * Codebook is training-free/deterministic (subvectors of every
+    * `centroidMod`-th vector — the [[ivfTopK]] convention; swap in
+    * k-means codebooks via q89/q118 without changing shape). Encoding
+    * is corpus×numSub×K rows through one broadcast join + one window
+    * argmin partitioned by (vector, subspace) — bounded partitions,
+    * linear in the corpus. ADC is queries×K LUT (broadcast-sized)
+    * joined to the corpus codes — Q×corpus×numSub tiny integer rows,
+    * the PQ scan. Everything integer ⇒ bit-portable. Returns
+    * (query_id, neighbor_id, adc_d2, rank ≤ k), self excluded, ties
+    * (adc_d2, neighbor_id). */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidMod: Int, queryMod: Int, numSub: Int): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val gmax = v.agg(max(array_max(transform(col("v"), x => abs(x))))
+      .as("gm"))
+    val q = v.crossJoin(broadcast(gmax))
+      .select(col("vid"),
+        when(col("gm") > 0.0, transform(col("v"),
+            x => floor(x / col("gm") * 127.0 + 0.5).cast("long")))
+          .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+    // (vid, s, sq): one row per subvector; dim must divide evenly
+    val subs = q.select(col("vid"),
+        explode(expr(
+          s"""transform(sequence(0, $numSub - 1),
+             |  s -> named_struct('s', cast(s as bigint),
+             |    'sq', slice(q, s * (size(q) div $numSub) + 1,
+             |                size(q) div $numSub)))""".stripMargin))
+          .as("e"))
+      .select(col("vid"), col("e.s").as("s"), col("e.sq").as("sq"))
+    val cents = subs.filter(col("vid") % centroidMod === 0)
+      .select(col("vid").as("cid"), col("s"), col("sq").as("cq"))
+    val d2 = expr(
+      """aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)),
+        |  cast(0 as bigint), (acc, e) -> acc + e)""".stripMargin)
+    // encode: argmin centroid per (vid, s) — window bounded by K
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid"), col("s"))
+      .orderBy(col("d2"), col("cid"))
+    val codes = subs.join(broadcast(cents), Seq("s"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("s"), col("cid").as("code"))
+    // ADC LUT: query subvectors × codebook (broadcast-sized)
+    val lut = subs.filter(col("vid") % queryMod === 0)
+      .select(col("vid").as("query_id"), col("s"), col("sq"))
+      .join(broadcast(cents), Seq("s"))
+      .withColumn("d2", d2)
+      .select(col("query_id"), col("s"), col("cid").as("code"), col("d2"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("vid"))
+    codes.join(lut, Seq("s", "code"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("adc_d2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

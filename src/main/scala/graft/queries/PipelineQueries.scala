@@ -282,6 +282,60 @@ object PipelineQueries {
       |ORDER BY prev_id, next_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q131 — product quantization + ADC top-k (Jégou et al. 2011): global
+  // int8 quantization, 8 subspaces, training-free subvector codebook
+  // (every 16th vector), integer-L2 argmin encoding, asymmetric-
+  // distance scoring through the code LUT. Queries = every 25th
+  // vector, k = 5. All-integer ⇒ bit-portable. See Similarity.pqTopK.
+  // -------------------------------------------------------------------
+  def q131_pq_adc(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", k = 5, centroidMod = 16, queryMod = 25, numSub = 8)
+
+  private val pqD2: String = (1 to 8)
+    .map(i => s"(a.sq[$i] - c.cq[$i]) * (a.sq[$i] - c.cq[$i])")
+    .mkString(" + ")
+
+  val q131_sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |g AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS gm
+       |      FROM v),
+       |q AS (
+       |  SELECT vid, CASE WHEN gm > 0 THEN
+       |      list_transform(v, x ->
+       |        CAST(floor(x / gm * 127.0 + 0.5) AS BIGINT))
+       |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       |  FROM v CROSS JOIN g),
+       |subs AS (
+       |  SELECT vid, CAST(t.s AS BIGINT) AS s,
+       |    q[t.s * (len(q) // 8) + 1 : (t.s + 1) * (len(q) // 8)] AS sq
+       |  FROM q CROSS JOIN generate_series(0, 7) t(s)),
+       |cents AS (
+       |  SELECT vid AS cid, s, sq AS cq FROM subs WHERE vid % 16 = 0),
+       |enc AS (
+       |  SELECT vid, s, cid AS code FROM (
+       |    SELECT a.vid, a.s, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vid, a.s
+       |        ORDER BY $pqD2, c.cid) AS rn
+       |    FROM subs a JOIN cents c ON a.s = c.s)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT a.vid AS query_id, a.s, c.cid AS code,
+       |    CAST($pqD2 AS BIGINT) AS d2
+       |  FROM subs a JOIN cents c ON a.s = c.s WHERE a.vid % 25 = 0),
+       |adc AS (
+       |  SELECT query_id, vid, SUM(d2) AS adc_d2
+       |  FROM enc JOIN lut USING (s, code)
+       |  WHERE vid <> query_id GROUP BY 1, 2)
+       |SELECT query_id, vid AS neighbor_id, CAST(adc_d2 AS BIGINT)
+       |    AS adc_d2, rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2, vid) AS rank FROM adc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q25 — brute-force cosine top-k ANN baseline
   // -------------------------------------------------------------------
   def q25_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
@@ -573,6 +627,7 @@ object PipelineQueries {
     "q122_editsim_dedup" -> q122_editsim_dedup _,
     "q128_winnow_pairs" -> q128_winnow_pairs _,
     "q129_continuations" -> q129_continuations _,
+    "q131_pq_adc" -> q131_pq_adc _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
     "q22_fingerprint" -> q22_fingerprint _,
@@ -591,6 +646,7 @@ object PipelineQueries {
     "q122_editsim_dedup" -> q122_sql,
     "q128_winnow_pairs" -> q128_sql,
     "q129_continuations" -> q129_sql,
+    "q131_pq_adc" -> q131_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,
     "q22_fingerprint" -> q22_sql,

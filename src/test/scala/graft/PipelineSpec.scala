@@ -536,6 +536,30 @@ class PipelineSpec extends SparkSpec {
     assert(perDoc.values.forall(_ >= 1L))
   }
 
+  test("pqTopK ranks an exact duplicate first via ADC") {
+    val r = new scala.util.Random(7)
+    // 40 vectors of dim 16; vec 20 duplicates vec 0 exactly
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)((r.nextDouble() * 2 - 1).toFloat).toSeq)
+    }
+    val docs = base.map { case (i, v) =>
+      if (i == 20L) (i, base.head._2) else (i, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(docs, "vec_id", "embedding", k = 3,
+      centroidMod = 8, queryMod = 20, numSub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // queries are 0 and 20 (the duplicate pair): each ranks the other
+    // first — identical vectors share codes, so ADC distances tie at
+    // the query's own quantization error, minimal over the corpus
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery(0L).find(_._4 == 1).get._2 === 20L)
+    assert(byQuery(20L).find(_._4 == 1).get._2 === 0L)
+    // ADC distances are symmetric for the duplicate pair
+    assert(byQuery(0L).find(_._4 == 1).get._3 ===
+      byQuery(20L).find(_._4 == 1).get._3)
+  }
+
   test("continuationPairs joins tail fingerprints to head fingerprints") {
     val d = Seq(
       (1L, "page one text ends with a cliff hanger here"),   // tail: "a cliff hanger here"
