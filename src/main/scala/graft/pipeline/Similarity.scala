@@ -387,6 +387,46 @@ object Similarity {
     * the PQ scan. Everything integer ⇒ bit-portable. Returns
     * (query_id, neighbor_id, adc_d2, rank ≤ k), self excluded, ties
     * (adc_d2, neighbor_id). */
+  /** Progressive (Matryoshka-style) re-rank: a coarse pass scores the
+    * corpus on only the FIRST `prefixDims` dimensions, keeps a
+    * shortlist of `m` per query, and the exact full-dimension cosine
+    * re-ranks the shortlist to top-k — the precision-layering pattern
+    * of Matryoshka Representation Learning deployments (Kusupati et
+    * al. 2022: prefixes of an MRL embedding are themselves valid
+    * embeddings, so the cheap pass is a real similarity, not a
+    * heuristic). Coarse cost scales with prefixDims/D (memory
+    * bandwidth, the dominant ANN cost); the exact pass touches only
+    * m·|Q| rows. Composes with IVF/LSH candidate pruning for the
+    * corpus-scan term. Ties at both stages break on neighbor id;
+    * sims rounded to `roundTo` for float portability. Returns
+    * (query_id, neighbor_id, sim, rank ≤ k). */
+  def prefixRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+      prefixDims: Int, m: Int, k: Int, queryMod: Int,
+      roundTo: Int = 5): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be at least k=$k")
+    val c = df.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val q = broadcast(df.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("neighbor_id"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("psim", round(cosineFast(
+        slice(col("qv"), 1, prefixDims),
+        slice(col("cv"), 1, prefixDims)), roundTo))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= m)
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), roundTo))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       centroidMod: Int, queryMod: Int, numSub: Int): DataFrame = {
     val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))

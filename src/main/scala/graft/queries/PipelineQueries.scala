@@ -336,6 +336,38 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q132 — Matryoshka progressive re-rank: coarse cosine on the first
+  // 16 of 64 dims → shortlist 20 → exact full-dim re-rank to top-5
+  // (Kusupati et al. 2022 precision layering). Same query set as q25.
+  // See Similarity.prefixRerankTopK.
+  // -------------------------------------------------------------------
+  def q132_prefix_rerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prefixRerankTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", prefixDims = 16, m = 20, k = 5, queryMod = 50)
+
+  val q132_sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |coarse AS (
+      |  SELECT query_id, neighbor_id, qv, cv,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      |      round(list_cosine_similarity(qv[1:16], cv[1:16]), 5) DESC,
+      |      neighbor_id) AS crank
+      |  FROM q, c WHERE neighbor_id <> query_id),
+      |fine AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_cosine_similarity(qv, cv), 5) AS sim
+      |  FROM coarse WHERE crank <= 20)
+      |SELECT query_id, neighbor_id, sim, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank FROM fine)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q25 — brute-force cosine top-k ANN baseline
   // -------------------------------------------------------------------
   def q25_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
@@ -628,6 +660,7 @@ object PipelineQueries {
     "q128_winnow_pairs" -> q128_winnow_pairs _,
     "q129_continuations" -> q129_continuations _,
     "q131_pq_adc" -> q131_pq_adc _,
+    "q132_prefix_rerank" -> q132_prefix_rerank _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
     "q22_fingerprint" -> q22_fingerprint _,
@@ -647,6 +680,7 @@ object PipelineQueries {
     "q128_winnow_pairs" -> q128_sql,
     "q129_continuations" -> q129_sql,
     "q131_pq_adc" -> q131_sql,
+    "q132_prefix_rerank" -> q132_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,
     "q22_fingerprint" -> q22_sql,

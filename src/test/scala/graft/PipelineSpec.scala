@@ -536,6 +536,25 @@ class PipelineSpec extends SparkSpec {
     assert(perDoc.values.forall(_ >= 1L))
   }
 
+  test("prefixRerankTopK equals brute force when the shortlist covers all") {
+    val r = new scala.util.Random(11)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(16)((r.nextDouble() * 2 - 1).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") % 10 === 0), vecs, "vec_id", "embedding",
+      k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val prog = Similarity.prefixRerankTopK(vecs, "vec_id", "embedding",
+      prefixDims = 4, m = 29, k = 4, queryMod = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(prog === exact)
+    // with a tight shortlist it still returns k ranked rows per query
+    val tight = Similarity.prefixRerankTopK(vecs, "vec_id", "embedding",
+      prefixDims = 4, m = 6, k = 4, queryMod = 10).collect()
+    assert(tight.groupBy(_.getLong(0)).forall(_._2.length == 4))
+  }
+
   test("pqTopK ranks an exact duplicate first via ADC") {
     val r = new scala.util.Random(7)
     // 40 vectors of dim 16; vec 20 duplicates vec 0 exactly
