@@ -221,6 +221,49 @@ object Frequency {
       .limit(k)
   }
 
+  /** Count-Min sketch cells (Cormode & Muthukrishnan 2005): `depth`
+    * md5-derived hash rows × `width` buckets of token counts — the
+    * constant-size, MERGEABLE frequency summary (cells of two corpus
+    * halves simply add) whose point estimate never under-counts:
+    * est(t) = min_j cells[j][h_j(t)] ≥ true count, with overshoot
+    * ≤ N/width per row w.h.p. Complements [[heavyHitters]]'s
+    * Misra-Gries (MG finds the heavy set; CMS answers point queries
+    * for ANY token without a second scan). One groupBy over
+    * depth×tokens rows into ≤ depth·width cells — nothing
+    * vocabulary-sized anywhere. Returns (j, bucket, cnt). */
+  def cmsBuild(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 256, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape ($depth×$width)")
+    val toks = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    toks.crossJoin(broadcast(
+        df.sparkSession.range(depth).select(col("id").as("j"))))
+      .select(col("j"),
+        (conv(substring(md5(concat(lit(salt), col("j").cast("string"),
+          lit(":"), col("token"))), 1, 15), 16, 10).cast("long")
+          % width).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimates for the given (token) rows against
+    * [[cmsBuild]] cells: min over the depth rows. The parameters MUST
+    * match the build call. Returns the input plus `est_cnt`. */
+  def cmsEstimate(cells: DataFrame, tokens: DataFrame,
+      tokenCol: String, depth: Int = 4, width: Int = 256,
+      salt: String = "cms"): DataFrame = {
+    val probes = tokens.crossJoin(broadcast(
+        tokens.sparkSession.range(depth).select(col("id").as("j"))))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit(salt), col("j").cast("string"),
+          lit(":"), col(tokenCol))), 1, 15), 16, 10).cast("long")
+          % width)
+    probes.join(cells, Seq("j", "bucket"))
+      .groupBy(tokens.columns.map(col): _*)
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve: cumulative distinct token
     * types vs cumulative token count over an ingest order (doc-id
     * order), in `buckets` id-range buckets — the corpus diagnostic for

@@ -1332,7 +1332,46 @@ object QualityQueries {
       |        ORDER BY run_len DESC, start_i) AS rk FROM r)
       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q133 — Count-Min sketch point estimates (Cormode & Muthukrishnan
+  // 2005): 4×256 md5-hashed cells, estimates for the top-20 exact
+  // tokens. est ≥ exact always (spec-asserted); hash-exact across
+  // engines because the hash family is md5-derived. See
+  // Frequency.cmsBuild/cmsEstimate.
+  // -------------------------------------------------------------------
+  def q133_cms_estimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cells = Frequency.cmsBuild(docs, "text")
+    val top = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+    Frequency.cmsEstimate(cells, top, "token")
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val q133_sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE trim(text) <> ''),
+      |cells AS (
+      |  SELECT j, CAST(('0x' || substr(md5('cms' || j || ':' || token),
+      |      1, 15)) AS BIGINT) % 256 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks CROSS JOIN generate_series(0, 3) t(j) GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks
+      |  GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20)
+      |SELECT ex.token, ex.exact_cnt, min(cells.cnt) AS est_cnt
+      |FROM ex CROSS JOIN generate_series(0, 3) t(j)
+      |JOIN cells ON cells.j = t.j AND cells.bucket =
+      |  CAST(('0x' || substr(md5('cms' || t.j || ':' || ex.token),
+      |    1, 15)) AS BIGINT) % 256
+      |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
     "q125_line_filter" -> q125_line_filter _,
     "q124_vocab_growth" -> q124_vocab_growth _,
@@ -1365,6 +1404,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,
     "q125_line_filter" -> q125_sql,
     "q124_vocab_growth" -> q124_sql,

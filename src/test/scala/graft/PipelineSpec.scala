@@ -555,6 +555,35 @@ class PipelineSpec extends SparkSpec {
     assert(tight.groupBy(_.getLong(0)).forall(_._2.length == 4))
   }
 
+  test("CMS never under-counts and cells merge additively") {
+    val r = new scala.util.Random(3)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 20).map(_ => words(r.nextInt(words.size)))
+        .mkString(" ")))
+    val d = docs.toDF("doc_id", "text")
+    val cells = Frequency.cmsBuild(d, "text")
+    val exact = d.select(explode(TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    val est = Frequency.cmsEstimate(cells, exact, "token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (tok, ex, e) =>
+      assert(e >= ex, s"CMS under-counted $tok: $e < $ex") }
+    // mergeability: build on halves, add cells → identical to full build
+    val (h1, h2) = (docs.take(20).toDF("doc_id", "text"),
+      docs.drop(20).toDF("doc_id", "text"))
+    val merged = Frequency.cmsBuild(h1, "text")
+      .unionByName(Frequency.cmsBuild(h2, "text"))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val full = cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === full)
+  }
+
   test("pqTopK ranks an exact duplicate first via ADC") {
     val r = new scala.util.Random(7)
     // 40 vectors of dim 16; vec 20 duplicates vec 0 exactly
