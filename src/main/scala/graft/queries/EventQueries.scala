@@ -306,6 +306,104 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY hour_bucket, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q134 — event-rate anomaly detection: hourly counts per type, then a
+  // per-type z-test done ENTIRELY in integers so the flag is
+  // engine-portable.  For hourly count n with per-type hour count H,
+  // sum S and sum-of-squares SS:   z = (nH−S)/√(H·SS−S²), so
+  // |z| > 2  ⇔  (nH−S)² > 4·(H·SS−S²)  — no float sqrt, no rounding
+  // edge.  Scale: one shuffle builds the (type, hour) counts; the
+  // per-type moments are an aggregate over that already-tiny table and
+  // join back broadcast.  At 100 TB the events scan dominates and the
+  // partial aggregation halves it map-side.
+  // -------------------------------------------------------------------
+  def q134_rate_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(expr("ts div 3600000000000").as("hour_bucket"),
+        col("event_type"))
+      .groupBy(col("event_type"), col("hour_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("ss"))
+    counts.join(stats, "event_type")
+      .withColumn("dev_num",
+        col("n_events") * col("n_hours") - col("s"))
+      .withColumn("var_num",
+        col("n_hours") * col("ss") - col("s") * col("s"))
+      .filter(col("dev_num") * col("dev_num") > lit(4L) * col("var_num"))
+      .select(col("event_type"), col("hour_bucket"), col("n_events"),
+        col("dev_num"), col("var_num"))
+      .orderBy(col("event_type"), col("hour_bucket"))
+  }
+
+  val q134_sql: String =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n_hours,
+      |         CAST(SUM(n_events) AS BIGINT) AS s,
+      |         CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+      |  FROM c GROUP BY 1)
+      |SELECT c.event_type, c.hour_bucket, c.n_events,
+      |       c.n_events * st.n_hours - st.s AS dev_num,
+      |       st.n_hours * st.ss - st.s * st.s AS var_num
+      |FROM c JOIN st USING (event_type)
+      |WHERE (c.n_events * st.n_hours - st.s)
+      |      * (c.n_events * st.n_hours - st.s)
+      |      > 4 * (st.n_hours * st.ss - st.s * st.s)
+      |ORDER BY event_type, hour_bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q135 — SCD2 validity-interval build (the warehouse "type-2 slowly
+  // changing dimension" op): each user's event stream is read as a
+  // status-change log; collapse consecutive identical statuses (lag ≠
+  // current), then close each surviving interval with the NEXT change's
+  // timestamp (lead) — open intervals are flagged current.  Two window
+  // passes, both partitioned by user_id: scales as a single shuffle on
+  // the entity key, no global ordering anywhere.  Microsecond integer
+  // timestamps keep both engines exact.
+  // -------------------------------------------------------------------
+  def q135_scd2_intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+    val changes = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_us", lead(col("tsu"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("tsu").as("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1L).otherwise(0L)
+          .as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
+  val q135_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_id, tsu, event_type FROM (
+      |    SELECT *, lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS prev_type FROM e)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type AS status, tsu AS valid_from_us,
+      |    lead(tsu) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS valid_to_us
+      |  FROM ch)
+      |SELECT user_id, status, valid_from_us, valid_to_us,
+      |  CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM iv ORDER BY user_id, valid_from_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -314,7 +412,9 @@ object EventQueries {
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
     "q71_unpivot" -> q71_unpivot _,
-    "q77_conversion_funnel" -> q77_conversion_funnel _)
+    "q77_conversion_funnel" -> q77_conversion_funnel _,
+    "q134_rate_anomaly" -> q134_rate_anomaly _,
+    "q135_scd2_intervals" -> q135_scd2_intervals _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -324,5 +424,7 @@ object EventQueries {
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,
     "q71_unpivot" -> q71_sql,
-    "q77_conversion_funnel" -> q77_sql)
+    "q77_conversion_funnel" -> q77_sql,
+    "q134_rate_anomaly" -> q134_sql,
+    "q135_scd2_intervals" -> q135_sql)
 }
