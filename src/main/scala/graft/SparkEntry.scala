@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.QualityQueries.queries ++
-      graft.queries.ApiQueries.queries
+      graft.queries.ApiQueries.queries ++
+      graft.queries.RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.QualityQueries.oracles ++
-      graft.queries.ApiQueries.oracles
+      graft.queries.ApiQueries.oracles ++
+      graft.queries.RetrievalQueries.oracles
 }

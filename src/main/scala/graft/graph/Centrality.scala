@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality in INTEGER arithmetic — rank functions/services by
@@ -110,6 +110,160 @@ object Centrality {
     }
     g.vertices.map { case (vid, (rank, _)) => (vid, rank) }
       .toDF("id", "rank_ppm")
+  }
+
+  /** Integer HITS over `edges(src, dst)`: `iters` synchronized
+    * hub/authority sweeps in ppm fixed-point, max-normalized so the
+    * recurrence needs no float sqrt (Kleinberg's L2 norm only fixes the
+    * scale; max-normalization fixes it too and stays in ℤ):
+    *
+    *   a₀(v)    = 10⁶
+    *   h̃ₖ(v)   = Σ_{(v,u)∈E} aₖ₋₁(u)     hₖ = (h̃ₖ · 10⁶) div max h̃ₖ
+    *   ãₖ(v)   = Σ_{(u,v)∈E} hₖ(u)       aₖ = (ãₖ · 10⁶) div max ãₖ
+    *
+    * Safe in int64 while max-degree < ~9·10⁶ (h̃ ≤ deg·10⁶, and the
+    * normalize multiplies by 10⁶ before dividing). Returns
+    * (id, hub_ppm, auth_ppm).
+    *
+    * Scale shape: per iteration, TWO joins keyed on an edge endpoint
+    * with partial aggregation, plus two single-row max aggregates that
+    * broadcast by construction. The edge table is checkpointed once and
+    * never re-shuffled; only the (node, score) side moves. No driver
+    * loop over data — the iteration count is a model constant.
+    */
+  def hitsInteger(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters ($iters) out of the sane unrolled range")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(eager = true)
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val m = raw.agg(max(col("v")).as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("id"), expr(s"(v * 1000000) div m").as(out))
+    }
+    var auth = nodes.withColumn("a", lit(1000000L))
+    var hub = nodes.withColumn("h", lit(0L))
+    for (i <- 1 to iters) {
+      val hraw = nodes.join(
+          e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("v")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("v"), lit(0L)).as("v"))
+      hub = normalize(hraw, "h")
+      val araw = nodes.join(
+          e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("v")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("v"), lit(0L)).as("v"))
+      auth = normalize(araw, "a")
+      if (i % 4 == 0) { hub = hub.localCheckpoint(eager = true)
+        auth = auth.localCheckpoint(eager = true) }
+    }
+    nodes.join(hub, Seq("id")).join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+  }
+
+  /** SQL mirror of [[hitsInteger]] — same iterations as chained CTEs;
+    * `edgesSql` must select (src, dst). */
+  def hitsIntegerSql(edgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""hraw$k AS (
+         |  SELECT n.id, COALESCE(SUM(p.a), 0) AS v
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.src = n.id
+         |  LEFT JOIN a${k - 1} p ON p.id = e.dst
+         |  GROUP BY n.id),
+         |h$k AS (
+         |  SELECT id, (v * 1000000) // (SELECT MAX(v) FROM hraw$k) AS h
+         |  FROM hraw$k),
+         |araw$k AS (
+         |  SELECT n.id, COALESCE(SUM(p.h), 0) AS v
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.id
+         |  LEFT JOIN h$k p ON p.id = e.src
+         |  GROUP BY n.id),
+         |a$k AS (
+         |  SELECT id, (v * 1000000) // (SELECT MAX(v) FROM araw$k) AS a
+         |  FROM araw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS ($edgesSql),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+       |a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS a FROM nodes),
+       |$steps""".stripMargin
+  }
+
+  /** Personalized (topic-sensitive) integer PageRank: identical
+    * recurrence to [[pageRankInteger]] except the teleport mass lands
+    * ONLY on the seed set — the "related code" ranking seeded at a
+    * function of interest (Haveliwala 2002 restricted to one topic).
+    *
+    *   rₖ₊₁(v) = seed(v)·150000 + (850000 · Σ contrib) div 10⁶
+    *
+    * Seeds arrive as a COLUMN PREDICATE over node ids (not a collected
+    * Seq): membership evaluates distributedly inside the projection, so
+    * an unbounded seed set never touches the driver. Returns
+    * (id, rank_ppm).
+    */
+  def personalizedPageRankInteger(edges: DataFrame, seedPred: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters ($iters) out of the sane unrolled range")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(eager = true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("is_seed", when(seedPred, 1L).otherwise(0L))
+      .localCheckpoint(eager = true)
+    var rank = nodes
+      .select(col("id"), (col("is_seed") * 1000000L).as("rank_ppm"))
+    for (i <- 1 to iters) {
+      val contrib = eDeg
+        .join(rank.select(col("id").as("src"), col("rank_ppm")), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("rank_ppm div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          expr("is_seed * 150000 + (850000 * coalesce(s, 0L)) div 1000000")
+            .as("rank_ppm"))
+      if (i % 8 == 0) rank = rank.localCheckpoint(eager = true)
+    }
+    rank
+  }
+
+  /** SQL mirror of [[personalizedPageRankInteger]]; `seedPredSql` is a
+    * boolean expression over the node id column `n.id`. */
+  def personalizedPageRankIntegerSql(edgesSql: String, seedPredSql: String,
+      iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |    n.is_seed * 150000
+         |      + (850000 * COALESCE(SUM(p.rank_ppm // deg.outdeg),
+         |        0)) // 1000000 AS rank_ppm
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.id
+         |  LEFT JOIN deg ON deg.src = e.src
+         |  LEFT JOIN r${k - 1} p ON p.id = e.src
+         |  GROUP BY n.id, n.is_seed)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS ($edgesSql),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT id,
+       |    CASE WHEN $seedPredSql THEN 1 ELSE 0 END AS is_seed
+       |  FROM (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM edges UNION SELECT dst FROM edges)) n),
+       |r0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS rank_ppm
+       |  FROM nodes),
+       |$steps""".stripMargin
   }
 
   /** The SQL mirror: the same iterations unrolled as chained CTEs.

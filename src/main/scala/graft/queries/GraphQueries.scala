@@ -223,17 +223,143 @@ object GraphQueries {
       |ORDER BY n_triangles DESC, node
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q136 — HITS hubs & authorities (Kleinberg), the complementary
+  // centrality to q69: a node is a good HUB if it calls good
+  // authorities, a good AUTHORITY if good hubs call it — "utility
+  // modules" vs "orchestrators" over a call graph. Integer ppm
+  // fixed-point with max-normalization (no float sqrt), so the unrolled
+  // DuckDB CTE mirror is bit-identical. Scale: two endpoint-keyed
+  // partial-agg joins per iteration + two single-row max broadcasts;
+  // the edge table never re-shuffles.
+  // ---------------------------------------------------------------------
+  private val HitsIters = 3
+
+  def q136_hits(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.Centrality.hitsInteger(prEdges(spark, dir), HitsIters)
+      .orderBy(col("auth_ppm").desc, col("id"))
+      .limit(20)
+
+  val q136_sql: String =
+    s"""WITH ${graft.graph.Centrality.hitsIntegerSql(prEdgesSql, HitsIters)}
+       |SELECT n.id, CAST(h.h AS BIGINT) AS hub_ppm,
+       |       CAST(a.a AS BIGINT) AS auth_ppm
+       |FROM nodes n
+       |JOIN h$HitsIters h ON h.id = n.id
+       |JOIN a$HitsIters a ON a.id = n.id
+       |ORDER BY auth_ppm DESC, n.id
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q137 — local clustering coefficient: how interconnected each node's
+  // neighborhood is, lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), reported in
+  // ppm integer arithmetic so both engines agree exactly. Reuses the
+  // q95 triangle machinery (canonicalized a<b<c wedge join — each
+  // triangle counted once); degree is one groupBy over the undirected
+  // edge list. Scale: Σ deg² wedge work hash-partitioned; per-node
+  // combine is linear.
+  // ---------------------------------------------------------------------
+  def q137_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_partkey") >= 2)
+    val raw = p.select(col("p_partkey").as("s"),
+        expr("p_partkey div 2").as("d"))
+      .unionAll(p.select(col("p_partkey").as("s"),
+        (col("p_partkey") - 1).as("d")))
+    val und = raw.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"), col("e3.a") === col("e1.a") &&
+        col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_ppm",
+        when(col("degree") >= 2,
+          expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("lcc_ppm").desc, col("node"))
+      .limit(20)
+  }
+
+  val q137_sql: String =
+    """WITH raw AS (
+      |  SELECT p_partkey AS s, p_partkey // 2 AS d FROM part
+      |  WHERE p_partkey >= 2
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey - 1 FROM part WHERE p_partkey >= 2),
+      |und AS (
+      |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      |  FROM raw WHERE s <> d),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS degree FROM
+      |    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT unnest([e1.a, e1.b, e2.b]) AS node
+      |  FROM und e1
+      |  JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tcnt AS (SELECT node, COUNT(*) AS n_triangles FROM tri GROUP BY node)
+      |SELECT deg.node, deg.degree,
+      |       COALESCE(tcnt.n_triangles, 0) AS n_triangles,
+      |       CASE WHEN deg.degree >= 2 THEN
+      |         (2 * COALESCE(tcnt.n_triangles, 0) * 1000000)
+      |           // (deg.degree * (deg.degree - 1))
+      |       ELSE 0 END AS lcc_ppm
+      |FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+      |ORDER BY lcc_ppm DESC, deg.node
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q140 — personalized PageRank: teleport mass restricted to a seed
+  // set (every 97th node, same derived-seed flavor as q17) — the
+  // "related to THIS function" ranking, vs q69's global importance.
+  // Seeds are a column predicate evaluated distributedly; nothing is
+  // collected. Same one-join-per-iteration shape as q69.
+  // ---------------------------------------------------------------------
+  def q140_personalized_pagerank(spark: SparkSession, dir: String)
+      : DataFrame =
+    graft.graph.Centrality
+      .personalizedPageRankInteger(prEdges(spark, dir),
+        col("id") % 97 === 0, PrIters)
+      .filter(col("rank_ppm") > 0)
+      .orderBy(col("rank_ppm").desc, col("id"))
+      .limit(50)
+
+  val q140_sql: String =
+    s"""WITH ${graft.graph.Centrality
+        .personalizedPageRankIntegerSql(prEdgesSql, "n.id % 97 = 0", PrIters)}
+       |SELECT id, CAST(rank_ppm AS BIGINT) AS rank_ppm FROM r$PrIters
+       |WHERE rank_ppm > 0
+       |ORDER BY rank_ppm DESC, id
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_triangles" -> q95_triangles _,
     "q17_bfs_reach" -> q17_bfs_reach _,
     "q18_closure_depths" -> q18_closure_depths _,
     "q19_path_capture" -> q19_path_capture _,
-    "q69_pagerank" -> q69_pagerank _)
+    "q69_pagerank" -> q69_pagerank _,
+    "q136_hits" -> q136_hits _,
+    "q137_clustering_coeff" -> q137_clustering_coeff _,
+    "q140_personalized_pagerank" -> q140_personalized_pagerank _)
 
   val oracles: Map[String, String] = Map(
     "q95_triangles" -> q95_sql,
     "q17_bfs_reach" -> q17_sql,
     "q18_closure_depths" -> q18_sql,
     "q19_path_capture" -> q19_sql,
-    "q69_pagerank" -> q69_sql)
+    "q69_pagerank" -> q69_sql,
+    "q136_hits" -> q136_sql,
+    "q137_clustering_coeff" -> q137_sql,
+    "q140_personalized_pagerank" -> q140_sql)
 }

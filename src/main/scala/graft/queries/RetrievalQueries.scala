@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Sampling, TextAnalysis}
+
+/** Retrieval / contrastive-training operators: deterministic negative
+  * sampling for embedding-model training and reciprocal-rank fusion of
+  * heterogeneous rankings — the two ops that turn a curated corpus into
+  * retrieval training data.
+  *
+  * Both are exactly reproducible: sampling uses the engine-portable
+  * 60-bit md5 hash family ([[Sampling.hash60]]) and fusion uses integer
+  * reciprocal scores, so the DuckDB oracles are bit-identical.
+  */
+object RetrievalQueries {
+
+  // ---------------------------------------------------------------------
+  // q138 — deterministic negative sampling (the contrastive-training
+  // "sample K non-interacted items per user" op). Positives are the
+  // (customer, part) pairs that actually co-occur in an order; the
+  // candidate pool is the top-100 most-ordered parts (popularity-
+  // biased negatives, the standard hard-negative heuristic); each
+  // customer draws its 5 pseudo-random negatives by ranking the pool
+  // on hash60(customer|part) — stable across runs, engines, and
+  // cluster layouts.
+  //
+  // Scale shape: the pool is top-k bounded (broadcast by construction)
+  // so candidates are |customers|·100 — LINEAR in customers, never a
+  // corpus×corpus cross join. The anti-join on (custkey, partkey) and
+  // the per-customer window both key on the customer, one shuffle
+  // each; the window partition holds ≤ 100 rows by construction.
+  // ---------------------------------------------------------------------
+  def q138_negative_sampling(spark: SparkSession, dir: String): DataFrame = {
+    val positives = Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+      .select(col("c_custkey"), col("l_partkey")).distinct()
+    val pool = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(100)
+      .select(col("l_partkey"))
+    val candidates = Tables.customer(spark, dir).select(col("c_custkey"))
+      .crossJoin(broadcast(pool))
+    val negatives = candidates
+      .join(positives, Seq("c_custkey", "l_partkey"), "left_anti")
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("h"), col("l_partkey"))
+    negatives
+      .withColumn("h", Sampling.hash60("negsample",
+        concat_ws("|", col("c_custkey"), col("l_partkey"))))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 5)
+      .select(col("c_custkey"), col("l_partkey"), col("neg_rank"))
+      .orderBy(col("c_custkey"), col("neg_rank"))
+  }
+
+  val q138_sql: String = {
+    val h = Sampling.hash60Sql("negsample",
+      "CAST(c_custkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)")
+    s"""WITH pos AS (
+       |  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |pool AS (
+       |  SELECT l_partkey FROM (
+       |    SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+       |  ORDER BY cnt DESC, l_partkey LIMIT 100),
+       |cand AS (
+       |  SELECT c.c_custkey, p.l_partkey FROM customer c CROSS JOIN pool p),
+       |neg AS (
+       |  SELECT c_custkey, l_partkey FROM cand
+       |  WHERE NOT EXISTS (SELECT 1 FROM pos
+       |    WHERE pos.c_custkey = cand.c_custkey
+       |      AND pos.l_partkey = cand.l_partkey)),
+       |ranked AS (
+       |  SELECT c_custkey, l_partkey,
+       |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+       |      ORDER BY $h, l_partkey) AS neg_rank
+       |  FROM neg)
+       |SELECT c_custkey, l_partkey, neg_rank FROM ranked
+       |WHERE neg_rank <= 5
+       |ORDER BY c_custkey, neg_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q139 — reciprocal-rank fusion (RRF, Cormack et al. 2009): combine
+  // two retrieval rankings without score calibration, here a length
+  // ranking (n_chars) and a vocabulary-richness ranking (distinct
+  // whitespace tokens) over documents. Score = Σ 10⁹ div (60 + rank)
+  // in integer arithmetic (k=60, the canonical constant).
+  //
+  // Scale shape: each ranking is a distributed TakeOrdered top-100
+  // (never a global row_number window — that plans the banned
+  // single-partition WindowExec); rank ids come from zipWithIndex over
+  // the ≤100-row bounded result. The fusion join then touches 200
+  // rows. The corpus is scanned twice, once per ranking metric; both
+  // scans prune to (doc_id, metric).
+  // ---------------------------------------------------------------------
+  def q139_rrf_fusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+
+    def rankTop(metric: DataFrame, n: Int): DataFrame = {
+      val top = metric.orderBy(col("m").desc, col("doc_id")).limit(n)
+        .orderBy(col("m").desc, col("doc_id"))
+      val ranked = top.rdd.zipWithIndex()
+        .map { case (r, i) => (r.getLong(0), i + 1L) }
+      spark.createDataFrame(ranked).toDF("doc_id", "r")
+    }
+
+    val byLen = rankTop(
+      docs.select(col("doc_id"), col("n_chars").as("m")), 100)
+    val byVocab = rankTop(
+      docs.select(col("doc_id"),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .cast("long").as("m")), 100)
+    byLen.select(col("doc_id"),
+        expr("1000000000 div (60 + r)").as("c_len"))
+      .join(byVocab.select(col("doc_id"),
+          expr("1000000000 div (60 + r)").as("c_vocab")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("c_len"), lit(0L)) +
+          coalesce(col("c_vocab"), lit(0L))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q139_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    length(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+      |      AS n_vocab
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |a AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      |  FROM d ORDER BY r LIMIT 100),
+      |b AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY n_vocab DESC, doc_id) AS r
+      |  FROM d ORDER BY r LIMIT 100),
+      |f AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    COALESCE(1000000000 // (60 + a.r), 0)
+      |      + COALESCE(1000000000 // (60 + b.r), 0) AS rrf_score
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id, rrf_score FROM f
+      |ORDER BY rrf_score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_negative_sampling" -> q138_negative_sampling _,
+    "q139_rrf_fusion" -> q139_rrf_fusion _)
+
+  val oracles: Map[String, String] = Map(
+    "q138_negative_sampling" -> q138_sql,
+    "q139_rrf_fusion" -> q139_sql)
+}
