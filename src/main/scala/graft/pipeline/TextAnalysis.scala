@@ -167,6 +167,50 @@ object TextAnalysis {
           x => x.getField("tok")), " ").as("chunk_text"))
   }
 
+  /** Sliding-window chunking with overlap — the RAG/pretraining chunker:
+    * window of `windowWords` tokens advancing by `strideWords`
+    * (stride < window ⇒ consecutive chunks overlap by window−stride
+    * tokens, so no answer span is ever cut at a boundary). 0-based
+    * chunk k covers token positions [k·stride, k·stride+window−1];
+    * the last chunk is the first one whose window reaches the final
+    * token, so every token is covered and no degenerate tail chunk is
+    * emitted.
+    *
+    * Shape: posexplode fans each token to its ≤ ⌈window/stride⌉ member
+    * chunks (a constant fan-out, ~1.6× rows here — NOT an all-windows
+    * materialization), then one groupBy on (doc, chunk) reassembles.
+    * Linear in corpus size with a constant factor; one shuffle.
+    *
+    * Returns (doc_id, chunk_idx, start_tok, end_tok, n_tokens,
+    * chunk_text) with 1-based token bounds.
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int, strideWords: Int): DataFrame = {
+    require(windowWords > 0 && strideWords > 0 &&
+      strideWords <= windowWords,
+      s"need 0 < stride ($strideWords) <= window ($windowWords)")
+    val (w, s) = (windowWords, strideWords)
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).as("n"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      // chunk ids this token belongs to: ceil((pos−w+1)/s) .. pos div s,
+      // capped to the last real chunk index ⌈max(0, n−w)/s⌉
+      .select(col("doc_id"), col("pos"), col("tok"),
+        explode(sequence(
+          greatest(lit(0), expr(s"(pos - $w + $s) div $s")),
+          least(expr(s"pos div $s"),
+            expr(s"(greatest(0, n - $w) + $s - 1) div $s"))))
+          .as("chunk_idx"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (min(col("pos")) + 1).as("start_tok"),
+        (max(col("pos")) + 1).as("end_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
   /** Stopword list for the Gopher-style "has common words" rule —
     * deliberately the same family as [[defaultStopwords]] (the published
     * rule uses {the, be, to, of, and, that, have, with}). */

@@ -292,6 +292,45 @@ object CurationQueries {
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // -------------------------------------------------------------------
+  // q141 — sliding-window chunking with overlap (window 64, stride 40):
+  // the RAG/pretraining chunker where consecutive chunks share
+  // window−stride tokens so no span is cut at a boundary — q62's
+  // disjoint chunker generalized. Token→chunk fan-out is the constant
+  // ⌈64/40⌉ ≈ 1.6×, then ONE groupBy reassembles; linear at 100 TB.
+  // Bounds are 1-based token positions; md5 value-checks the payload.
+  // -------------------------------------------------------------------
+  def q141_sliding_chunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.slidingChunks(Tables.documents(spark, dir), "doc_id",
+        "text", windowWords = 64, strideWords = 40)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("end_tok"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q141_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |pos AS (
+      |  SELECT doc_id, len(toks) AS n, u.i - 1 AS p, toks[u.i] AS tok
+      |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      |pk AS (
+      |  SELECT doc_id, p, tok,
+      |    unnest(generate_series(
+      |      greatest(0, (p - 64 + 40) // 40),
+      |      least(p // 40, (greatest(0, n - 64) + 39) // 40))) AS k
+      |  FROM pos),
+      |c AS (
+      |  SELECT doc_id, k AS chunk_idx,
+      |         COUNT(*) AS n_tokens,
+      |         MIN(p) + 1 AS start_tok, MAX(p) + 1 AS end_tok,
+      |         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+      |  FROM pk GROUP BY doc_id, k)
+      |SELECT doc_id, chunk_idx, start_tok, end_tok, n_tokens, chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------
   // q63 — event-type pivot: wide per-user activity profile (one column
   // per event type, explicit value list so Spark skips the extra
   // distinct-values job). One shuffle; at 100 TB this is the same
@@ -954,6 +993,7 @@ object CurationQueries {
     "q60_tfidf_terms" -> q60_tfidf_terms _,
     "q61_dup_clusters" -> q61_dup_clusters _,
     "q62_word_chunks" -> q62_word_chunks _,
+    "q141_sliding_chunks" -> q141_sliding_chunks _,
     "q63_event_pivot" -> q63_event_pivot _,
     "q64_posting_lists" -> q64_posting_lists _,
     "q65_media_frames" -> q65_media_frames _)
@@ -979,6 +1019,7 @@ object CurationQueries {
     "q60_tfidf_terms" -> q60_sql,
     "q61_dup_clusters" -> q61_sql,
     "q62_word_chunks" -> q62_sql,
+    "q141_sliding_chunks" -> q141_sql,
     "q63_event_pivot" -> q63_sql,
     "q64_posting_lists" -> q64_sql,
     "q65_media_frames" -> q65_sql)

@@ -404,6 +404,58 @@ object EventQueries {
       |    AS is_current
       |FROM iv ORDER BY user_id, valid_from_us""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q142 — distribution-drift report (PSI-style, integer): split the
+  // stream at its midpoint timestamp and compare each event type's
+  // traffic share across the halves in ppm — the data-contract check a
+  // pipeline runs before trusting a new ingest batch. All integer:
+  // share = count·10⁶ div half_total, drift = |Δshare|. Scale: one
+  // min/max scan (broadcast single row), then ONE partial-aggregated
+  // groupBy over the corpus; the per-type table is tiny.
+  // -------------------------------------------------------------------
+  def q142_type_drift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("ts"), col("event_type"))
+    val mm = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid"))
+    val counts = e.crossJoin(broadcast(mm))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("ts") <= col("mid"), 1L).otherwise(0L))
+          .as("n_first"),
+        sum(when(col("ts") > col("mid"), 1L).otherwise(0L))
+          .as("n_second"))
+    val totals = counts.agg(sum(col("n_first")).as("na"),
+      sum(col("n_second")).as("nb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share_first_ppm", expr("(n_first * 1000000) div na"))
+      .withColumn("share_second_ppm", expr("(n_second * 1000000) div nb"))
+      .withColumn("drift_ppm",
+        abs(col("share_first_ppm") - col("share_second_ppm")))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        col("share_first_ppm"), col("share_second_ppm"), col("drift_ppm"))
+      .orderBy(col("drift_ppm").desc, col("event_type"))
+  }
+
+  val q142_sql: String =
+    """WITH mm AS (
+      |  SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS mid
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) <= mm.mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_first,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) > mm.mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_second
+      |  FROM events, mm GROUP BY event_type),
+      |t AS (
+      |  SELECT CAST(SUM(n_first) AS BIGINT) AS na,
+      |         CAST(SUM(n_second) AS BIGINT) AS nb FROM c)
+      |SELECT event_type, n_first, n_second,
+      |  (n_first * 1000000) // na AS share_first_ppm,
+      |  (n_second * 1000000) // nb AS share_second_ppm,
+      |  abs((n_first * 1000000) // na - (n_second * 1000000) // nb)
+      |    AS drift_ppm
+      |FROM c, t
+      |ORDER BY drift_ppm DESC, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -414,7 +466,8 @@ object EventQueries {
     "q71_unpivot" -> q71_unpivot _,
     "q77_conversion_funnel" -> q77_conversion_funnel _,
     "q134_rate_anomaly" -> q134_rate_anomaly _,
-    "q135_scd2_intervals" -> q135_scd2_intervals _)
+    "q135_scd2_intervals" -> q135_scd2_intervals _,
+    "q142_type_drift" -> q142_type_drift _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -426,5 +479,6 @@ object EventQueries {
     "q71_unpivot" -> q71_sql,
     "q77_conversion_funnel" -> q77_sql,
     "q134_rate_anomaly" -> q134_sql,
-    "q135_scd2_intervals" -> q135_sql)
+    "q135_scd2_intervals" -> q135_sql,
+    "q142_type_drift" -> q142_sql)
 }

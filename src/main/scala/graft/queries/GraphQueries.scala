@@ -343,6 +343,80 @@ object GraphQueries {
        |ORDER BY rank_ppm DESC, id
        |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q143 — k-core decomposition (k=3, bounded peeling): iteratively
+  // drop nodes with degree < 3 and their incident edges; what survives
+  // is the densely-connected "core" — the standard graph-summarization
+  // cut (core members of a call graph are the tangled subsystems).
+  // KCoreRounds synchronized peeling rounds (enough for this graph to
+  // reach its fixpoint; the round count is a model constant, so the
+  // DuckDB mirror unrolls it exactly). Scale: each round is one degree
+  // groupBy + two semi-joins keyed on the edge endpoints — linear per
+  // round, and the edge set only shrinks.
+  // ---------------------------------------------------------------------
+  private val KCoreRounds = 6
+
+  def q143_kcore(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_partkey") >= 2)
+    val raw = p.select(col("p_partkey").as("s"),
+        expr("p_partkey div 2").as("d"))
+      .unionAll(p.select(col("p_partkey").as("s"),
+        (col("p_partkey") - 1).as("d")))
+    var e = raw.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
+    for (i <- 1 to KCoreRounds) {
+      val keep = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= 3)
+        .select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      if (i % 3 == 0) e = e.localCheckpoint(eager = true)
+    }
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("core_degree").desc, col("node"))
+      .limit(50)
+  }
+
+  val q143_sql: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      // MATERIALIZED: each round reads the previous one 3×; inlined
+      // CTEs would expand the scan tree exponentially in the rounds.
+      s"""k$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, COUNT(*) AS degree FROM
+         |      (SELECT a AS node FROM e${i - 1}
+         |       UNION ALL SELECT b FROM e${i - 1})
+         |    GROUP BY node)
+         |  WHERE degree >= 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i x ON x.node = e.a
+         |  JOIN k$i y ON y.node = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT p_partkey AS s, p_partkey // 2 AS d FROM part
+       |  WHERE p_partkey >= 2
+       |  UNION ALL
+       |  SELECT p_partkey, p_partkey - 1 FROM part WHERE p_partkey >= 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       |  FROM raw WHERE s <> d),
+       |$rounds
+       |SELECT node, COUNT(*) AS core_degree FROM
+       |  (SELECT a AS node FROM e$KCoreRounds
+       |   UNION ALL SELECT b FROM e$KCoreRounds)
+       |GROUP BY node
+       |ORDER BY core_degree DESC, node
+       |LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_triangles" -> q95_triangles _,
     "q17_bfs_reach" -> q17_bfs_reach _,
@@ -351,7 +425,8 @@ object GraphQueries {
     "q69_pagerank" -> q69_pagerank _,
     "q136_hits" -> q136_hits _,
     "q137_clustering_coeff" -> q137_clustering_coeff _,
-    "q140_personalized_pagerank" -> q140_personalized_pagerank _)
+    "q140_personalized_pagerank" -> q140_personalized_pagerank _,
+    "q143_kcore" -> q143_kcore _)
 
   val oracles: Map[String, String] = Map(
     "q95_triangles" -> q95_sql,
@@ -361,5 +436,6 @@ object GraphQueries {
     "q69_pagerank" -> q69_sql,
     "q136_hits" -> q136_sql,
     "q137_clustering_coeff" -> q137_sql,
-    "q140_personalized_pagerank" -> q140_sql)
+    "q140_personalized_pagerank" -> q140_sql,
+    "q143_kcore" -> q143_sql)
 }
