@@ -190,10 +190,15 @@ object TextAnalysis {
       strideWords <= windowWords,
       s"need 0 < stride ($strideWords) <= window ($windowWords)")
     val (w, s) = (windowWords, strideWords)
+    // n is aliased in its own projection BELOW the generate: written as
+    // one select, Catalyst evaluates size(tokens()) in the Project
+    // ABOVE the Generate — once per exploded token row, O(tokens²) per
+    // document (measured 10× q62's runtime at sf0.1)
     df.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).as("n"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"), col("t"))
+      .select(col("doc_id"), col("n"),
+        posexplode(col("t")).as(Seq("pos", "tok")))
       // chunk ids this token belongs to: ceil((pos−w+1)/s) .. pos div s,
       // capped to the last real chunk index ⌈max(0, n−w)/s⌉
       .select(col("doc_id"), col("pos"), col("tok"),

@@ -416,12 +416,15 @@ object EventQueries {
   def q142_type_drift(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("ts"), col("event_type"))
     val mm = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid"))
+    // materialized: `counts` feeds both the totals broadcast and the
+    // probe side — without the barrier the corpus groupBy runs twice
     val counts = e.crossJoin(broadcast(mm))
       .groupBy(col("event_type"))
       .agg(sum(when(col("ts") <= col("mid"), 1L).otherwise(0L))
           .as("n_first"),
         sum(when(col("ts") > col("mid"), 1L).otherwise(0L))
           .as("n_second"))
+      .localCheckpoint(eager = true)
     val totals = counts.agg(sum(col("n_first")).as("na"),
       sum(col("n_second")).as("nb"))
     counts.crossJoin(broadcast(totals))
