@@ -155,11 +155,121 @@ object RetrievalQueries {
       |ORDER BY rrf_score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q144 — co-occurrence pair mining (the item-item signal behind
+  // "bought together" recommenders and co-occurrence embeddings):
+  // for every unordered part pair appearing in the same order, count
+  // co-occurrences; keep pairs seen ≥ 2 times, top 25.
+  //
+  // Scale shape: a self-equi-join ON THE ORDER KEY with a < to
+  // canonicalize — fan-out is Σ per-order k·(k−1)/2, bounded by the
+  // basket size (k ≈ 7 here), NOT corpus². Baskets are naturally
+  // bounded in practice; a degenerate giant basket would be capped
+  // upstream (the q32/dfCapped convention). One shuffle on orderkey,
+  // one on the pair key.
+  // ---------------------------------------------------------------------
+  def q144_copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    l.as("x").join(l.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
+        && col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"),
+        col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  val q144_sql: String =
+    """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |       COUNT(*) AS n_orders
+      |FROM l x JOIN l y ON x.l_orderkey = y.l_orderkey
+      |               AND x.l_partkey < y.l_partkey
+      |GROUP BY part_a, part_b
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_orders DESC, part_a, part_b
+      |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q145 — foreign-key containment inference (schema profiling / data-
+  // catalog op): for each candidate child→parent column pair, what
+  // fraction of the child's distinct values exist in the parent?
+  // containment_ppm = 10⁶ ⇒ a valid FK; < 10⁶ quantifies orphans.
+  // The discovery primitive behind auto-join suggestions.
+  //
+  // Scale shape: per candidate, two distinct-aggregations and one
+  // left-semi join ON the distinct sets (cardinality ≤ key count, not
+  // row count). Candidates are a fixed metadata-sized list; results
+  // union trivially.
+  // ---------------------------------------------------------------------
+  def q145_fk_containment(spark: SparkSession, dir: String): DataFrame = {
+    def contain(name: String, child: DataFrame, childCol: String,
+        parent: DataFrame, parentCol: String): DataFrame = {
+      val c = child.select(col(childCol).cast("long").as("k")).distinct()
+        .localCheckpoint(eager = true)
+      val p = parent.select(col(parentCol).cast("long").as("k")).distinct()
+      val matched = c.join(p, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      c.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(matched)
+        .select(lit(name).as("fk_candidate"), col("n_child_distinct"),
+          col("n_matched"),
+          expr("(n_matched * 1000000) div n_child_distinct")
+            .as("containment_ppm"))
+    }
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    contain("orders.o_custkey->customer.c_custkey",
+        o, "o_custkey", Tables.customer(spark, dir), "c_custkey")
+      .unionByName(contain("lineitem.l_partkey->part.p_partkey",
+        l, "l_partkey", Tables.part(spark, dir), "p_partkey"))
+      .unionByName(contain("lineitem.l_suppkey->supplier.s_suppkey",
+        l, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(contain("events.user_id->customer.c_custkey",
+        Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy(col("fk_candidate"))
+  }
+
+  val q145_sql: String = {
+    def contain(name: String, childTbl: String, childCol: String,
+        parentTbl: String, parentCol: String): String =
+      s"""SELECT '$name' AS fk_candidate,
+         |  (SELECT COUNT(DISTINCT $childCol) FROM $childTbl)
+         |    AS n_child_distinct,
+         |  (SELECT COUNT(*) FROM
+         |    (SELECT DISTINCT $childCol AS k FROM $childTbl) c
+         |    WHERE EXISTS (SELECT 1 FROM $parentTbl p
+         |      WHERE p.$parentCol = c.k)) AS n_matched,
+         |  ((SELECT COUNT(*) FROM
+         |    (SELECT DISTINCT $childCol AS k FROM $childTbl) c
+         |    WHERE EXISTS (SELECT 1 FROM $parentTbl p
+         |      WHERE p.$parentCol = c.k)) * 1000000)
+         |  // (SELECT COUNT(DISTINCT $childCol) FROM $childTbl)
+         |    AS containment_ppm""".stripMargin
+    Seq(
+      contain("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      contain("lineitem.l_partkey->part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      contain("lineitem.l_suppkey->supplier.s_suppkey",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      contain("events.user_id->customer.c_custkey",
+        "events", "user_id", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_candidate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_negative_sampling" -> q138_negative_sampling _,
-    "q139_rrf_fusion" -> q139_rrf_fusion _)
+    "q139_rrf_fusion" -> q139_rrf_fusion _,
+    "q144_copurchase" -> q144_copurchase _,
+    "q145_fk_containment" -> q145_fk_containment _)
 
   val oracles: Map[String, String] = Map(
     "q138_negative_sampling" -> q138_sql,
-    "q139_rrf_fusion" -> q139_sql)
+    "q139_rrf_fusion" -> q139_sql,
+    "q144_copurchase" -> q144_sql,
+    "q145_fk_containment" -> q145_sql)
 }
