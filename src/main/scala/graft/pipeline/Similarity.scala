@@ -208,6 +208,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Mutual nearest-neighbor pairs (the margin-free core of bitext /
+    * parallel-corpus mining, Artetxe & Schwenk 2019): (a, b) such that
+    * b is a's top-1 neighbor AND a is b's top-1, within the WTA
+    * candidate graph. Mutuality is the classic high-precision filter —
+    * one-directional top-1 is noisy, reciprocal top-1 rarely is.
+    *
+    * Scale shape: candidates come from the band join (never corpus²);
+    * the top-1 table is computed ONCE and self-joined on the reversed
+    * key — Spark reuses the shuffle exchange for both sides. Returns
+    * (id_a < id_b, sim). */
+  def mutualTopPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bandBits: Int, dims: Int, roundTo: Int = 5)
+      : DataFrame = {
+    val t1 = wtaTopK(df, idCol, vecCol, 1, planes, bandBits, dims, roundTo)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    t1.as("f").join(t1.as("g"),
+        col("f.query_id") === col("g.neighbor_id") &&
+          col("f.neighbor_id") === col("g.query_id") &&
+          col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("id_a"),
+        col("f.neighbor_id").as("id_b"), col("f.sim").as("sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * from WTA banding (the embedding-space analog of SimHash dedup). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

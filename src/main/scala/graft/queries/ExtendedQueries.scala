@@ -76,6 +76,54 @@ object ExtendedQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q146 — mutual nearest-neighbor pairs (bitext-mining primitive):
+  // reciprocal top-1 within the WTA candidate graph — the precision
+  // filter parallel-corpus miners apply before the margin score. Same
+  // banded candidate generation as q29/q37 (never corpus²); the top-1
+  // table is built once and self-joined on the reversed key.
+  // -------------------------------------------------------------------
+  def q146_mutual_nn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopPairs(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", planes = 16, bandBits = 8, dims = EmbDim)
+      .orderBy(col("id_a"))
+
+  val q146_sql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id AS vid, embedding,
+       |         ${wtaSigSql(16, "embedding")} AS sig
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vid, sig, g.i AS band, (sig >> (g.i * 8)) & 255 AS band_val
+       |  FROM s CROSS JOIN generate_series(0, 1) AS g(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |   AND a.vid < b.vid),
+       |directed AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM cand),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(
+       |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])),
+       |      5) AS sim
+       |  FROM directed
+       |  JOIN embeddings x ON x.vec_id = query_id
+       |  JOIN embeddings y ON y.vec_id = neighbor_id),
+       |t1 AS (
+       |  SELECT query_id, neighbor_id, sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+       |  WHERE rn = 1)
+       |SELECT f.query_id AS id_a, f.neighbor_id AS id_b, f.sim
+       |FROM t1 f JOIN t1 g
+       |  ON f.query_id = g.neighbor_id AND f.neighbor_id = g.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY id_a""".stripMargin
+
+  // -------------------------------------------------------------------
   // q38 — IVF ANN: deterministic codebook (every 25th vector), nearest-
   // centroid assignment via broadcast join, nprobe=2 partition-pruned
   // search, exact re-rank. The 100 TB layout: corpus partitioned by
@@ -912,6 +960,7 @@ object ExtendedQueries {
     "q48_salted_join" -> q48_salted_join _,
     "q49_revenue_topn" -> q49_revenue_topn _,
     "q37_embed_neardup" -> q37_embed_neardup _,
+    "q146_mutual_nn" -> q146_mutual_nn _,
     "q38_ivf_ann" -> q38_ivf_ann _,
     "q39_feature_merge" -> q39_feature_merge _,
     "q40_scip_parse" -> q40_scip_parse _,
@@ -935,6 +984,7 @@ object ExtendedQueries {
     "q48_salted_join" -> q48_sql,
     "q49_revenue_topn" -> q49_sql,
     "q37_embed_neardup" -> q37_sql,
+    "q146_mutual_nn" -> q146_sql,
     "q38_ivf_ann" -> q38_sql,
     "q39_feature_merge" -> q39_sql,
     "q40_scip_parse" -> q40_sql,
