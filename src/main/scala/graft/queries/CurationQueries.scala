@@ -331,6 +331,63 @@ object CurationQueries {
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // -------------------------------------------------------------------
+  // q147 — one BPE merge step (Sennrich et al. 2016): count weighted
+  // character bigrams over the word vocabulary, pick the most frequent
+  // pair, and apply the merge to every affected word — the training
+  // iteration q115/q116's frequency tokenizer doesn't cover. The merge
+  // is a LITERAL replace (bracketed new symbol), not a regex — pairs
+  // drawn from arbitrary text would be regex-unsafe.
+  //
+  // Scale shape: the corpus collapses to the vocabulary in one token
+  // groupBy (partial-aggregated scan — the only corpus-sized work);
+  // bigram stats, argmax, and the merge all run over the vocab table,
+  // with the winning pair a 1-row broadcast.
+  // -------------------------------------------------------------------
+  def q147_bpe_merge(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val best = vocab.filter(length(col("w")) >= 2)
+      .select(col("w"), col("c"),
+        explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("wt"))
+      .orderBy(col("wt").desc, col("pair"))
+      .limit(1)
+      .select(col("pair"))
+    vocab.crossJoin(broadcast(best))
+      .filter(instr(col("w"), col("pair")) > 0)
+      .select(col("pair").as("merge_pair"), col("w").as("word"),
+        col("c").as("n_occurrences"),
+        expr("replace(w, pair, concat('[', pair, ']'))").as("merged"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(20)
+  }
+
+  val q147_sql: String =
+    """WITH w AS (
+      |  SELECT tok AS w, COUNT(*) AS c FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |      AS tok
+      |    FROM documents WHERE trim(text) <> '')
+      |  GROUP BY tok),
+      |bg AS (
+      |  SELECT substr(w, g.i, 2) AS pair, SUM(c) AS wt
+      |  FROM w, unnest(generate_series(1, length(w) - 1)) AS g(i)
+      |  WHERE length(w) >= 2
+      |  GROUP BY 1),
+      |best AS (SELECT pair FROM bg ORDER BY wt DESC, pair LIMIT 1)
+      |SELECT b.pair AS merge_pair, w.w AS word, w.c AS n_occurrences,
+      |       replace(w.w, b.pair, '[' || b.pair || ']') AS merged
+      |FROM w CROSS JOIN best b
+      |WHERE position(b.pair IN w.w) > 0
+      |ORDER BY n_occurrences DESC, word
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q63 — event-type pivot: wide per-user activity profile (one column
   // per event type, explicit value list so Spark skips the extra
   // distinct-values job). One shuffle; at 100 TB this is the same
@@ -994,6 +1051,7 @@ object CurationQueries {
     "q61_dup_clusters" -> q61_dup_clusters _,
     "q62_word_chunks" -> q62_word_chunks _,
     "q141_sliding_chunks" -> q141_sliding_chunks _,
+    "q147_bpe_merge" -> q147_bpe_merge _,
     "q63_event_pivot" -> q63_event_pivot _,
     "q64_posting_lists" -> q64_posting_lists _,
     "q65_media_frames" -> q65_media_frames _)
@@ -1020,6 +1078,7 @@ object CurationQueries {
     "q61_dup_clusters" -> q61_sql,
     "q62_word_chunks" -> q62_sql,
     "q141_sliding_chunks" -> q141_sql,
+    "q147_bpe_merge" -> q147_sql,
     "q63_event_pivot" -> q63_sql,
     "q64_posting_lists" -> q64_sql,
     "q65_media_frames" -> q65_sql)

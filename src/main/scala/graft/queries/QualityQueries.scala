@@ -1370,7 +1370,48 @@ object QualityQueries {
       |    1, 15)) AS BIGINT) % 256
       |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q148 — join-key skew audit (the pre-flight check before any big
+  // join: will AQE need skew-split on this key?): per-key row counts
+  // → key-space summary (distinct keys, max/avg count, skew ratio in
+  // ppm = max·10⁶ div avg-numerator form to stay integer-exact:
+  // max·distinct·10⁶ div total) plus the top-10 heaviest keys inline.
+  // Scale: ONE partial-aggregated groupBy on the key — the audit costs
+  // what a map-side count costs; the summary is a second aggregation
+  // over the (bounded) per-key table.
+  // -------------------------------------------------------------------
+  def q148_skew_audit(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val summary = perKey.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val top = perKey.orderBy(col("cnt").desc, col("key")).limit(10)
+    top.crossJoin(broadcast(summary))
+      .select(col("key"), col("cnt"), col("n_keys"), col("n_rows"),
+        col("max_cnt"),
+        expr("(max_cnt * n_keys * 1000000) div n_rows")
+          .as("skew_ratio_ppm"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
+  val q148_sql: String =
+    """WITH pk AS (
+      |  SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         MAX(cnt) AS max_cnt
+      |  FROM pk),
+      |top AS (SELECT key, cnt FROM pk ORDER BY cnt DESC, key LIMIT 10)
+      |SELECT key, cnt, n_keys, n_rows, max_cnt,
+      |       (max_cnt * n_keys * 1000000) // n_rows AS skew_ratio_ppm
+      |FROM top CROSS JOIN s
+      |ORDER BY cnt DESC, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
     "q125_line_filter" -> q125_line_filter _,
@@ -1404,6 +1445,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,
     "q125_line_filter" -> q125_sql,
