@@ -459,6 +459,62 @@ object EventQueries {
       |FROM c, t
       |ORDER BY drift_ppm DESC, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q149 — deletion-cascade audit (right-to-be-forgotten pre-flight):
+  // given a forget-set of users (hash-deterministic 2% sample standing
+  // in for a deletion request list), count the rows each table would
+  // lose — the impact report a compliance pipeline produces BEFORE the
+  // destructive pass. One left-semi join per table against the
+  // (broadcastable) forget set; counts union trivially. At 100 TB the
+  // semi-joins are map-side via the broadcast; no table is rewritten.
+  // -------------------------------------------------------------------
+  def q149_forget_cascade(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val forget = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("uid"))
+      .filter(Sampling.hash60("forget", col("uid")) % 50 === 0)
+      .localCheckpoint(eager = true)
+    def impact(table: String, df: DataFrame, uidCol: String): DataFrame =
+      df.select(col(uidCol).as("uid"))
+        .join(broadcast(forget), Seq("uid"), "left_semi")
+        .agg(count(lit(1)).as("n_rows_affected"),
+          countDistinct(col("uid")).as("n_users_affected"))
+        .select(lit(table).as("table_name"), col("n_rows_affected"),
+          col("n_users_affected"))
+    val orders = Tables.orders(spark, dir)
+    impact("customer", Tables.customer(spark, dir), "c_custkey")
+      .unionByName(impact("orders", orders, "o_custkey"))
+      .unionByName(impact("events", Tables.events(spark, dir), "user_id"))
+      .unionByName(impact("lineitem",
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o_orderkey"))
+          .join(orders.select(col("o_orderkey"), col("o_custkey")),
+            Seq("o_orderkey")),
+        "o_custkey"))
+      .orderBy(col("table_name"))
+  }
+
+  val q149_sql: String = {
+    val h = graft.pipeline.Sampling.hash60Sql("forget", "c_custkey")
+    s"""WITH forget AS (
+       |  SELECT c_custkey AS uid FROM customer WHERE $h % 50 = 0)
+       |SELECT 'customer' AS table_name,
+       |  COUNT(*) AS n_rows_affected,
+       |  COUNT(DISTINCT c_custkey) AS n_users_affected
+       |FROM customer WHERE c_custkey IN (SELECT uid FROM forget)
+       |UNION ALL
+       |SELECT 'orders', COUNT(*), COUNT(DISTINCT o_custkey)
+       |FROM orders WHERE o_custkey IN (SELECT uid FROM forget)
+       |UNION ALL
+       |SELECT 'events', COUNT(*), COUNT(DISTINCT user_id)
+       |FROM events WHERE user_id IN (SELECT uid FROM forget)
+       |UNION ALL
+       |SELECT 'lineitem', COUNT(*), COUNT(DISTINCT o.o_custkey)
+       |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |WHERE o.o_custkey IN (SELECT uid FROM forget)
+       |ORDER BY table_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -470,7 +526,8 @@ object EventQueries {
     "q77_conversion_funnel" -> q77_conversion_funnel _,
     "q134_rate_anomaly" -> q134_rate_anomaly _,
     "q135_scd2_intervals" -> q135_scd2_intervals _,
-    "q142_type_drift" -> q142_type_drift _)
+    "q142_type_drift" -> q142_type_drift _,
+    "q149_forget_cascade" -> q149_forget_cascade _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -483,5 +540,6 @@ object EventQueries {
     "q77_conversion_funnel" -> q77_sql,
     "q134_rate_anomaly" -> q134_sql,
     "q135_scd2_intervals" -> q135_sql,
-    "q142_type_drift" -> q142_sql)
+    "q142_type_drift" -> q142_sql,
+    "q149_forget_cascade" -> q149_sql)
 }
