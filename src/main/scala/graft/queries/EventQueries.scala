@@ -515,6 +515,48 @@ object EventQueries {
        |ORDER BY table_name""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q150 — trending report: per-day event-type ranks and their
+  // day-over-day movement (the "what's rising" dashboard query). Rank
+  // windows partition on the DAY — thousands of independent
+  // partitions, each bounded by the type cardinality; the
+  // previous-day comparison is an equi-join on (type, day−1). First
+  // day has no predecessor: rank_delta 0 by convention.
+  // -------------------------------------------------------------------
+  def q150_trending(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    val ranked = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint(eager = true)
+    ranked.as("c").join(
+        ranked.select((col("day") + 1).as("day"), col("event_type"),
+          col("rnk").as("prev_rnk")).as("p"),
+        Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"), col("n_events"), col("rnk"),
+        coalesce(col("prev_rnk") - col("rnk"), lit(0L)).as("rank_delta"))
+      .orderBy(col("day"), col("rnk"))
+  }
+
+  val q150_sql: String =
+    """WITH c AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day, event_type, n_events,
+      |    ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY n_events DESC, event_type) AS rnk
+      |  FROM c)
+      |SELECT r.day, r.event_type, r.n_events, r.rnk,
+      |       COALESCE(p.rnk - r.rnk, 0) AS rank_delta
+      |FROM r LEFT JOIN r p
+      |  ON p.day = r.day - 1 AND p.event_type = r.event_type
+      |ORDER BY r.day, r.rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -527,7 +569,8 @@ object EventQueries {
     "q134_rate_anomaly" -> q134_rate_anomaly _,
     "q135_scd2_intervals" -> q135_scd2_intervals _,
     "q142_type_drift" -> q142_type_drift _,
-    "q149_forget_cascade" -> q149_forget_cascade _)
+    "q149_forget_cascade" -> q149_forget_cascade _,
+    "q150_trending" -> q150_trending _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -541,5 +584,6 @@ object EventQueries {
     "q134_rate_anomaly" -> q134_sql,
     "q135_scd2_intervals" -> q135_sql,
     "q142_type_drift" -> q142_sql,
-    "q149_forget_cascade" -> q149_sql)
+    "q149_forget_cascade" -> q149_sql,
+    "q150_trending" -> q150_sql)
 }
