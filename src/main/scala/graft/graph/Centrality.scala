@@ -241,6 +241,42 @@ object Centrality {
     rank
   }
 
+  /** The vertex-parallel engine for the personalized recurrence —
+    * bit-identical to [[personalizedPageRankInteger]] (equality
+    * spec-tested). Seeds arrive as a DataFrame of ids and join into
+    * vertex state as a VertexRDD (never collected), the unbounded-seed
+    * form of the q17 DataFrame-seed convention. */
+  def personalizedPageRankIntegerGraphX(spark: SparkSession,
+      edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters ($iters) out of the sane unrolled range")
+    import spark.implicits._
+    val eRdd = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val base = Graph.fromEdges(eRdd, ())
+    val seedRdd = seeds.select(col("id").cast("long")).as[Long].rdd
+      .map(id => (id, true))
+    // vertex attr = (rank_ppm, outdeg, isSeed)
+    var g = base.outerJoinVertices(base.outDegrees)(
+        (_, _, d) => (0L, d.getOrElse(0), false))
+      .outerJoinVertices(org.apache.spark.graphx.VertexRDD(seedRdd))(
+        (_, attr, s) => (if (s.isDefined) 1000000L else 0L, attr._2,
+          s.isDefined)).cache()
+    for (i <- 1 to iters) {
+      val msgs = g.aggregateMessages[Long](
+        ctx => if (ctx.srcAttr._2 > 0)
+          ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
+        _ + _)
+      g = g.outerJoinVertices(msgs)((_, attr, s) =>
+        ((if (attr._3) 150000L else 0L) +
+          (850000L * s.getOrElse(0L)) / 1000000L, attr._2, attr._3))
+      if (i % 8 == 0) g.cache()
+    }
+    g.vertices.map { case (vid, (rank, _, _)) => (vid, rank) }
+      .toDF("id", "rank_ppm")
+  }
+
   /** SQL mirror of [[personalizedPageRankInteger]]; `seedPredSql` is a
     * boolean expression over the node id column `n.id`. */
   def personalizedPageRankIntegerSql(edgesSql: String, seedPredSql: String,

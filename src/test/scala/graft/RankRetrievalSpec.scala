@@ -63,6 +63,22 @@ class RankRetrievalSpec extends SparkSpec {
     assert(got(1L) >= 150000L)
   }
 
+  test("personalized PageRank DataFrame and GraphX engines agree exactly") {
+    // cycle + feeder chain + dangling sink + parallel edge + island
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 4L),
+      (1L, 6L), (4L, 1L), (7L, 8L))
+    val df = edges.toDF("src", "dst")
+    val a = Centrality
+      .personalizedPageRankInteger(df, col("id") % 3 === 1, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // seed ids ≡ 1 (mod 3) present in the graph: 1, 4, 7
+    val b = Centrality.personalizedPageRankIntegerGraphX(spark, df,
+        Seq(1L, 4L, 7L).toDF("id"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.exists(_._2 > 0))
+  }
+
   test("slidingChunks covers every token with the declared overlap") {
     val text = (1 to 130).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, "a b c"), (3L, " ")).toDF("id", "text")

@@ -37,4 +37,18 @@ class SourcesSpec extends SparkSpec {
     assert(out(0).getAs[Long]("length") === 4L)
     assert(out(0).getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3, 4))
   }
+
+  test("interchange formats round-trip the documents table losslessly") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = docs.orderBy("doc_id").collect().toSeq
+    for (f <- Seq("orc", "json", "csv")) {
+      val dir = Files.createTempDirectory(s"graft-ic-$f")
+      Sources.writeInterchange(docs, dir.toString, f)
+      val back = Sources.readInterchange(spark, dir.toString, f,
+        docs.schema)
+      assert(back.orderBy("doc_id").collect().toSeq === want,
+        s"round-trip mismatch via $f")
+    }
+  }
 }
