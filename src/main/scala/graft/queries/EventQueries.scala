@@ -557,6 +557,44 @@ object EventQueries {
       |  ON p.day = r.day - 1 AND p.event_type = r.event_type
       |ORDER BY r.day, r.rnk""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q151 — DAU/WAU stickiness (the product-analytics ratio): daily
+  // active users over trailing-7-day active users, in ppm. The sliding
+  // DISTINCT is the interesting part at scale: dedup to (user, day)
+  // ONCE, fan each row out to the ≤7 target days it contributes to
+  // (constant fan-out, the q141 chunking idiom), then ONE distinct +
+  // count per target day — never a per-day re-scan of raw events.
+  // -------------------------------------------------------------------
+  def q151_stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().localCheckpoint(eager = true)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val q151_sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+      |f AS (
+      |  SELECT DISTINCT user_id, day + g.i AS day
+      |  FROM ud, unnest(generate_series(0, 6)) AS g(i)),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM f GROUP BY day)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |       (dau.dau * 1000000) // wau.wau AS stickiness_ppm
+      |FROM dau JOIN wau ON wau.day = dau.day
+      |ORDER BY dau.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -570,7 +608,8 @@ object EventQueries {
     "q135_scd2_intervals" -> q135_scd2_intervals _,
     "q142_type_drift" -> q142_type_drift _,
     "q149_forget_cascade" -> q149_forget_cascade _,
-    "q150_trending" -> q150_trending _)
+    "q150_trending" -> q150_trending _,
+    "q151_stickiness" -> q151_stickiness _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -585,5 +624,6 @@ object EventQueries {
     "q135_scd2_intervals" -> q135_sql,
     "q142_type_drift" -> q142_sql,
     "q149_forget_cascade" -> q149_sql,
-    "q150_trending" -> q150_sql)
+    "q150_trending" -> q150_sql,
+    "q151_stickiness" -> q151_sql)
 }

@@ -124,6 +124,76 @@ object ExtendedQueries {
        |ORDER BY id_a""".stripMargin
 
   // -------------------------------------------------------------------
+  // q152 — embedding centroid drift (the ML-ops monitor: "did the
+  // embedding distribution move between two cohorts?"): per label,
+  // cosine between the centroid of even-id vectors and the centroid of
+  // odd-id vectors. Cosine is scale-invariant, so the per-dim SUM
+  // vectors stand in for means — and sums are decimal-exact (dsum), so
+  // the only float ops are the final 64-element dot/norm on exact
+  // inputs, rounded to 5 (the q37 portability convention).
+  // Scale: one posexplode fan-out (×dims) → one (label, half, dim)
+  // partial-agg groupBy; everything after runs on the dims-sized table.
+  // -------------------------------------------------------------------
+  def q152_centroid_drift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val e = emb.select(col("label"), (col("vec_id") % 2).as("half"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+    val sums = e.groupBy(col("label"), col("half"), col("dim"))
+      .agg(dsum(col("x")).as("s"))
+      .localCheckpoint(eager = true) // feeds BOTH sides of the self-join
+    val parts = sums.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("s").as("sa"))
+      .join(sums.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("s").as("sb")),
+        Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(dsum(col("sa") * col("sb")).as("dot"),
+        dsum(col("sa") * col("sa")).as("na"),
+        dsum(col("sb") * col("sb")).as("nb"))
+    val counts = emb.groupBy(col("label"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_even"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+          .as("n_odd"))
+    parts.join(counts, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(col("dot") / sqrt(col("na") * col("nb")), 5)
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q152_sql: String =
+    s"""WITH e AS (
+       |  SELECT label, vec_id % 2 AS half, g.i AS dim,
+       |         CAST(embedding[g.i] AS DOUBLE) AS x
+       |  FROM embeddings,
+       |       unnest(generate_series(1, len(embedding))) AS g(i)),
+       |sums AS (
+       |  SELECT label, half, dim, ${sqlDsum("x")} AS s
+       |  FROM e GROUP BY 1, 2, 3),
+       |parts AS (
+       |  SELECT a.label,
+       |    ${sqlDsum("a.s * b.s")} AS dot,
+       |    ${sqlDsum("a.s * a.s")} AS na,
+       |    ${sqlDsum("b.s * b.s")} AS nb
+       |  FROM sums a JOIN sums b
+       |    ON b.label = a.label AND b.dim = a.dim
+       |   AND a.half = 0 AND b.half = 1
+       |  GROUP BY a.label),
+       |counts AS (
+       |  SELECT label,
+       |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_even,
+       |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_odd
+       |  FROM embeddings GROUP BY label)
+       |SELECT p.label, c.n_even, c.n_odd,
+       |       round(p.dot / sqrt(p.na * p.nb), 5) AS centroid_cos
+       |FROM parts p JOIN counts c ON c.label = p.label
+       |ORDER BY p.label""".stripMargin
+
+  // -------------------------------------------------------------------
   // q38 — IVF ANN: deterministic codebook (every 25th vector), nearest-
   // centroid assignment via broadcast join, nprobe=2 partition-pruned
   // search, exact re-rank. The 100 TB layout: corpus partitioned by
@@ -961,6 +1031,7 @@ object ExtendedQueries {
     "q49_revenue_topn" -> q49_revenue_topn _,
     "q37_embed_neardup" -> q37_embed_neardup _,
     "q146_mutual_nn" -> q146_mutual_nn _,
+    "q152_centroid_drift" -> q152_centroid_drift _,
     "q38_ivf_ann" -> q38_ivf_ann _,
     "q39_feature_merge" -> q39_feature_merge _,
     "q40_scip_parse" -> q40_scip_parse _,
@@ -985,6 +1056,7 @@ object ExtendedQueries {
     "q49_revenue_topn" -> q49_sql,
     "q37_embed_neardup" -> q37_sql,
     "q146_mutual_nn" -> q146_sql,
+    "q152_centroid_drift" -> q152_sql,
     "q38_ivf_ann" -> q38_sql,
     "q39_feature_merge" -> q39_sql,
     "q40_scip_parse" -> q40_sql,
