@@ -1410,7 +1410,50 @@ object QualityQueries {
       |FROM top CROSS JOIN s
       |ORDER BY cnt DESC, key""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q153 — Z-order layout audit (the Delta/Iceberg ZORDER BY
+  // primitive): Morton-interleave (l_partkey, l_suppkey) into one
+  // clustering key and report, per equal-width z-range, how many
+  // distinct values of EACH dimension it touches — the min/max-pruning
+  // selectivity a 100 TB table gets on both access paths from one
+  // sort order. Pure shift/mask integer arithmetic, codegen'd, no UDF;
+  // the audit itself is one groupBy on the derived bucket.
+  // -------------------------------------------------------------------
+  def q153_zorder_layout(spark: SparkSession, dir: String): DataFrame = {
+    // bucket width adapts to the OBSERVED key range (max div 16 + 1):
+    // the audit always yields ~16 ranges regardless of scale factor
+    val z = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("zkey",
+        graft.ops.ZOrder.zkey16(col("l_partkey"), col("l_suppkey")))
+      .localCheckpoint(eager = true) // feeds the width agg AND the probe
+    val w = z.agg(expr("max(zkey) div 16 + 1").as("bw"))
+    z.crossJoin(broadcast(w))
+      .withColumn("zbucket", expr("zkey div bw"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q153_sql: String = {
+    val z = graft.ops.ZOrder.zkey16Sql("l_partkey", "l_suppkey")
+    s"""WITH z AS (
+       |  SELECT l_partkey, l_suppkey, $z AS zkey FROM lineitem),
+       |w AS (SELECT MAX(zkey) // 16 + 1 AS bw FROM z)
+       |SELECT zkey // bw AS zbucket,
+       |       COUNT(*) AS n_rows,
+       |       COUNT(DISTINCT l_partkey) AS n_parts,
+       |       COUNT(DISTINCT l_suppkey) AS n_supps,
+       |       MIN(zkey) AS zmin, MAX(zkey) AS zmax
+       |FROM z CROSS JOIN w GROUP BY 1
+       |ORDER BY zbucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_zorder_layout" -> q153_zorder_layout _,
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
@@ -1445,6 +1488,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q153_zorder_layout" -> q153_sql,
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,
