@@ -72,9 +72,17 @@ object Bench {
         shortKeys.diff(shortKeys.distinct).mkString(","))
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
+    // trailing zeros carry no information and the tail budget is real:
+    // "0.10" -> "0.1", "1.00" -> "1" (still valid JSON numbers)
+    def fmtTrim(v: Double, dp: Int): String = {
+      val s = fmt(v, dp)
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     def render(dp: Int): String = {
       val qs = results.zip(shortKeys).map { case ((_, _, warm), k) =>
-        "\"" + k + "\":" + fmt(warm, dp)
+        "\"" + k + "\":" + fmtTrim(warm, dp)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,"sf":"$sfDir"}"""
     }

@@ -304,6 +304,65 @@ object Centrality {
        |$steps""".stripMargin
   }
 
+  /** Bounded Bellman-Ford single-source shortest paths over weighted
+    * edges `(src, dst, w)`: `rounds` synchronized relaxations from the
+    * seed predicate (dist 0), min-plus semiring in plain integers —
+    * null is +∞ (both engines' MIN/least skip nulls identically).
+    * Unreached nodes stay null. Returns (id, dist).
+    *
+    * Scale shape: one endpoint-keyed join + partial MIN aggregation
+    * per round — the same superstep cost as the BFS loops; each dist
+    * is consumed once so rounds chain lazily, with a checkpoint every
+    * 4 to bound plan depth. Rounds is a model constant (paths longer
+    * than `rounds` hops are out of contract, exactly like the
+    * reference's CALLS*1..10 caps).
+    */
+  def sssp(edges: DataFrame, seedPred: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds ($rounds) out of the sane unrolled range")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(eager = true)
+    var dist = nodes.withColumn("dist",
+      when(seedPred, 0L).otherwise(lit(null).cast("long")))
+    for (i <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      dist = dist.join(relaxed, Seq("id"), "left_outer")
+        .select(col("id"), least(col("dist"), col("cand")).as("dist"))
+      if (i % 4 == 0) dist = dist.localCheckpoint(eager = true)
+    }
+    dist
+  }
+
+  /** SQL mirror of [[sssp]]; `edgesSql` selects (src, dst, w) and
+    * `seedPredSql` is a boolean over the node id column `n.id`. */
+  def ssspSql(edgesSql: String, seedPredSql: String, rounds: Int)
+      : String = {
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT n.id, least(MIN(pn.dist), MIN(pe.dist + e.w)) AS dist
+         |  FROM nodes n
+         |  LEFT JOIN d${k - 1} pn ON pn.id = n.id
+         |  LEFT JOIN edges e ON e.dst = n.id
+         |  LEFT JOIN d${k - 1} pe ON pe.id = e.src
+         |  GROUP BY n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+       |d0 AS (SELECT id,
+       |    CASE WHEN $seedPredSql THEN CAST(0 AS BIGINT) END AS dist
+       |  FROM nodes n),
+       |$steps""".stripMargin
+  }
+
   /** The SQL mirror: the same iterations unrolled as chained CTEs.
     * `edgesSql` must select (src, dst). Emitted for oracle use so the
     * two sides cannot drift in formula shape. */

@@ -595,6 +595,62 @@ object EventQueries {
       |FROM dau JOIN wau ON wau.day = dau.day
       |ORDER BY dau.day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q155 — per-segment trend slopes (OLS over hourly counts), kept
+  // ENTIRELY in integers: report β's exact numerator n·Σxy − Σx·Σy and
+  // denominator n·Σx² − (Σx)² plus their micro-units ratio — no float
+  // division ever happens, so the trend flag is engine-exact (negative
+  // slopes divide identically: both engines truncate toward zero).
+  // x is the hour offset from each type's first hour (keeps products
+  // far from int64 overflow). Scale: one corpus groupBy builds the
+  // hourly counts; the regression runs on that tiny table.
+  // -------------------------------------------------------------------
+  def q155_trend_slope(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = true) // feeds the h0 agg AND the probe
+    val h0 = c.groupBy(col("event_type")).agg(min(col("hour")).as("h0"))
+    c.join(h0, Seq("event_type"))
+      .withColumn("x", col("hour") - col("h0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_hours") >= 2)
+      .select(col("event_type"), col("n_hours"),
+        (col("n_hours") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        (col("n_hours") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_den"))
+      .withColumn("slope_micro",
+        expr("(slope_num * 1000000) div slope_den"))
+      .orderBy(col("event_type"))
+  }
+
+  val q155_sql: String =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+      |         COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |h0 AS (SELECT event_type, MIN(hour) AS h0 FROM c GROUP BY 1),
+      |s AS (
+      |  SELECT c.event_type, COUNT(*) AS n_hours,
+      |    CAST(SUM(c.hour - h0.h0) AS BIGINT) AS sx,
+      |    CAST(SUM(c.y) AS BIGINT) AS sy,
+      |    CAST(SUM((c.hour - h0.h0) * c.y) AS BIGINT) AS sxy,
+      |    CAST(SUM((c.hour - h0.h0) * (c.hour - h0.h0)) AS BIGINT) AS sxx
+      |  FROM c JOIN h0 USING (event_type)
+      |  GROUP BY c.event_type)
+      |SELECT event_type, n_hours,
+      |  n_hours * sxy - sx * sy AS slope_num,
+      |  n_hours * sxx - sx * sx AS slope_den,
+      |  ((n_hours * sxy - sx * sy) * 1000000)
+      |    // (n_hours * sxx - sx * sx) AS slope_micro
+      |FROM s WHERE n_hours >= 2
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -609,7 +665,8 @@ object EventQueries {
     "q142_type_drift" -> q142_type_drift _,
     "q149_forget_cascade" -> q149_forget_cascade _,
     "q150_trending" -> q150_trending _,
-    "q151_stickiness" -> q151_stickiness _)
+    "q151_stickiness" -> q151_stickiness _,
+    "q155_trend_slope" -> q155_trend_slope _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -625,5 +682,6 @@ object EventQueries {
     "q142_type_drift" -> q142_sql,
     "q149_forget_cascade" -> q149_sql,
     "q150_trending" -> q150_sql,
-    "q151_stickiness" -> q151_sql)
+    "q151_stickiness" -> q151_sql,
+    "q155_trend_slope" -> q155_sql)
 }

@@ -417,6 +417,40 @@ object GraphQueries {
        |LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q154 — weighted multi-source shortest paths (bounded Bellman-Ford,
+  // 8 relaxation rounds, min-plus in plain integers): "cheapest call
+  // chain from the seed set" (every 97th node — the tree root has no
+  // out-edges, so single-source from it is empty by construction) — the weighted companion to q17's
+  // unweighted BFS. Edge weight = src % 10 + 1 (a deterministic
+  // per-edge cost both engines derive identically). Null is +∞; the
+  // oracle unrolls the same rounds as MATERIALIZED CTEs (each round
+  // reads its predecessor twice — q143's lesson).
+  // ---------------------------------------------------------------------
+  private val SsspRounds = 8
+
+  def q154_sssp(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.Centrality
+      .sssp(prEdges(spark, dir).withColumn("w",
+          col("src") % 10 + 1), col("id") % 97 === 0, SsspRounds)
+      .filter(col("dist").isNotNull)
+      .orderBy(col("dist"), col("id"))
+      .limit(50)
+
+  val q154_sql: String =
+    s"""WITH ${graft.graph.Centrality.ssspSql(
+          s"""SELECT src, dst, src % 10 + 1 AS w FROM (
+             |    SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part
+             |    WHERE p_partkey >= 2
+             |    UNION ALL
+             |    SELECT p_partkey, (p_partkey * p_partkey) % 1000 FROM part
+             |    WHERE p_partkey <> (p_partkey * p_partkey) % 1000)""".stripMargin,
+          "n.id % 97 = 0", SsspRounds)}
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM d$SsspRounds
+       |WHERE dist IS NOT NULL
+       |ORDER BY dist, id
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_triangles" -> q95_triangles _,
     "q17_bfs_reach" -> q17_bfs_reach _,
@@ -426,7 +460,8 @@ object GraphQueries {
     "q136_hits" -> q136_hits _,
     "q137_clustering_coeff" -> q137_clustering_coeff _,
     "q140_personalized_pagerank" -> q140_personalized_pagerank _,
-    "q143_kcore" -> q143_kcore _)
+    "q143_kcore" -> q143_kcore _,
+    "q154_sssp" -> q154_sssp _)
 
   val oracles: Map[String, String] = Map(
     "q95_triangles" -> q95_sql,
@@ -437,5 +472,6 @@ object GraphQueries {
     "q136_hits" -> q136_sql,
     "q137_clustering_coeff" -> q137_sql,
     "q140_personalized_pagerank" -> q140_sql,
-    "q143_kcore" -> q143_sql)
+    "q143_kcore" -> q143_sql,
+    "q154_sssp" -> q154_sql)
 }

