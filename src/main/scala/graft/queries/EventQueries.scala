@@ -651,6 +651,68 @@ object EventQueries {
       |FROM s WHERE n_hours >= 2
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q156 — out-of-orderness profile (the watermark-tuning op): an
+  // event is LATE by running_max(event-time seen so far in arrival
+  // order) − its event-time; the lateness histogram (power-of-4
+  // second buckets) is exactly what picks a streaming watermark
+  // delay — the 99.9% bucket IS the allowed lateness. The synthetic
+  // stream carries no ingest-order column (event_id is time-ordered),
+  // so arrival order is SIMULATED by the engine-portable hash — a
+  // deterministic stand-in for shuffled ingest that exercises every
+  // bucket. Per-user running max = one entity-keyed window; the
+  // histogram is a tiny second groupBy.
+  // -------------------------------------------------------------------
+  def q156_lateness_profile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tss"))
+      .withColumn("arr", Sampling.hash60("arrival", col("event_id")))
+      .withColumn("prior_max", max(col("tss")).over(w))
+      .withColumn("late_s",
+        greatest(coalesce(col("prior_max") - col("tss"), lit(0L)), lit(0L)))
+      // power-of-4 buckets via integer threshold compares — a float
+      // log4 would flip at exact 4^k boundaries between libm builds
+      .withColumn("bucket",
+        (1 to 9).foldLeft(when(col("late_s") === 0, 0L)) { (acc, k) =>
+          acc.when(col("late_s") <= math.pow(4, k).toLong, k.toLong)
+        }.otherwise(10L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_s")).as("max_late_s"))
+      .orderBy(col("bucket"))
+  }
+
+  val q156_sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS tss,
+      |    ${graft.pipeline.Sampling.hash60Sql("arrival", "event_id")}
+      |      AS arr
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, tss,
+      |    MAX(tss) OVER (PARTITION BY user_id ORDER BY arr, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prior_max
+      |  FROM e),
+      |l AS (
+      |  SELECT greatest(COALESCE(prior_max - tss, 0), 0) AS late_s
+      |  FROM m),
+      |b AS (
+      |  SELECT CASE WHEN late_s = 0 THEN 0
+      |    WHEN late_s <= 4 THEN 1 WHEN late_s <= 16 THEN 2
+      |    WHEN late_s <= 64 THEN 3 WHEN late_s <= 256 THEN 4
+      |    WHEN late_s <= 1024 THEN 5 WHEN late_s <= 4096 THEN 6
+      |    WHEN late_s <= 16384 THEN 7 WHEN late_s <= 65536 THEN 8
+      |    WHEN late_s <= 262144 THEN 9 ELSE 10 END AS bucket, late_s
+      |  FROM l)
+      |SELECT bucket, COUNT(*) AS n_events, MAX(late_s) AS max_late_s
+      |FROM b GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -666,7 +728,8 @@ object EventQueries {
     "q149_forget_cascade" -> q149_forget_cascade _,
     "q150_trending" -> q150_trending _,
     "q151_stickiness" -> q151_stickiness _,
-    "q155_trend_slope" -> q155_trend_slope _)
+    "q155_trend_slope" -> q155_trend_slope _,
+    "q156_lateness_profile" -> q156_lateness_profile _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -683,5 +746,6 @@ object EventQueries {
     "q149_forget_cascade" -> q149_sql,
     "q150_trending" -> q150_sql,
     "q151_stickiness" -> q151_sql,
-    "q155_trend_slope" -> q155_sql)
+    "q155_trend_slope" -> q155_sql,
+    "q156_lateness_profile" -> q156_sql)
 }
