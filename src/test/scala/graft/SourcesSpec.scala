@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.Sources
 
 class SourcesSpec extends SparkSpec {
@@ -36,6 +38,24 @@ class SourcesSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out(0).getAs[Long]("length") === 4L)
     assert(out(0).getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("partitioned write prunes partitions on read (the 100 TB layout)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graft-part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    // the filter must reach the scan as a PartitionFilter — a plan that
+    // reads all languages and filters after is the layout bug this
+    // guards against
+    val scan = back.queryExecution.executedPlan.collectLeaves().head
+      .toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+      s"partition filter not pushed:\n$scan")
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(back.count() === expected)
   }
 
   test("interchange formats round-trip the documents table losslessly") {
