@@ -249,4 +249,26 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("zkey16 is a bijection on 16-bit pairs (naive interleave mirror)") {
+    def naive(a: Long, b: Long): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val pairGen = for {
+      a <- Gen.choose(0L, 65535L); b <- Gen.choose(0L, 65535L)
+    } yield (a, b)
+    val pairs = sample(pairGen, 13L, 80) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (1L, 2L))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.ops.ZOrder.zkey16(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    got.foreach { case ((a, b), z) =>
+      assert(z === naive(a, b), s"zkey16($a, $b)")
+    }
+    // injective on the sampled set (collision ⇒ not a bijection)
+    assert(got.map(_._2).distinct.length ===
+      got.map(_._1).distinct.length)
+  }
 }
