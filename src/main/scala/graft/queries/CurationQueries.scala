@@ -388,6 +388,59 @@ object CurationQueries {
       |LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // q157 — per-source score calibration (quantile normalization): map
+  // each document's raw score (n_chars) to its WITHIN-SOURCE
+  // percentile in ppm, so scores from different sources become
+  // comparable before mixing — the cross-source fairness step a
+  // mixture builder runs first. min-rank tie rule: pct = (strictly-
+  // below count)·10⁶ div (n_source − 1).
+  //
+  // Scale shape: the corpus-sized work is ONE groupBy to per-(source,
+  // score) counts; the cumulative sum runs over that bounded
+  // distinct-value table (window partitioned by source on the SMALL
+  // table — never a per-source total sort of the corpus, which is the
+  // q76 single-partition trap in group form).
+  // -------------------------------------------------------------------
+  def q157_score_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("n_rows_at"))
+      .localCheckpoint(eager = true) // feeds totals AND the cumsum probe
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n_rows_at")).as("n_source"))
+    counts
+      .withColumn("cum_below",
+        coalesce(sum(col("n_rows_at")).over(w), lit(0L)))
+      .join(totals, Seq("source"))
+      .filter(col("n_source") >= 2)
+      .select(col("source"), col("n_chars"), col("n_rows_at"),
+        expr("(cum_below * 1000000) div (n_source - 1)").as("pct_ppm"))
+      .orderBy(col("source"), col("n_chars"))
+  }
+
+  val q157_sql: String =
+    """WITH c AS (
+      |  SELECT source, n_chars, COUNT(*) AS n_rows_at
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (
+      |  SELECT source, CAST(SUM(n_rows_at) AS BIGINT) AS n_source
+      |  FROM c GROUP BY 1),
+      |k AS (
+      |  SELECT source, n_chars, n_rows_at,
+      |    CAST(COALESCE(SUM(n_rows_at) OVER (PARTITION BY source
+      |      ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_below
+      |  FROM c)
+      |SELECT k.source, k.n_chars, k.n_rows_at,
+      |       (k.cum_below * 1000000) // (t.n_source - 1) AS pct_ppm
+      |FROM k JOIN t ON t.source = k.source
+      |WHERE t.n_source >= 2
+      |ORDER BY k.source, k.n_chars""".stripMargin
+
+  // -------------------------------------------------------------------
   // q63 — event-type pivot: wide per-user activity profile (one column
   // per event type, explicit value list so Spark skips the extra
   // distinct-values job). One shuffle; at 100 TB this is the same
@@ -1052,6 +1105,7 @@ object CurationQueries {
     "q62_word_chunks" -> q62_word_chunks _,
     "q141_sliding_chunks" -> q141_sliding_chunks _,
     "q147_bpe_merge" -> q147_bpe_merge _,
+    "q157_score_calibration" -> q157_score_calibration _,
     "q63_event_pivot" -> q63_event_pivot _,
     "q64_posting_lists" -> q64_posting_lists _,
     "q65_media_frames" -> q65_media_frames _)
@@ -1079,6 +1133,7 @@ object CurationQueries {
     "q62_word_chunks" -> q62_sql,
     "q141_sliding_chunks" -> q141_sql,
     "q147_bpe_merge" -> q147_sql,
+    "q157_score_calibration" -> q157_sql,
     "q63_event_pivot" -> q63_sql,
     "q64_posting_lists" -> q64_sql,
     "q65_media_frames" -> q65_sql)
