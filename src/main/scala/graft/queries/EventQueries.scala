@@ -713,6 +713,48 @@ object EventQueries {
       |FROM b GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q159 — activity streaks (the gaps-and-islands pattern): per user,
+  // the longest run of CONSECUTIVE active days plus how many separate
+  // runs exist — engagement's classic shape. Island id = day −
+  // row_number (constant within a consecutive run, strictly monotone
+  // across gaps); the window partitions on the USER over the deduped
+  // (user, day) table, so partitions are user-activity-sized. Top 20
+  // by (longest streak, user) via distributed TakeOrdered.
+  // -------------------------------------------------------------------
+  def q159_activity_streaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_days"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak_days")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("longest_streak").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val q159_sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM ud),
+      |s AS (
+      |  SELECT user_id, island, COUNT(*) AS streak_days
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, MAX(streak_days) AS longest_streak,
+      |       COUNT(*) AS n_streaks
+      |FROM s GROUP BY user_id
+      |ORDER BY longest_streak DESC, user_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -729,7 +771,8 @@ object EventQueries {
     "q150_trending" -> q150_trending _,
     "q151_stickiness" -> q151_stickiness _,
     "q155_trend_slope" -> q155_trend_slope _,
-    "q156_lateness_profile" -> q156_lateness_profile _)
+    "q156_lateness_profile" -> q156_lateness_profile _,
+    "q159_activity_streaks" -> q159_activity_streaks _)
 
   val oracles: Map[String, String] = Map(
     "q90_retention" -> q90_sql,
@@ -747,5 +790,6 @@ object EventQueries {
     "q150_trending" -> q150_sql,
     "q151_stickiness" -> q151_sql,
     "q155_trend_slope" -> q155_sql,
-    "q156_lateness_profile" -> q156_sql)
+    "q156_lateness_profile" -> q156_sql,
+    "q159_activity_streaks" -> q159_sql)
 }

@@ -261,15 +261,78 @@ object RetrievalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk_candidate")
   }
 
+  // ---------------------------------------------------------------------
+  // q158 — association rules over the q144 co-occurrence pairs: for
+  // each part pair, directed confidence conf(a→b) = n(ab)·10⁶ div n(a)
+  // and symmetric lift = n(ab)·N·10⁶ div (n(a)·n(b)) — the market-
+  // basket strength metrics, all in integer ppm. Scale: the pair join
+  // is basket-bounded (q144); the per-item counts and the basket total
+  // are one groupBy each, joined back by item key.
+  // ---------------------------------------------------------------------
+  def q158_association_rules(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(eager = true) // pairs + item counts + basket total
+    val itemN = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val totalN = l.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders_total"))
+    val pairs = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"),
+        col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(itemN.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a")), Seq("part_a"))
+      .join(itemN.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(totalN))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("(n_ab * 1000000) div n_a").as("conf_ab_ppm"),
+        expr("(n_ab * 1000000) div n_b").as("conf_ba_ppm"),
+        expr("(n_ab * n_orders_total * 1000000) div (n_a * n_b)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  val q158_sql: String =
+    """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |item AS (SELECT l_partkey, COUNT(*) AS n_item FROM l GROUP BY 1),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM l),
+      |p AS (
+      |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |         COUNT(*) AS n_ab
+      |  FROM l x JOIN l y ON x.l_orderkey = y.l_orderkey
+      |                   AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, n_ab, a.n_item AS n_a, b.n_item AS n_b,
+      |  (n_ab * 1000000) // a.n_item AS conf_ab_ppm,
+      |  (n_ab * 1000000) // b.n_item AS conf_ba_ppm,
+      |  (n_ab * tot.n_orders_total * 1000000)
+      |    // (a.n_item * b.n_item) AS lift_ppm
+      |FROM p
+      |JOIN item a ON a.l_partkey = part_a
+      |JOIN item b ON b.l_partkey = part_b
+      |CROSS JOIN tot
+      |ORDER BY lift_ppm DESC, part_a, part_b
+      |LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_negative_sampling" -> q138_negative_sampling _,
     "q139_rrf_fusion" -> q139_rrf_fusion _,
     "q144_copurchase" -> q144_copurchase _,
-    "q145_fk_containment" -> q145_fk_containment _)
+    "q145_fk_containment" -> q145_fk_containment _,
+    "q158_association_rules" -> q158_association_rules _)
 
   val oracles: Map[String, String] = Map(
     "q138_negative_sampling" -> q138_sql,
     "q139_rrf_fusion" -> q139_sql,
     "q144_copurchase" -> q144_sql,
-    "q145_fk_containment" -> q145_sql)
+    "q145_fk_containment" -> q145_sql,
+    "q158_association_rules" -> q158_sql)
 }
