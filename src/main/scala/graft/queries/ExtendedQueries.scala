@@ -194,6 +194,72 @@ object ExtendedQueries {
        |ORDER BY p.label""".stripMargin
 
   // -------------------------------------------------------------------
+  // q160 — cluster purity against ground-truth labels (the clustering
+  // eval op): assign every vector to its nearest deterministic
+  // centroid (the q38 codebook), then per cluster report the majority
+  // label's share in ppm — integer-exact once assignments are fixed
+  // (assignment uses the q38 rounded-cosine convention). Scale: one
+  // broadcast-codebook assignment pass + a (cluster, label) groupBy;
+  // the majority pick is a window over the label-cardinality-bounded
+  // per-cluster table.
+  // -------------------------------------------------------------------
+  def q160_cluster_purity(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    val cents = v.filter(col("vid") % 25 === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val assigned = Similarity
+      .ivfAssign(v.select(col("vid"), col("v")), cents)
+      .join(v.select(col("vid"), col("label")), Seq("vid"))
+    val byLabel = assigned.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("n").desc, col("label"))
+    val majority = byLabel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("label").as("majority_label"),
+        col("n").as("n_majority"))
+    val sizes = byLabel.groupBy(col("cid"))
+      .agg(sum(col("n")).as("n_members"))
+    majority.join(sizes, Seq("cid"))
+      .select(col("cid"), col("n_members"), col("majority_label"),
+        col("n_majority"),
+        expr("(n_majority * 1000000) div n_members").as("purity_ppm"))
+      .orderBy(col("cid"))
+  }
+
+  val q160_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec, label
+      |  FROM embeddings),
+      |cents AS (SELECT vid AS cid, vec AS cv FROM v WHERE vid % 25 = 0),
+      |asg0 AS (
+      |  SELECT v.vid, cents.cid,
+      |         round(list_cosine_similarity(v.vec, cents.cv), 5) AS csim
+      |  FROM v CROSS JOIN cents),
+      |asg AS (
+      |  SELECT vid, cid FROM (
+      |    SELECT vid, cid, ROW_NUMBER() OVER (
+      |      PARTITION BY vid ORDER BY csim DESC, cid) AS rn
+      |    FROM asg0) WHERE rn = 1),
+      |bl AS (
+      |  SELECT a.cid, v.label, COUNT(*) AS n
+      |  FROM asg a JOIN v ON v.vid = a.vid
+      |  GROUP BY 1, 2),
+      |mj AS (
+      |  SELECT cid, label AS majority_label, n AS n_majority FROM (
+      |    SELECT cid, label, n, ROW_NUMBER() OVER (
+      |      PARTITION BY cid ORDER BY n DESC, label) AS rn
+      |    FROM bl) WHERE rn = 1),
+      |sz AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_members
+      |       FROM bl GROUP BY 1)
+      |SELECT mj.cid, sz.n_members, mj.majority_label, mj.n_majority,
+      |       (mj.n_majority * 1000000) // sz.n_members AS purity_ppm
+      |FROM mj JOIN sz ON sz.cid = mj.cid
+      |ORDER BY mj.cid""".stripMargin
+
+  // -------------------------------------------------------------------
   // q38 — IVF ANN: deterministic codebook (every 25th vector), nearest-
   // centroid assignment via broadcast join, nprobe=2 partition-pruned
   // search, exact re-rank. The 100 TB layout: corpus partitioned by
@@ -1032,6 +1098,7 @@ object ExtendedQueries {
     "q37_embed_neardup" -> q37_embed_neardup _,
     "q146_mutual_nn" -> q146_mutual_nn _,
     "q152_centroid_drift" -> q152_centroid_drift _,
+    "q160_cluster_purity" -> q160_cluster_purity _,
     "q38_ivf_ann" -> q38_ivf_ann _,
     "q39_feature_merge" -> q39_feature_merge _,
     "q40_scip_parse" -> q40_scip_parse _,
@@ -1057,6 +1124,7 @@ object ExtendedQueries {
     "q37_embed_neardup" -> q37_sql,
     "q146_mutual_nn" -> q146_sql,
     "q152_centroid_drift" -> q152_sql,
+    "q160_cluster_purity" -> q160_sql,
     "q38_ivf_ann" -> q38_sql,
     "q39_feature_merge" -> q39_sql,
     "q40_scip_parse" -> q40_sql,
