@@ -311,9 +311,11 @@ object Centrality {
     * Unreached nodes stay null. Returns (id, dist).
     *
     * Scale shape: one endpoint-keyed join + partial MIN aggregation
-    * per round — the same superstep cost as the BFS loops; each dist
-    * is consumed once so rounds chain lazily, with a checkpoint every
-    * 4 to bound plan depth. Rounds is a model constant (paths longer
+    * per round. Each round's dist feeds TWO consumers (the relaxation
+    * join and the keep-old side of the outer join), so it MUST
+    * materialize per round — lazily chained, both branches re-derive
+    * the entire preceding lineage, 2^rounds recompute (the hitsInteger
+    * dual-consumer rule). Rounds is a model constant (paths longer
     * than `rounds` hops are out of contract, exactly like the
     * reference's CALLS*1..10 caps).
     */
@@ -336,7 +338,7 @@ object Centrality {
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
       dist = dist.join(relaxed, Seq("id"), "left_outer")
         .select(col("id"), least(col("dist"), col("cand")).as("dist"))
-      if (i % 4 == 0) dist = dist.localCheckpoint(eager = true)
+        .localCheckpoint(eager = true)
     }
     dist
   }

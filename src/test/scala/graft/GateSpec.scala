@@ -40,6 +40,27 @@ class GateSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry keys are globally unique (Map ++ would silently drop)") {
+    val parts = Seq(
+      graft.queries.Relational.queries,
+      graft.queries.GraphQueries.queries,
+      graft.queries.PipelineQueries.queries,
+      graft.queries.EventQueries.queries,
+      graft.queries.ExtendedQueries.queries,
+      graft.queries.CurationQueries.queries,
+      graft.queries.QualityQueries.queries,
+      graft.queries.ApiQueries.queries,
+      graft.queries.RetrievalQueries.queries)
+    val all = parts.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names across registries: " +
+      dups.mkString(", "))
+    assert(all.size === SparkEntry.queries.size)
+    // every query has an oracle — the gate contract
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
   test("bench JSON line stays within the tail-truncation budget") {
     // worst-ish case: every query at >10s cold and warm with no
     // trailing zeros to trim — the precision ladder MAY step down to
