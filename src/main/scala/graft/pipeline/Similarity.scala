@@ -474,15 +474,44 @@ object Similarity {
     val d2 = expr(
       """aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)),
         |  cast(0 as bigint), (acc, e) -> acc + e)""".stripMargin)
-    // encode: argmin centroid per (vid, s) — window bounded by K
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vid"), col("s"))
-      .orderBy(col("d2"), col("cid"))
-    val codes = subs.join(broadcast(cents), Seq("s"))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("s"), col("cid").as("code"))
+    // encode: argmin centroid per (vid, s). The codebook is broadcast-
+    // sized BY DEFINITION (that is what a PQ codebook is), so the
+    // argmin runs as a tight per-row loop over a broadcast array
+    // instead of a corpus×K join + window — same (d2, cid) tie rule,
+    // no 18M-row shuffle (measured ~3.0 → ~1.3 s warm at sf0.1).
+    val spark = df.sparkSession
+    val centArr: Map[Long, Array[(Long, Array[Long])]] = cents
+      .collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getSeq[Long](2).toArray)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.map(_._2).sortBy(_._1)
+      }
+    val centBc = spark.sparkContext.broadcast(centArr)
+    import spark.implicits._
+    val codes = subs.select(col("vid"), col("s"), col("sq"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val cb = centBc.value
+        it.map { case (vid, s, sq) =>
+          var bestCid = Long.MaxValue
+          var bestD2 = Long.MaxValue
+          val cands = cb(s)
+          var i = 0
+          while (i < cands.length) {
+            val (cid, cq) = cands(i)
+            var d = 0L
+            var j = 0
+            while (j < sq.length) {
+              val diff = sq(j) - cq(j); d += diff * diff; j += 1
+            }
+            // tie rule (d2, cid): cands sorted by cid, strict <
+            if (d < bestD2) { bestD2 = d; bestCid = cid }
+            i += 1
+          }
+          (vid, s, bestCid)
+        }
+      }.toDF("vid", "s", "code")
     // ADC LUT: query subvectors × codebook (broadcast-sized)
     val lut = subs.filter(col("vid") % queryMod === 0)
       .select(col("vid").as("query_id"), col("s"), col("sq"))
