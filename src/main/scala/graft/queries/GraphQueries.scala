@@ -372,10 +372,12 @@ object GraphQueries {
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
         .filter(col("degree") >= 3)
         .select(col("node"))
+      // e feeds the degree groupBy AND both semi-join probes — the
+      // dual-consumer rule: materialize per round (the set only shrinks)
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-      if (i % 3 == 0) e = e.localCheckpoint(eager = true)
+        .localCheckpoint(eager = true)
     }
     e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
