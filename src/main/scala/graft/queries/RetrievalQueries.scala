@@ -46,10 +46,16 @@ object RetrievalQueries {
       .orderBy(col("cnt").desc, col("l_partkey"))
       .limit(100)
       .select(col("l_partkey"))
+      .localCheckpoint(eager = true) // feeds the cross join AND the semi
     val candidates = Tables.customer(spark, dir).select(col("c_custkey"))
       .crossJoin(broadcast(pool))
+    // only positives whose part is IN the pool can match the anti-join:
+    // restricting first shrinks the corpus-sized positives table to a
+    // |users|·|pool|-bounded one (broadcastable at any corpus scale)
+    val poolPositives = positives
+      .join(broadcast(pool), Seq("l_partkey"), "left_semi")
     val negatives = candidates
-      .join(positives, Seq("c_custkey", "l_partkey"), "left_anti")
+      .join(poolPositives, Seq("c_custkey", "l_partkey"), "left_anti")
     val w = Window.partitionBy(col("c_custkey"))
       .orderBy(col("h"), col("l_partkey"))
     negatives
