@@ -155,4 +155,32 @@ class StreamingSpec extends SparkSpec {
       assert(last.getLong(2) === 12L)
     } finally q.stop()
   }
+
+  test("slidingChunks runs per micro-batch via foreachBatch (append)") {
+    // the chunker is stateless, so streaming == batch per micro-batch;
+    // foreachBatch is how a 100 TB ingest runs it incrementally
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= graft.pipeline.TextAnalysis
+            .slidingChunks(batch, "doc_id", "text", 4, 2)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(5)))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((1L, "a b c d e f"))
+      q.processAllAvailable()
+      input.addData((2L, "x y"))
+      q.processAllAvailable()
+      val got = seen.sortBy(c => (c._1, c._2)).toSeq
+      assert(got === Seq((1L, 0L, "a b c d"), (1L, 1L, "c d e f"),
+        (2L, 0L, "x y")))
+    } finally q.stop()
+  }
 }
