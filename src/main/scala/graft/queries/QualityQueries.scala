@@ -1356,8 +1356,8 @@ object QualityQueries {
       |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
       |  FROM documents WHERE trim(text) <> ''),
       |cells AS (
-      |  SELECT j, CAST(('0x' || substr(md5('cms' || j || ':' || token),
-      |      1, 15)) AS BIGINT) % 256 AS bucket,
+      |  SELECT j, CAST(('0x' || substr(md5('cms:' || token),
+      |      j * 8 + 1, 8)) AS BIGINT) % 256 AS bucket,
       |    CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM toks CROSS JOIN generate_series(0, 3) t(j) GROUP BY 1, 2),
       |ex AS (
@@ -1366,8 +1366,8 @@ object QualityQueries {
       |SELECT ex.token, ex.exact_cnt, min(cells.cnt) AS est_cnt
       |FROM ex CROSS JOIN generate_series(0, 3) t(j)
       |JOIN cells ON cells.j = t.j AND cells.bucket =
-      |  CAST(('0x' || substr(md5('cms' || t.j || ':' || ex.token),
-      |    1, 15)) AS BIGINT) % 256
+      |  CAST(('0x' || substr(md5('cms:' || ex.token),
+      |    t.j * 8 + 1, 8)) AS BIGINT) % 256
       |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin
 
   // -------------------------------------------------------------------
