@@ -839,7 +839,10 @@ object Dedup {
     */
   def shingleUniqueness(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    // sh feeds the df aggregation AND the join probe — materialize so
+    // the shingle generation + distinct shuffle run once
     val sh = shingleRows(df, idCol, textCol, n).distinct()
+      .localCheckpoint(eager = true)
     val dfreq = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("shingle"))
