@@ -280,6 +280,7 @@ object RetrievalQueries {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .localCheckpoint(eager = true) // pairs + item counts + basket total
     val itemN = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      .localCheckpoint(eager = true) // probed for BOTH rule directions
     val totalN = l.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders_total"))
     val pairs = l.as("x").join(l.as("y"),
