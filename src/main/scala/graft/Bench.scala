@@ -66,10 +66,17 @@ object Bench {
       sfDir: String): String = {
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
-    require(shortKeys.distinct.size == shortKeys.size,
-      s"bench JSON key collision after prefix-truncation: " +
-        shortKeys.diff(shortKeys.distinct).mkString(","))
+    // keys truncate to the prefix before the first underscore to fit the
+    // tail budget; a colliding prefix (two q101_* variants) falls back to
+    // the full name for THOSE keys so no timing is ever silently lost —
+    // the bench must always emit a parseable line, so no require/crash
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val dupPrefixes = prefixes.groupBy(identity).collect {
+      case (k, vs) if vs.size > 1 => k
+    }.toSet
+    val shortKeys = results.zip(prefixes).map { case ((full, _, _), p) =>
+      if (dupPrefixes(p)) full else p
+    }
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
     // trailing zeros carry no information and the tail budget is real:
