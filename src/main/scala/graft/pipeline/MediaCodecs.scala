@@ -195,6 +195,103 @@ object MediaCodecs {
     BmpImage(targetW, targetH, rgb)
   }
 
+  // ------------------------------------------------- PNG / JPEG / GIF
+  // Compressed still images decode through the JDK's own ImageIO
+  // (javax.imageio — public API shipped with every JRE, no new
+  // dependency), so width/height/pixel stats are REAL for the formats
+  // a web-scale corpus actually contains. Only video/compressed audio
+  // remain stubbed (the JDK has no such codecs).
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8'
+
+  /** True when [[decodeImage]] has a real JDK decoder for the payload. */
+  def isImageIoDecodable(b: Array[Byte]): Boolean =
+    isPng(b) || isJpeg(b) || isGif(b)
+
+  /** Decode PNG/JPEG/GIF via `javax.imageio.ImageIO` into the same
+    * top-down RGB [[BmpImage]] the pure-JVM BMP path produces, so every
+    * downstream feature/resize works identically on compressed input.
+    * Pure function of the bytes, executor-safe in `mapPartitions`
+    * (ImageIO is headless-safe; no AWT rendering involved). Returns
+    * None on truncated/corrupt payloads rather than failing the task. */
+  def decodeImage(bytes: Array[Byte]): Option[BmpImage] = {
+    if (!isImageIoDecodable(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y) // packed ARGB regardless of raster
+            val d = (y * w + x) * 3
+            rgb(d) = ((px >> 16) & 0xff).toByte
+            rgb(d + 1) = ((px >> 8) & 0xff).toByte
+            rgb(d + 2) = (px & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(BmpImage(w, h, rgb))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Encode as PNG (lossless) via ImageIO — the re-encode side of image
+    * transforms and the synthesis side for tests. */
+  def encodePng(img: BmpImage): Array[Byte] = {
+    val buf = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        buf.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
+          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "png", out)
+    out.toByteArray
+  }
+
+  /** Encode as JPEG (lossy — for round-trip tolerance tests). */
+  def encodeJpeg(img: BmpImage): Array[Byte] = {
+    val buf = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        buf.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
+          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "jpg", out)
+    out.toByteArray
+  }
+
   /** 8-dim image features: mean R/G/B, luminance of the 4 quadrants,
     * and aspect ratio — all in [0, 1]-ish ranges, deterministic. */
   def bmpFeatures(img: BmpImage): Array[Float] = {

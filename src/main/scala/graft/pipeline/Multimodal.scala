@@ -24,9 +24,11 @@ object Multimodal {
       n_bytes: Int, checksum: Long, features: Array[Float])
 
   /** Content-sniffing decode: REAL parsing for PCM WAV and 24-bit BMP
-    * payloads ([[MediaCodecs]]), deterministic stub for everything else
-    * (compressed formats need codec libraries absent in this container).
-    * Always 8 floats, always a pure function of the bytes. */
+    * payloads ([[MediaCodecs]], pure byte arithmetic) and for PNG/JPEG/
+    * GIF (JDK `javax.imageio` — public API, no new dependency);
+    * deterministic stub only for formats the JDK has no codec for
+    * (video, compressed audio). Always 8 floats, always a pure function
+    * of the bytes. */
   def decodeFeatures(bytes: Array[Byte]): Array[Float] =
     if (MediaCodecs.isWav(bytes))
       MediaCodecs.decodeWav(bytes)
@@ -34,6 +36,9 @@ object Multimodal {
         .getOrElse(decodeStub(bytes))
     else if (MediaCodecs.isBmp(bytes))
       MediaCodecs.decodeBmp(bytes).map(MediaCodecs.bmpFeatures)
+        .getOrElse(decodeStub(bytes))
+    else if (MediaCodecs.isImageIoDecodable(bytes))
+      MediaCodecs.decodeImage(bytes).map(MediaCodecs.bmpFeatures)
         .getOrElse(decodeStub(bytes))
     else decodeStub(bytes)
 
@@ -111,11 +116,13 @@ object Multimodal {
 
   /** Resize: per-partition batched payload transform preserving the
     * media schema. BMP payloads get a REAL decode → nearest-neighbor
-    * pixel resize → re-encode ([[MediaCodecs.resizeBmp]]); everything
-    * else takes the STUB byte-downsample (deterministic and proportion-
-    * correct: n_bytes scales with the pixel ratio). The plumbing —
-    * schema in = schema out, partition-batched iteration, metadata
-    * rewrite — is the production shape any further codec drops into. */
+    * pixel resize → re-encode ([[MediaCodecs.resizeBmp]]); PNG/JPEG/GIF
+    * get a REAL ImageIO decode → pixel resize → lossless PNG re-encode;
+    * everything else takes the STUB byte-downsample (deterministic and
+    * proportion-correct: n_bytes scales with the pixel ratio). The
+    * plumbing — schema in = schema out, partition-batched iteration,
+    * metadata rewrite — is the production shape any further codec
+    * drops into. */
   def resizeStub(media: Dataset[MediaRow], targetW: Int,
       targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -125,6 +132,10 @@ object Multimodal {
         val real = if (MediaCodecs.isBmp(r.bytes))
           MediaCodecs.decodeBmp(r.bytes).map(img =>
             MediaCodecs.encodeBmp(
+              MediaCodecs.resizeBmp(img, targetW, targetH)))
+        else if (MediaCodecs.isImageIoDecodable(r.bytes))
+          MediaCodecs.decodeImage(r.bytes).map(img =>
+            MediaCodecs.encodePng(
               MediaCodecs.resizeBmp(img, targetW, targetH)))
         else None
         real match {
