@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -9,6 +11,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * then reach the parquet scan via Catalyst.
   */
 object Tables {
+
+  /** Canonicalize `events.ts` to LONG epoch nanoseconds regardless of how
+    * the driver encoded it. Generations of the testdata have alternated
+    * between parquet TIMESTAMP(NANOS) (surfacing as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain microsecond
+    * timestamps; every event-time query downstream does integer math on
+    * nanos, and the DuckDB oracle's `epoch_ns(ts)` accepts both, so this
+    * is the single seam where the encodings converge.
+    *
+    * The NTZ branch uses `timestampdiff` between two NTZ values, which is
+    * session-timezone-INVARIANT (verified: identical results under UTC and
+    * America/New_York) — `unix_micros(cast(ts as timestamp))` is not,
+    * because the NTZ→TZ cast applies the session zone. The oracle treats
+    * the naive value as UTC, which is exactly what the NTZ diff computes.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // already epoch nanos
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, " +
+            "to_timestamp_ntz('1970-01-01 00:00:00'), ts) * 1000"))
+      case TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected LONG nanos " +
+            "or a timestamp type)")
+    }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
@@ -23,7 +54,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -246,12 +246,16 @@ object EventQueries {
   // batch boundaries, which is exactly the property worth gating.
   // -------------------------------------------------------------------
   def q103_stream_windows(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
+    // readStream needs the schema AS STORED in the file (the batch loader
+    // rewrites ts to long nanos, which would mismatch a timestamp file);
+    // normalize ts AFTER the source, through the same seam as the batch path
+    val schema = Tables.load(spark, dir, "events").schema
     // the table is a single parquet FILE; the file-stream source wants a
     // directory, so scan the sf dir with a glob filter selecting it
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .select(timestamp_micros(expr("ts div 1000")).as("event_ts"),
         col("event_type"), col("value"))
     val agg = graft.streaming.Incremental
