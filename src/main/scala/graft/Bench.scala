@@ -27,10 +27,17 @@ object Bench {
     // back-to-back runs both land inside one window, while two sweeps
     // ~a session apart rarely do — min across sweeps reports the
     // machine's actual steady state instead of the weather.
+    //
+    // A crash must NOT be reported as a timing: a broken query "finishes"
+    // in milliseconds and would read as a perf win. Failures surface in
+    // the JSON line's "failed" array and are excluded from per-query
+    // timings and totals.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
       // release localCheckpoint/cache blocks the query pinned — in a
       // 100-query single-JVM session they otherwise accumulate in
@@ -38,16 +45,25 @@ object Bench {
       // and the tail of the run pays for the head's leftovers
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      dt
+      err.toLeft(dt)
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = sorted.map { case (name, fn) => name -> time(fn) }.toMap
     val warm1 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
     val warm2 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
-    val results = sorted.map { case (name, _) =>
-      (name, cold(name), math.min(warm1(name), warm2(name)))
+    val (ok, failed) = sorted.partition { case (name, _) =>
+      cold(name).isRight && warm1(name).isRight && warm2(name).isRight
     }
-    println(renderJson(results, sfDir))
+    failed.foreach { case (name, _) =>
+      val why = Seq(cold(name), warm1(name), warm2(name))
+        .collectFirst { case Left(e) => e }.getOrElse("?")
+      System.err.println(s"[bench] $name FAILED: $why")
+    }
+    val results = ok.map { case (name, _) =>
+      (name, cold(name).toOption.get,
+        math.min(warm1(name).toOption.get, warm2(name).toOption.get))
+    }
+    println(renderJson(results, failed.map(_._1), sfDir))
     spark.stop()
   }
 
@@ -61,20 +77,27 @@ object Bench {
     * is reported as the session total only ("value"; warm total in
     * "warm_value"). ~11 chars/query leaves headroom to ~160 queries at
     * 2-decimal precision (size-guarded in GateSpec).
+    *
+    * `failed` lists queries that threw in any sweep — they carry NO
+    * timing entry and contribute nothing to the totals, so a reader can
+    * never mistake a crash for a fast run. The field is always present
+    * (empty array when everything ran).
     */
   def renderJson(results: Seq[(String, Double, Double)],
-      sfDir: String): String = {
+      failed: Seq[String], sfDir: String): String = {
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     // keys truncate to the prefix before the first underscore to fit the
     // tail budget; a colliding prefix (two q101_* variants) falls back to
     // the full name for THOSE keys so no timing is ever silently lost —
     // the bench must always emit a parseable line, so no require/crash
-    val prefixes = results.map(_._1.takeWhile(_ != '_'))
-    val dupPrefixes = prefixes.groupBy(identity).collect {
+    val allNames = results.map(_._1) ++ failed
+    val prefixOf = allNames.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val dupPrefixes = allNames.map(prefixOf).groupBy(identity).collect {
       case (k, vs) if vs.size > 1 => k
     }.toSet
-    val shortKeys = results.zip(prefixes).map { case ((full, _, _), p) =>
+    def shortKey(full: String): String = {
+      val p = prefixOf(full)
       if (dupPrefixes(p)) full else p
     }
     val coldTotal = results.map(_._2).sum
@@ -87,11 +110,17 @@ object Bench {
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
+    // the field is omitted when empty — every char counts against the
+    // tail budget, and "no failed field" unambiguously means "none"
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + shortKey(n) + "\"")
+        .mkString(""""failed":[""", ",", "],")
     def render(dp: Int): String = {
-      val qs = results.zip(shortKeys).map { case ((_, _, warm), k) =>
-        "\"" + k + "\":" + fmtTrim(warm, dp)
+      val qs = results.map { case (full, _, warm) =>
+        "\"" + shortKey(full) + "\":" + fmtTrim(warm, dp)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,$failedField"sf":"$sfDir"}"""
     }
     // degrade per-query precision before overflowing the tail budget —
     // a parse-able 1-decimal line beats a truncated 2-decimal one

@@ -218,79 +218,94 @@ object MediaCodecs {
   def isImageIoDecodable(b: Array[Byte]): Boolean =
     isPng(b) || isJpeg(b) || isGif(b)
 
+  /** Decoded-pixel ceiling (64M px ≈ 8192×8192). A few-hundred-byte
+    * PNG/GIF can DECLARE arbitrary dimensions (decompression bomb); in
+    * an untrusted web-scale corpus that would mean multi-GB allocations
+    * per row on executors. The guard reads w×h from the HEADER (no pixel
+    * decode) and rejects before any allocation; it also keeps
+    * `w*h*3` safely inside Int, so the RGB buffer can't overflow. */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
   /** Decode PNG/JPEG/GIF via `javax.imageio.ImageIO` into the same
     * top-down RGB [[BmpImage]] the pure-JVM BMP path produces, so every
     * downstream feature/resize works identically on compressed input.
     * Pure function of the bytes, executor-safe in `mapPartitions`
     * (ImageIO is headless-safe; no AWT rendering involved). Returns
-    * None on truncated/corrupt payloads rather than failing the task. */
+    * None on truncated/corrupt/bomb payloads rather than failing the
+    * task: ImageIO readers throw RuntimeExceptions (not just
+    * IOException) on malformed input — ArrayIndexOutOfBounds on bad
+    * GIF tables, CMMException on bad ICC profiles — so the net is
+    * `NonFatal`, and dimensions are validated from the header before
+    * any pixel buffer exists ([[MaxImagePixels]]). */
   def decodeImage(bytes: Array[Byte]): Option[BmpImage] = {
     if (!isImageIoDecodable(bytes)) return None
     try {
-      val img = javax.imageio.ImageIO.read(
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val rgb = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val px = img.getRGB(x, y) // packed ARGB regardless of raster
-            val d = (y * w + x) * 3
-            rgb(d) = ((px >> 16) & 0xff).toByte
-            rgb(d + 1) = ((px >> 8) & 0xff).toByte
-            rgb(d + 2) = (px & 0xff).toByte
-            x += 1
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+          else {
+            val img = reader.read(0)
+            // bulk ARGB grab: one color-model conversion for the whole
+            // raster instead of a per-pixel getRGB call
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val rgb = new Array[Byte](w * h * 3)
+            var i = 0
+            val n = w * h
+            while (i < n) {
+              val p = px(i)
+              rgb(i * 3) = ((p >> 16) & 0xff).toByte
+              rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+              rgb(i * 3 + 2) = (p & 0xff).toByte
+              i += 1
+            }
+            Some(BmpImage(w, h, rgb))
           }
-          y += 1
-        }
-        Some(BmpImage(w, h, rgb))
-      }
-    } catch { case _: java.io.IOException => None }
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def toBufferedImage(img: BmpImage): java.awt.image.BufferedImage = {
+    val buf = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val n = img.width * img.height
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val s = i * 3
+      px(i) = ((img.rgb(s) & 0xff) << 16) |
+        ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff)
+      i += 1
+    }
+    buf.setRGB(0, 0, img.width, img.height, px, 0, img.width)
+    buf
+  }
+
+  private def encodeVia(img: BmpImage, format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // write() returns false when no registered writer handled the
+    // format — silently returning an empty payload would propagate a
+    // zero-byte "image" downstream, so fail the call instead
+    val handled = javax.imageio.ImageIO.write(toBufferedImage(img),
+      format, out)
+    if (!handled)
+      throw new IllegalStateException(s"no ImageIO writer for '$format'")
+    out.toByteArray
   }
 
   /** Encode as PNG (lossless) via ImageIO — the re-encode side of image
     * transforms and the synthesis side for tests. */
-  def encodePng(img: BmpImage): Array[Byte] = {
-    val buf = new java.awt.image.BufferedImage(img.width, img.height,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < img.height) {
-      var x = 0
-      while (x < img.width) {
-        val s = (y * img.width + x) * 3
-        buf.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
-          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
-        x += 1
-      }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(buf, "png", out)
-    out.toByteArray
-  }
+  def encodePng(img: BmpImage): Array[Byte] = encodeVia(img, "png")
 
   /** Encode as JPEG (lossy — for round-trip tolerance tests). */
-  def encodeJpeg(img: BmpImage): Array[Byte] = {
-    val buf = new java.awt.image.BufferedImage(img.width, img.height,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < img.height) {
-      var x = 0
-      while (x < img.width) {
-        val s = (y * img.width + x) * 3
-        buf.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
-          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
-        x += 1
-      }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(buf, "jpg", out)
-    out.toByteArray
-  }
+  def encodeJpeg(img: BmpImage): Array[Byte] = encodeVia(img, "jpg")
 
   /** 8-dim image features: mean R/G/B, luminance of the 4 quadrants,
     * and aspect ratio — all in [0, 1]-ish ranges, deterministic. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Clusters, Curation, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.pipeline.{Clusters, Curation, Dedup, MediaCodecs, Multimodal, Sampling, TextAnalysis}
 
 /** Round-3 coverage: the curation stages a large-scale training-data
   * pipeline runs AFTER the per-document scoring ops (q20–q29) — all
@@ -535,6 +535,71 @@ object CurationQueries {
       |FROM b, unnest(generate_series(0, CAST((n + 255) // 256 AS BIGINT)
       |  - 1)) AS u(i)
       |ORDER BY media_id, frame_index""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q161 — REAL ImageIO decode under the oracle: synthesize one PNG per
+  // document on the EXECUTORS (pixel (x,y) channels are closed-form
+  // functions of doc_id — no data movement, no fixtures), run it through
+  // encodePng → decodeImage (PNG is lossless, so the round trip must be
+  // pixel-exact), and emit per-image channel sums. The DuckDB oracle
+  // recomputes the same sums from the closed form with generate_series:
+  // a green row proves javax.imageio decode actually RAN distributed and
+  // bit-agreed with the synthesis formula. Scale shape: embarrassingly
+  // parallel mapPartitions, output one row per document.
+  // -------------------------------------------------------------------
+  def q161_image_decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val d = (y * w + x) * 3
+            rgb(d) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+            rgb(d + 1) = ((id * 17 + x * 11 + y * 5) % 256).toByte
+            rgb(d + 2) = ((id * 23 + x * 3 + y * 19) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val png = MediaCodecs.encodePng(MediaCodecs.BmpImage(w, h, rgb))
+        val img = MediaCodecs.decodeImage(png).getOrElse(
+          sys.error(s"PNG round-trip failed for doc $id"))
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var i = 0
+        val n = img.width * img.height
+        while (i < n) {
+          rs += img.rgb(i * 3) & 0xff
+          gs += img.rgb(i * 3 + 1) & 0xff
+          bs += img.rgb(i * 3 + 2) & 0xff
+          i += 1
+        }
+        (id, img.width, img.height, rs, gs, bs)
+      }
+    }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val q161_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+      |  FROM d,
+      |    unnest(generate_series(0, w - 1)) AS xx(x),
+      |    unnest(generate_series(0, h - 1)) AS yy(y))
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS r_sum,
+      |  CAST(SUM((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS g_sum,
+      |  CAST(SUM((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS b_sum
+      |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q66 — BM25 document ranking, integer-exact: the full Okapi shape
@@ -1108,7 +1173,8 @@ object CurationQueries {
     "q157_score_calibration" -> q157_score_calibration _,
     "q63_event_pivot" -> q63_event_pivot _,
     "q64_posting_lists" -> q64_posting_lists _,
-    "q65_media_frames" -> q65_media_frames _)
+    "q65_media_frames" -> q65_media_frames _,
+    "q161_image_decode" -> q161_image_decode _)
 
   val oracles: Map[String, String] = Map(
     "q126_leakfree_split" -> q126_sql,
@@ -1136,5 +1202,6 @@ object CurationQueries {
     "q157_score_calibration" -> q157_sql,
     "q63_event_pivot" -> q63_sql,
     "q64_posting_lists" -> q64_sql,
-    "q65_media_frames" -> q65_sql)
+    "q65_media_frames" -> q65_sql,
+    "q161_image_decode" -> q161_sql)
 }
