@@ -14,18 +14,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * hardware). Exact and order-independent, so results are bit-identical
   * on any engine/partitioning.
   *
-  * Null if either side is null, lengths differ, or any element is null
-  * (SQL semantics: x·NULL = NULL poisons the sum). Values are expected
-  * int8-range; a 64-dim int8 dot is ≤ 64·127² ≪ Long.MaxValue, so no
-  * overflow handling is needed at quantized magnitudes.
+  * Null if either side is null, lengths differ, any element is null
+  * (SQL semantics: x·NULL = NULL poisons the sum), or the multiply-
+  * accumulate overflows int64. At the intended int8-quantized
+  * magnitudes overflow is unreachable (a 64-dim int8 dot is
+  * ≤ 64·127² ≪ Long.MaxValue) and the exact-arithmetic intrinsics
+  * (`Math.multiplyExact`/`addExact`) JIT to the same mul/add plus a
+  * branch-on-overflow-flag — but as a GENERIC SQL function
+  * (`graft_int_dot`) it accepts arbitrary bigints, and a silent wrap
+  * would return a confidently wrong score. Null is the SQL-shaped
+  * "can't represent" answer, consistent with the other null cases.
   */
 @ExpressionDescription(
   usage = "_FUNC_(a, b) - integer dot product of two array<bigint> " +
-    "vectors. Intended for int8-quantized embeddings: the multiply-" +
-    "accumulate is plain 64-bit arithmetic with NO overflow check, so " +
-    "elements must stay small enough that sum(|a_i*b_i|) < 2^63 " +
-    "(any length at int8 magnitudes; ~2^23 elements at int16). " +
-    "Larger inputs wrap silently.")
+    "vectors. Intended for int8-quantized embeddings, where the " +
+    "multiply-accumulate is exact 64-bit arithmetic. Inputs whose " +
+    "dot product overflows int64 return NULL rather than wrapping.")
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -53,14 +57,17 @@ case class IntDotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
-      var dot = 0L
-      var i = 0
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        dot += x.getLong(i) * y.getLong(i)
-        i += 1
-      }
-      dot
+      try {
+        var dot = 0L
+        var i = 0
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          dot = Math.addExact(dot,
+            Math.multiplyExact(x.getLong(i), y.getLong(i)))
+          i += 1
+        }
+        dot
+      } catch { case _: ArithmeticException => null }
     }
   }
 
@@ -75,11 +82,17 @@ case class IntDotProduct(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  long $dot = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |      ${ev.isNull} = true; break;
+         |  try {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |        ${ev.isNull} = true; break;
+         |      }
+         |      $dot = java.lang.Math.addExact($dot,
+         |        java.lang.Math.multiplyExact(
+         |          $a.getLong($i), $b.getLong($i)));
          |    }
-         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  } catch (java.lang.ArithmeticException e) {
+         |    ${ev.isNull} = true;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}

@@ -115,16 +115,19 @@ object Sampling {
     // than silently overwrite same-named input columns
     require(!df.columns.contains("priority") && !df.columns.contains("rank"),
       "input already has a priority/rank column; rename it first")
-    // collision-safe temp name + backtick-quoted identifiers, so column
-    // names needing quoting can't break the integer-div expression
+    // collision-safe temp name + backtick-quoted identifiers EVERYWHERE
+    // a user-supplied name is parsed: bare col("a.b") reads ".b" as a
+    // struct field, and an unquoted name inside expr() breaks the
+    // integer-div expression
     val tmpH = Iterator.from(0).map(i => s"_h$i")
       .find(c => !df.columns.contains(c)).get
     def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
+    def qcol(c: String): Column = col(quoted(c))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(col("priority"), col(idCol))
-    df.filter(col(weightCol) > 0)
-      .withColumn(tmpH, hash60(salt, col(idCol)))
+      .partitionBy(qcol(stratumCol))
+      .orderBy(col("priority"), qcol(idCol))
+    df.filter(qcol(weightCol) > 0)
+      .withColumn(tmpH, hash60(salt, qcol(idCol)))
       .withColumn("priority",
         expr(s"${quoted(tmpH)} div ${quoted(weightCol)}"))
       .drop(tmpH)

@@ -1,7 +1,8 @@
 package graft
 
 import graft.ingest.GoFrontend
-import graft.model.Model.Labels
+import graft.model.Model.{Labels, RelTypes}
+import graft.sources.Sources
 import graft.queries.CodeGraph
 import graft.store.GraphStore
 
@@ -216,6 +217,50 @@ class GoFrontendSpec extends SparkSpec {
     val doM = ents.find(_.name == "Do").get
     assert(doM.label === Labels.Method)
     assert(doM.receiver === "Client")
+  }
+
+  test("dogfood the REFERENCE tree: its own corpus-shape minimums hold") {
+    // run the frontend over the real /root/reference Go sources and hold
+    // it to the reference's own integration thresholds
+    // (test/integration/indexing_test.go:91-158): ≥1 service, ≥10 files,
+    // ≥100 symbols, ≥5 functions, ≥10 service-CONTAINS-file edges,
+    // ≥50 file-CONTAINS-entity edges, ≥100 reference (CALLS) edges
+    val globs = Seq( // hadoop globs aren't recursive; cover each depth
+      "/root/reference/*/*.go",
+      "/root/reference/*/*/*.go",
+      "/root/reference/*/*/*/*.go")
+    val files = globs.map(g => Sources.sourceFiles(spark, g))
+      .reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ref").toString
+    val store = new GraphStore(spark, dir)
+    GoFrontend.ingest(store, files, "codegraph")
+
+    val labels = store.nodes.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels(Labels.Service) === 1L, "exactly one service node")
+    assert(labels(Labels.File) >= 10L, s"files: ${labels.get(Labels.File)}")
+    assert(labels(Labels.Symbol) >= 100L,
+      s"symbols: ${labels.get(Labels.Symbol)}")
+    assert(labels(Labels.Function) >= 5L,
+      s"functions: ${labels.get(Labels.Function)}")
+
+    val rels = store.edges.groupBy("relType").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val contains = rels.getOrElse(RelTypes.Contains, 0L)
+    assert(contains >= 10L + 50L,
+      s"CONTAINS (service→file + file→entity): $contains")
+    assert(rels.getOrElse(RelTypes.Calls, 0L) >= 100L,
+      s"CALLS references: ${rels.get(RelTypes.Calls)}")
+    assert(rels.getOrElse(RelTypes.Defines, 0L) >= 100L,
+      s"DEFINES: ${rels.get(RelTypes.Defines)}")
+
+    // the graph the frontend built must answer the flagship navigation
+    // queries on the reference's OWN code
+    val cg = CodeGraph(store)
+    val checks = cg.integrityChecks().collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("violationCount"))
+      .toMap
+    assert(checks.values.forall(_ === 0L), s"integrity: $checks")
   }
 
   test("dogfood ingest: thresholds, defs, calls, impact") {

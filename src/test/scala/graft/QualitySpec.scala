@@ -107,6 +107,65 @@ class QualitySpec extends SparkSpec {
     assert(nullElem(0).isNullAt(0))
   }
 
+  test("IntDotProduct returns null at int64 overflow, never wraps") {
+    // register the SQL name (idempotent; test order must not matter)
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "graft_int_dot",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.IntDotProduct(children(0), children(1)))
+    val max = Long.MaxValue
+    val min = Long.MinValue
+    val cases = Seq(
+      // (a, b, expected: Some(dot) | None for null)
+      (Array(max), Array(1L), Some(max)),            // boundary, exact
+      (Array(max), Array(2L), None),                 // multiply overflow
+      (Array(min), Array(-1L), None),                // -MIN unrepresentable
+      (Array(max, max), Array(1L, 1L), None),        // accumulate overflow
+      (Array(max, max), Array(1L, -1L), Some(0L)),   // cancels, in range
+      (Array(max - 1, 1L), Array(1L, 1L), Some(max)) // lands ON the edge
+    )
+    // drive BOTH eval paths: whole-stage codegen (the repartition stops
+    // ConvertToLocalRelation from interpreting the project eagerly) and
+    // interpreted nullSafeEval (literal SQL constant-folds pre-codegen)
+    cases.zipWithIndex.foreach { case ((a, b, want), i) =>
+      val df = Seq((a, b)).toDF("a", "b").repartition(1)
+        .select(Similarity.intDot(col("a"), col("b")).as("d"))
+      val row = df.collect()(0)
+      want match {
+        case Some(v) => assert(row.getLong(0) === v, s"case $i codegen")
+        case None    => assert(row.isNullAt(0), s"case $i codegen")
+      }
+      val lit = spark.sql(
+        s"SELECT graft_int_dot(array(${a.mkString("L,")}L), " +
+          s"array(${b.mkString("L,")}L)) AS d").collect()(0)
+      want match {
+        case Some(v) => assert(lit.getLong(0) === v, s"case $i interp")
+        case None    => assert(lit.isNullAt(0), s"case $i interp")
+      }
+    }
+    // property sweep (interpreted local eval — fast): random
+    // near-boundary magnitudes agree with exact BigInt arithmetic
+    val rnd = new scala.util.Random(31)
+    (1 to 200).foreach { i =>
+      val n = 1 + rnd.nextInt(4)
+      def vec() = Array.fill(n)(
+        (rnd.nextLong() >> rnd.nextInt(32)): Long)
+      val (a, b) = (vec(), vec())
+      val big = a.zip(b).map { case (x, y) =>
+        BigInt(x) * BigInt(y) }.sum
+      val inRange = big >= BigInt(Long.MinValue) && big <= BigInt(Long.MaxValue) &&
+        a.zip(b).forall { case (x, y) =>
+          val p = BigInt(x) * BigInt(y)
+          p >= BigInt(Long.MinValue) && p <= BigInt(Long.MaxValue) } &&
+        a.zip(b).scanLeft(BigInt(0)) { case (acc, (x, y)) =>
+          acc + BigInt(x) * BigInt(y) }.forall(s =>
+            s >= BigInt(Long.MinValue) && s <= BigInt(Long.MaxValue))
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(Similarity.intDot(col("a"), col("b"))).collect()(0)
+      if (inRange) assert(row.getLong(0) === big.toLong, s"sweep $i")
+      else assert(row.isNullAt(0), s"sweep $i overflow must null")
+    }
+  }
+
   test("graft_int_dot callable from spark.sql after live registration") {
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "graft_int_dot",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -132,6 +191,33 @@ class QualitySpec extends SparkSpec {
     val withZero = df.withColumn("w",
       when(col("id") === 50L, 0L).otherwise(col("w")))
     assert(!pick(withZero).contains(50L))
+  }
+
+  test("weightedPrioritySample survives hostile column names") {
+    // weight column whose name needs backtick quoting inside expr(),
+    // plus pre-existing _h0 (the first temp-name candidate) — both
+    // would break a naive string-interpolated `_h div $weightCol`
+    val df = (0L until 100L).map { i =>
+      (i, "s", if (i < 10) 1000L else 1L, "decoy")
+    }.toDF("id", "stratum", "the weight.col", "_h0")
+    val got = Sampling.weightedPrioritySample(
+      df, "id", "stratum", "the weight.col", 5)
+    assert(got.count() === 5)
+    // the decoy _h0 column must survive untouched
+    assert(got.columns.contains("_h0"))
+    assert(got.select("_h0").collect().forall(_.getString(0) == "decoy"))
+    // same picks as the clean-named frame (name can't change semantics)
+    val clean = Sampling.weightedPrioritySample(
+      (0L until 100L).map(i => (i, "s", if (i < 10) 1000L else 1L))
+        .toDF("id", "stratum", "w"), "id", "stratum", "w", 5)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ===
+      clean.select("id").collect().map(_.getLong(0)).toSet)
+    // documented refusal: an input already carrying priority/rank
+    val taken = df.withColumnRenamed("_h0", "priority")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedPrioritySample(
+        taken, "id", "stratum", "the weight.col", 5)
+    }
   }
 
   test("round-4 ops degrade gracefully on empty and degenerate input") {
