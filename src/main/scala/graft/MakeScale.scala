@@ -1,0 +1,116 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress data generator: replicate an sf directory K× with
+  * deterministic key offsets and content perturbation, so the heavy
+  * queries can be measured at 10× bench scale (round-6 verdict task #6)
+  * WITHOUT touching the read-only driver testdata.
+  *
+  *   sbt "runMain graft.MakeScale /root/testdata/sf0.1 tmp/sf1 10"
+  *
+  * Key columns are offset by `rep * (max_key + 1)` so FK joins keep the
+  * same per-key fan-in as the source (orders↔lineitem↔part etc. — a
+  * naive union would multiply join fan-in by K and measure a DIFFERENT
+  * query). Document text gets a per-replica prefix and embeddings a
+  * per-replica jitter so dedup/ANN candidate structure stays
+  * source-like instead of collapsing into K-way exact duplicate
+  * clusters. region/nation stay single-copy (dimensions, like TPC-H's
+  * fixed-size tables at every SF).
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, fStr) = args
+    val factor = fStr.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+
+    def load(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    // single parquet FILE per table, matching the driver layout the
+    // Tables loader and oracle expect
+    def save(df: DataFrame, name: String): Unit =
+      df.coalesce(math.max(1, factor)).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+
+    /** Union K replicas, offsetting each key column by rep*base. The
+      * base for a FOREIGN key must be the referenced table's base, so
+      * every FK keeps pointing inside its own replica — hence bases are
+      * passed in per key domain, not derived per table. */
+    def replicate(df: DataFrame, keyBases: Seq[(String, Long)],
+        perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until factor).map { rep =>
+        val shifted = keyBases.foldLeft(df) { case (d, (k, base)) =>
+          d.withColumn(k, col(k) + lit(rep * base))
+        }
+        perturb(shifted, rep)
+      }.reduce(_ unionAll _)
+
+    def baseOf(df: DataFrame, k: String): Long =
+      df.agg(max(col(k))).collect()(0).getLong(0) + 1L
+
+    val (customer, supplier, part, orders, lineitem, events) =
+      (load("customer"), load("supplier"), load("part"), load("orders"),
+        load("lineitem"), load("events"))
+    // one base per key DOMAIN, shared by every table referencing it
+    val custBase = baseOf(customer, "c_custkey")
+    val suppBase = baseOf(supplier, "s_suppkey")
+    val partBase = baseOf(part, "p_partkey")
+    val orderBase = baseOf(orders, "o_orderkey")
+
+    save(load("region"), "region")
+    save(load("nation"), "nation")
+    save(replicate(customer, Seq("c_custkey" -> custBase)), "customer")
+    save(replicate(supplier, Seq("s_suppkey" -> suppBase)), "supplier")
+    save(replicate(part, Seq("p_partkey" -> partBase)), "part")
+    save(replicate(orders,
+      Seq("o_orderkey" -> orderBase, "o_custkey" -> custBase)), "orders")
+    save(replicate(lineitem, Seq("l_orderkey" -> orderBase,
+      "l_partkey" -> partBase, "l_suppkey" -> suppBase)), "lineitem")
+    save(replicate(events, Seq("event_id" -> baseOf(events, "event_id"),
+      "user_id" -> baseOf(events, "user_id"))), "events")
+    val documents = load("documents")
+    save(replicate(documents, Seq("doc_id" -> baseOf(documents, "doc_id")),
+      perturb = (d, rep) =>
+        if (rep == 0) d
+        else {
+          // per-replica Caesar shift of letters: within a replica the
+          // corpus keeps its exact dup/near-dup structure (translate is
+          // a bijection on tokens and shingles), while across replicas
+          // shingles are disjoint — a 10× corpus should have 10× MORE
+          // duplicate clusters, not 10×-BIGGER clusters (a weaker
+          // perturbation, e.g. a prefix, preserves shingles and blows
+          // candidate pairs up ×K² instead of ×K)
+          val lower = "abcdefghijklmnopqrstuvwxyz"
+          val upper = lower.toUpperCase
+          val k = rep % 25 + 1
+          def rot(s: String) = s.drop(k) + s.take(k)
+          d.withColumn("text",
+            translate(col("text"), lower + upper, rot(lower) + rot(upper)))
+        }),
+      "documents")
+    val embeddings = load("embeddings")
+    save(replicate(embeddings,
+      Seq("vec_id" -> baseOf(embeddings, "vec_id")),
+      perturb = (d, rep) =>
+        if (rep == 0) d
+        else d.withColumn("embedding",
+          // deterministic per-replica jitter (~1e-3 scale): keeps the
+          // cosine structure while breaking exact K-way duplication
+          transform(col("embedding"), (v, i) =>
+            (v + (pmod(col("vec_id") * 31 + i * 7 + lit(rep), lit(997))
+              .cast("float") - 498f) / 500000f).cast("float")))),
+      "embeddings")
+
+    println(s"MAKESCALE done: $dst at ${factor}x of $src")
+    spark.stop()
+  }
+}
