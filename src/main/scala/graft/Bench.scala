@@ -116,15 +116,23 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + shortKey(n) + "\"")
         .mkString(""""failed":[""", ",", "],")
+    // the sf basename carries the same information as the full path at
+    // 15 fewer chars against the tail budget
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
     def render(dp: Int): String = {
       val qs = results.map { case (full, _, warm) =>
         "\"" + shortKey(full) + "\":" + fmtTrim(warm, dp)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,$failedField"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,$failedField"sf":"$sfShort"}"""
     }
     // degrade per-query precision before overflowing the tail budget —
-    // a parse-able 1-decimal line beats a truncated 2-decimal one
-    Iterator(2, 1, 0).map(render).find(_.length < 1950)
+    // a parse-able 1-decimal line beats a truncated 2-decimal one.
+    // Budget: the collector keeps the LAST 2000 chars of output and the
+    // JSON line is the last thing printed (measured r1–r6: tails of
+    // exactly 2000 chars with 1982–1984-char lines parsing fine), so
+    // 1985 leaves room for the trailing newline plus slack.
+    Iterator(2, 1, 0).map(render).find(_.length < 1985)
       .getOrElse(render(0))
   }
 }

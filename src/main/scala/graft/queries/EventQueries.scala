@@ -311,6 +311,47 @@ object EventQueries {
       |ORDER BY hour_bucket, event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q162 — STREAMING sessionization under the batch oracle (§2.8): the
+  // events table replayed through a parquet file stream →
+  // Incremental.sessionizedEvents (Structured Streaming's native
+  // session_window, gap 30 min) → complete-mode memory sink → the same
+  // (user_id, session_seq, n_events, duration_us) shape as batch q31,
+  // hash-compared against the IDENTICAL DuckDB sessionization SQL.
+  // Boundary semantics verified to match the batch lag-rule exactly:
+  // session_window merges an event at exactly prev+gap (batch keeps
+  // diff == gap in-session, splits only on diff > gap). session_end is
+  // last_event + gap, so duration = end − start − gap. Event-time
+  // windows make the result micro-batch-order independent — the
+  // property worth gating.
+  // -------------------------------------------------------------------
+  def q162_stream_sessions(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+      .select(timestamp_micros(expr("ts div 1000")).as("event_ts"),
+        col("user_id"), col("value"))
+    val agg = graft.streaming.Incremental
+      .sessionizedEvents(stream, "event_ts", gap = "30 minutes")
+    val sink = s"q162_sink_${System.nanoTime()}"
+    val query = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_start"))
+    spark.table(sink)
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        (unix_micros(col("session_end")) -
+          unix_micros(col("session_start")) - lit(1800000000L))
+          .as("duration_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val q162_sql: String = q31_sql
+
+  // -------------------------------------------------------------------
   // q134 — event-rate anomaly detection: hourly counts per type, then a
   // per-type z-test done ENTIRELY in integers so the flag is
   // engine-portable.  For hourly count n with per-type hour count H,
@@ -763,6 +804,7 @@ object EventQueries {
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
     "q108_stream_dedup" -> q108_stream_dedup _,
+    "q162_stream_sessions" -> q162_stream_sessions _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -782,6 +824,7 @@ object EventQueries {
     "q90_retention" -> q90_sql,
     "q103_stream_windows" -> q103_sql,
     "q108_stream_dedup" -> q108_sql,
+    "q162_stream_sessions" -> q162_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,

