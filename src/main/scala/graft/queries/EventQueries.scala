@@ -352,6 +352,51 @@ object EventQueries {
   val q162_sql: String = q31_sql
 
   // -------------------------------------------------------------------
+  // q163 — ARBITRARY keyed state under the batch oracle (§2.8's escape
+  // hatch): the events table replayed through a file stream →
+  // Incremental.runningUserTotals (mapGroupsWithState — per-user struct
+  // state folded across micro-batches) → update-mode memory sink. The
+  // FINAL state per user (count, total, max event id) is arrival-order
+  // invariant, so a plain GROUP BY oracles the whole stateful pipeline;
+  // the sink holds one row per (user, update), and n_events is strictly
+  // monotone per user, so max-by-n_events selects the final state.
+  // total is a float fold whose addition order differs between engines —
+  // gate it at micro-unit rounding (1e-6), far above double-sum
+  // associativity noise (~1e-13 at these magnitudes).
+  // -------------------------------------------------------------------
+  def q163_stream_state(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.load(spark, dir, "events").schema
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[graft.streaming.Incremental.UserEvent]
+    val totals = graft.streaming.Incremental.runningUserTotals(stream)
+    val sink = s"q163_sink_${System.nanoTime()}"
+    val query = totals.toDF().writeStream.format("memory")
+      .queryName(sink).outputMode("update").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total"), col("max_event_id")))
+        .as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        round(col("fin.total") * 1e6).cast("long").as("total_micro"),
+        col("fin.max_event_id").as("max_event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val q163_sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(round(SUM(value) * 1000000) AS BIGINT) AS total_micro,
+      |  MAX(event_id) AS max_event_id
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q134 — event-rate anomaly detection: hourly counts per type, then a
   // per-type z-test done ENTIRELY in integers so the flag is
   // engine-portable.  For hourly count n with per-type hour count H,
@@ -805,6 +850,7 @@ object EventQueries {
     "q103_stream_windows" -> q103_stream_windows _,
     "q108_stream_dedup" -> q108_stream_dedup _,
     "q162_stream_sessions" -> q162_stream_sessions _,
+    "q163_stream_state" -> q163_stream_state _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -825,6 +871,7 @@ object EventQueries {
     "q103_stream_windows" -> q103_sql,
     "q108_stream_dedup" -> q108_sql,
     "q162_stream_sessions" -> q162_sql,
+    "q163_stream_state" -> q163_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,
