@@ -602,6 +602,56 @@ object CurationQueries {
       |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q164 — REAL WAV codec under the oracle (the audio analog of q161):
+  // synthesize one PCM WAV per document on the EXECUTORS (sample i is a
+  // closed-form function of doc_id), run it through encodeWav →
+  // decodeWav (PCM is lossless byte arithmetic), and emit per-file
+  // sample statistics plus decoded metadata. The DuckDB oracle
+  // recomputes the same statistics from the closed form with
+  // generate_series — a green row proves the executor-side WAV decode
+  // bit-agreed with the synthesis formula. Same embarrassingly-parallel
+  // mapPartitions shape as q161.
+  // -------------------------------------------------------------------
+  def q164_audio_decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          (((id * 31 + i * 7) % 65536) - 32768).toShort)
+        val wav = MediaCodecs.encodeWav(samples, 16000, 1)
+        val (meta, got) = MediaCodecs.decodeWav(wav).getOrElse(
+          sys.error(s"WAV round-trip failed for doc $id"))
+        var (s, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+        var i = 0
+        while (i < got.length) {
+          val v = got(i).toInt
+          s += v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        (id, meta.sampleRate, meta.channels, got.length.toLong, s,
+          mn.toLong, mx.toLong)
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "n_samples", "sum_s",
+        "min_s", "max_s")
+      .orderBy(col("doc_id"))
+  }
+
+  val q164_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, (doc_id * 31 + ii.i * 7) % 65536 - 32768 AS v
+      |  FROM d, unnest(generate_series(0, n - 1)) AS ii(i))
+      |SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_s,
+      |  CAST(MIN(v) AS BIGINT) AS min_s, CAST(MAX(v) AS BIGINT) AS max_s
+      |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q66 — BM25 document ranking, integer-exact: the full Okapi shape
   // (tf saturation k1=1.2, length normalization b=0.75) cleared of
   // floats by multiplying through by 10·DLS (DLS = total corpus token
@@ -1174,7 +1224,8 @@ object CurationQueries {
     "q63_event_pivot" -> q63_event_pivot _,
     "q64_posting_lists" -> q64_posting_lists _,
     "q65_media_frames" -> q65_media_frames _,
-    "q161_image_decode" -> q161_image_decode _)
+    "q161_image_decode" -> q161_image_decode _,
+    "q164_audio_decode" -> q164_audio_decode _)
 
   val oracles: Map[String, String] = Map(
     "q126_leakfree_split" -> q126_sql,
@@ -1203,5 +1254,6 @@ object CurationQueries {
     "q63_event_pivot" -> q63_sql,
     "q64_posting_lists" -> q64_sql,
     "q65_media_frames" -> q65_sql,
-    "q161_image_decode" -> q161_sql)
+    "q161_image_decode" -> q161_sql,
+    "q164_audio_decode" -> q164_sql)
 }
