@@ -52,8 +52,25 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** The inverse guard of [[normalizeEventTs]] for columns consumed with
+    * TIMESTAMP semantics (comparisons against timestamp literals,
+    * date_format): if a regeneration flips them to parquet
+    * TIMESTAMP(NANOS), they surface as LongType under `nanosAsLong` and
+    * every timestamp comparison breaks at analysis — so canonicalize
+    * long nanos back to a timestamp at the load boundary. Timestamp
+    * flavors (LTZ and NTZ) pass through untouched. */
+  def normalizeTimestampCol(df: DataFrame, name: String): DataFrame =
+    df.schema(name).dataType match {
+      case LongType =>
+        df.withColumn(name,
+          expr(s"timestamp_micros(`$name` div 1000)"))
+      case _ => df
+    }
+
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTimestampCol(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTimestampCol(load(s, d, "lineitem"), "l_shipdate")
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -64,6 +64,27 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("date columns: long nanos canonicalize back to timestamp") {
+    // the inverse guard: o_orderdate/l_shipdate consumed with TIMESTAMP
+    // semantics must survive a regeneration that encodes them as
+    // TIMESTAMP(NANOS) (read as long under nanosAsLong)
+    val df = Seq((1L, wantNanos)).toDF("o_orderkey", "o_orderdate")
+    val out = Tables.normalizeTimestampCol(df, "o_orderdate")
+    assert(out.schema("o_orderdate").dataType.typeName === "timestamp")
+    assert(out.select(unix_micros(col("o_orderdate"))).as[Long]
+      .collect() === Array(micros))
+    // timestamp flavors pass through untouched
+    val ts = df.withColumn("o_orderdate",
+      expr("timestamp_micros(o_orderdate div 1000)"))
+    assert(Tables.normalizeTimestampCol(ts, "o_orderdate")
+      .schema("o_orderdate").dataType.typeName === "timestamp")
+    // the live tables load with timestamp-typed date columns either way
+    assert(Tables.orders(spark, "/root/testdata/sf0.001")
+      .schema("o_orderdate").dataType.typeName.startsWith("timestamp"))
+    assert(Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .schema("l_shipdate").dataType.typeName.startsWith("timestamp"))
+  }
+
   test("the real testdata loads to long nanos and matches DuckDB's view") {
     // whatever encoding the driver generated, the loader must emit BIGINT
     // nanos whose hour buckets agree with the parquet's own micros
