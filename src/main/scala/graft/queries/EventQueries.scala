@@ -397,6 +397,69 @@ object EventQueries {
       |ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q165 — STREAM-STREAM interval join under the batch oracle (§2.8):
+  // click→purchase attribution per user within a 1-hour lag, both sides
+  // replayed through watermarked file streams and joined with
+  // Incremental.intervalJoin (event-time range condition → bounded join
+  // state). The emitted pair set is micro-batch-order independent (an
+  // inner event-time join is deterministic once both sides are fully
+  // replayed), so a plain batch self-join SQL oracles the streaming
+  // pipeline; pairs aggregate per user to keep the gate row-stable.
+  // -------------------------------------------------------------------
+  def q165_stream_interval_join(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    def side(eventType: String): DataFrame =
+      Tables.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("event_ts"),
+          col("event_id"))
+    val pairs = graft.streaming.Incremental.intervalJoin(
+      side("click"), side("purchase"),
+      keyCol = "user_id", tsCol = "event_ts", idCol = "event_id",
+      maxLag = "1 hour", watermark = "2 hours")
+    val sink = s"q165_sink_${System.nanoTime()}"
+    // A stream-stream join runs FOUR state stores per shuffle partition
+    // (keyToNumValues + keyWithIndexToValue per side), and every
+    // micro-batch commits each store to the checkpoint dir — the cost is
+    // O(partitions × stores), not O(rows), at this scale. The stateful
+    // partition count is fixed at query start from
+    // spark.sql.shuffle.partitions, so narrow it for the lifetime of
+    // this query only (the key space is user_id — hundreds of keys
+    // spread fine over 8 partitions; a real deployment sizes this to
+    // keys/executor, and it CANNOT be changed after the first run).
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try pairs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions",
+        shufflePartitions)
+    try { query.processAllAvailable() } finally { query.stop() }
+    spark.table(sink)
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("left_id")).as("n_clicks_matched"),
+        countDistinct(col("right_id")).as("n_purchases_matched"))
+      .orderBy(col("user_id"))
+  }
+
+  val q165_sql: String =
+    """SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT c.event_id) AS n_clicks_matched,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases_matched
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_ns(p.ts) > epoch_ns(c.ts)
+      |  AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q134 — event-rate anomaly detection: hourly counts per type, then a
   // per-type z-test done ENTIRELY in integers so the flag is
   // engine-portable.  For hourly count n with per-type hour count H,
@@ -851,6 +914,7 @@ object EventQueries {
     "q108_stream_dedup" -> q108_stream_dedup _,
     "q162_stream_sessions" -> q162_stream_sessions _,
     "q163_stream_state" -> q163_stream_state _,
+    "q165_stream_interval_join" -> q165_stream_interval_join _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -872,6 +936,7 @@ object EventQueries {
     "q108_stream_dedup" -> q108_sql,
     "q162_stream_sessions" -> q162_sql,
     "q163_stream_state" -> q163_sql,
+    "q165_stream_interval_join" -> q165_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,

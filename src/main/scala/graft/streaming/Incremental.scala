@@ -75,6 +75,40 @@ object Incremental {
     }
   }
 
+  /** Watermarked stream-stream INTERVAL join — the attribution shape
+    * (purchase within `maxLag` after a click, per user). Both sides are
+    * keyed on `keyCol`; a right row matches a left row when
+    * `left_ts < right_ts <= left_ts + maxLag`.
+    *
+    * The range condition is not just semantics — it is what BOUNDS the
+    * join state. Stream-stream joins buffer both sides; with watermarks
+    * on each input plus an event-time range in the join condition, Spark
+    * derives a state-eviction bound per side (a buffered left row can be
+    * dropped once the right watermark passes `left_ts + maxLag`), so
+    * state is O(rows inside the lag window), not O(stream length) —
+    * the only form that survives an unbounded ingest. Works on batch
+    * inputs with the identical plan shape (minus watermarks), which is
+    * what lets the DuckDB batch oracle gate the streaming path (q165).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      maxLag: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    def shape(df: DataFrame, side: String): DataFrame = {
+      val named = df.select(col(keyCol).as("key"),
+        col(tsCol).as(s"${side}_ts"), col(idCol).as(s"${side}_id"))
+      if (df.isStreaming) named.withWatermark(s"${side}_ts", watermark)
+      else named
+    }
+    val l = shape(left, "left")
+    val r = shape(right, "right").withColumnRenamed("key", "r_key")
+    l.join(r,
+        col("key") === col("r_key") &&
+          col("right_ts") > col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"interval $maxLag"))
+      .select(col("key"), col("left_id"), col("left_ts"),
+        col("right_id"), col("right_ts"))
+  }
+
   /** Continuous MERGE upsert of node rows into the graph store — one
     * idempotent MERGE write per micro-batch (exactly-once via
     * checkpointed offsets + deterministic ids). */

@@ -44,6 +44,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("intervalJoin matches right rows inside (left_ts, left_ts+lag]") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val buys = MemoryStream[(Long, Timestamp, Long)]
+    val c = clicks.toDF().toDF("user_id", "event_ts", "event_id")
+    val b = buys.toDF().toDF("user_id", "event_ts", "event_id")
+    val joined = Incremental.intervalJoin(c, b,
+      keyCol = "user_id", tsCol = "event_ts", idCol = "event_id",
+      maxLag = "10 minutes", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 101L))
+      buys.addData(
+        (1L, ts(5), 200L),  // in window → pair
+        (1L, ts(10), 201L), // exactly left+lag → pair (inclusive)
+        (1L, ts(11), 202L), // past lag → no pair
+        (1L, ts(0), 203L),  // same instant → no pair (strict >)
+        (2L, ts(3), 204L),  // other key → its own pair
+        (3L, ts(4), 205L))  // unmatched key
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, left_id, right_id FROM ij")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3)
+      assert(rows.toSeq ===
+        Seq((1L, 100L, 200L), (1L, 100L, 201L), (2L, 101L, 204L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch parity: same operator, same pairs") {
+    val c = Seq((1L, ts(0), 100L), (2L, ts(0), 101L))
+      .toDF("user_id", "event_ts", "event_id")
+    val b = Seq((1L, ts(5), 200L), (1L, ts(11), 202L), (2L, ts(3), 204L))
+      .toDF("user_id", "event_ts", "event_id")
+    val out = Incremental.intervalJoin(c, b, "user_id", "event_ts",
+        "event_id", maxLag = "10 minutes")
+      .select("key", "left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(out.toSeq === Seq((1L, 100L, 200L), (2L, 101L, 204L)))
+  }
+
   test("streamingDedup keeps first arrival per fingerprint within watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
