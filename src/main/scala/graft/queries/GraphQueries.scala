@@ -224,6 +224,51 @@ object GraphQueries {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q166 — community detection via deterministic label propagation
+  // (synchronous rounds, smallest-label tie-break — Communities.scala).
+  // Graph = hub-and-spoke blocks of 50 partkeys (every key links to its
+  // block hub) bridged by the predecessor chain: LPA must both flood
+  // (chain, all neighbour counts 1 → min label wins) and take a genuine
+  // majority (hubs see 49 spoke labels vs 2 chain labels), so the mode
+  // step is exercised, not just the tie-break. Communities converge on
+  // the blocks; output = community sizes. The Spark loop and the DuckDB
+  // CTE chain are emitted from the same module so they cannot drift.
+  // ---------------------------------------------------------------------
+  private val LpIters = 4
+
+  private def lpEdges(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
+    p.filter(col("k") % 50 =!= 0)
+      .select(col("k").as("src"), (col("k") - col("k") % 50).as("dst"))
+      .unionByName(p.filter(col("k") >= 2)
+        .select(col("k").as("src"), (col("k") - 1).as("dst")))
+  }
+
+  private val lpEdgesSql =
+    """SELECT p_partkey AS src, p_partkey - (p_partkey % 50) AS dst
+      |  FROM part WHERE p_partkey % 50 <> 0
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey - 1 FROM part
+      |  WHERE p_partkey >= 2""".stripMargin
+
+  def q166_label_propagation(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.Communities
+      .labelPropagation(lpEdges(spark, dir), LpIters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(25)
+
+  val q166_sql: String =
+    s"""WITH ${graft.graph.Communities
+          .labelPropagationSql(lpEdgesSql, LpIters)}
+       |SELECT label AS community, COUNT(*) AS n_members
+       |FROM l$LpIters
+       |GROUP BY label
+       |ORDER BY n_members DESC, community
+       |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q136 — HITS hubs & authorities (Kleinberg), the complementary
   // centrality to q69: a node is a good HUB if it calls good
   // authorities, a good AUTHORITY if good hubs call it — "utility
@@ -463,7 +508,8 @@ object GraphQueries {
     "q137_clustering_coeff" -> q137_clustering_coeff _,
     "q140_personalized_pagerank" -> q140_personalized_pagerank _,
     "q143_kcore" -> q143_kcore _,
-    "q154_sssp" -> q154_sssp _)
+    "q154_sssp" -> q154_sssp _,
+    "q166_label_propagation" -> q166_label_propagation _)
 
   val oracles: Map[String, String] = Map(
     "q95_triangles" -> q95_sql,
@@ -475,5 +521,6 @@ object GraphQueries {
     "q137_clustering_coeff" -> q137_sql,
     "q140_personalized_pagerank" -> q140_sql,
     "q143_kcore" -> q143_sql,
-    "q154_sssp" -> q154_sql)
+    "q154_sssp" -> q154_sql,
+    "q166_label_propagation" -> q166_sql)
 }

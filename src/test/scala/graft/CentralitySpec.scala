@@ -47,6 +47,32 @@ class CentralitySpec extends SparkSpec {
     assert(gx === df)
   }
 
+  test("labelPropagation separates two cliques across a bridge") {
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L -> 11L)).toDF("src", "dst")
+    val labels = graph.Communities.labelPropagation(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // synchronous min-tie-break LPA floods each clique with its smallest
+    // member's label; the single bridge edge cannot outvote the clique
+    assert(Seq(1L, 2L, 3L, 4L).map(labels).toSet === Set(1L))
+    assert(Seq(11L, 12L, 13L, 14L).map(labels).toSet === Set(11L))
+  }
+
+  test("labelPropagation symmetrizes directed input and drops self-loops") {
+    // directed one-way star + a self-loop: symmetrization must let the
+    // hub see its spokes and vice versa; the self-loop must not vote
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (5L, 5L))
+      .toDF("src", "dst")
+    val labels = graph.Communities.labelPropagation(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === Set(1L, 2L, 3L, 5L))
+    // a star is bipartite, so synchronous LPA oscillates hub<->spokes;
+    // the symmetry property is that all three spokes move in lockstep
+    assert(Seq(1L, 2L, 3L).map(labels).toSet.size === 1)
+  }
+
   test("pageRankInteger is deterministic across partitionings") {
     val edges = (1L to 200L).map(i => (i, i * i % 97))
       .filter { case (a, b) => a != b }
