@@ -676,6 +676,65 @@ object QualityQueries {
       |ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
+  // q167 — incremental JOIN-view maintenance (the delta-join identity):
+  // the maintained view is per-customer (n_items, revenue) over
+  // orders ⋈ lineitem. Given insert-only deltas ΔO and ΔL, the new
+  // view's pair set is  V ∪ ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL  — the incremental
+  // path aggregates ONLY the three delta joins and merges their partial
+  // aggregates into the old view's, never rescanning the base pair set.
+  // Deltas are churn-sized by construction, so each delta join
+  // BROADCASTS its delta side: the base side is probed in place with no
+  // shuffle — at 100 TB that is the difference between touching the
+  // whole corpus and touching the day's churn. Partial revenue sums
+  // stay DECIMAL(30,6) until after the merge (decimal addition is
+  // exact and associative), so the incremental result hash-matches the
+  // oracle's full recompute bit-for-bit — the equality that makes IVM
+  // trustworthy. ΔO and ΔL use independent predicates (orderkey%10,
+  // orderkey%7) so all three cross terms are non-empty.
+  // -------------------------------------------------------------------
+  def q167_incremental_join(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    val baseO = o.filter(col("o_orderkey") % 10 < 8)
+    val deltaO = o.filter(col("o_orderkey") % 10 >= 8)
+    val baseL = l.filter(col("o_orderkey") % 7 =!= 0)
+    val deltaL = l.filter(col("o_orderkey") % 7 === 0)
+    def agg(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev").cast(DecimalType(30, 6))).as("s"))
+    val oldView = agg(baseO.join(baseL, Seq("o_orderkey")))
+    val deltaView = agg(
+      broadcast(deltaO).join(baseL, Seq("o_orderkey"))
+        .unionByName(baseO.join(broadcast(deltaL), Seq("o_orderkey")))
+        .unionByName(broadcast(deltaO)
+          .join(broadcast(deltaL), Seq("o_orderkey"))))
+    oldView.select(col("o_custkey"), col("n").as("n0"), col("s").as("s0"))
+      .join(deltaView, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n"), lit(0L)))
+          .as("n_items"),
+        (coalesce(col("s0"), lit(0).cast(DecimalType(30, 6))) +
+          coalesce(col("s"), lit(0).cast(DecimalType(30, 6))))
+          .cast("double").as("revenue"))
+      .filter(col("n_items") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
+  val q167_sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+      |    AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // q98 — distributed sufficient statistics (second moments): per
   // return flag, the exact integer sums (n, Σq, Σq², Σd, Σd², Σqd)
   // over scaled quantity/discount — everything variance, covariance,
@@ -1483,6 +1542,7 @@ object QualityQueries {
     "q94_bloom_decontam" -> q94_bloom_decontam _,
     "q96_weighted_sample" -> q96_weighted_sample _,
     "q97_incremental_agg" -> q97_incremental_agg _,
+    "q167_incremental_join" -> q167_incremental_join _,
     "q98_stat_moments" -> q98_stat_moments _,
     "q99_frame_dedup" -> q99_frame_dedup _,
     "q100_curate_e2e" -> q100_curate_e2e _)
@@ -1518,6 +1578,7 @@ object QualityQueries {
     "q94_bloom_decontam" -> q94_sql,
     "q96_weighted_sample" -> q96_sql,
     "q97_incremental_agg" -> q97_sql,
+    "q167_incremental_join" -> q167_sql,
     "q98_stat_moments" -> q98_sql,
     "q99_frame_dedup" -> q99_sql,
     "q100_curate_e2e" -> q100_sql)

@@ -7,6 +7,14 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("q167 delta joins broadcast the delta side, not the base") {
+    val plan = graft.queries.QualityQueries
+      .q167_incremental_join(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // three delta joins, each hinted to broadcast its churn-sized side
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(2000))
+  }
+
   test("gopherRulesDf flags each rule independently") {
     val good = (Seq.fill(10)("the") ++ Seq.fill(10)("and") ++
       Seq.fill(40)("word")).mkString(" ") // 60 words, all alpha
