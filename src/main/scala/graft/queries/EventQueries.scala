@@ -460,6 +460,61 @@ object EventQueries {
       |ORDER BY c.user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q168 — STREAM-STATIC enrichment join under the batch oracle (§2.8):
+  // the events stream joined to the customer→nation dimension and
+  // aggregated to per-nation totals. The static side is BROADCAST, so
+  // the stream side is probed in place — stateless on the join (no
+  // state store, nothing to evict; only the downstream aggregation
+  // holds state), which is why stream-static is the default enrichment
+  // shape for an unbounded 100 TB/day ingest: dimension churn is
+  // handled by re-broadcast per micro-batch, not by join state. The
+  // complete-mode totals equal the batch join+GROUP BY bit-for-bit
+  // (decimal-exact value sums), so DuckDB oracles the whole pipeline.
+  // -------------------------------------------------------------------
+  def q168_stream_static_join(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+      .select(col("user_id"), col("value"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        Seq("c_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val enriched = stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("total_value"))
+    val sink = s"q168_sink_${System.nanoTime()}"
+    // 25 nations of agg state: commit 8 state stores per micro-batch,
+    // not 32 (same sizing note as q165 — fixed at first run)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try enriched.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions",
+        shufflePartitions)
+    try { query.processAllAvailable() } finally { query.stop() }
+    spark.table(sink).orderBy(col("n_name"))
+  }
+
+  val q168_sql: String =
+    """SELECT n.n_name, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS total_value
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
+  // -------------------------------------------------------------------
   // q134 — event-rate anomaly detection: hourly counts per type, then a
   // per-type z-test done ENTIRELY in integers so the flag is
   // engine-portable.  For hourly count n with per-type hour count H,
@@ -915,6 +970,7 @@ object EventQueries {
     "q162_stream_sessions" -> q162_stream_sessions _,
     "q163_stream_state" -> q163_stream_state _,
     "q165_stream_interval_join" -> q165_stream_interval_join _,
+    "q168_stream_static_join" -> q168_stream_static_join _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -937,6 +993,7 @@ object EventQueries {
     "q162_stream_sessions" -> q162_sql,
     "q163_stream_state" -> q163_sql,
     "q165_stream_interval_join" -> q165_sql,
+    "q168_stream_static_join" -> q168_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,
