@@ -75,8 +75,11 @@ object Bench {
     * are warmup-dominated noise and at 120 queries the [cold, warm]
     * pairs no longer fit the tail window at useful precision, so cold
     * is reported as the session total only ("value"; warm total in
-    * "warm_value"). ~11 chars/query leaves headroom to ~160 queries at
-    * 2-decimal precision (size-guarded in GateSpec).
+    * "warm_value"). ~11 chars/query fits ~160 queries at uniform
+    * 2-decimal precision; past that the MIXED rung keeps 2 decimals on
+    * sub-second entries (where absolute error is relatively largest)
+    * and gives >=1s entries 1 decimal (<=5% relative error) before any
+    * uniform step-down (size-guarded in GateSpec).
     *
     * `failed` lists queries that threw in any sweep — they carry NO
     * timing entry and contribute nothing to the totals, so a reader can
@@ -120,8 +123,12 @@ object Bench {
     // 15 fewer chars against the tail budget
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    def render(dp: Int): String = {
+    // dpFor: uniform precision (Some(dp)) or MIXED (None) — sub-second
+    // values keep 2 decimals (that is where absolute error is relatively
+    // largest), values >= 1s drop to 1 decimal (<= 5% relative error)
+    def render(dpFor: Option[Int]): String = {
       val qs = results.map { case (full, _, warm) =>
+        val dp = dpFor.getOrElse(if (warm < 1.0) 2 else 1)
         "\"" + shortKey(full) + "\":" + fmtTrim(warm, dp)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,$failedField"sf":"$sfShort"}"""
@@ -132,7 +139,7 @@ object Bench {
     // JSON line is the last thing printed (measured r1–r6: tails of
     // exactly 2000 chars with 1982–1984-char lines parsing fine), so
     // 1985 leaves room for the trailing newline plus slack.
-    Iterator(2, 1, 0).map(render).find(_.length < 1985)
-      .getOrElse(render(0))
+    Iterator(Some(2), None, Some(1), Some(0)).map(render)
+      .find(_.length < 1985).getOrElse(render(Some(0)))
   }
 }

@@ -47,6 +47,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Open a table as a file STREAM, tolerant of both physical layouts a
+    * table arrives in: the driver's single `name.parquet` FILE (the
+    * file-stream source rejects a file as basePath, so scan the sf dir
+    * with a name glob) and a `name.parquet/` DIRECTORY of part files
+    * (Spark's own writer layout — MakeScale's 10× stress data; here the
+    * name glob would match nothing and the stream would silently read
+    * ZERO rows). Layout is probed through the Hadoop FS API so the same
+    * code holds on HDFS/S3 paths, not just local disk. Schema comes
+    * from the batch reader (streams cannot infer), and callers
+    * normalize types AFTER the source via the same seams as batch
+    * ([[normalizeEventTs]]). */
+  def streamTable(spark: SparkSession, dir: String, name: String)
+      : DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = load(spark, dir, name).schema
+    if (fs.getFileStatus(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path.toString)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -246,16 +246,12 @@ object EventQueries {
   // batch boundaries, which is exactly the property worth gating.
   // -------------------------------------------------------------------
   def q103_stream_windows(spark: SparkSession, dir: String): DataFrame = {
-    // readStream needs the schema AS STORED in the file (the batch loader
-    // rewrites ts to long nanos, which would mismatch a timestamp file);
-    // normalize ts AFTER the source, through the same seam as the batch path
-    val schema = Tables.load(spark, dir, "events").schema
-    // the table is a single parquet FILE; the file-stream source wants a
-    // directory, so scan the sf dir with a glob filter selecting it
+    // streamTable reads the schema AS STORED (a stream cannot infer, and
+    // the batch events() loader rewrites ts to long nanos, which would
+    // mismatch a timestamp file); normalize ts AFTER the source, through
+    // the same seam as the batch path
     val stream = Tables.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      Tables.streamTable(spark, dir, "events"))
       .select(timestamp_micros(expr("ts div 1000")).as("event_ts"),
         col("event_type"), col("value"))
     val agg = graft.streaming.Incremental
@@ -282,10 +278,7 @@ object EventQueries {
   // fingerprints, which must equal the batch DISTINCT exactly.
   // -------------------------------------------------------------------
   def q108_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.documents(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = Tables.streamTable(spark, dir, "documents")
     val deduped = graft.streaming.Incremental.streamingDedup(stream, "text")
     val sink = s"q108_sink_${System.nanoTime()}"
     val query = deduped.writeStream.format("memory").queryName(sink)
@@ -325,11 +318,8 @@ object EventQueries {
   // property worth gating.
   // -------------------------------------------------------------------
   def q162_stream_sessions(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.load(spark, dir, "events").schema
     val stream = Tables.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      Tables.streamTable(spark, dir, "events"))
       .select(timestamp_micros(expr("ts div 1000")).as("event_ts"),
         col("user_id"), col("value"))
     val agg = graft.streaming.Incremental
@@ -366,11 +356,8 @@ object EventQueries {
   // -------------------------------------------------------------------
   def q163_stream_state(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.load(spark, dir, "events").schema
     val stream = Tables.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      Tables.streamTable(spark, dir, "events"))
       .select(col("user_id"), col("event_id"), col("value"))
       .as[graft.streaming.Incremental.UserEvent]
     val totals = graft.streaming.Incremental.runningUserTotals(stream)
@@ -407,12 +394,9 @@ object EventQueries {
   // pipeline; pairs aggregate per user to keep the gate row-stable.
   // -------------------------------------------------------------------
   def q165_stream_interval_join(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.load(spark, dir, "events").schema
     def side(eventType: String): DataFrame =
       Tables.normalizeEventTs(
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir))
+        Tables.streamTable(spark, dir, "events"))
         .filter(col("event_type") === eventType)
         .select(col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("event_ts"),
@@ -472,11 +456,8 @@ object EventQueries {
   // (decimal-exact value sums), so DuckDB oracles the whole pipeline.
   // -------------------------------------------------------------------
   def q168_stream_static_join(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.load(spark, dir, "events").schema
     val stream = Tables.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      Tables.streamTable(spark, dir, "events"))
       .select(col("user_id"), col("value"))
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))

@@ -84,16 +84,22 @@ class GateSpec extends SparkSpec {
     })
     val JDouble(coldTotal) = (parsed \ "value"): @unchecked
     assert(math.abs(coldTotal - 88.88 * results.size) < 0.01)
-    // the REALISTIC shape (sub-10s warms, trailing zeros trimmable)
-    // must keep full 2-decimal precision at the current query count
-    val real = SparkEntry.queries.keys.toSeq.sorted
-      .map(name => (name, 8.88, 0.47))
+    // the REALISTIC shape (the measured r6 mix: ~30% of queries over a
+    // second, the rest sub-second with untrimmable 2-decimal values)
+    // must keep full 2-decimal precision on every SUB-SECOND entry at
+    // the current query count — the mixed rung gives >=1s entries 1
+    // decimal (<=5% relative error) to buy that headroom
+    val real = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (name, i) =>
+        (name, 8.88, if (i % 3 == 0) 4.73 else 0.47) }
     val realLine = Bench.renderJson(real, Nil, "/root/testdata/sf0.1")
     val JObject(rqs) =
       (org.json4s.jackson.JsonMethods.parse(realLine) \ "queries")
         : @unchecked
-    assert(rqs.forall { case (_, JDouble(v)) => v == 0.47
-      case _ => false }, "realistic-shape line lost 2-decimal precision")
+    assert(rqs.forall { case (_, JDouble(v)) =>
+        v == 0.47 || math.abs(v - 4.73) <= 0.05
+      case _ => false },
+      "realistic-shape line lost sub-second 2-decimal precision")
   }
 
   test("bench reports a crashed query as failed, never as a timing") {
