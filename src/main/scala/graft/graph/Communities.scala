@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Community detection — deterministic label propagation.
@@ -43,12 +42,12 @@ object Communities {
         .select(col("src").as("id"), col("label"))
       val cnt = nbr.groupBy(col("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val pick = cnt
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id"))
-            .orderBy(col("c").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("label").as("new_label"))
+      // mode with smallest-label tie-break as ONE hash aggregation:
+      // max over (count, -label) structs picks highest count, then
+      // lowest label — no per-id sort, unlike a row_number window
+      val pick = cnt.groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("new_label"))
       // every node in sym has >=1 neighbour (symmetrized, no isolates),
       // so the coalesce is a safety net, not a live path
       labels = labels.join(pick, Seq("id"), "left_outer")
