@@ -58,6 +58,104 @@ object Communities {
     labels
   }
 
+  /** ANF / HyperANF-style neighborhood function (Palmer et al. 2002;
+    * Boldi et al. 2011): estimate EVERY node's t-hop ball size at once
+    * by propagating a fixed-size distinct-counting sketch along edges —
+    * the only way "how far is everything from everything" scales, since
+    * exact per-node BFS is O(V·E). Registers here are KMV sketches (the
+    * k smallest 60-bit node hashes seen in the ball): union = merge
+    * sorted-distinct, estimate = (k−1)·2⁶⁰ div kth-min — all integer
+    * arithmetic, so any engine reproduces the "approximation"
+    * bit-for-bit. Each round is one edges⋈sketches shuffle plus one
+    * merge aggregation (collect_list → flatten → distinct → sort →
+    * slice k), state O(V·k); the output is the per-depth node count and
+    * summed ball estimate (the neighborhood function N(t), from which
+    * effective-diameter estimates read off directly).
+    *
+    * Returns one row per depth 1..`depth`:
+    * (depth, n_nodes, sum_ball_est). Estimates are capped at 10¹² per
+    * node so a degenerate kth-min cannot overflow the BIGINT sum. */
+  def neighborhoodFunction(edges: DataFrame, depth: Int, k: Int)
+      : DataFrame = {
+    require(depth >= 1 && depth <= 8 && k >= 2 && k <= 64,
+      s"depth ($depth) / k ($k) out of the sane range")
+    val space = 1152921504606846976L // 2^60, the hash60 value space
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val sym = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("dst")).localCheckpoint(eager = true)
+    var sk = sym.select(col("src").as("id")).distinct()
+      .select(col("id"),
+        array(graft.pipeline.Sampling.hash60("anf", col("id"))).as("ks"))
+      .localCheckpoint(eager = true)
+    def summary(t: Int): DataFrame = {
+      // integer `div`, NOT Column./ — long division through a double
+      // mantissa is lossy at 2^60 scale and would drift off the oracle
+      val est = expr(
+        s"""CASE WHEN size(ks) < $k THEN CAST(size(ks) AS BIGINT)
+           |  ELSE least(${(k - 1).toLong * space}L div
+           |    greatest(element_at(ks, $k), 1L), 1000000000000L)
+           |END""".stripMargin)
+      sk.select(est.as("est"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("est")).as("sum_ball_est"))
+        .select(lit(t).as("depth"), col("n_nodes"), col("sum_ball_est"))
+    }
+    val perDepth = (1 to depth).map { t =>
+      val msg = sym
+        .join(sk.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("ks"))
+      sk = msg.unionByName(sk.select(col("id"), col("ks")))
+        .groupBy(col("id"))
+        .agg(slice(array_sort(array_distinct(flatten(
+          collect_list(col("ks"))))), 1, k).as("ks"))
+        .localCheckpoint(eager = true)
+      summary(t)
+    }
+    perDepth.reduce(_.unionByName(_))
+  }
+
+  /** SQL mirror of [[neighborhoodFunction]] — unrolled merge rounds; the
+    * final SELECT unions the per-depth summaries. `edgesSql` must select
+    * (src, dst). Emitted from here so the two sides cannot drift. */
+  def neighborhoodFunctionSql(edgesSql: String, depth: Int, k: Int)
+      : String = {
+    val space = "1152921504606846976"
+    val est =
+      s"""CASE WHEN len(ks) < $k THEN len(ks)
+         |      ELSE LEAST((${k - 1} * $space)
+         |        // GREATEST(ks[$k], 1), 1000000000000) END""".stripMargin
+    val steps = (1 to depth).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT id, list_slice(list_sort(list_distinct(flatten(
+         |      list(ks)))), 1, $k) AS ks
+         |  FROM (
+         |    SELECT e.src AS id, s.ks FROM sym e
+         |    JOIN s${t - 1} s ON s.id = e.dst
+         |    UNION ALL SELECT id, ks FROM s${t - 1})
+         |  GROUP BY id),
+         |n$t AS (
+         |  SELECT $t AS depth, COUNT(*) AS n_nodes,
+         |    CAST(SUM($est) AS BIGINT) AS sum_ball_est
+         |  FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to depth)
+      .map(t => s"SELECT * FROM n$t").mkString("\n  UNION ALL ")
+    s"""raw AS ($edgesSql),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM raw
+       |    UNION ALL SELECT dst, src FROM raw)
+       |  WHERE src <> dst),
+       |s0 AS (
+       |  SELECT DISTINCT src AS id,
+       |    [${graft.pipeline.Sampling.hash60Sql("anf", "src")}] AS ks
+       |  FROM sym),
+       |$steps,
+       |nf AS (
+       |  $unionAll)""".stripMargin
+  }
+
   /** The SQL mirror: the same synchronous min-tie-break rounds unrolled
     * as chained CTEs (emitted from here so the two sides cannot drift).
     * `edgesSql` must select (src, dst); the final CTE is `l<iters>`

@@ -269,6 +269,30 @@ object GraphQueries {
        |LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q169 — ANF neighborhood function over the same block graph: per
+  // depth 1..3, how many nodes the average t-hop ball reaches, via KMV
+  // sketch propagation (Communities.neighborhoodFunction — k=8
+  // registers of 60-bit hashes, integer-exact estimator, so the
+  // "approximate" sketch is bit-reproducible and DuckDB-oracled). The
+  // all-balls-at-once shape is what replaces O(V·E) per-node BFS at
+  // 100 TB graph scale; effective diameter reads off N(t) directly.
+  // ---------------------------------------------------------------------
+  private val AnfDepth = 3
+  private val AnfK = 8
+
+  def q169_neighborhood_function(spark: SparkSession, dir: String)
+      : DataFrame =
+    graft.graph.Communities
+      .neighborhoodFunction(lpEdges(spark, dir), AnfDepth, AnfK)
+      .orderBy(col("depth"))
+
+  val q169_sql: String =
+    s"""WITH ${graft.graph.Communities
+          .neighborhoodFunctionSql(lpEdgesSql, AnfDepth, AnfK)}
+       |SELECT depth, n_nodes, sum_ball_est FROM nf
+       |ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q136 — HITS hubs & authorities (Kleinberg), the complementary
   // centrality to q69: a node is a good HUB if it calls good
   // authorities, a good AUTHORITY if good hubs call it — "utility
@@ -509,7 +533,8 @@ object GraphQueries {
     "q140_personalized_pagerank" -> q140_personalized_pagerank _,
     "q143_kcore" -> q143_kcore _,
     "q154_sssp" -> q154_sssp _,
-    "q166_label_propagation" -> q166_label_propagation _)
+    "q166_label_propagation" -> q166_label_propagation _,
+    "q169_neighborhood_function" -> q169_neighborhood_function _)
 
   val oracles: Map[String, String] = Map(
     "q95_triangles" -> q95_sql,
@@ -522,5 +547,6 @@ object GraphQueries {
     "q140_personalized_pagerank" -> q140_sql,
     "q143_kcore" -> q143_sql,
     "q154_sssp" -> q154_sql,
-    "q166_label_propagation" -> q166_sql)
+    "q166_label_propagation" -> q166_sql,
+    "q169_neighborhood_function" -> q169_sql)
 }

@@ -73,6 +73,23 @@ class CentralitySpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(labels).toSet.size === 1)
   }
 
+  test("neighborhoodFunction is exact while balls stay under k") {
+    // path graph 1-2-3-4-5: with k=8 > any ball size the KMV sketch
+    // holds every reachable hash, so sum_ball_est must be the EXACT
+    // sum of (t-hop ball sizes incl. self)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = graph.Communities.neighborhoodFunction(edges, 3, 8)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // t=1 balls: {1,2},{1,2,3},{2,3,4},{3,4,5},{4,5} -> 2+3+3+3+2 = 13
+    assert(out(1) === ((5L, 13L)))
+    // t=2: {1..3},{1..4},{1..5},{2..5},{3..5} -> 3+4+5+4+3 = 19
+    assert(out(2) === ((5L, 19L)))
+    // t=3: {1..4},{1..5},{1..5},{1..5},{2..5} -> 4+5+5+5+4 = 23
+    assert(out(3) === ((5L, 23L)))
+  }
+
   test("pageRankInteger is deterministic across partitionings") {
     val edges = (1L to 200L).map(i => (i, i * i % 97))
       .filter { case (a, b) => a != b }
