@@ -293,6 +293,28 @@ object GraphQueries {
        |ORDER BY depth""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q170 — DeepWalk-style random-walk corpus over the block graph: 6-hop
+  // walks from every 37th node, next hop = hash-argmin over neighbours
+  // (Walks.deterministicWalks) — the node "sentences" graph-embedding
+  // training consumes, generated as a pure function of (graph, walk_id)
+  // so the corpus is reproducible across engines and reruns, and the
+  // DuckDB mirror replays the identical walks.
+  // ---------------------------------------------------------------------
+  private val WalkSteps = 6
+
+  def q170_random_walks(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.Walks
+      .deterministicWalks(lpEdges(spark, dir), col("id") % 37 === 0,
+        WalkSteps)
+      .orderBy(col("walk_id"))
+
+  val q170_sql: String =
+    s"""WITH ${graft.graph.Walks
+          .deterministicWalksSql(lpEdgesSql, "id % 37 = 0", WalkSteps)}
+       |SELECT walk_id, cur AS final_node, path FROM w$WalkSteps
+       |ORDER BY walk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q136 — HITS hubs & authorities (Kleinberg), the complementary
   // centrality to q69: a node is a good HUB if it calls good
   // authorities, a good AUTHORITY if good hubs call it — "utility
@@ -534,7 +556,8 @@ object GraphQueries {
     "q143_kcore" -> q143_kcore _,
     "q154_sssp" -> q154_sssp _,
     "q166_label_propagation" -> q166_label_propagation _,
-    "q169_neighborhood_function" -> q169_neighborhood_function _)
+    "q169_neighborhood_function" -> q169_neighborhood_function _,
+    "q170_random_walks" -> q170_random_walks _)
 
   val oracles: Map[String, String] = Map(
     "q95_triangles" -> q95_sql,
@@ -548,5 +571,6 @@ object GraphQueries {
     "q143_kcore" -> q143_sql,
     "q154_sssp" -> q154_sql,
     "q166_label_propagation" -> q166_sql,
-    "q169_neighborhood_function" -> q169_sql)
+    "q169_neighborhood_function" -> q169_sql,
+    "q170_random_walks" -> q170_sql)
 }

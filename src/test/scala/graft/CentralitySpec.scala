@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.graph.Centrality
 
 class CentralitySpec extends SparkSpec {
@@ -88,6 +90,31 @@ class CentralitySpec extends SparkSpec {
     assert(out(2) === ((5L, 19L)))
     // t=3: {1..4},{1..5},{1..5},{1..5},{2..5} -> 4+5+5+5+4 = 23
     assert(out(3) === ((5L, 23L)))
+  }
+
+  test("deterministicWalks follow edges and replay identically") {
+    val edges = ((1L to 40L).map(i => (i, i % 7 + 1)) ++
+      Seq((50L, 51L))).filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val adj = {
+      val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      (e ++ e.map(_.swap)).filter { case (a, b) => a != b }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    }
+    def run() = graph.Walks
+      .deterministicWalks(edges, col("id") <= 10, steps = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val walks = run()
+    assert(walks.keySet === (1L to 10L).toSet)
+    walks.foreach { case (w, path) =>
+      val hops = path.split("->").map(_.toLong)
+      assert(hops.head === w)
+      assert(hops.length === 6) // start + 5 hops, no dead ends here
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(adj(a).contains(b), s"walk $w used non-edge $a->$b")
+      }
+    }
+    assert(run() === walks) // pure function of (graph, walk_id)
   }
 
   test("pageRankInteger is deterministic across partitionings") {
