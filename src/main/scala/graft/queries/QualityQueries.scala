@@ -735,6 +735,150 @@ object QualityQueries {
       |ORDER BY o_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // q171 — leave-one-out target encoding (the leakage-safe categorical
+  // feature every tabular-ML pipeline derives): encode each order's
+  // market segment as the mean target (o_totalprice) of all OTHER
+  // orders in that segment — (S − x) / (n − 1) — so a row never sees
+  // its own label (the train-time leak plain target encoding has).
+  // Shape at scale: ONE pass builds the per-segment (n, S) aggregate
+  // (5 rows), which broadcasts back onto the fact scan — no window
+  // function over the whole table, no second shuffle. Arithmetic is
+  // decimal-exact into integer micro-units (×10⁶, then integer div),
+  // so the encoding is bit-identical on any engine.
+  // -------------------------------------------------------------------
+  def q171_target_encoding(spark: SparkSession, dir: String): DataFrame = {
+    // target in exact integer micro-units from the first projection —
+    // decimal×int widening rules differ per engine past width 38, but
+    // BIGINT micro arithmetic is portable everywhere
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(24,6)) * 1000000 " +
+          "AS BIGINT)").as("x_micro"))
+    val seg = o.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("x_micro")).as("s_micro"))
+    o.join(broadcast(seg), Seq("c_mktsegment"))
+      .filter(col("o_orderkey") % 101 === 0 && col("n") > 1)
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        expr("(s_micro - x_micro) div (n - 1)").as("loo_mean_micro"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q171_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, c_mktsegment,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+      |      AS x_micro
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |seg AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |    CAST(SUM(x_micro) AS BIGINT) AS s_micro
+      |  FROM o GROUP BY c_mktsegment)
+      |SELECT o_orderkey, o.c_mktsegment,
+      |  (s_micro - x_micro) // (n - 1) AS loo_mean_micro
+      |FROM o JOIN seg ON seg.c_mktsegment = o.c_mktsegment
+      |WHERE o_orderkey % 101 = 0 AND n > 1
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q172 — data-quality expectations suite (the Great-Expectations/dbt
+  // gate a pipeline runs before promoting a snapshot): seven named
+  // constraints — range, domain, null, primary-key uniqueness and two
+  // cross-table foreign keys — each reported as (constraint, n_checked,
+  // n_violations). Shape at scale: the four row-local rules per table
+  // fold into ONE aggregation pass over that table's scan (sum of CASE
+  // flags — no per-rule scans); uniqueness is a single groupBy on the
+  // key; FK checks are anti-joins whose build side is the distinct key
+  // projection. The report is 7 rows however big the data is.
+  // -------------------------------------------------------------------
+  def q172_expectations(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def viol(name: String, bad: org.apache.spark.sql.Column,
+        df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    val rowRules = Seq(
+      viol("lineitem.quantity_in_1_50",
+        !col("l_quantity").between(1, 50), l),
+      viol("lineitem.discount_in_0_0.11",
+        !col("l_discount").between(0.0, 0.11), l),
+      viol("orders.totalprice_positive", col("o_totalprice") <= 0, o),
+      viol("orders.status_in_domain",
+        !col("o_orderstatus").isin("O", "F", "P"), o))
+    val pkDupes = l.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .as("n_violations"),
+        sum(col("c")).as("n_checked"))
+      .select(lit("lineitem.pk_unique").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    def fkRule(name: String, fact: DataFrame, key: String,
+        dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = fact.select(col(key))
+        .join(dim.select(col(dimKey).as(key)).distinct(),
+          Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      fact.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    }
+    val fks = Seq(
+      fkRule("lineitem.fk_orders", l, "l_orderkey",
+        o.select(col("o_orderkey").as("l_orderkey")), "l_orderkey"),
+      fkRule("orders.fk_customer", o, "o_custkey",
+        Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey")), "o_custkey"))
+    (rowRules ++ Seq(pkDupes) ++ fks).reduce(_.unionByName(_))
+      .orderBy(col("check_name"))
+  }
+
+  val q172_sql: String =
+    """SELECT 'lineitem.quantity_in_1_50' AS check_name,
+      |  COUNT(*) AS n_checked,
+      |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem.discount_in_0_0.11', COUNT(*),
+      |  CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.11)
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders.totalprice_positive', COUNT(*),
+      |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders.status_in_domain', COUNT(*),
+      |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem.pk_unique',
+      |  CAST(SUM(c) AS BIGINT),
+      |  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+      |FROM (SELECT COUNT(*) AS c FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber)
+      |UNION ALL
+      |SELECT 'lineitem.fk_orders',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                     WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL
+      |SELECT 'orders.fk_customer',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey))
+      |ORDER BY check_name""".stripMargin
+
+  // -------------------------------------------------------------------
   // q98 — distributed sufficient statistics (second moments): per
   // return flag, the exact integer sums (n, Σq, Σq², Σd, Σd², Σqd)
   // over scaled quantity/discount — everything variance, covariance,
@@ -1543,6 +1687,8 @@ object QualityQueries {
     "q96_weighted_sample" -> q96_weighted_sample _,
     "q97_incremental_agg" -> q97_incremental_agg _,
     "q167_incremental_join" -> q167_incremental_join _,
+    "q171_target_encoding" -> q171_target_encoding _,
+    "q172_expectations" -> q172_expectations _,
     "q98_stat_moments" -> q98_stat_moments _,
     "q99_frame_dedup" -> q99_frame_dedup _,
     "q100_curate_e2e" -> q100_curate_e2e _)
@@ -1579,6 +1725,8 @@ object QualityQueries {
     "q96_weighted_sample" -> q96_sql,
     "q97_incremental_agg" -> q97_sql,
     "q167_incremental_join" -> q167_sql,
+    "q171_target_encoding" -> q171_sql,
+    "q172_expectations" -> q172_sql,
     "q98_stat_moments" -> q98_sql,
     "q99_frame_dedup" -> q99_sql,
     "q100_curate_e2e" -> q100_sql)
