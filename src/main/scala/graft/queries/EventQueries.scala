@@ -496,6 +496,77 @@ object EventQueries {
       |ORDER BY n.n_name""".stripMargin
 
   // -------------------------------------------------------------------
+  // q173 — stream-stream LEFT OUTER interval join (§2.8): q165's
+  // attribution shape, but unmatched clicks must ALSO surface (with
+  // null purchase columns) — the semantics a funnel-drop report needs.
+  // Outer emission is watermark-DRIVEN: an unmatched left row leaves
+  // state only when the right watermark proves nothing can still match
+  // it, so on a finite replay the tail of the stream never surfaces by
+  // itself. The query plants a far-future SENTINEL pair (user −1) in a
+  // rewritten copy of the table; the no-data micro-batch after the
+  // main batch then carries the watermark past every real click and
+  // flushes the full outer result — making the replay equal the batch
+  // LEFT JOIN bit-for-bit (sentinel filtered out of the report).
+  // -------------------------------------------------------------------
+  def q173_stream_outer_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir) // ts normalized to long nanos
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    val sentinel = spark.range(2).select(
+      (lit(-1L) - col("id")).as("event_id"),
+      lit(maxTs + 36000L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      when(col("id") === 0, "click").otherwise("purchase")
+        .as("event_type"),
+      lit(0.0).as("value"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q173").toString + "/events"
+    ev.unionByName(sentinel).coalesce(4).write.parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    def side(eventType: String): DataFrame =
+      Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(tmp))
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("event_ts"),
+          col("event_id"))
+    val pairs = graft.streaming.Incremental.intervalJoin(
+      side("click"), side("purchase"),
+      keyCol = "user_id", tsCol = "event_ts", idCol = "event_id",
+      maxLag = "1 hour", watermark = "2 hours", joinType = "left_outer")
+    val sink = s"q173_sink_${System.nanoTime()}"
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try pairs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions",
+        shufflePartitions)
+    try { query.processAllAvailable() } finally { query.stop() }
+    spark.table(sink).filter(col("key") >= 0)
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("right_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        countDistinct(col("right_id")).as("n_purchases_matched"))
+      .orderBy(col("user_id"))
+  }
+
+  val q173_sql: String =
+    """SELECT c.user_id, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unmatched,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases_matched
+      |FROM events c LEFT JOIN events p
+      |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |  AND epoch_ns(p.ts) > epoch_ns(c.ts)
+      |  AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000
+      |WHERE c.event_type = 'click'
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q134 — event-rate anomaly detection: hourly counts per type, then a
   // per-type z-test done ENTIRELY in integers so the flag is
   // engine-portable.  For hourly count n with per-type hour count H,
@@ -952,6 +1023,7 @@ object EventQueries {
     "q163_stream_state" -> q163_stream_state _,
     "q165_stream_interval_join" -> q165_stream_interval_join _,
     "q168_stream_static_join" -> q168_stream_static_join _,
+    "q173_stream_outer_join" -> q173_stream_outer_join _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -975,6 +1047,7 @@ object EventQueries {
     "q163_stream_state" -> q163_sql,
     "q165_stream_interval_join" -> q165_sql,
     "q168_stream_static_join" -> q168_sql,
+    "q173_stream_outer_join" -> q173_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,

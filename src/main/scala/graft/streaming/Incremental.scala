@@ -89,10 +89,19 @@ object Incremental {
     * the only form that survives an unbounded ingest. Works on batch
     * inputs with the identical plan shape (minus watermarks), which is
     * what lets the DuckDB batch oracle gate the streaming path (q165).
+    *
+    * `joinType` also admits "left_outer": an unmatched left row is held
+    * in state and emitted with null right columns only once the right
+    * watermark passes its lag horizon — i.e. once no future right row
+    * could still match it. The emission is therefore watermark-DRIVEN:
+    * on a finite replay the last rows surface only when something
+    * advances the watermark past them (q173 plants a far-future
+    * sentinel for exactly that).
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, idCol: String,
-      maxLag: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      maxLag: String = "1 hour", watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     def shape(df: DataFrame, side: String): DataFrame = {
       val named = df.select(col(keyCol).as("key"),
         col(tsCol).as(s"${side}_ts"), col(idCol).as(s"${side}_id"))
@@ -104,7 +113,8 @@ object Incremental {
     l.join(r,
         col("key") === col("r_key") &&
           col("right_ts") > col("left_ts") &&
-          col("right_ts") <= col("left_ts") + expr(s"interval $maxLag"))
+          col("right_ts") <= col("left_ts") + expr(s"interval $maxLag"),
+        joinType)
       .select(col("key"), col("left_id"), col("left_ts"),
         col("right_id"), col("right_ts"))
   }

@@ -73,6 +73,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer emits unmatched rows on watermark pass") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val buys = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Incremental.intervalJoin(
+      clicks.toDF().toDF("user_id", "event_ts", "event_id"),
+      buys.toDF().toDF("user_id", "event_ts", "event_id"),
+      keyCol = "user_id", tsCol = "event_ts", idCol = "event_id",
+      maxLag = "10 minutes", watermark = "30 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("oj")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 101L))
+      buys.addData((2L, ts(3), 200L))
+      q.processAllAvailable()
+      // user 1's click is unmatched but must NOT surface yet — nothing
+      // proves a purchase can't still arrive inside its lag window
+      val early = spark.sql(
+        "SELECT key FROM oj WHERE right_id IS NULL").collect()
+      assert(early.isEmpty, "outer row emitted before watermark proof")
+      // sentinel rows on BOTH sides push the global watermark past
+      // click+lag; the no-data batch then flushes the unmatched click
+      clicks.addData((99L, Timestamp.valueOf("2024-01-01 13:00:00"), 900L))
+      buys.addData((99L, Timestamp.valueOf("2024-01-01 13:00:00"), 901L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, left_id, right_id FROM oj WHERE key < 99")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq((1L, 100L, None), (2L, 101L, Some(200L))))
+    } finally q.stop()
+  }
+
   test("intervalJoin batch parity: same operator, same pairs") {
     val c = Seq((1L, ts(0), 100L), (2L, ts(0), 101L))
       .toDF("user_id", "event_ts", "event_id")
