@@ -543,7 +543,13 @@ object EventQueries {
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions",
         shufflePartitions)
-    try { query.processAllAvailable() } finally { query.stop() }
+    try { query.processAllAvailable() } finally {
+      query.stop()
+      // the result lives in the memory sink; the rewritten input is done
+      val root = new org.apache.hadoop.fs.Path(tmp).getParent
+      root.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(root, true)
+    }
     spark.table(sink).filter(col("key") >= 0)
       .groupBy(col("key").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
