@@ -573,6 +573,152 @@ object EventQueries {
       |ORDER BY c.user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q174 — time-spine gap fill + coverage report: generate the complete
+  // hourly spine over [min_hour, max_hour] × event_type (sequence +
+  // explode — the date-spine every warehouse model builds), left-join
+  // the actual hourly counts, zero-fill, then run gaps-and-islands over
+  // the MISSING hours to report, per type: total spine hours, missing
+  // hours, and the longest contiguous outage. Scale shape: the spine is
+  // O(hours × types) — tiny next to the event scan — and the islands
+  // window runs on the missing subset only; the events table itself is
+  // touched by exactly one aggregation pass.
+  // -------------------------------------------------------------------
+  def q174_time_spine(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(expr("ts div 3600000000000").as("h"), col("event_type"))
+      .groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = Tables.events(spark, dir)
+      .select(expr("ts div 3600000000000").as("h"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds
+      .select(explode(expr("sequence(h0, h1)")).as("h"))
+      .crossJoin(Tables.events(spark, dir)
+        .select(col("event_type")).distinct())
+    val filled = spine.join(hourly, Seq("h", "event_type"), "left_outer")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val missing = filled.filter(col("n") === 0)
+      .withColumn("island", col("h") - row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+    val runs = missing.groupBy(col("event_type"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("run_len")).as("n_missing"),
+        max(col("run_len")).as("longest_gap"))
+    filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"))
+      .join(runs, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_hours"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("longest_gap"), lit(0L)).as("longest_gap"))
+      .orderBy(col("event_type"))
+  }
+
+  val q174_sql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_ns(ts) // 3600000000000 AS h, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT MIN(epoch_ns(ts) // 3600000000000) AS h0,
+      |    MAX(epoch_ns(ts) // 3600000000000) AS h1 FROM events),
+      |spine AS (
+      |  SELECT gs.h, t.event_type
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS h
+      |        FROM bounds) gs
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+      |filled AS (
+      |  SELECT s.h, s.event_type, COALESCE(hourly.n, 0) AS n
+      |  FROM spine s LEFT JOIN hourly
+      |    ON hourly.h = s.h AND hourly.event_type = s.event_type),
+      |missing AS (
+      |  SELECT event_type,
+      |    h - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+      |      AS island
+      |  FROM filled WHERE n = 0),
+      |runs AS (
+      |  SELECT event_type, island, COUNT(*) AS run_len
+      |  FROM missing GROUP BY 1, 2),
+      |per_type AS (
+      |  SELECT event_type,
+      |    CAST(SUM(run_len) AS BIGINT) AS n_missing,
+      |    CAST(MAX(run_len) AS BIGINT) AS longest_gap
+      |  FROM runs GROUP BY event_type)
+      |SELECT f.event_type, COUNT(*) AS n_hours,
+      |  COALESCE(ANY_VALUE(p.n_missing), 0) AS n_missing,
+      |  COALESCE(ANY_VALUE(p.longest_gap), 0) AS longest_gap
+      |FROM filled f LEFT JOIN per_type p ON p.event_type = f.event_type
+      |GROUP BY f.event_type
+      |ORDER BY f.event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q175 — mix-shift decomposition (the analyst's "why did the metric
+  // move"): split each event type's value change between the first and
+  // second half of the time range into a VOLUME effect ((n₂−n₁)·r₁,
+  // change explained by activity mix) and a RATE effect (n₂·(r₂−r₁),
+  // change in per-event value) — the exact identity
+  // v₂−v₁ = (n₂−n₁)·r₁ + n₂·(r₂−r₁). Values are exact BIGINT micros
+  // from the first projection; the two effect terms keep the identity
+  // closed in integers by construction (volume = (n₂−n₁)·v₁ div n₁,
+  // rate = Δv − volume), so the report is engine-portable. One
+  // aggregation pass over the scan; the decomposition runs on the
+  // 5-row per-type table.
+  // -------------------------------------------------------------------
+  def q175_mix_shift(spark: SparkSession, dir: String): DataFrame = {
+    // integer div, not Column./ — the long sum is ~2^61 and a double
+    // mantissa would round the midpoint off the oracle's exact value
+    val mid = Tables.events(spark, dir)
+      .agg(expr("(MIN(ts) + MAX(ts)) div 2").as("m"))
+      .head().getLong(0)
+    val per = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("ts") >= mid).cast("int").as("half"),
+        expr("CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT)")
+          .as("v_micro"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 0, col("v_micro")).otherwise(0L))
+          .as("v1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("half") === 1, col("v_micro")).otherwise(0L))
+          .as("v2"))
+    per.filter(col("n1") > 0)
+      .select(col("event_type"),
+        (col("v2") - col("v1")).as("delta_micro"),
+        expr("(n2 - n1) * v1 div n1").as("volume_effect_micro"),
+        expr("(v2 - v1) - ((n2 - n1) * v1 div n1)")
+          .as("rate_effect_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val q175_sql: String =
+    """WITH mid AS (
+      |  SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS m
+      |  FROM events),
+      |per AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) < m THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) < m THEN
+      |      CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) >= m THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) >= m THEN
+      |      CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS v2
+      |  FROM events, mid
+      |  GROUP BY event_type)
+      |SELECT event_type,
+      |  v2 - v1 AS delta_micro,
+      |  (n2 - n1) * v1 // n1 AS volume_effect_micro,
+      |  (v2 - v1) - ((n2 - n1) * v1 // n1) AS rate_effect_micro
+      |FROM per
+      |WHERE n1 > 0
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q134 — event-rate anomaly detection: hourly counts per type, then a
   // per-type z-test done ENTIRELY in integers so the flag is
   // engine-portable.  For hourly count n with per-type hour count H,
@@ -1030,6 +1176,8 @@ object EventQueries {
     "q165_stream_interval_join" -> q165_stream_interval_join _,
     "q168_stream_static_join" -> q168_stream_static_join _,
     "q173_stream_outer_join" -> q173_stream_outer_join _,
+    "q174_time_spine" -> q174_time_spine _,
+    "q175_mix_shift" -> q175_mix_shift _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -1054,6 +1202,8 @@ object EventQueries {
     "q165_stream_interval_join" -> q165_sql,
     "q168_stream_static_join" -> q168_sql,
     "q173_stream_outer_join" -> q173_sql,
+    "q174_time_spine" -> q174_sql,
+    "q175_mix_shift" -> q175_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,
