@@ -76,10 +76,11 @@ object Bench {
     * pairs no longer fit the tail window at useful precision, so cold
     * is reported as the session total only ("value"; warm total in
     * "warm_value"). ~11 chars/query fits ~160 queries at uniform
-    * 2-decimal precision; past that the MIXED rung keeps 2 decimals on
-    * sub-second entries (where absolute error is relatively largest)
-    * and gives >=1s entries 1 decimal (<=5% relative error) before any
-    * uniform step-down (size-guarded in GateSpec).
+    * 2-decimal precision; past that the ladder degrades, least
+    * information lost first: MIXED precision (sub-second entries keep 2
+    * decimals, >=1s entries get 1 — <=5% relative error), then BARE
+    * keys ("q165" -> "165", value precision intact), then uniform
+    * 1dp/0dp (size-guarded in GateSpec).
     *
     * `failed` lists queries that threw in any sweep — they carry NO
     * timing entry and contribute nothing to the totals, so a reader can
@@ -99,9 +100,15 @@ object Bench {
     val dupPrefixes = allNames.map(prefixOf).groupBy(identity).collect {
       case (k, vs) if vs.size > 1 => k
     }.toSet
-    def shortKey(full: String): String = {
+    // bare=true additionally drops the "q" sigil ("q165" -> "165") —
+    // one more char per query of tail budget; numeric-string keys map
+    // back to query names trivially and stay unique (prefixes are)
+    def shortKey(full: String, bare: Boolean): String = {
       val p = prefixOf(full)
-      if (dupPrefixes(p)) full else p
+      if (dupPrefixes(p)) full
+      else if (bare && p.length > 1 && p.head == 'q' &&
+        p.tail.forall(_.isDigit)) p.tail
+      else p
     }
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
@@ -115,10 +122,6 @@ object Bench {
     }
     // the field is omitted when empty — every char counts against the
     // tail budget, and "no failed field" unambiguously means "none"
-    val failedField =
-      if (failed.isEmpty) ""
-      else failed.map(n => "\"" + shortKey(n) + "\"")
-        .mkString(""""failed":[""", ",", "],")
     // the sf basename carries the same information as the full path at
     // 15 fewer chars against the tail budget
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
@@ -126,20 +129,28 @@ object Bench {
     // dpFor: uniform precision (Some(dp)) or MIXED (None) — sub-second
     // values keep 2 decimals (that is where absolute error is relatively
     // largest), values >= 1s drop to 1 decimal (<= 5% relative error)
-    def render(dpFor: Option[Int]): String = {
+    def render(dpFor: Option[Int], bare: Boolean): String = {
+      val failedField =
+        if (failed.isEmpty) ""
+        else failed.map(n => "\"" + shortKey(n, bare) + "\"")
+          .mkString(""""failed":[""", ",", "],")
       val qs = results.map { case (full, _, warm) =>
         val dp = dpFor.getOrElse(if (warm < 1.0) 2 else 1)
-        "\"" + shortKey(full) + "\":" + fmtTrim(warm, dp)
+        "\"" + shortKey(full, bare) + "\":" + fmtTrim(warm, dp)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,$failedField"sf":"$sfShort"}"""
     }
-    // degrade per-query precision before overflowing the tail budget —
-    // a parse-able 1-decimal line beats a truncated 2-decimal one.
+    // degrade before overflowing the tail budget, least information
+    // lost first: full keys+2dp → mixed dp → BARE keys (value precision
+    // intact — numeric keys map back trivially) → only then uniform
+    // 1dp/0dp. A parse-able coarse line beats a truncated precise one.
     // Budget: the collector keeps the LAST 2000 chars of output and the
     // JSON line is the last thing printed (measured r1–r6: tails of
     // exactly 2000 chars with 1982–1984-char lines parsing fine), so
     // 1985 leaves room for the trailing newline plus slack.
-    Iterator(Some(2), None, Some(1), Some(0)).map(render)
-      .find(_.length < 1985).getOrElse(render(Some(0)))
+    Iterator((Some(2), false), (None, false), (Some(2), true),
+        (None, true), (Some(1), true), (Some(0), true))
+      .map { case (dp, bare) => render(dp, bare) }
+      .find(_.length < 1985).getOrElse(render(Some(0), true))
   }
 }
