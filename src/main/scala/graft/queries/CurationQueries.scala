@@ -691,6 +691,63 @@ object CurationQueries {
       .limit(20)
   }
 
+  // -------------------------------------------------------------------
+  // q177 — BOOLEAN (conjunctive) retrieval: docs containing ALL query
+  // terms, found by intersecting posting lists — the AND companion to
+  // q66's OR-sum ranking. Intersection is the count-of-hits trick: join
+  // the tf table to the broadcast term set and keep docs whose hit
+  // count equals the term count (no N-way self-join of postings — one
+  // shuffle on doc_id regardless of how many terms). Query terms are
+  // df-ranks 4..6 (deterministic, and selective enough that the AND
+  // actually filters — ranks 1..3 appear in nearly every doc). Ranked
+  // by summed tf, integer-exact.
+  // -------------------------------------------------------------------
+  def q177_boolean_retrieval(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df-ranks 4..6: take the top 6 (tiny frame), then slice — no
+    // global window over the full vocabulary
+    val top6 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(6)
+    val qterms = top6
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("term"))))
+      .filter(col("rk") > 3)
+      .select(col("term"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_hit") === 3)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q177_sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |           WHERE trim(text) <> ''),
+      |toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM d),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |qterms AS (SELECT term FROM
+      |             (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+      |           ORDER BY df DESC, term LIMIT 3 OFFSET 3)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+      |FROM tf JOIN qterms USING (term)
+      |GROUP BY doc_id
+      |HAVING COUNT(*) = 3
+      |ORDER BY total_tf DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val q66_sql: String =
     """WITH d AS (SELECT doc_id, text FROM documents
       |           WHERE trim(text) <> ''),
@@ -1212,6 +1269,7 @@ object CurationQueries {
     "q68_ann_recall" -> q68_ann_recall _,
     "q67_cluster_keepers" -> q67_cluster_keepers _,
     "q66_bm25" -> q66_bm25 _,
+    "q177_boolean_retrieval" -> q177_boolean_retrieval _,
     "q57_stratified_sample" -> q57_stratified_sample _,
     "q58_split_assign" -> q58_split_assign _,
     "q59_curation_funnel" -> q59_curation_funnel _,
@@ -1242,6 +1300,7 @@ object CurationQueries {
     "q68_ann_recall" -> q68_sql,
     "q67_cluster_keepers" -> q67_sql,
     "q66_bm25" -> q66_sql,
+    "q177_boolean_retrieval" -> q177_sql,
     "q57_stratified_sample" -> q57_sql,
     "q58_split_assign" -> q58_sql,
     "q59_curation_funnel" -> q59_sql,

@@ -719,6 +719,75 @@ object EventQueries {
       |ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q176 — growth accounting (the product-analytics ledger): each day's
+  // active users decomposed as new (first-ever day) + retained (also
+  // active the day before) + resurrected (returning after a gap), with
+  // churned = yesterday's actives who went silent. The identity
+  // active = new + retained + resurrected holds by construction.
+  // Scale shape: ONE distinct pass builds the user-day table; first-day
+  // is a user-keyed aggregate of it; "active yesterday" is a self-join
+  // on (user, day−1) — all joins on already-deduplicated keys, then the
+  // report collapses to O(days) rows; churn falls out of a lag window
+  // on that tiny frame, never a second scan.
+  // -------------------------------------------------------------------
+  def q176_growth_accounting(spark: SparkSession, dir: String): DataFrame = {
+    val userDay = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val firstDay = userDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val flagged = userDay
+      .join(userDay.select(col("user_id"),
+          (col("day") + 1).as("day"), lit(1).as("was_active")),
+        Seq("user_id", "day"), "left_outer")
+      .join(firstDay, Seq("user_id"))
+    val daily = flagged.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("was_active").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("first_day") < col("day") &&
+          col("was_active").isNull, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    daily
+      .withColumn("n_churned",
+        coalesce(lag(col("n_active"), 1).over(
+          Window.orderBy(col("day"))), lit(0L)) -
+          when(lag(col("day"), 1).over(Window.orderBy(col("day"))) ===
+            col("day") - 1, col("n_retained")).otherwise(lit(0L)))
+      .orderBy(col("day"))
+  }
+
+  val q176_sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |fd AS (
+      |  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id),
+      |flagged AS (
+      |  SELECT u.user_id, u.day, f.first_day,
+      |    CASE WHEN y.user_id IS NOT NULL THEN 1 END AS was_active
+      |  FROM ud u
+      |  JOIN fd f ON f.user_id = u.user_id
+      |  LEFT JOIN ud y ON y.user_id = u.user_id AND y.day = u.day - 1),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS n_active,
+      |    CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN was_active IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN first_day < day AND was_active IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM flagged GROUP BY day)
+      |SELECT day, n_active, n_new, n_retained, n_resurrected,
+      |  COALESCE(lag(n_active) OVER (ORDER BY day), 0) -
+      |    CASE WHEN lag(day) OVER (ORDER BY day) = day - 1
+      |      THEN n_retained ELSE 0 END AS n_churned
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------------
   // q134 — event-rate anomaly detection: hourly counts per type, then a
   // per-type z-test done ENTIRELY in integers so the flag is
   // engine-portable.  For hourly count n with per-type hour count H,
@@ -1178,6 +1247,7 @@ object EventQueries {
     "q173_stream_outer_join" -> q173_stream_outer_join _,
     "q174_time_spine" -> q174_time_spine _,
     "q175_mix_shift" -> q175_mix_shift _,
+    "q176_growth_accounting" -> q176_growth_accounting _,
     "q30_hourly_windows" -> q30_hourly_windows _,
     "q31_sessions" -> q31_sessions _,
     "q70_transitions" -> q70_transitions _,
@@ -1204,6 +1274,7 @@ object EventQueries {
     "q173_stream_outer_join" -> q173_sql,
     "q174_time_spine" -> q174_sql,
     "q175_mix_shift" -> q175_sql,
+    "q176_growth_accounting" -> q176_sql,
     "q30_hourly_windows" -> q30_sql,
     "q31_sessions" -> q31_sql,
     "q70_transitions" -> q70_sql,
