@@ -250,6 +250,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graph ops are partition-invariant on random graphs " +
+      "(LPA labels, ANF sums, walk paths)") {
+    // the determinism claim behind the whole graph/SQL-mirror family:
+    // the result is a pure function of the EDGE SET, not of how rows
+    // are distributed — re-run every op on a 1-partition and a
+    // 13-partition copy of the same random graph and require equality
+    val edgeGen = for {
+      a <- Gen.choose(1L, 60L); b <- Gen.choose(1L, 60L) if a != b
+    } yield (a, b)
+    val edges = sample(edgeGen, 97L, 150).distinct
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df13 = edges.toDF("src", "dst").repartition(13)
+    def lpa(df: org.apache.spark.sql.DataFrame) =
+      graph.Communities.labelPropagation(df, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(df1) === lpa(df13))
+    def anf(df: org.apache.spark.sql.DataFrame) =
+      graph.Communities.neighborhoodFunction(df, 3, 4)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    assert(anf(df1) === anf(df13))
+    def walks(df: org.apache.spark.sql.DataFrame) =
+      graph.Walks.deterministicWalks(df, col("id") % 5 === 0, 4)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(walks(df1) === walks(df13))
+  }
+
   test("zkey16 is a bijection on 16-bit pairs (naive interleave mirror)") {
     def naive(a: Long, b: Long): Long =
       (0 until 16).map { i =>

@@ -85,6 +85,23 @@ class TablesSpec extends SparkSpec {
       .schema("l_shipdate").dataType.typeName.startsWith("timestamp"))
   }
 
+  test("filters and projections reach the parquet scan (pushdown)") {
+    // the scale contract behind every lookup query: the scan must carry
+    // PushedFilters and a pruned ReadSchema, or a 100 TB table is read
+    // whole for a 4-column point query
+    val plan = graft.queries.Relational
+      .q02_filter_project(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(1500))
+    assert(plan.contains("GreaterThanOrEqual(p_size,25"), plan.take(1500))
+    // column pruning: the scan schema mentions the 4 selected columns
+    // and NOT the 5 untouched ones (brand/container/retailprice/...)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey"))
+    assert(!readSchema.contains("p_retailprice"), readSchema)
+  }
+
   test("the real testdata loads to long nanos and matches DuckDB's view") {
     // whatever encoding the driver generated, the loader must emit BIGINT
     // nanos whose hour buckets agree with the parquet's own micros
