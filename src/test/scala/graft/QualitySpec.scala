@@ -15,6 +15,44 @@ class QualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(2000))
   }
 
+  test("q172 expectations count each violation class exactly") {
+    // the real testdata is clean on 5 of 7 rules — prove the violation
+    // arms on a deliberately dirty mini-warehouse
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q172_spec").toString
+    Seq(
+      (1L, 1, 10.0, 0.05, ts),  // clean
+      (1L, 2, 99.0, 0.05, ts),  // quantity out of range
+      (1L, 3, 10.0, 0.50, ts),  // discount out of range
+      (9L, 1, 10.0, 0.05, ts),  // orphan orderkey (no order 9)
+      (2L, 1, 10.0, 0.05, ts),  // dup (orderkey, linenumber) ...
+      (2L, 1, 11.0, 0.05, ts)   // ... both rows count as violations
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(
+      (1L, 10L, "O", 100.0, ts),
+      (2L, 10L, "X", 100.0, ts),  // status outside domain
+      (3L, 10L, "F", -5.0, ts),   // non-positive totalprice
+      (4L, 99L, "P", 100.0, ts)   // orphan custkey (no customer 99)
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(10L)).toDF("c_custkey")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = graft.queries.QualityQueries.q172_expectations(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("lineitem.quantity_in_1_50") === ((6L, 1L)))
+    assert(got("lineitem.discount_in_0_0.11") === ((6L, 1L)))
+    assert(got("lineitem.pk_unique") === ((6L, 2L)))
+    assert(got("lineitem.fk_orders") === ((6L, 1L)))
+    assert(got("orders.totalprice_positive") === ((4L, 1L)))
+    assert(got("orders.status_in_domain") === ((4L, 1L)))
+    assert(got("orders.fk_customer") === ((4L, 1L)))
+  }
+
   test("gopherRulesDf flags each rule independently") {
     val good = (Seq.fill(10)("the") ++ Seq.fill(10)("and") ++
       Seq.fill(40)("word")).mkString(" ") // 60 words, all alpha
