@@ -44,6 +44,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("streamTable reads both physical layouts (file and directory)") {
+    // regression pin for the silent-zero mode: a name glob over the sf
+    // dir matches a single-file table but NOTHING inside a
+    // directory-of-parts table, so the stream "succeeds" with 0 rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_layout_spec").toString
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    rows.repartition(2).write.parquet(s"$dir/docs.parquet") // directory
+    def countOf(name: String): Long = {
+      val sink = s"lay_${System.nanoTime()}"
+      val q = graft.Tables.streamTable(spark, dir, name)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sink).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    }
+    assert(countOf("docs") === 3L)
+    // single-FILE layout: move a lone part file to <dir>/single.parquet
+    val part = new java.io.File(s"$dir/docs.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/single.parquet"))
+    assert(countOf("single") > 0L)
+  }
+
   test("intervalJoin matches right rows inside (left_ts, left_ts+lag]") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
