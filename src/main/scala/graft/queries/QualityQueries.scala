@@ -879,6 +879,119 @@ object QualityQueries {
       |ORDER BY check_name""".stripMargin
 
   // -------------------------------------------------------------------
+  // q178 — k-anonymity generalization ladder (the privacy audit a
+  // training-data release runs): quasi-identifier = (lang, source,
+  // n_chars bucketed at width w). For each generalization level
+  // w ∈ {10, 100, 1000}, count the documents living in QI-groups
+  // smaller than k=5 (re-identifiable) — then report, per level, group
+  // count, at-risk rows, and whether the level satisfies k-anonymity;
+  // the minimal sufficient level is read off the report. Shape: one
+  // groupBy per level over the same scan (3 tiny aggregations), no
+  // joins; at 100 TB the scan dominates and the three levels share it.
+  // -------------------------------------------------------------------
+  def q178_k_anonymity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"))
+    val k = 5L
+    val levels = Seq(10L, 100L, 1000L).map { w =>
+      docs
+        .groupBy(col("lang"), col("source"),
+          expr(s"n_chars div $w").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("c") < k, col("c"))), lit(0L))
+            .as("n_at_risk"))
+        .select(lit(w).as("bucket_width"), col("n_groups"),
+          col("n_at_risk"),
+          (col("n_at_risk") === 0L).as("k_anonymous"))
+    }
+    levels.reduce(_.unionByName(_)).orderBy(col("bucket_width"))
+  }
+
+  val q178_sql: String = {
+    def level(w: Long): String =
+      s"""SELECT $w AS bucket_width,
+         |  COUNT(*) AS n_groups,
+         |  CAST(COALESCE(SUM(CASE WHEN c < 5 THEN c END), 0) AS BIGINT)
+         |    AS n_at_risk,
+         |  COALESCE(SUM(CASE WHEN c < 5 THEN c END), 0) = 0
+         |    AS k_anonymous
+         |FROM (SELECT COUNT(*) AS c FROM documents
+         |      GROUP BY lang, source, n_chars // $w)""".stripMargin
+    Seq(10L, 100L, 1000L).map(level)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY bucket_width")
+  }
+
+  // -------------------------------------------------------------------
+  // q179 — rendezvous (highest-random-weight) shard routing: every doc
+  // goes to argmax over shards of hash(doc, shard) — the consistent
+  // routing that, when the fleet grows from 8 to 9 shards, moves ONLY
+  // the docs whose new argmax is the new shard (~1/9 of the corpus)
+  // and moves them ONLY to shard 8; everything else stays put. The
+  // report (per shard: population at S=8, at S=9, arrivals) makes that
+  // minimal-movement property an oracle-checked INVARIANT: n_arrived
+  // must be 0 for shards 0..7. Argmax is tie-free by construction:
+  // the 60-bit hash is truncated to 58 bits and packed as hh·16+s, so
+  // MAX() resolves shard and weight in one portable BIGINT — no
+  // engine-specific arg_max tie-break semantics.
+  // -------------------------------------------------------------------
+  def q179_rendezvous_routing(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val weights = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, 8L)")).as("s"))
+      .withColumn("h", Sampling.hash60("hrw",
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("s").cast("string"))))
+      // integer div, not Column./ — 2^56 does not fit a double mantissa
+      .select(col("doc_id"), col("s"),
+        expr("(h div 16) * 16 + s").as("packed"))
+    val assigned = weights.groupBy(col("doc_id"))
+      .agg(max(when(col("s") < 8, col("packed"))).as("m8"),
+        max(col("packed")).as("m9"))
+      .select((col("m8") % 16).as("shard8"), (col("m9") % 16).as("shard9"))
+    val at8 = assigned.groupBy(col("shard8").as("shard"))
+      .agg(count(lit(1)).as("n_at_8"))
+    val at9 = assigned.groupBy(col("shard9").as("shard"))
+      .agg(count(lit(1)).as("n_at_9"),
+        sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+          .as("n_arrived"))
+    at8.join(at9, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_at_8"), lit(0L)).as("n_at_8"),
+        coalesce(col("n_at_9"), lit(0L)).as("n_at_9"),
+        coalesce(col("n_arrived"), lit(0L)).as("n_arrived"))
+      .orderBy(col("shard"))
+  }
+
+  val q179_sql: String = {
+    val h = Sampling.hash60Sql("hrw",
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+    s"""WITH w AS (
+       |  SELECT doc_id, s, ($h // 16) * 16 + s AS packed
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS s)),
+       |a AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN s < 8 THEN packed END) % 16 AS shard8,
+       |    MAX(packed) % 16 AS shard9
+       |  FROM w GROUP BY doc_id),
+       |at8 AS (
+       |  SELECT shard8 AS shard, COUNT(*) AS n_at_8 FROM a GROUP BY 1),
+       |at9 AS (
+       |  SELECT shard9 AS shard, COUNT(*) AS n_at_9,
+       |    CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_arrived
+       |  FROM a GROUP BY 1)
+       |SELECT COALESCE(at8.shard, at9.shard) AS shard,
+       |  COALESCE(n_at_8, 0) AS n_at_8,
+       |  COALESCE(n_at_9, 0) AS n_at_9,
+       |  COALESCE(n_arrived, 0) AS n_arrived
+       |FROM at8 FULL OUTER JOIN at9 ON at8.shard = at9.shard
+       |ORDER BY shard""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q98 — distributed sufficient statistics (second moments): per
   // return flag, the exact integer sums (n, Σq, Σq², Σd, Σd², Σqd)
   // over scaled quantity/discount — everything variance, covariance,
@@ -1689,6 +1802,8 @@ object QualityQueries {
     "q167_incremental_join" -> q167_incremental_join _,
     "q171_target_encoding" -> q171_target_encoding _,
     "q172_expectations" -> q172_expectations _,
+    "q178_k_anonymity" -> q178_k_anonymity _,
+    "q179_rendezvous_routing" -> q179_rendezvous_routing _,
     "q98_stat_moments" -> q98_stat_moments _,
     "q99_frame_dedup" -> q99_frame_dedup _,
     "q100_curate_e2e" -> q100_curate_e2e _)
@@ -1727,6 +1842,8 @@ object QualityQueries {
     "q167_incremental_join" -> q167_sql,
     "q171_target_encoding" -> q171_sql,
     "q172_expectations" -> q172_sql,
+    "q178_k_anonymity" -> q178_sql,
+    "q179_rendezvous_routing" -> q179_sql,
     "q98_stat_moments" -> q98_sql,
     "q99_frame_dedup" -> q99_sql,
     "q100_curate_e2e" -> q100_sql)
