@@ -271,6 +271,58 @@ object ExtendedQueries {
       .withColumnRenamed("rank", "rk")
       .orderBy(col("query_id"), col("rk"))
 
+  // -------------------------------------------------------------------
+  // q180 — incremental IVF index maintenance (q167's IVM story for the
+  // ANN index): a delta batch of vectors (vid % 10 = 9) is folded into
+  // the existing index by assigning ONLY the delta to the frozen
+  // centroids and merging per-cell counts — the base corpus is never
+  // re-scored. Nearest-centroid assignment is a pure function of
+  // (vector, codebook), so the merged cell populations equal the
+  // oracle's full recompute exactly; at 100 TB that identity is what
+  // keeps the index fresh at churn cost instead of corpus cost.
+  // -------------------------------------------------------------------
+  def q180_ivf_delta_maintenance(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"))
+    val base = v.filter(col("vid") % 10 < 9)
+    val delta = v.filter(col("vid") % 10 === 9)
+    val cents = base.filter(col("vid") % 25 === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val baseCells = Similarity.ivfAssign(base, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val deltaCells = Similarity.ivfAssign(delta, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_added"))
+    baseCells.join(deltaCells, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("n_base"), lit(0L)) +
+          coalesce(col("n_added"), lit(0L))).as("n_vectors"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .orderBy(col("cid"))
+  }
+
+  val q180_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |cents AS (SELECT vid AS cid, vec AS cv FROM v
+      |          WHERE vid % 25 = 0 AND vid % 10 < 9),
+      |asg0 AS (
+      |  SELECT vid, cid,
+      |         round(list_cosine_similarity(v.vec, cents.cv), 5) AS csim
+      |  FROM v CROSS JOIN cents),
+      |asg AS (
+      |  SELECT vid, cid FROM (
+      |    SELECT vid, cid, ROW_NUMBER() OVER (
+      |      PARTITION BY vid ORDER BY csim DESC, cid) AS rn
+      |    FROM asg0) WHERE rn = 1)
+      |SELECT cid, COUNT(*) AS n_vectors,
+      |  CAST(SUM(CASE WHEN vid % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added
+      |FROM asg GROUP BY cid
+      |ORDER BY cid""".stripMargin
+
   val q38_sql: String =
     """WITH v AS (
       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
@@ -1100,6 +1152,7 @@ object ExtendedQueries {
     "q152_centroid_drift" -> q152_centroid_drift _,
     "q160_cluster_purity" -> q160_cluster_purity _,
     "q38_ivf_ann" -> q38_ivf_ann _,
+    "q180_ivf_delta_maintenance" -> q180_ivf_delta_maintenance _,
     "q39_feature_merge" -> q39_feature_merge _,
     "q40_scip_parse" -> q40_scip_parse _,
     "q41_token_budget" -> q41_token_budget _,
@@ -1126,6 +1179,7 @@ object ExtendedQueries {
     "q152_centroid_drift" -> q152_sql,
     "q160_cluster_purity" -> q160_sql,
     "q38_ivf_ann" -> q38_sql,
+    "q180_ivf_delta_maintenance" -> q180_sql,
     "q39_feature_merge" -> q39_sql,
     "q40_scip_parse" -> q40_sql,
     "q41_token_budget" -> q41_sql,
