@@ -748,6 +748,76 @@ object CurationQueries {
       |ORDER BY total_tf DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q181 — PHRASE retrieval over a positional index: docs containing
+  // the exact two-token phrase, found by intersecting POSITIONAL
+  // posting lists with an offset condition — the third retrieval mode
+  // next to q66's OR-sum and q177's AND-set. The index is (doc, pos,
+  // term); a phrase hit is t1 at p and t2 at p+1 in the same doc, so
+  // the intersection is a pure equi-join on (doc_id, p+1)=(doc_id, p)
+  // after each side is restricted by a broadcast of the (tiny) phrase
+  // frame. This is the shape that serves arbitrary-length phrases at
+  // query time WITHOUT precomputing an n-gram table per n.
+  //
+  // The query phrase is parameter-free: the corpus's most frequent
+  // adjacent bigram (lead() per doc — the window partitions on doc_id,
+  // bounded by doc length). Postings are materialized once
+  // (localCheckpoint) because three consumers probe them. Scale shape:
+  // index build is one groupBy-free projection; the probes are
+  // broadcast-filtered scans; the positional intersection shuffles on
+  // doc_id only — per-term posting skew never concentrates on one key
+  // because the join key includes the position.
+  // -------------------------------------------------------------------
+  def q181_phrase_retrieval(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val postings = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+      .localCheckpoint(eager = true) // bigram stats + two probe sides
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrase = postings
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("term"), col("nxt")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"), col("nxt")).limit(1)
+      .select(col("term").as("t1"), col("nxt").as("t2"))
+    val p1 = postings
+      .join(broadcast(phrase), postings("term") === col("t1"))
+      .select(col("doc_id"), (col("pos") + 1).as("want"))
+    val p2 = postings
+      .join(broadcast(phrase), postings("term") === col("t2"))
+      .select(col("doc_id"), col("pos").as("want"))
+    p1.join(p2, Seq("doc_id", "want"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q181_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |pos AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS p,
+      |         unnest(tk) AS term
+      |  FROM d),
+      |phrase AS (
+      |  SELECT a.term AS t1, b.term AS t2
+      |  FROM pos a JOIN pos b
+      |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |  GROUP BY 1, 2
+      |  ORDER BY COUNT(*) DESC, t1, t2 LIMIT 1),
+      |occ AS (
+      |  SELECT a.doc_id
+      |  FROM pos a JOIN phrase ph ON a.term = ph.t1
+      |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |    AND b.term = ph.t2)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |FROM occ GROUP BY doc_id
+      |ORDER BY n_occ DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val q66_sql: String =
     """WITH d AS (SELECT doc_id, text FROM documents
       |           WHERE trim(text) <> ''),
@@ -1270,6 +1340,7 @@ object CurationQueries {
     "q67_cluster_keepers" -> q67_cluster_keepers _,
     "q66_bm25" -> q66_bm25 _,
     "q177_boolean_retrieval" -> q177_boolean_retrieval _,
+    "q181_phrase_retrieval" -> q181_phrase_retrieval _,
     "q57_stratified_sample" -> q57_stratified_sample _,
     "q58_split_assign" -> q58_split_assign _,
     "q59_curation_funnel" -> q59_curation_funnel _,
@@ -1301,6 +1372,7 @@ object CurationQueries {
     "q67_cluster_keepers" -> q67_sql,
     "q66_bm25" -> q66_sql,
     "q177_boolean_retrieval" -> q177_sql,
+    "q181_phrase_retrieval" -> q181_sql,
     "q57_stratified_sample" -> q57_sql,
     "q58_split_assign" -> q58_sql,
     "q59_curation_funnel" -> q59_sql,

@@ -217,4 +217,18 @@ class CurationSpec extends SparkSpec {
     assert(out(2).head_hex ===
       payload.slice(512, 516).map("%02X".format(_)).mkString)
   }
+
+  test("q181 phrase retrieval counts OVERLAPPING occurrences") {
+    // "x x x y": bigrams (x,x)x2 (x,y)x1; "x x z": (x,x)x1 (x,z)x1 —
+    // top phrase is (x,x) and doc 1 must report BOTH overlapping hits
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phrase").toString
+    Seq((1L, "x x x y"), (2L, "x x z"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.queries.CurationQueries
+      .q181_phrase_retrieval(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+  }
 }
