@@ -1768,8 +1768,112 @@ object QualityQueries {
        |ORDER BY zbucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q182 — Pareto-skyline data selection: documents not dominated on
+  // (token count, distinct-token count) — the "no other doc is at
+  // least as long AND at least as lexically rich, strictly better in
+  // one" frontier a curation pass keeps when two quality axes can't be
+  // collapsed into one score. The naive skyline is corpus², so the 2-D
+  // case is decomposed: per token-count maxima (one groupBy onto the
+  // BOUNDED distinct-length table), then the frontier condition
+  // M(len) > max of M over strictly longer lens — a triangular join on
+  // the bounded per-length table (the q124 cumulative idiom, never a
+  // global window) — then one broadcast membership probe back onto the
+  // corpus-sized metrics frame. Docs tied with the per-length maximum
+  // are all on the frontier (dominance needs one STRICT axis).
+  // -------------------------------------------------------------------
+  def q182_pareto_skyline(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"),
+        size(array_distinct(col("tk"))).cast("long").as("n_types"))
+      .localCheckpoint(eager = true) // per-length maxima + the probe
+    val per = m.groupBy(col("n_toks")).agg(max(col("n_types")).as("mx"))
+    val frontier = per.as("a")
+      .join(per.as("b"), col("b.n_toks") > col("a.n_toks"), "left")
+      .groupBy(col("a.n_toks").as("n_toks"), col("a.mx").as("n_types"))
+      .agg(max(col("b.mx")).as("hi"))
+      .filter(col("hi").isNull || col("n_types") > col("hi"))
+      .select(col("n_toks"), col("n_types"))
+    m.join(broadcast(frontier), Seq("n_toks", "n_types"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+  }
+
+  val q182_sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+      |         CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(text), '\s+') AS tk
+      |        FROM documents WHERE trim(text) <> ''))
+      |SELECT doc_id, n_toks, n_types
+      |FROM m a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM m b
+      |  WHERE b.n_toks >= a.n_toks AND b.n_types >= a.n_types
+      |    AND (b.n_toks > a.n_toks OR b.n_types > a.n_types))
+      |ORDER BY n_toks DESC, doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q183 — compaction planner (the OPTIMIZE bin-packing step): many
+  // small ingest files rolled into target-sized output bins WITHOUT
+  // crossing partition boundaries and preserving layout order (so any
+  // clustering the files already have survives the rewrite). Files are
+  // modeled as doc_id div 8 runs sized by their text bytes inside
+  // doc_id div 128 partitions; a file's bin is floor(bytes-before-it /
+  // target) — the sorted-greedy plan every table-maintenance service
+  // ships. The cumulative sum is a window PARTITIONED by the table
+  // partition (files-per-partition is bounded by the ingest cadence,
+  // never corpus-sized); an oversized file simply claims its own bin.
+  // The report is the plan a rewriter would execute: per (partition,
+  // bin) the file run to concatenate and its resulting size.
+  // -------------------------------------------------------------------
+  def q183_compaction_plan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 8192L
+    val files = Tables.documents(spark, dir)
+      .select((col("doc_id") / 128).cast("long").as("part"),
+        (col("doc_id") / 8).cast("long").as("file_id"),
+        length(col("text")).cast("long").as("bytes"))
+      .groupBy(col("part"), col("file_id"))
+      .agg(sum(col("bytes")).as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    files
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div ${target}L"))
+      .groupBy(col("part"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("tot_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .orderBy(col("part"), col("bin"))
+  }
+
+  val q183_sql: String =
+    """WITH f AS (
+      |  SELECT doc_id // 128 AS part, doc_id // 8 AS file_id,
+      |         CAST(SUM(len(text)) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT part, file_id, bytes,
+      |    COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS before
+      |  FROM f)
+      |SELECT part, CAST(before // 8192 AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS tot_bytes,
+      |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+      |FROM c GROUP BY 1, 2
+      |ORDER BY part, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_zorder_layout" -> q153_zorder_layout _,
+    "q182_pareto_skyline" -> q182_pareto_skyline _,
+    "q183_compaction_plan" -> q183_compaction_plan _,
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
@@ -1810,6 +1914,8 @@ object QualityQueries {
 
   val oracles: Map[String, String] = Map(
     "q153_zorder_layout" -> q153_sql,
+    "q182_pareto_skyline" -> q182_sql,
+    "q183_compaction_plan" -> q183_sql,
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,

@@ -339,4 +339,43 @@ class QualitySpec extends SparkSpec {
     assert(outN.filter(col("src").isNull && col("kept") === 1)
       .count() === 1L)
   }
+
+  test("q182 skyline keeps ties on the frontier, drops dominated docs") {
+    // docs: (10,5) A, (10,5) B (tie — both on frontier), (10,3) C
+    // (dominated by A on types), (12,4) D (frontier: longest with 4),
+    // (8,6) E (frontier: richest), (8,4) F (dominated by A and E)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skyline").toString
+    def doc(nToks: Int, nTypes: Int): String =
+      ((0 until nTypes).map(i => s"w$i") ++
+        Seq.fill(nToks - nTypes)("w0")).mkString(" ")
+    Seq(1L -> doc(10, 5), 2L -> doc(10, 5), 3L -> doc(10, 3),
+        4L -> doc(12, 4), 5L -> doc(8, 6), 6L -> doc(8, 4))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.queries.QualityQueries
+      .q182_pareto_skyline(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("q183 oversized file claims its own bin; order is preserved") {
+    // partition 0 files (by doc_id div 8): f0 tiny, f1 huge (> target
+    // on its own), f2 tiny — greedy must emit f0 in bin 0, f1 pushed
+    // into its own bin, f2 after it (never reordered around the whale)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val rows = Seq(
+      (0L, "a" * 100), (8L, "b" * 20000), (16L, "c" * 100))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.queries.QualityQueries
+      .q183_compaction_plan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // (part, bin, n_files, tot_bytes, first, last)
+    assert(got.toSeq === Seq(
+      (0L, 0L, 2L, 20100L, 0L, 1L), // f0 + the whale start bin 0
+      (0L, 2L, 1L, 100L, 2L, 2L)))  // f2 lands past the whale's mass
+  }
 }
