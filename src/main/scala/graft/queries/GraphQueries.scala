@@ -544,7 +544,80 @@ object GraphQueries {
        |ORDER BY dist, id
        |LIMIT 50""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q185 — link prediction by common-neighbor scores: for every
+  // NON-adjacent node pair sharing at least one neighbor, the
+  // common-neighbor count and the resource-allocation index
+  // RA = Σ_v 10⁶ div deg(v) over shared neighbors v (Zhou et al. 2009
+  // — Adamic-Adar's integer-friendly sibling: a shared HUB neighbor is
+  // weak evidence, a shared low-degree neighbor strong). Top 20 by RA.
+  //
+  // Scale shape: candidates come from the wedge join (neighbors-of-v
+  // paired, v's contribution attached), the same deg²-bounded fan-out
+  // as q95/q137 — real pipelines cap the hub degree first and this
+  // graph's degree is ≤4 by construction. Scoring is one groupBy on
+  // the pair; existing edges leave via an anti-join. Nothing is
+  // collected; the candidate set never materializes corpus².
+  // -------------------------------------------------------------------
+  def q185_link_prediction(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_partkey") >= 2)
+    val raw = p.select(col("p_partkey").as("s"),
+        expr("p_partkey div 2").as("d"))
+      .unionAll(p.select(col("p_partkey").as("s"),
+        (col("p_partkey") - 1).as("d")))
+    val und = raw.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true) // neighbors + the edge anti-join
+    val nbr = und.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("n")))
+    val deg = nbr.groupBy(col("n").as("v")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("v", "hub")
+    val wedges = nbr.as("x")
+      .join(nbr.as("y"),
+        col("x.n") === col("y.n") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("u"), col("y.v").as("w"), col("x.n").as("via"))
+    val scored = wedges
+      .join(deg, col("via") === col("hub"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common_nbrs"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+    scored
+      .join(und, col("u") === col("a") && col("w") === col("b"),
+        "left_anti")
+      .orderBy(col("ra_ppm").desc, col("u"), col("w"))
+      .limit(20)
+  }
+
+  val q185_sql: String =
+    """WITH raw AS (
+      |  SELECT p_partkey AS s, p_partkey // 2 AS d FROM part
+      |  WHERE p_partkey >= 2
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey - 1 FROM part WHERE p_partkey >= 2),
+      |und AS (
+      |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      |  FROM raw WHERE s <> d),
+      |nbr AS (
+      |  SELECT a AS v, b AS n FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT n AS hub, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM nbr GROUP BY n),
+      |wedges AS (
+      |  SELECT x.v AS u, y.v AS w, x.n AS via
+      |  FROM nbr x JOIN nbr y ON x.n = y.n AND x.v < y.v),
+      |scored AS (
+      |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common_nbrs,
+      |    CAST(SUM(1000000 // deg) AS BIGINT) AS ra_ppm
+      |  FROM wedges JOIN deg ON via = hub
+      |  GROUP BY u, w)
+      |SELECT u, w, common_nbrs, ra_ppm
+      |FROM scored ANTI JOIN und ON u = a AND w = b
+      |ORDER BY ra_ppm DESC, u, w
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_link_prediction" -> q185_link_prediction _,
     "q95_triangles" -> q95_triangles _,
     "q17_bfs_reach" -> q17_bfs_reach _,
     "q18_closure_depths" -> q18_closure_depths _,
@@ -560,6 +633,7 @@ object GraphQueries {
     "q170_random_walks" -> q170_random_walks _)
 
   val oracles: Map[String, String] = Map(
+    "q185_link_prediction" -> q185_sql,
     "q95_triangles" -> q95_sql,
     "q17_bfs_reach" -> q17_sql,
     "q18_closure_depths" -> q18_sql,

@@ -1870,10 +1870,105 @@ object QualityQueries {
       |FROM c GROUP BY 1, 2
       |ORDER BY part, bin""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q184 — zone-map pruning audit: would sorting this table by date
+  // actually prune file scans? Files are modeled as 1024-row runs in
+  // two layouts — the CURRENT one (key order: o_orderkey div 1024) and
+  // the PROPOSED date-sorted one — each file carrying its (min, max)
+  // date zone map; for every month predicate the report counts files
+  // whose zone overlaps the month in each layout. Uncorrelated
+  // key↔date gives keyed_files ≈ n_files (zone maps useless) while
+  // sorted_files collapses to the month's actual share — the
+  // quantified "should we re-cluster" decision behind ZORDER/OPTIMIZE.
+  //
+  // Scale shape: the date-sorted rank never uses a global window — the
+  // distributed-CDF idiom (per-date counts on the BOUNDED distinct-
+  // date table, triangular join for the prefix, row_number only WITHIN
+  // a date). File frames are rows/1024 — tiny — so the month×file
+  // overlap joins broadcast; the only corpus-sized work is two scans
+  // and one date groupBy.
+  // -------------------------------------------------------------------
+  def q184_zonemap_audit(spark: SparkSession, dir: String): DataFrame = {
+    val rowsPerFile = 1024L
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .localCheckpoint(eager = true) // keyed files + CDF + sorted files
+    val keyed = o
+      .groupBy(expr(s"o_orderkey div ${rowsPerFile}L").as("f"))
+      .agg(min(col("o_orderdate")).as("mn"),
+        max(col("o_orderdate")).as("mx"))
+    val dcnt = o.groupBy(col("o_orderdate")).agg(count(lit(1)).as("cnt"))
+    val cum = dcnt.as("a")
+      .join(dcnt.as("b"), col("b.o_orderdate") < col("a.o_orderdate"),
+        "left")
+      .groupBy(col("a.o_orderdate").as("o_orderdate"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("before"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderdate")).orderBy(col("o_orderkey"))
+    val sorted = o.join(broadcast(cum), Seq("o_orderdate"))
+      .withColumn("r", col("before") + row_number().over(wd) - 1)
+      .groupBy(expr(s"r div ${rowsPerFile}L").as("f"))
+      .agg(min(col("o_orderdate")).as("mn"),
+        max(col("o_orderdate")).as("mx"))
+    val months = o
+      .select(date_trunc("month", col("o_orderdate")).as("month"))
+      .distinct()
+    def scanned(files: DataFrame, out: String): DataFrame =
+      months.join(broadcast(files),
+          col("mn") < col("month") + expr("interval 1 month") &&
+            col("mx") >= col("month"))
+        .groupBy(col("month")).agg(count(lit(1)).as(out))
+    val total = keyed.agg(count(lit(1)).as("n_files"))
+    months
+      .join(scanned(keyed, "keyed_files"), Seq("month"), "left_outer")
+      .join(scanned(sorted, "sorted_files"), Seq("month"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("month"), col("n_files"),
+        coalesce(col("keyed_files"), lit(0L)).as("keyed_files"),
+        coalesce(col("sorted_files"), lit(0L)).as("sorted_files"))
+      .orderBy(col("month"))
+  }
+
+  val q184_sql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+      |keyed AS (
+      |  SELECT o_orderkey // 1024 AS f, MIN(o_orderdate) AS mn,
+      |         MAX(o_orderdate) AS mx
+      |  FROM o GROUP BY 1),
+      |srt AS (
+      |  SELECT o_orderdate,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS r
+      |  FROM o),
+      |sorted_f AS (
+      |  SELECT r // 1024 AS f, MIN(o_orderdate) AS mn,
+      |         MAX(o_orderdate) AS mx
+      |  FROM srt GROUP BY 1),
+      |months AS (
+      |  SELECT DISTINCT date_trunc('month', o_orderdate) AS month
+      |  FROM o),
+      |k AS (
+      |  SELECT month, CAST(COUNT(*) AS BIGINT) AS keyed_files
+      |  FROM months JOIN keyed
+      |    ON mn < month + INTERVAL 1 MONTH AND mx >= month
+      |  GROUP BY month),
+      |s AS (
+      |  SELECT month, CAST(COUNT(*) AS BIGINT) AS sorted_files
+      |  FROM months JOIN sorted_f
+      |    ON mn < month + INTERVAL 1 MONTH AND mx >= month
+      |  GROUP BY month),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM keyed)
+      |SELECT month, n_files,
+      |  COALESCE(keyed_files, 0) AS keyed_files,
+      |  COALESCE(sorted_files, 0) AS sorted_files
+      |FROM months LEFT JOIN k USING (month) LEFT JOIN s USING (month)
+      |CROSS JOIN t
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_zorder_layout" -> q153_zorder_layout _,
     "q182_pareto_skyline" -> q182_pareto_skyline _,
     "q183_compaction_plan" -> q183_compaction_plan _,
+    "q184_zonemap_audit" -> q184_zonemap_audit _,
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
@@ -1916,6 +2011,7 @@ object QualityQueries {
     "q153_zorder_layout" -> q153_sql,
     "q182_pareto_skyline" -> q182_sql,
     "q183_compaction_plan" -> q183_sql,
+    "q184_zonemap_audit" -> q184_sql,
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,
