@@ -1964,11 +1964,121 @@ object QualityQueries {
       |CROSS JOIN t
       |ORDER BY month""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q186 — data-constrained token allocation (the Muennighoff et al.
+  // 2023 mixing problem): split a training budget across languages
+  // targeting a UNIFORM mix, but no language may repeat beyond 2
+  // epochs (cap = 2·T_lang). That is exact waterfilling over
+  // heterogeneous caps: languages whose cap sits below the water level
+  // saturate, the rest share the remaining budget equally. The level
+  // is found in closed form on the BOUNDED per-language table — each
+  // candidate boundary (every language, plus a virtual "nobody
+  // saturates" row) gets its prefix of caps via a triangular join, the
+  // feasible candidate with the deepest prefix wins, and integer dust
+  // from the floor divisions lands deterministically on the first
+  // unsaturated language so the allocations sum to the budget EXACTLY
+  // (spec-asserted). Scale shape: one corpus scan for the per-language
+  // token counts; everything after runs on the ≤|langs| frame.
+  // -------------------------------------------------------------------
+  def q186_epoch_allocation(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("t_tokens"))
+      .withColumn("cap", col("t_tokens") * 2)
+      .localCheckpoint(eager = true) // prefix join + totals + alloc
+    val tot = t.agg(count(lit(1)).as("n"), sum(col("t_tokens")).as("tt"))
+      .withColumn("budget", expr("tt * 3 div 2"))
+    val cand = t.select(col("lang").as("clang"), col("cap").as("ccap"))
+      .unionAll(spark.range(1)
+        .select(lit("").as("clang"), lit(-1L).as("ccap")))
+    val pref = cand.join(t,
+        col("cap") < col("ccap") ||
+          (col("cap") === col("ccap") && col("lang") <= col("clang")),
+        "left")
+      .groupBy(col("clang"), col("ccap"))
+      .agg(coalesce(sum(col("cap")), lit(0L)).as("s"),
+        count(col("lang")).as("k"))
+    val winner = pref.crossJoin(broadcast(tot))
+      .filter(col("k") < col("n"))
+      .withColumn("lvl", expr("(budget - s) div (n - k)"))
+      .filter(col("ccap") <= col("lvl"))
+      .orderBy(col("k").desc, col("clang")).limit(1)
+      .select(col("clang").as("wlang"), col("ccap").as("wcap"),
+        col("lvl"), (col("n") - col("k")).as("m"), col("s").as("ws"),
+        col("budget"))
+    val a0 = t.crossJoin(broadcast(winner))
+      .withColumn("saturated",
+        col("cap") < col("wcap") ||
+          (col("cap") === col("wcap") && col("lang") <= col("wlang")))
+      .withColumn("alloc0",
+        when(col("saturated"), col("cap")).otherwise(col("lvl")))
+      .withColumn("dust", expr("budget - ws - m * lvl"))
+    val firstUnsat = a0
+      .agg(min(when(!col("saturated"), col("lang"))).as("first_unsat"))
+    a0.crossJoin(broadcast(firstUnsat))
+      .withColumn("alloc", col("alloc0") +
+        when(col("lang") === col("first_unsat"), col("dust"))
+          .otherwise(lit(0L)))
+      .select(col("lang"), col("t_tokens"), col("cap"), col("alloc"),
+        expr("alloc * 1000000 div t_tokens").as("epochs_ppm"),
+        col("saturated"))
+      .orderBy(col("lang"))
+  }
+
+  val q186_sql: String =
+    """WITH t AS (
+      |  SELECT lang, CAST(SUM(
+      |      len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |    AS t_tokens
+      |  FROM documents WHERE trim(text) <> '' GROUP BY lang),
+      |c AS (SELECT lang, t_tokens, t_tokens * 2 AS cap FROM t),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(t_tokens) * 3 // 2 AS BIGINT) AS budget FROM t),
+      |cand AS (SELECT lang AS clang, cap AS ccap FROM c
+      |         UNION ALL SELECT '', -1),
+      |pref AS (
+      |  SELECT cand.clang, cand.ccap,
+      |    CAST(COALESCE(SUM(c.cap), 0) AS BIGINT) AS s,
+      |    CAST(COUNT(c.lang) AS BIGINT) AS k
+      |  FROM cand LEFT JOIN c
+      |    ON c.cap < cand.ccap
+      |    OR (c.cap = cand.ccap AND c.lang <= cand.clang)
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT clang AS wlang, ccap AS wcap,
+      |    (budget - s) // (n - k) AS lvl, n - k AS m, s AS ws, budget
+      |  FROM pref CROSS JOIN tt
+      |  WHERE k < n AND ccap <= (budget - s) // (n - k)
+      |  ORDER BY k DESC, clang LIMIT 1),
+      |a0 AS (
+      |  SELECT c.lang, c.t_tokens, c.cap,
+      |    (c.cap < w.wcap OR (c.cap = w.wcap AND c.lang <= w.wlang))
+      |      AS saturated,
+      |    CASE WHEN c.cap < w.wcap
+      |           OR (c.cap = w.wcap AND c.lang <= w.wlang)
+      |         THEN c.cap ELSE w.lvl END AS alloc0,
+      |    w.budget - w.ws - w.m * w.lvl AS dust
+      |  FROM c CROSS JOIN w),
+      |mu AS (SELECT MIN(CASE WHEN NOT saturated THEN lang END)
+      |         AS first_unsat FROM a0)
+      |SELECT lang, t_tokens, CAST(cap AS BIGINT) AS cap,
+      |  CAST(alloc0 + CASE WHEN lang = first_unsat
+      |    THEN dust ELSE 0 END AS BIGINT) AS alloc,
+      |  CAST((alloc0 + CASE WHEN lang = first_unsat
+      |      THEN dust ELSE 0 END) * 1000000 // t_tokens AS BIGINT)
+      |    AS epochs_ppm,
+      |  saturated
+      |FROM a0 CROSS JOIN mu ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_zorder_layout" -> q153_zorder_layout _,
     "q182_pareto_skyline" -> q182_pareto_skyline _,
     "q183_compaction_plan" -> q183_compaction_plan _,
     "q184_zonemap_audit" -> q184_zonemap_audit _,
+    "q186_epoch_allocation" -> q186_epoch_allocation _,
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
@@ -2012,6 +2122,7 @@ object QualityQueries {
     "q182_pareto_skyline" -> q182_sql,
     "q183_compaction_plan" -> q183_sql,
     "q184_zonemap_audit" -> q184_sql,
+    "q186_epoch_allocation" -> q186_sql,
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,

@@ -359,6 +359,28 @@ class QualitySpec extends SparkSpec {
     assert(got === Set(1L, 2L, 4L, 5L))
   }
 
+  test("q186 waterfilling saturates caps, dust lands on one lang, " +
+      "allocations sum to the budget exactly") {
+    // T: c=5, b=101, a=100, d=100 → budget = 306*3 div 2 = 459.
+    // c saturates (cap 10 < level); level = (459-10) div 3 = 149,
+    // dust = 449 - 3*149 = 2 → first unsaturated lang (a) takes it.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-epochs").toString
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq((1L, doc(5), "c"), (2L, doc(101), "b"), (3L, doc(100), "a"),
+        (4L, doc(100), "d"))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.QualityQueries
+      .q186_epoch_allocation(spark, dir).collect()
+    val alloc = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(alloc === Map("a" -> 151L, "b" -> 149L, "c" -> 10L,
+      "d" -> 149L))
+    assert(alloc.values.sum === 459L) // = budget, bit-exact
+    val sat = rows.filter(_.getBoolean(5)).map(_.getString(0)).toSeq
+    assert(sat === Seq("c"))
+  }
+
   test("q183 oversized file claims its own bin; order is preserved") {
     // partition 0 files (by doc_id div 8): f0 tiny, f1 huge (> target
     // on its own), f2 tiny — greedy must emit f0 in bin 0, f1 pushed
