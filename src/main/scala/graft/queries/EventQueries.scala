@@ -1236,7 +1236,94 @@ object EventQueries {
       |ORDER BY longest_streak DESC, user_id
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q187 — stationary distribution of the event-type Markov chain:
+  // where does a user's session settle in the long run? The q70
+  // transition counts row-normalize into an integer-ppm transition
+  // matrix; π starts uniform (integer dust on the lexicographically
+  // first type so it sums to exactly 10⁶) and takes 10 power-iteration
+  // steps π'(j) = Σ_i π(i)·P_ppm(i,j) div 10⁶ — PageRank's recurrence
+  // on the BOUNDED type×type matrix, so every frame after the one
+  // corpus-sized lag pass has ≤|types|² rows and the iteration is
+  // pure tiny-join algebra (each step materialized, the HITS lineage
+  // discipline). Sum-then-divide keeps floor loss to one ulp per type
+  // per step, bit-identically in both engines.
+  // -------------------------------------------------------------------
+  def q187_markov_stationary(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val tr = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("i"), col("event_type").as("j"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // row totals + the P matrix
+    val tot = tr.groupBy(col("i")).agg(sum(col("n")).as("tot"))
+    val p = tr.join(tot, Seq("i"))
+      .select(col("i"), col("j"), expr("n * 1000000 div tot").as("p_ppm"))
+      .localCheckpoint(eager = true) // probed every iteration
+    val types = ev.select(col("event_type").as("t")).distinct()
+      .localCheckpoint(eager = true)
+    val kf = types.agg(count(lit(1)).as("kk"), min(col("t")).as("t0"))
+    var pi = types.crossJoin(broadcast(kf))
+      .select(col("t"), (expr("1000000 div kk") +
+        when(col("t") === col("t0"), expr("1000000 % kk"))
+          .otherwise(lit(0L))).as("v"))
+    for (_ <- 1 to 10) {
+      val nxt = pi.join(p, pi("t") === p("i"))
+        .groupBy(col("j").as("t2"))
+        .agg(expr("sum(v * p_ppm) div 1000000").as("v2"))
+      pi = types.join(nxt, col("t") === col("t2"), "left_outer")
+        .select(col("t"), coalesce(col("v2"), lit(0L)).as("v"))
+        .localCheckpoint(eager = true)
+    }
+    pi.select(col("t").as("event_type"), col("v").as("pi_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q187_sql: String = {
+    val iters = (1 to 10).map { k =>
+      s"""pi$k AS (
+         |  SELECT ty.t, COALESCE(s.v2, 0) AS v
+         |  FROM ty LEFT JOIN (
+         |    SELECT p.j AS t2,
+         |      CAST(SUM(pi${k - 1}.v * p.p_ppm) // 1000000 AS BIGINT)
+         |        AS v2
+         |    FROM pi${k - 1} JOIN p ON pi${k - 1}.t = p.i
+         |    GROUP BY 1) s ON ty.t = s.t2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+       |  FROM events),
+       |tr AS (
+       |  SELECT prev AS i, event_type AS j,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT event_type, lag(event_type) OVER (
+       |          PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+       |        FROM ev)
+       |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT i, CAST(SUM(n) AS BIGINT) AS tot
+       |        FROM tr GROUP BY 1),
+       |p AS (SELECT tr.i, tr.j, tr.n * 1000000 // tot AS p_ppm
+       |      FROM tr JOIN tot USING (i)),
+       |ty AS (SELECT DISTINCT event_type AS t FROM ev),
+       |kf AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk, MIN(t) AS t0
+       |       FROM ty),
+       |pi0 AS (
+       |  SELECT t, 1000000 // kk +
+       |    CASE WHEN t = t0 THEN 1000000 % kk ELSE 0 END AS v
+       |  FROM ty CROSS JOIN kf),
+       |$iters
+       |SELECT t AS event_type, CAST(v AS BIGINT) AS pi_ppm
+       |FROM pi10 ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_markov_stationary" -> q187_markov_stationary _,
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
     "q108_stream_dedup" -> q108_stream_dedup _,
@@ -1264,6 +1351,7 @@ object EventQueries {
     "q159_activity_streaks" -> q159_activity_streaks _)
 
   val oracles: Map[String, String] = Map(
+    "q187_markov_stationary" -> q187_sql,
     "q90_retention" -> q90_sql,
     "q103_stream_windows" -> q103_sql,
     "q108_stream_dedup" -> q108_sql,
