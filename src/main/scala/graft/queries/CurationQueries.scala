@@ -818,6 +818,117 @@ object CurationQueries {
       |ORDER BY n_occ DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q189 — pseudo-relevance-feedback query expansion (the RM3 recipe):
+  // run the q66 BM25 query, treat its top-10 docs as relevant, mine
+  // them for the 5 terms with the highest feedback mass
+  // Σ_d tf(t,d)·score(d) div dl(d) (tf-weighted by how relevant the
+  // doc was, length-normalized), and re-score the corpus with
+  // original terms at weight 2 and expansion terms at weight 1 over
+  // integer tf·idf_ppm. All query-side frames (3 originals, top-10
+  // feedback docs, 5 expansions) are tiny and broadcast; the corpus
+  // is scanned for the tf table ONCE (localCheckpoint) and every
+  // retrieval pass is a broadcast-filtered probe of it — the two-pass
+  // retrieval shape that at 100 TB costs two term-filtered index
+  // probes, not two corpus scans.
+  // -------------------------------------------------------------------
+  def q189_rm3_expansion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val toksAll = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toksAll.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true) // df + first pass + mining + rescore
+    val dl = toksAll.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(eager = true) // first pass + feedback mining
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = true) // qterms + idf of expansions
+    val totals = dl.agg(count(lit(1)).as("n_total"),
+      sum(col("dl")).as("dls"))
+    val qterms = dft.orderBy(col("df").desc, col("term")).limit(3)
+      .select(col("term"), col("df"))
+      .localCheckpoint(eager = true) // first pass + exclusion + rescore
+    val fb = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib", expr(
+        """((n_total * 1000000) div df) * (22 * dls * tf) div
+          |(10 * dls * tf + 3 * dls + 9 * dl * n_total)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("fb_score"))
+      .orderBy(col("fb_score").desc, col("doc_id"))
+      .limit(10)
+    val expansion = tf
+      .join(broadcast(fb), Seq("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .groupBy(col("term"))
+      .agg(sum(expr("tf * fb_score div dl")).as("mass"))
+      .join(broadcast(qterms.select(col("term"))), Seq("term"),
+        "left_anti")
+      .orderBy(col("mass").desc, col("term")).limit(5)
+      .select(col("term"))
+    val weighted = qterms.select(col("term"), lit(2L).as("mult"))
+      .unionByName(expansion.select(col("term"), lit(1L).as("mult")))
+      .join(dft, Seq("term"))
+    tf.join(broadcast(weighted), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("mult * tf * ((n_total * 1000000) div df)"))
+        .as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q189_sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |           WHERE trim(text) <> ''),
+      |toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM d),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |totals AS (SELECT COUNT(*) AS n_total,
+      |                  CAST(SUM(dl) AS BIGINT) AS dls FROM dl),
+      |qterms AS (SELECT term, df FROM dft
+      |           ORDER BY df DESC, term LIMIT 3),
+      |fb AS (
+      |  SELECT tf.doc_id, CAST(SUM(
+      |    ((n_total * 1000000) // q.df) * (22 * dls * tf.tf) //
+      |      (10 * dls * tf.tf + 3 * dls + 9 * dl.dl * n_total))
+      |    AS BIGINT) AS fb_score
+      |  FROM tf JOIN qterms q ON tf.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN totals
+      |  GROUP BY tf.doc_id
+      |  ORDER BY fb_score DESC, tf.doc_id LIMIT 10),
+      |expansion AS (
+      |  SELECT term FROM (
+      |    SELECT tf.term, CAST(SUM(tf.tf * fb.fb_score // dl.dl)
+      |      AS BIGINT) AS mass
+      |    FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+      |    JOIN dl ON dl.doc_id = tf.doc_id
+      |    WHERE tf.term NOT IN (SELECT term FROM qterms)
+      |    GROUP BY tf.term)
+      |  ORDER BY mass DESC, term LIMIT 5),
+      |weighted AS (
+      |  SELECT q.term, 2 AS mult, q.df FROM qterms q
+      |  UNION ALL
+      |  SELECT e.term, 1, dft.df FROM expansion e
+      |  JOIN dft ON dft.term = e.term)
+      |SELECT tf.doc_id,
+      |  CAST(SUM(mult * tf.tf * ((n_total * 1000000) // w.df))
+      |    AS BIGINT) AS score,
+      |  COUNT(*) AS n_terms_hit
+      |FROM tf JOIN weighted w ON tf.term = w.term
+      |CROSS JOIN totals
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, tf.doc_id
+      |LIMIT 20""".stripMargin
+
   val q66_sql: String =
     """WITH d AS (SELECT doc_id, text FROM documents
       |           WHERE trim(text) <> ''),
@@ -1341,6 +1452,7 @@ object CurationQueries {
     "q66_bm25" -> q66_bm25 _,
     "q177_boolean_retrieval" -> q177_boolean_retrieval _,
     "q181_phrase_retrieval" -> q181_phrase_retrieval _,
+    "q189_rm3_expansion" -> q189_rm3_expansion _,
     "q57_stratified_sample" -> q57_stratified_sample _,
     "q58_split_assign" -> q58_split_assign _,
     "q59_curation_funnel" -> q59_curation_funnel _,
@@ -1373,6 +1485,7 @@ object CurationQueries {
     "q66_bm25" -> q66_sql,
     "q177_boolean_retrieval" -> q177_sql,
     "q181_phrase_retrieval" -> q181_sql,
+    "q189_rm3_expansion" -> q189_sql,
     "q57_stratified_sample" -> q57_sql,
     "q58_split_assign" -> q58_sql,
     "q59_curation_funnel" -> q59_sql,

@@ -2073,12 +2073,61 @@ object QualityQueries {
       |  saturated
       |FROM a0 CROSS JOIN mu ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q188 — l-diversity ladder (k-anonymity's stronger sibling, q178's
+  // companion): a QI-group can be k-large yet leak the sensitive value
+  // if everyone in it shares one. Quasi-identifier = (nation, account
+  // balance bucketed at width w ∈ {100, 1000, 10000}); sensitive =
+  // market segment. Per level: group count, the worst (minimum)
+  // per-group distinct-sensitive count, rows in groups with < 3
+  // distinct values, and the l≥3 verdict. Bucketing uses floor() on
+  // the double BEFORE any cast — DuckDB CAST rounds while Spark's
+  // truncates, so the floor is the only portable boundary. Shape: one
+  // two-level aggregation per ladder rung sharing a single scan.
+  // -------------------------------------------------------------------
+  def q188_l_diversity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val l = 3L
+    val levels = Seq(100, 1000, 10000).map { wdt =>
+      c.groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / wdt).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("rows_in_group"),
+          countDistinct(col("c_mktsegment")).as("n_sens"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("n_sens")).as("min_diversity"),
+          coalesce(sum(when(col("n_sens") < l, col("rows_in_group"))),
+            lit(0L)).as("n_at_risk"))
+        .select(lit(wdt.toLong).as("bucket_width"), col("n_groups"),
+          col("min_diversity"), col("n_at_risk"),
+          (col("min_diversity") >= l).as("l_diverse"))
+    }
+    levels.reduce(_.unionByName(_)).orderBy(col("bucket_width"))
+  }
+
+  val q188_sql: String = {
+    def level(w: Long): String =
+      s"""SELECT $w AS bucket_width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(MIN(n_sens) AS BIGINT) AS min_diversity,
+         |  CAST(COALESCE(SUM(CASE WHEN n_sens < 3
+         |    THEN rows_in_group END), 0) AS BIGINT) AS n_at_risk,
+         |  MIN(n_sens) >= 3 AS l_diverse
+         |FROM (SELECT COUNT(*) AS rows_in_group,
+         |        COUNT(DISTINCT c_mktsegment) AS n_sens
+         |      FROM customer
+         |      GROUP BY c_nationkey, floor(c_acctbal / $w))""".stripMargin
+    Seq(100L, 1000L, 10000L).map(level)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY bucket_width")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_zorder_layout" -> q153_zorder_layout _,
     "q182_pareto_skyline" -> q182_pareto_skyline _,
     "q183_compaction_plan" -> q183_compaction_plan _,
     "q184_zonemap_audit" -> q184_zonemap_audit _,
     "q186_epoch_allocation" -> q186_epoch_allocation _,
+    "q188_l_diversity" -> q188_l_diversity _,
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
@@ -2123,6 +2172,7 @@ object QualityQueries {
     "q183_compaction_plan" -> q183_sql,
     "q184_zonemap_audit" -> q184_sql,
     "q186_epoch_allocation" -> q186_sql,
+    "q188_l_diversity" -> q188_sql,
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,
