@@ -126,31 +126,39 @@ object Bench {
     // 15 fewer chars against the tail budget
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    // dpFor: uniform precision (Some(dp)) or MIXED (None) — sub-second
-    // values keep 2 decimals (that is where absolute error is relatively
-    // largest), values >= 1s drop to 1 decimal (<= 5% relative error)
-    def render(dpFor: Option[Int], bare: Boolean): String = {
+    // dpFor maps a warm time to its rendered precision. MIXED keeps 2
+    // decimals on sub-second values (where absolute error is relatively
+    // largest) and 1 on values >= 1s (<= 5% relative error); AGGRESSIVE
+    // MIXED still keeps sub-second 2-decimal but rounds >= 1s to whole
+    // seconds (<= 0.5s absolute) — past ~190 queries plain mixed no
+    // longer fits and the >=1s decimals are the cheapest chars left.
+    def render(dpFor: Double => Int, bare: Boolean): String = {
       val failedField =
         if (failed.isEmpty) ""
         else failed.map(n => "\"" + shortKey(n, bare) + "\"")
           .mkString(""""failed":[""", ",", "],")
       val qs = results.map { case (full, _, warm) =>
-        val dp = dpFor.getOrElse(if (warm < 1.0) 2 else 1)
-        "\"" + shortKey(full, bare) + "\":" + fmtTrim(warm, dp)
+        "\"" + shortKey(full, bare) + "\":" + fmtTrim(warm, dpFor(warm))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,$failedField"sf":"$sfShort"}"""
     }
+    val mixed: Double => Int = w => if (w < 1.0) 2 else 1
+    val aggrMixed: Double => Int = w => if (w < 1.0) 2 else 0
     // degrade before overflowing the tail budget, least information
     // lost first: full keys+2dp → mixed dp → BARE keys (value precision
-    // intact — numeric keys map back trivially) → only then uniform
-    // 1dp/0dp. A parse-able coarse line beats a truncated precise one.
+    // intact — numeric keys map back trivially) → aggressive mixed
+    // (sub-second precision survives, >=1s rounds to whole seconds) →
+    // only then uniform 1dp/0dp. A parse-able coarse line beats a
+    // truncated precise one.
     // Budget: the collector keeps the LAST 2000 chars of output and the
     // JSON line is the last thing printed (measured r1–r6: tails of
     // exactly 2000 chars with 1982–1984-char lines parsing fine), so
     // 1985 leaves room for the trailing newline plus slack.
-    Iterator((Some(2), false), (None, false), (Some(2), true),
-        (None, true), (Some(1), true), (Some(0), true))
+    val const: Int => (Double => Int) = dp => _ => dp
+    Iterator((const(2), false), (mixed, false), (const(2), true),
+        (mixed, true), (aggrMixed, true), (const(1), true),
+        (const(0), true))
       .map { case (dp, bare) => render(dp, bare) }
-      .find(_.length < 1985).getOrElse(render(Some(0), true))
+      .find(_.length < 1985).getOrElse(render(const(0), true))
   }
 }

@@ -1322,7 +1322,114 @@ object EventQueries {
        |FROM pi10 ORDER BY event_type""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q191 — time-to-event survival curve (Kaplan-Meier flavor, exact):
+  // hours from a user's first signup to their first subsequent
+  // purchase; S(h) = fraction (ppm) of signup users still
+  // purchase-free after h hours, for h ∈ [0, 48). Users who never
+  // purchase are right-censored and survive the whole horizon. After
+  // the two per-user min() aggregations everything runs on the
+  // BOUNDED hour domain: deaths bucket by hour, the survival prefix is
+  // a triangular join of the 48-row spine against the ≤48-row death
+  // table — no per-user window, no corpus-sized sort. Timestamps stay
+  // integer nanos throughout, so the hour bucket is exact floor
+  // division in both engines.
+  // -------------------------------------------------------------------
+  def q191_survival_curve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts0"))
+      .localCheckpoint(eager = true) // total + the purchase probe
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") > col("ts0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val t = su.join(pu, Seq("user_id"), "left_outer")
+      .select(expr("(tp - ts0) div 3600000000000").as("t_hours"))
+    val died = t.filter(col("t_hours").isNotNull && col("t_hours") < 48)
+      .groupBy(col("t_hours")).agg(count(lit(1)).as("d"))
+    val total = su.agg(count(lit(1)).as("n_signup"))
+    spark.range(0, 48).toDF("h")
+      .join(broadcast(died), col("t_hours") <= col("h"), "left")
+      .groupBy(col("h"))
+      .agg(coalesce(sum(col("d")), lit(0L)).as("cum_died"))
+      .crossJoin(broadcast(total))
+      .select(col("h"), col("n_signup"),
+        (col("n_signup") - col("cum_died")).as("survivors"),
+        expr("(n_signup - cum_died) * 1000000 div n_signup")
+          .as("s_ppm"))
+      .orderBy(col("h"))
+  }
+
+  val q191_sql: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(epoch_ns(ts)) AS ts0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tp
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > su.ts0
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT (tp - ts0) // 3600000000000 AS t_hours
+      |  FROM su LEFT JOIN pu USING (user_id)),
+      |died AS (
+      |  SELECT t_hours, CAST(COUNT(*) AS BIGINT) AS d FROM t
+      |  WHERE t_hours IS NOT NULL AND t_hours < 48 GROUP BY 1),
+      |total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM su),
+      |spine AS (SELECT unnest(generate_series(0, 47)) AS h)
+      |SELECT h, n_signup,
+      |  n_signup - COALESCE(cum, 0) AS survivors,
+      |  CAST((n_signup - COALESCE(cum, 0)) * 1000000 // n_signup
+      |    AS BIGINT) AS s_ppm
+      |FROM (
+      |  SELECT h, CAST(SUM(d) AS BIGINT) AS cum
+      |  FROM spine LEFT JOIN died ON t_hours <= h
+      |  GROUP BY h) c
+      |CROSS JOIN total
+      |ORDER BY h""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q192 — sequential trigram mining: the 20 most common 3-step
+  // event-type paths users actually take (q70's bigram transitions,
+  // one step deeper — the input to journey maps and next-action
+  // models). Two lag()s in ONE per-user window pass, then a count
+  // groupBy; at any scale it is exactly one shuffle on user_id plus
+  // one on the trigram key, both with map-side partial aggregation.
+  // -------------------------------------------------------------------
+  def q192_event_trigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+      .withColumn("e2", lag(col("event_type"), 1).over(w))
+      .withColumn("e1", lag(col("event_type"), 2).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  val q192_sql: String =
+    """WITH s AS (
+      |  SELECT event_type AS e3,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS e2,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS e1
+      |  FROM events)
+      |SELECT e1, e2, e3, COUNT(*) AS n
+      |FROM s WHERE e1 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |ORDER BY n DESC, e1, e2, e3
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_survival_curve" -> q191_survival_curve _,
+    "q192_event_trigrams" -> q192_event_trigrams _,
     "q187_markov_stationary" -> q187_markov_stationary _,
     "q90_retention" -> q90_retention _,
     "q103_stream_windows" -> q103_stream_windows _,
@@ -1351,6 +1458,8 @@ object EventQueries {
     "q159_activity_streaks" -> q159_activity_streaks _)
 
   val oracles: Map[String, String] = Map(
+    "q191_survival_curve" -> q191_sql,
+    "q192_event_trigrams" -> q192_sql,
     "q187_markov_stationary" -> q187_sql,
     "q90_retention" -> q90_sql,
     "q103_stream_windows" -> q103_sql,

@@ -1135,7 +1135,77 @@ object ExtendedQueries {
       |FROM av LEFT JOIN dropped d ON d.vid = av.vid
       |ORDER BY av.vid""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q190 — cohort LTV curves: customers grouped by FIRST-order month,
+  // cumulative first-year revenue per cohort by month age — the
+  // lifetime-value report behind every retention dashboard. Revenue
+  // sums stay DECIMAL-exact through BOTH aggregation levels (per
+  // cohort-age, then the cumulative) and only the final projection
+  // casts to double, so the hash matches DuckDB bit-for-bit. The
+  // cumulative runs as a triangular join on the BOUNDED cohort×age
+  // frame (≤ months² rows), never a window over order rows; the
+  // corpus-sized work is one scan + the first-order groupBy + one
+  // broadcast join of the per-customer cohort back onto orders.
+  // -------------------------------------------------------------------
+  def q190_cohort_ltv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .localCheckpoint(eager = true) // cohort derivation + revenue join
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("cohort_month"))
+      .localCheckpoint(eager = true) // sizes + the age join
+    val sizes = first.groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = o.join(first, Seq("o_custkey"))
+      .withColumn("age_months",
+        months_between(col("m"), col("cohort_month")).cast("long"))
+      .filter(col("age_months") <= 11)
+      .groupBy(col("cohort_month"), col("age_months"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).as("r"))
+    rev.as("a")
+      .join(rev.as("b"),
+        col("b.cohort_month") === col("a.cohort_month") &&
+          col("b.age_months") <= col("a.age_months"))
+      .groupBy(col("a.cohort_month").as("cohort_month"),
+        col("a.age_months").as("age_months"))
+      .agg(sum(col("b.r")).as("cr"))
+      .join(sizes, Seq("cohort_month"))
+      .select(col("cohort_month"), col("age_months"),
+        col("cohort_users"), col("cr").cast("double").as("cum_revenue"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
+  val q190_sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+      |         o_totalprice
+      |  FROM orders),
+      |first AS (
+      |  SELECT o_custkey, MIN(m) AS cohort_month FROM o GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      |  FROM first GROUP BY 1),
+      |rev AS (
+      |  SELECT cohort_month,
+      |    CAST(datediff('month', cohort_month, m) AS BIGINT)
+      |      AS age_months,
+      |    SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS r
+      |  FROM o JOIN first USING (o_custkey)
+      |  WHERE datediff('month', cohort_month, m) <= 11
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort_month, a.age_months, cohort_users,
+      |  CAST(SUM(b.r) AS DOUBLE) AS cum_revenue
+      |FROM rev a JOIN rev b
+      |  ON b.cohort_month = a.cohort_month
+      | AND b.age_months <= a.age_months
+      |JOIN sizes ON sizes.cohort_month = a.cohort_month
+      |GROUP BY a.cohort_month, a.age_months, cohort_users
+      |ORDER BY a.cohort_month, a.age_months""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_cohort_ltv" -> q190_cohort_ltv _,
     "q104_semdedup" -> q104_semdedup _,
     "q56_minhash_estimate" -> q56_minhash_estimate _,
     "q55_grouping_sets" -> q55_grouping_sets _,
@@ -1163,6 +1233,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q190_cohort_ltv" -> q190_sql,
     "q104_semdedup" -> q104_sql,
     "q56_minhash_estimate" -> q56_sql,
     "q55_grouping_sets" -> q55_sql,

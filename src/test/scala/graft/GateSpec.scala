@@ -87,8 +87,9 @@ class GateSpec extends SparkSpec {
     // the REALISTIC shape (the measured r6 mix: ~30% of queries over a
     // second, the rest sub-second with untrimmable 2-decimal values)
     // must keep full 2-decimal precision on every SUB-SECOND entry at
-    // the current query count — the mixed rung gives >=1s entries 1
-    // decimal (<=5% relative error) to buy that headroom
+    // the current query count — the mixed rungs trade >=1s decimals
+    // (1dp, then whole seconds <=0.5s absolute) to buy that headroom;
+    // sub-second precision is the last thing the ladder may give up
     val real = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
       .map { case (name, i) =>
         (name, 8.88, if (i % 3 == 0) 4.73 else 0.47) }
@@ -96,10 +97,11 @@ class GateSpec extends SparkSpec {
     val JObject(rqs) =
       (org.json4s.jackson.JsonMethods.parse(realLine) \ "queries")
         : @unchecked
-    assert(rqs.forall { case (_, JDouble(v)) =>
-        v == 0.47 || math.abs(v - 4.73) <= 0.05
-      case _ => false },
-      "realistic-shape line lost sub-second 2-decimal precision")
+    assert(rqs.forall {
+      case (_, JDouble(v)) => v == 0.47 || math.abs(v - 4.73) <= 0.5
+      case (_, JInt(v)) => (v.toDouble - 4.73).abs <= 0.5
+      case _ => false
+    }, "realistic-shape line lost sub-second 2-decimal precision")
   }
 
   test("bench reports a crashed query as failed, never as a timing") {
