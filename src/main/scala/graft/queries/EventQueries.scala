@@ -1245,9 +1245,13 @@ object EventQueries {
   // steps π'(j) = Σ_i π(i)·P_ppm(i,j) div 10⁶ — PageRank's recurrence
   // on the BOUNDED type×type matrix, so every frame after the one
   // corpus-sized lag pass has ≤|types|² rows and the iteration is
-  // pure tiny-join algebra (each step materialized, the HITS lineage
-  // discipline). Sum-then-divide keeps floor loss to one ulp per type
-  // per step, bit-identically in both engines.
+  // pure tiny-join algebra. The matrix and the vector are ≤|types|²
+  // rows BY CONSTRUCTION (the type vocabulary, not the corpus), so the
+  // iteration folds on the DRIVER over the collected matrix — the PQ
+  // codebook discipline: one corpus job, one driver loop over a
+  // handful of longs, no per-iteration job overhead. Sum-then-divide
+  // keeps floor loss to one ulp per type per step, bit-identically in
+  // both engines.
   // -------------------------------------------------------------------
   def q187_markov_stationary(spark: SparkSession, dir: String)
       : DataFrame = {
@@ -1261,27 +1265,26 @@ object EventQueries {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("i"), col("event_type").as("j"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true) // row totals + the P matrix
     val tot = tr.groupBy(col("i")).agg(sum(col("n")).as("tot"))
+    // ONE corpus-derived job; both frames are type-vocabulary-bounded
     val p = tr.join(tot, Seq("i"))
       .select(col("i"), col("j"), expr("n * 1000000 div tot").as("p_ppm"))
-      .localCheckpoint(eager = true) // probed every iteration
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val types = ev.select(col("event_type").as("t")).distinct()
-      .localCheckpoint(eager = true)
-    val kf = types.agg(count(lit(1)).as("kk"), min(col("t")).as("t0"))
-    var pi = types.crossJoin(broadcast(kf))
-      .select(col("t"), (expr("1000000 div kk") +
-        when(col("t") === col("t0"), expr("1000000 % kk"))
-          .otherwise(lit(0L))).as("v"))
+      .collect().map(_.getString(0)).sorted
+    val kk = types.length.toLong
+    var pi: Map[String, Long] = types.map(t => t ->
+      (1000000L / kk + (if (t == types.head) 1000000L % kk else 0L)))
+      .toMap
     for (_ <- 1 to 10) {
-      val nxt = pi.join(p, pi("t") === p("i"))
-        .groupBy(col("j").as("t2"))
-        .agg(expr("sum(v * p_ppm) div 1000000").as("v2"))
-      pi = types.join(nxt, col("t") === col("t2"), "left_outer")
-        .select(col("t"), coalesce(col("v2"), lit(0L)).as("v"))
-        .localCheckpoint(eager = true)
+      val nxt = p.groupBy(_._2).map { case (j, cells) =>
+        j -> cells.map { case (i, _, ppm) => pi(i) * ppm }.sum / 1000000L
+      }
+      pi = types.map(t => t -> nxt.getOrElse(t, 0L)).toMap
     }
-    pi.select(col("t").as("event_type"), col("v").as("pi_ppm"))
+    import spark.implicits._
+    types.map(t => (t, pi(t))).toSeq
+      .toDF("event_type", "pi_ppm")
       .orderBy(col("event_type"))
   }
 
