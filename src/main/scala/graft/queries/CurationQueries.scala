@@ -929,6 +929,69 @@ object CurationQueries {
       |ORDER BY score DESC, tf.doc_id
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q194 — posting-list compression audit: what would the inverted
+  // index cost on disk? Per term the doc-id posting list is delta-gap
+  // encoded (the universal index layout) and each gap priced at its
+  // varint width — a CASE over the four 7-bit thresholds, no float
+  // log. The report carries, for the 20 highest-df terms, the df, the
+  // exact varint bytes, the raw 8-byte-per-id cost, and the
+  // compression ratio in ppm — dense lists (tiny gaps) compress ~8×,
+  // which is the number that sizes an index-serving tier. One window
+  // pass partitioned BY TERM in doc_id order computes the gaps —
+  // exactly the per-term segment sort an index builder does anyway.
+  // -------------------------------------------------------------------
+  def q194_posting_compression(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val post = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    val wt = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    post
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(wt),
+          lit(0L)))
+      .withColumn("vbytes",
+        when(col("gap") < 128L, 1L)
+          .when(col("gap") < 16384L, 2L)
+          .when(col("gap") < 2097152L, 3L)
+          .when(col("gap") < 268435456L, 4L).otherwise(5L))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"))
+      .withColumn("raw_bytes", col("df") * 8)
+      .withColumn("ratio_ppm",
+        expr("varint_bytes * 1000000 div raw_bytes"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
+  val q194_sql: String =
+    """WITH post AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |gaps AS (
+      |  SELECT term,
+      |    doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY term
+      |      ORDER BY doc_id), 0) AS gap
+      |  FROM post),
+      |priced AS (
+      |  SELECT term,
+      |    CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |         WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+      |         ELSE 5 END AS vbytes
+      |  FROM gaps)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+      |  CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+      |  CAST(SUM(vbytes) * 1000000 // (COUNT(*) * 8) AS BIGINT)
+      |    AS ratio_ppm
+      |FROM priced GROUP BY term
+      |ORDER BY df DESC, term
+      |LIMIT 20""".stripMargin
+
   val q66_sql: String =
     """WITH d AS (SELECT doc_id, text FROM documents
       |           WHERE trim(text) <> ''),
@@ -1453,6 +1516,7 @@ object CurationQueries {
     "q177_boolean_retrieval" -> q177_boolean_retrieval _,
     "q181_phrase_retrieval" -> q181_phrase_retrieval _,
     "q189_rm3_expansion" -> q189_rm3_expansion _,
+    "q194_posting_compression" -> q194_posting_compression _,
     "q57_stratified_sample" -> q57_stratified_sample _,
     "q58_split_assign" -> q58_split_assign _,
     "q59_curation_funnel" -> q59_curation_funnel _,
@@ -1486,6 +1550,7 @@ object CurationQueries {
     "q177_boolean_retrieval" -> q177_sql,
     "q181_phrase_retrieval" -> q181_sql,
     "q189_rm3_expansion" -> q189_sql,
+    "q194_posting_compression" -> q194_sql,
     "q57_stratified_sample" -> q57_sql,
     "q58_split_assign" -> q58_sql,
     "q59_curation_funnel" -> q59_sql,

@@ -1430,7 +1430,100 @@ object EventQueries {
       |ORDER BY n DESC, e1, e2, e3
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q193 — multi-touch attribution by hour of day: each purchase's
+  // value is credited to the user's clicks in the preceding hour,
+  // under BOTH standard models at once — last-touch (the final click
+  // takes everything) and linear (equal split, integer dust to the
+  // final click so each purchase's credit sums exactly to its value;
+  // the final click is (max ts, max event_id) — the id tie-break keeps
+  // credit single-headed even on colliding timestamps).
+  // Aggregated by the credited click's hour-of-day, the two models
+  // visibly disagree — the report a marketing pipeline uses to decide
+  // if "the 9am touchpoint" matters. Purchase values become exact
+  // BIGINT micros via floor(value·10⁶) (floor, not cast — DuckDB CAST
+  // rounds). Shape: one user-keyed range join (the q51/q54 family —
+  // bucketize the time axis if an adversarial user's click density
+  // explodes the per-user fan-out), one per-purchase window to rank
+  // clicks, then a bounded 24-row aggregation.
+  // -------------------------------------------------------------------
+  def q193_touch_attribution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .localCheckpoint(eager = true) // purchases + clicks
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("tp"),
+        floor(col("value") * 1000000).cast("long").as("vmicros"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"),
+        col("ts").as("tc"))
+    val touched = purchases.join(clicks, Seq("user_id"))
+      .filter(col("tc") <= col("tp") &&
+        col("tc") > col("tp") - expr("3600000000000"))
+    val wk = Window.partitionBy(col("pid"))
+    val credited = touched
+      .withColumn("k", count(lit(1)).over(wk))
+      .withColumn("last_tc", max(col("tc")).over(wk))
+      .withColumn("last_cid", max(when(col("tc") === col("last_tc"),
+        col("cid"))).over(wk))
+      .withColumn("is_last",
+        col("tc") === col("last_tc") && col("cid") === col("last_cid"))
+      .withColumn("linear",
+        expr("vmicros div k") +
+          when(col("is_last"), expr("vmicros - k * (vmicros div k)"))
+            .otherwise(lit(0L)))
+      .withColumn("last_credit",
+        when(col("is_last"), col("vmicros")).otherwise(lit(0L)))
+      .withColumn("hour", expr("(tc div 3600000000000) % 24"))
+    credited.groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(col("last_credit")).as("last_touch_micros"),
+        sum(col("linear")).as("linear_micros"))
+      .orderBy(col("hour"))
+  }
+
+  val q193_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tn, event_type,
+      |         value
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id AS pid, tn AS tp,
+      |         CAST(floor(value * 1000000) AS BIGINT) AS vmicros
+      |  FROM ev WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS cid, tn AS tc
+      |  FROM ev WHERE event_type = 'click'),
+      |touched AS (
+      |  SELECT p.pid, p.vmicros, c.tc, c.cid
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  WHERE c.tc <= p.tp AND c.tc > p.tp - 3600000000000),
+      |credited AS (
+      |  SELECT pid, vmicros, tc, cid,
+      |    COUNT(*) OVER (PARTITION BY pid) AS k,
+      |    MAX(tc) OVER (PARTITION BY pid) AS last_tc
+      |  FROM touched),
+      |credited2 AS (
+      |  SELECT *, tc = last_tc AND cid = MAX(CASE WHEN tc = last_tc
+      |      THEN cid END) OVER (PARTITION BY pid) AS is_last
+      |  FROM credited)
+      |SELECT (tc // 3600000000000) % 24 AS hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN is_last THEN vmicros ELSE 0 END)
+      |    AS BIGINT) AS last_touch_micros,
+      |  CAST(SUM(vmicros // k + CASE WHEN is_last
+      |    THEN vmicros - k * (vmicros // k) ELSE 0 END)
+      |    AS BIGINT) AS linear_micros
+      |FROM credited2
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_touch_attribution" -> q193_touch_attribution _,
     "q191_survival_curve" -> q191_survival_curve _,
     "q192_event_trigrams" -> q192_event_trigrams _,
     "q187_markov_stationary" -> q187_markov_stationary _,
@@ -1461,6 +1554,7 @@ object EventQueries {
     "q159_activity_streaks" -> q159_activity_streaks _)
 
   val oracles: Map[String, String] = Map(
+    "q193_touch_attribution" -> q193_sql,
     "q191_survival_curve" -> q191_sql,
     "q192_event_trigrams" -> q192_sql,
     "q187_markov_stationary" -> q187_sql,

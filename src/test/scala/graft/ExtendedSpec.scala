@@ -215,4 +215,32 @@ class ExtendedSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSet
     assert(out.forall(o => prices.contains(o._2)))
   }
+
+  test("q193 attribution: colliding click timestamps stay single-" +
+      "headed and credit sums to the purchase value exactly") {
+    val h = 3600000000000L
+    // user 1: purchase of 10.000001 at t=2h+30min with THREE clicks in
+    // window, two of them at the identical timestamp (the tie) — last
+    // touch must pick exactly one (max event_id), and linear credit
+    // must hand 3333333x2 + 3333335 (dust) = 10000001 micros total
+    val tp = 2 * h + 1800000000000L
+    val rows = Seq(
+      (100L, tp, 1L, "purchase", 10.000001),
+      (101L, tp - 100L, 1L, "click", 0.0),
+      (102L, tp - 50L, 1L, "click", 0.0),
+      (103L, tp - 50L, 1L, "click", 0.0), // ts tie with 102
+      (104L, tp - 2 * h, 1L, "click", 0.0)) // outside the 1h window
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-attr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.EventQueries
+      .q193_touch_attribution(spark, dir).collect()
+    assert(out.length === 1) // all three credited clicks share an hour
+    val r = out.head
+    assert(r.getLong(1) === 3L)             // n_touches
+    assert(r.getLong(2) === 1L)             // n_purchases
+    assert(r.getLong(3) === 10000001L)      // last-touch: ONE head
+    assert(r.getLong(4) === 10000001L)      // linear sums exactly
+  }
 }
