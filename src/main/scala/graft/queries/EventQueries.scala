@@ -1522,7 +1522,73 @@ object EventQueries {
       |FROM credited2
       |GROUP BY 1 ORDER BY hour""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q195 — percolate alerting (§2.8, the INVERTED retrieval shape):
+  // a STATIC set of registered queries matches against the DOCUMENT
+  // stream — the "tell me when something about X arrives" service.
+  // The query set (top-5 df terms, derived once from the batch corpus
+  // and localCheckpoint'd so micro-batches don't rescan it) broadcasts
+  // into an array_contains join against each arriving document: the
+  // match step is STATELESS — no join state store, any number of
+  // registered queries scales as broadcast size — and only the
+  // downstream per-query tally (complete mode, |queries| rows) holds
+  // state. The replay is arrival-order invariant, so one batch SQL
+  // oracles the whole pipeline.
+  // -------------------------------------------------------------------
+  def q195_percolate_alerts(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val batchDocs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val qterms = batchDocs
+      .select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(5)
+      .select(col("term"))
+      .localCheckpoint(eager = true)
+    val stream = Tables.streamTable(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokens(col("text")).as("tk"),
+        col("n_chars"))
+    val alerts = stream
+      .join(broadcast(qterms), expr("array_contains(tk, term)"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+    val sink = s"q195_sink_${System.nanoTime()}"
+    // 5 query terms of agg state: 8 state stores per micro-batch
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try alerts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions",
+        shufflePartitions)
+    try { query.processAllAvailable() } finally { query.stop() }
+    spark.table(sink).orderBy(col("term"))
+  }
+
+  val q195_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, n_chars FROM documents
+      |  WHERE trim(text) <> ''),
+      |tf AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM d),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT term FROM dft ORDER BY df DESC, term LIMIT 5)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+      |FROM d JOIN q
+      |  ON list_contains(regexp_split_to_array(trim(text), '\s+'),
+      |       term)
+      |GROUP BY term ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_percolate_alerts" -> q195_percolate_alerts _,
     "q193_touch_attribution" -> q193_touch_attribution _,
     "q191_survival_curve" -> q191_survival_curve _,
     "q192_event_trigrams" -> q192_event_trigrams _,
@@ -1554,6 +1620,7 @@ object EventQueries {
     "q159_activity_streaks" -> q159_activity_streaks _)
 
   val oracles: Map[String, String] = Map(
+    "q195_percolate_alerts" -> q195_sql,
     "q193_touch_attribution" -> q193_sql,
     "q191_survival_curve" -> q191_sql,
     "q192_event_trigrams" -> q192_sql,
