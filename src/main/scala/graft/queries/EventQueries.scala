@@ -1587,7 +1587,168 @@ object EventQueries {
       |       term)
       |GROUP BY term ORDER BY term""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q196 — landing / exit / bounce report: per event TYPE, how many
+  // sessions OPEN with it, CLOSE with it, and how many of its landings
+  // bounce (single-event sessions) — the page-analytics triple, built
+  // on q31's 30-minute-gap sessionization. The session's first and
+  // last events come from min/max over struct(ts, event_id, type) —
+  // (ts, id) is unique, so the lexicographic struct order IS the
+  // session order and no row_number pass is needed; the oracle mirrors
+  // with FIRST/LAST ... ORDER BY inside the group. Shape: the same
+  // one per-user window as every sessionizer, one groupBy per session,
+  // then a types-bounded report join.
+  // -------------------------------------------------------------------
+  def q196_landing_exit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val sess = e
+      .withColumn("prev_ts", lag(col("tsu"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("tsu") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("tsu"), col("event_id"), col("event_type")))
+          .getField("event_type").as("landing"),
+        max(struct(col("tsu"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit"))
+    val landings = sess.groupBy(col("landing").as("event_type"))
+      .agg(count(lit(1)).as("n_landings"),
+        coalesce(sum(when(col("n_events") === 1, 1L)), lit(0L))
+          .as("n_bounces"))
+    val exits = sess.groupBy(col("exit").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    landings.join(exits, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_landings"), lit(0L)).as("n_landings"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"),
+        expr("coalesce(n_bounces, 0) * 1000000 div " +
+          "greatest(coalesce(n_landings, 0), 1)").as("bounce_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q196_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      |  FROM events),
+      |s AS (
+      |  SELECT *,
+      |    CASE WHEN lag(tsu) OVER w IS NULL
+      |      OR tsu - lag(tsu) OVER w > 1800000000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id
+      |                      ORDER BY tsu, event_id)),
+      |g AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)
+      |    AS session_seq
+      |  FROM s),
+      |sess AS (
+      |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |    FIRST(event_type ORDER BY tsu, event_id) AS landing,
+      |    LAST(event_type ORDER BY tsu, event_id) AS exit
+      |  FROM g GROUP BY 1, 2),
+      |landings AS (
+      |  SELECT landing AS event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_landings,
+      |    CAST(COALESCE(SUM(CASE WHEN n_events = 1 THEN 1 END), 0)
+      |      AS BIGINT) AS n_bounces
+      |  FROM sess GROUP BY 1),
+      |exits AS (
+      |  SELECT exit AS event_type, CAST(COUNT(*) AS BIGINT) AS n_exits
+      |  FROM sess GROUP BY 1)
+      |SELECT event_type,
+      |  COALESCE(n_landings, 0) AS n_landings,
+      |  COALESCE(n_exits, 0) AS n_exits,
+      |  COALESCE(n_bounces, 0) AS n_bounces,
+      |  CAST(COALESCE(n_bounces, 0) * 1000000 //
+      |    greatest(COALESCE(n_landings, 0), 1) AS BIGINT)
+      |    AS bounce_ppm
+      |FROM landings FULL OUTER JOIN exits USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q197 — effective-dated dimension lookup (the SCD2 JOIN q135 only
+  // builds): purchases enrich against the user's activity-status
+  // dimension AS OF the purchase instant — revenue by what the user
+  // was doing when they bought. The status dimension is q135's
+  // change-collapse over NON-purchase events (a purchase must not
+  // define its own status); each fact matches the single interval with
+  // valid_from ≤ ts < valid_to (open tail = null), which the
+  // change/lead construction makes a disjoint cover — ties collapse to
+  // empty [t, t) intervals that can never match, so the join is
+  // provably 1-row. Purchases before any status surface as 'none'
+  // (left join), and value stays exact BIGINT micros. One user-keyed
+  // interval join (per-user interval counts bounded by that user's
+  // churn), then a statuses-bounded rollup.
+  // -------------------------------------------------------------------
+  def q197_scd2_lookup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+      .localCheckpoint(eager = true) // dimension build + the fact scan
+    val iv = e.filter(col("event_type") =!= "purchase")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("tsu"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("tsu").as("valid_from"), col("valid_to"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("tp"),
+        floor(col("value") * 1000000).cast("long").as("vmicros"))
+    p.join(iv,
+        p("user_id") === iv("user_id") &&
+          col("tp") >= col("valid_from") &&
+          (col("valid_to").isNull || col("tp") < col("valid_to")),
+        "left")
+      .groupBy(coalesce(col("status"), lit("none")).as("status"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("vmicros")).as("revenue_micros"))
+      .orderBy(col("status"))
+  }
+
+  val q197_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+      |         value
+      |  FROM events),
+      |st AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+      |ch AS (
+      |  SELECT user_id, event_id, tsu, event_type FROM (
+      |    SELECT *, lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS prev_type FROM st)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type AS status, tsu AS valid_from,
+      |    lead(tsu) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS valid_to
+      |  FROM ch),
+      |p AS (
+      |  SELECT user_id, tsu AS tp,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vmicros
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT COALESCE(iv.status, 'none') AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(vmicros) AS BIGINT) AS revenue_micros
+      |FROM p LEFT JOIN iv
+      |  ON iv.user_id = p.user_id
+      | AND p.tp >= iv.valid_from
+      | AND (iv.valid_to IS NULL OR p.tp < iv.valid_to)
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_scd2_lookup" -> q197_scd2_lookup _,
+    "q196_landing_exit" -> q196_landing_exit _,
     "q195_percolate_alerts" -> q195_percolate_alerts _,
     "q193_touch_attribution" -> q193_touch_attribution _,
     "q191_survival_curve" -> q191_survival_curve _,
@@ -1620,6 +1781,8 @@ object EventQueries {
     "q159_activity_streaks" -> q159_activity_streaks _)
 
   val oracles: Map[String, String] = Map(
+    "q197_scd2_lookup" -> q197_sql,
+    "q196_landing_exit" -> q196_sql,
     "q195_percolate_alerts" -> q195_sql,
     "q193_touch_attribution" -> q193_sql,
     "q191_survival_curve" -> q191_sql,
