@@ -17,7 +17,17 @@ class GateSpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries missing an oracle: ${q -- o}")
   }
 
-  test("every gate query executes at sf0.001 with clean column names") {
+  /** Queries REVIEWED as safe global-window users: the window input is
+    * LIMIT-bounded (a handful of rows) before the window runs, so the
+    * single-partition exchange moves nothing. Any new name appearing
+    * here must be reviewed the same way — an unbounded global window
+    * is the classic 100 TB single-reducer trap. */
+  private val boundedGlobalWindowOk: Set[String] = Set(
+    "q177_boolean_retrieval", // row_number over a LIMIT 6 frame
+    "q176_growth_accounting") // lag over the O(days) calendar frame
+
+  test("every gate query executes at sf0.001 with clean column names " +
+      "and no unbounded global window") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -27,6 +37,16 @@ class GateSpec extends SparkSpec {
         // aggregate like `sum(l_quantity)` breaks the hash match
         cols.filter(c => c.exists(ch => "() ".contains(ch))).foreach {
           c => bad += s"$name: suspicious column '$c'"
+        }
+        // a Window with an empty partitionSpec funnels the whole input
+        // through ONE task — only legal over a limit-bounded frame
+        if (!boundedGlobalWindowOk(name)) {
+          val global = df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }
+          if (global.nonEmpty)
+            bad += s"$name: ${global.size} unbounded global window(s)"
         }
         df.count() // must execute, empty results are legal
       } catch {

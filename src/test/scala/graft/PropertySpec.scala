@@ -277,6 +277,28 @@ class PropertySpec extends SparkSpec {
     assert(walks(df1) === walks(df13))
   }
 
+  test("round-7 report queries are shuffle-partition invariant") {
+    // the driver hash-compares VALUES; a result that shifts with the
+    // partition count would pass locally and fail on any other layout.
+    // Exercise the new report tier under 1 vs 17 shuffle partitions.
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("q186_epoch_allocation", "q190_cohort_ltv",
+      "q193_touch_attribution", "q196_landing_exit",
+      "q182_pareto_skyline")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): Map[String, Seq[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, dir)
+        .collect().map(_.toString).toSeq
+    }.toMap
+    val one =
+      try { spark.conf.set("spark.sql.shuffle.partitions", "1"); run() }
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val many =
+      try { spark.conf.set("spark.sql.shuffle.partitions", "17"); run() }
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    names.foreach(n => assert(one(n) === many(n), n))
+  }
+
   test("zkey16 is a bijection on 16-bit pairs (naive interleave mirror)") {
     def naive(a: Long, b: Long): Long =
       (0 until 16).map { i =>
