@@ -1204,7 +1204,83 @@ object ExtendedQueries {
       |GROUP BY a.cohort_month, a.age_months, cohort_users
       |ORDER BY a.cohort_month, a.age_months""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q199 — RFM segmentation: customers scored into quintiles on
+  // Recency (days since epoch of the last order), Frequency (order
+  // count) and Monetary (lifetime spend, DECIMAL-exact then floored to
+  // whole-thousand bands so the quantile domain stays BOUNDED — raw
+  // near-unique doubles would make the distinct-value table the
+  // customer table itself), then counted per (R,F,M) cell — the
+  // 125-segment map a CRM team works from. Each quintile comes from
+  // the distributed-CDF idiom: per-distinct-value counts, a triangular
+  // prefix join on that bounded table, bucket = cum·5 div total — no
+  // global ntile window anywhere; the three value→quintile maps
+  // broadcast back onto the per-customer frame.
+  // -------------------------------------------------------------------
+  def q199_rfm_segments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(col("o_orderdate")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        floor(sum(col("o_totalprice").cast(DecimalType(30, 6))) /
+          lit(1000)).cast("long").as("m"))
+      .localCheckpoint(eager = true) // three quintile maps + the probe
+    def quintiles(metric: String): DataFrame = {
+      val cnt = per.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      cnt.as("a")
+        .join(cnt.as("b"), col("b.v") < col("a.v"), "left")
+        .groupBy(col("a.v").as("v"), col("a.c").as("c"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("before"))
+        .crossJoin(broadcast(tot))
+        .select(col("v").as(metric),
+          (least(expr("before * 5 div n"), lit(4L)) + 1)
+            .as(s"${metric}q"))
+    }
+    per
+      .join(broadcast(quintiles("r")), Seq("r"))
+      .join(broadcast(quintiles("f")), Seq("f"))
+      .join(broadcast(quintiles("m")), Seq("m"))
+      .groupBy(col("rq"), col("fq"), col("mq"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("rq"), col("fq"), col("mq"))
+  }
+
+  val q199_sql: String = {
+    def quintile(metric: String): String =
+      s"""${metric}cnt AS (
+         |  SELECT $metric AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM per GROUP BY 1),
+         |${metric}q AS (
+         |  SELECT a.v AS $metric,
+         |    least(COALESCE(SUM(b.c), 0) * 5 //
+         |      (SELECT SUM(c) FROM ${metric}cnt), 4) + 1 AS ${metric}q
+         |  FROM ${metric}cnt a LEFT JOIN ${metric}cnt b ON b.v < a.v
+         |  GROUP BY a.v)""".stripMargin
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    CAST(datediff('day', DATE '1970-01-01',
+       |      CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS r,
+       |    CAST(COUNT(*) AS BIGINT) AS f,
+       |    CAST(floor(SUM(CAST(o_totalprice AS DECIMAL(30,6))) / 1000)
+       |      AS BIGINT) AS m
+       |  FROM orders GROUP BY 1),
+       |${quintile("r")},
+       |${quintile("f")},
+       |${quintile("m")}
+       |SELECT CAST(rq AS BIGINT) AS rq, CAST(fq AS BIGINT) AS fq,
+       |  CAST(mq AS BIGINT) AS mq,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers
+       |FROM per
+       |JOIN rq USING (r) JOIN fq USING (f) JOIN mq USING (m)
+       |GROUP BY 1, 2, 3
+       |ORDER BY rq, fq, mq""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_rfm_segments" -> q199_rfm_segments _,
     "q190_cohort_ltv" -> q190_cohort_ltv _,
     "q104_semdedup" -> q104_semdedup _,
     "q56_minhash_estimate" -> q56_minhash_estimate _,
@@ -1233,6 +1309,7 @@ object ExtendedQueries {
     "q46_set_ops" -> q46_set_ops _)
 
   val oracles: Map[String, String] = Map(
+    "q199_rfm_segments" -> q199_sql,
     "q190_cohort_ltv" -> q190_sql,
     "q104_semdedup" -> q104_sql,
     "q56_minhash_estimate" -> q56_sql,

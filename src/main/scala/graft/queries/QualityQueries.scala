@@ -2121,6 +2121,65 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY bucket_width")
   }
 
+  // -------------------------------------------------------------------
+  // q198 — dictionary-encoding audit (the columnar layout advisor next
+  // to q153/q184/q194): for each candidate string column, the exact
+  // plain cost (Σ value bytes) vs the dictionary cost (distinct
+  // payload + ceil(log2(cardinality)) bits per row) and the verdict.
+  // The index width comes from length(bin(n_distinct − 1)) — both
+  // engines render binary identically, so no float log2 anywhere. Per
+  // column: one count/sum aggregation + one distinct-frame sum, all
+  // sharing the column scan; three audited columns union into the
+  // report a table-format service reads before choosing an encoding.
+  // -------------------------------------------------------------------
+  def q198_dict_audit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, c: String, label: String): DataFrame = {
+      val base = df.select(col(c).as("v")).filter(col("v").isNotNull)
+        .localCheckpoint(eager = true) // plain agg + distinct agg
+      val plain = base.agg(count(lit(1)).as("n_rows"),
+        sum(length(col("v"))).cast("long").as("plain_bytes"))
+      val dict = base.distinct()
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(length(col("v"))).cast("long").as("dict_payload"))
+      plain.crossJoin(dict)
+        .withColumn("bits", length(expr("bin(n_distinct - 1)"))
+          .cast("long"))
+        .withColumn("dict_bytes",
+          col("dict_payload") + expr("(n_rows * bits + 7) div 8"))
+        .select(lit(label).as("column_name"), col("n_rows"),
+          col("n_distinct"), col("plain_bytes"), col("dict_bytes"),
+          (col("dict_bytes") < col("plain_bytes")).as("dict_wins"))
+    }
+    val docs = Tables.documents(spark, dir)
+    audit(docs, "lang", "documents.lang")
+      .unionByName(audit(docs, "source", "documents.source"))
+      .unionByName(audit(
+        Tables.events(spark, dir), "event_type", "events.event_type"))
+      .orderBy(col("column_name"))
+  }
+
+  val q198_sql: String = {
+    def audit(table: String, c: String): String =
+      s"""SELECT '$table.$c' AS column_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(len($c)) AS BIGINT) AS plain_bytes,
+         |  (SELECT CAST(SUM(len(v)) AS BIGINT) FROM
+         |     (SELECT DISTINCT $c AS v FROM $table
+         |      WHERE $c IS NOT NULL))
+         |    + (COUNT(*) * len(bin(COUNT(DISTINCT $c) - 1)) + 7) // 8
+         |    AS dict_bytes,
+         |  (SELECT CAST(SUM(len(v)) AS BIGINT) FROM
+         |     (SELECT DISTINCT $c AS v FROM $table
+         |      WHERE $c IS NOT NULL))
+         |    + (COUNT(*) * len(bin(COUNT(DISTINCT $c) - 1)) + 7) // 8
+         |    < CAST(SUM(len($c)) AS BIGINT) AS dict_wins
+         |FROM $table WHERE $c IS NOT NULL""".stripMargin
+    Seq(audit("documents", "lang"), audit("documents", "source"),
+      audit("events", "event_type"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_zorder_layout" -> q153_zorder_layout _,
     "q182_pareto_skyline" -> q182_pareto_skyline _,
@@ -2128,6 +2187,7 @@ object QualityQueries {
     "q184_zonemap_audit" -> q184_zonemap_audit _,
     "q186_epoch_allocation" -> q186_epoch_allocation _,
     "q188_l_diversity" -> q188_l_diversity _,
+    "q198_dict_audit" -> q198_dict_audit _,
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q127_max_run" -> q127_max_run _,
@@ -2173,6 +2233,7 @@ object QualityQueries {
     "q184_zonemap_audit" -> q184_sql,
     "q186_epoch_allocation" -> q186_sql,
     "q188_l_diversity" -> q188_sql,
+    "q198_dict_audit" -> q198_sql,
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q127_max_run" -> q127_sql,
