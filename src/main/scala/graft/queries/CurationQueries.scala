@@ -992,6 +992,121 @@ object CurationQueries {
       |ORDER BY df DESC, term
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q200 — retrieval evaluation: nDCG@10 of the BM25 ranking (q66) vs
+  // its RM3-expanded rerank (q189) against graded relevance derived
+  // from the corpus itself (gain = least(3, Σtf of the 3 query terms
+  // div 4) — tf-DEPTH graded, because presence-graded gains saturate
+  // on this corpus where the top-df terms appear in nearly every doc
+  // and both systems would score a degenerate 1.0) — the eval loop
+  // that tells you whether query expansion helped. The log2 rank
+  // discounts are HARDCODED
+  // ppm constants (floor(10⁶/log2(r+1)) for r=1..10): two engines'
+  // libm log2 may differ in the last ulp and flip a floor, so the
+  // metric's constants are part of the operator definition. The
+  // rankings and per-grade counts are LIMIT/vocabulary-bounded, so the
+  // DCG folds on the driver (the q187 discipline); the corpus-sized
+  // work is the tf scan the rankings already did. IDCG comes from the
+  // global grade distribution, making nDCG comparable across systems.
+  // -------------------------------------------------------------------
+  def q200_retrieval_ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val disc = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val bm = q66_bm25(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).take(10)
+    val rm = q189_rm3_expansion(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).take(10)
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true) // qterms + grades
+    val qterms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .select(col("term"))
+    val grades = tf.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(least(lit(3L), expr("sum(tf) div 4")).as("gain"))
+      .filter(col("gain") > 0)
+      .localCheckpoint(eager = true) // ranked-doc gains + grade counts
+    val ranked = (bm ++ rm).distinct
+    val gainOf = grades
+      .filter(col("doc_id").isin(ranked: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gradeCounts = grades.groupBy(col("gain"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dcg(ranking: Seq[Long]): Long =
+      ranking.zip(disc).map { case (d, w) =>
+        gainOf.getOrElse(d, 0L) * w
+      }.sum
+    val idealGains = gradeCounts.toSeq.sortBy(-_._1)
+      .flatMap { case (g, c) => Seq.fill(math.min(c, 10L).toInt)(g) }
+      .take(10)
+    val idcg = idealGains.zip(disc).map { case (g, w) => g * w }.sum
+    import spark.implicits._
+    Seq(("bm25", dcg(bm)), ("rm3", dcg(rm)))
+      .map { case (s, d) => (s, d, idcg, d * 1000000L / idcg) }
+      .toDF("system", "dcg_ppm", "idcg_ppm", "ndcg_ppm")
+      .orderBy(col("system"))
+  }
+
+  // lazy: embeds q66_sql/q189_sql, which are declared later in the file
+  lazy val q200_sql: String = {
+    val discRows = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+      .zipWithIndex.map { case (w, i) => s"(${i + 1}, $w)" }
+      .mkString(", ")
+    s"""WITH bm AS (${q66_sql.replace("\n", "\n  ")}),
+       |rm AS (${q189_sql.replace("\n", "\n  ")}),
+       |disc(r, w) AS (VALUES $discRows),
+       |d2 AS (SELECT doc_id, text FROM documents
+       |       WHERE trim(text) <> ''),
+       |toks2 AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM d2),
+       |tf2 AS (SELECT doc_id, term, COUNT(*) AS tf
+       |        FROM toks2 GROUP BY doc_id, term),
+       |qt2 AS (SELECT term FROM
+       |          (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term)
+       |        ORDER BY df DESC, term LIMIT 3),
+       |grades AS (
+       |  SELECT doc_id, gain FROM (
+       |    SELECT doc_id,
+       |      least(3, CAST(SUM(tf) AS BIGINT) // 4) AS gain
+       |    FROM tf2 JOIN qt2 USING (term) GROUP BY doc_id)
+       |  WHERE gain > 0),
+       |bmr AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER
+       |    (ORDER BY bm25_score DESC, doc_id) AS r FROM bm),
+       |rmr AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER
+       |    (ORDER BY score DESC, doc_id) AS r FROM rm),
+       |ig AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id) AS r,
+       |         gain
+       |  FROM grades),
+       |idcg AS (
+       |  SELECT CAST(SUM(gain * w) AS BIGINT) AS v
+       |  FROM ig JOIN disc USING (r)),
+       |scores AS (
+       |  SELECT 'bm25' AS system, CAST(COALESCE(SUM(
+       |      COALESCE(g.gain, 0) * disc.w), 0) AS BIGINT) AS dcg_ppm
+       |  FROM bmr JOIN disc USING (r)
+       |  LEFT JOIN grades g USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'rm3', CAST(COALESCE(SUM(
+       |      COALESCE(g.gain, 0) * disc.w), 0) AS BIGINT)
+       |  FROM rmr JOIN disc USING (r)
+       |  LEFT JOIN grades g USING (doc_id))
+       |SELECT system, dcg_ppm, idcg.v AS idcg_ppm,
+       |  CAST(dcg_ppm * 1000000 // idcg.v AS BIGINT) AS ndcg_ppm
+       |FROM scores CROSS JOIN idcg
+       |ORDER BY system""".stripMargin
+  }
+
   val q66_sql: String =
     """WITH d AS (SELECT doc_id, text FROM documents
       |           WHERE trim(text) <> ''),
@@ -1517,6 +1632,7 @@ object CurationQueries {
     "q181_phrase_retrieval" -> q181_phrase_retrieval _,
     "q189_rm3_expansion" -> q189_rm3_expansion _,
     "q194_posting_compression" -> q194_posting_compression _,
+    "q200_retrieval_ndcg" -> q200_retrieval_ndcg _,
     "q57_stratified_sample" -> q57_stratified_sample _,
     "q58_split_assign" -> q58_split_assign _,
     "q59_curation_funnel" -> q59_curation_funnel _,
@@ -1551,6 +1667,7 @@ object CurationQueries {
     "q181_phrase_retrieval" -> q181_sql,
     "q189_rm3_expansion" -> q189_sql,
     "q194_posting_compression" -> q194_sql,
+    "q200_retrieval_ndcg" -> q200_sql,
     "q57_stratified_sample" -> q57_sql,
     "q58_split_assign" -> q58_sql,
     "q59_curation_funnel" -> q59_sql,
