@@ -75,7 +75,7 @@ object Bench {
     * are warmup-dominated noise and at 120 queries the [cold, warm]
     * pairs no longer fit the tail window at useful precision, so cold
     * is reported as the session total only ("value"; warm total in
-    * "warm_value"). ~11 chars/query fits ~160 queries at uniform
+    * "warm"). ~11 chars/query fits ~160 queries at uniform
     * 2-decimal precision; past that the ladder degrades, least
     * information lost first: MIXED precision (sub-second entries keep 2
     * decimals, >=1s entries get 1 — <=5% relative error), then BARE
@@ -140,7 +140,11 @@ object Bench {
       val qs = results.map { case (full, _, warm) =>
         "\"" + shortKey(full, bare) + "\":" + fmtTrim(warm, dpFor(warm))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(coldTotal, 3)},"unit":"sec","warm_value":${fmt(warmTotal, 3)},"queries":$qs,$failedField"sf":"$sfShort"}"""
+      // totals at 1dp-trim and the short "warm" key: ~10 header chars
+      // that at 200 queries decide whether sub-second entries keep
+      // their 2 decimals (0.05s error on a multi-hundred-second total
+      // is noise; 0.05s on a 0.47s query is 10%)
+      s"""{"metric":"total","value":${fmtTrim(coldTotal, 1)},"unit":"sec","warm":${fmtTrim(warmTotal, 1)},"queries":$qs,$failedField"sf":"$sfShort"}"""
     }
     val mixed: Double => Int = w => if (w < 1.0) 2 else 1
     val aggrMixed: Double => Int = w => if (w < 1.0) 2 else 0

@@ -102,8 +102,13 @@ class GateSpec extends SparkSpec {
       case (_, JInt(v)) => (v.toDouble - 77.77).abs <= 0.5
       case _ => false
     })
-    val JDouble(coldTotal) = (parsed \ "value"): @unchecked
-    assert(math.abs(coldTotal - 88.88 * results.size) < 0.01)
+    // totals render at 1dp-trim (a whole number parses as JInt)
+    val coldTotal = (parsed \ "value") match {
+      case JDouble(v) => v
+      case JInt(v) => v.toDouble
+      case other => fail(s"unexpected value: $other")
+    }
+    assert(math.abs(coldTotal - 88.88 * results.size) <= 0.05)
     // the REALISTIC shape (the measured r6 mix: ~30% of queries over a
     // second, the rest sub-second with untrimmable 2-decimal values)
     // must keep full 2-decimal precision on every SUB-SECOND entry at
@@ -142,8 +147,12 @@ class GateSpec extends SparkSpec {
     val JObject(qs) = (parsed \ "queries"): @unchecked
     assert(!qs.exists { case (k, _) => broken.startsWith(k) },
       "crashed query still carries a timing entry")
-    val JDouble(coldTotal) = (parsed \ "value"): @unchecked
-    assert(math.abs(coldTotal - 2.0 * fine.size) < 0.01,
+    val coldTotal = (parsed \ "value") match {
+      case JDouble(v) => v
+      case JInt(v) => v.toDouble
+      case other => fail(s"unexpected value: $other")
+    }
+    assert(math.abs(coldTotal - 2.0 * fine.size) <= 0.05,
       "crashed query leaked into the cold total")
     // the no-failure shape omits the field entirely (tail budget) —
     // absent-or-empty both mean "nothing failed"
