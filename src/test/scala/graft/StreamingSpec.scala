@@ -170,6 +170,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup state survives a stop/restart via checkpoint") {
+    // the exactly-once story: dedup state lives in the state store, so
+    // a RESTARTED query (same checkpoint) must still drop a duplicate
+    // whose original arrived before the stop — a fresh query would
+    // re-emit it. File source + parquet sink so both sides restart.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-recover").toString
+    val (in, out, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+    val schema = StructType(Seq(
+      StructField("event_time", TimestampType),
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def write(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("event_time", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      Incremental.streamingDedup(src, "text",
+          tsCol = Some("event_time"), watermark = "1 hour")
+        .select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+    }
+    write(Seq((ts(1), 1L, "alpha doc"), (ts(2), 2L, "beta doc")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // duplicate of doc 1 plus a new doc arrive AFTER the restart
+    write(Seq((ts(3), 3L, "ALPHA  doc"), (ts(4), 4L, "gamma doc")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 4L)) // 3 deduped across the restart
+  }
+
   test("streamingDedup batch fallback dedups across all time") {
     val batch = Seq((ts(0), 1L, "a  b"), (ts(1), 2L, "A B"),
       (ts(2), 3L, "c")).toDF("event_time", "doc_id", "text")
