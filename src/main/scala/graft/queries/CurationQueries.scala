@@ -1094,9 +1094,12 @@ object CurationQueries {
       .flatMap { case (g, c) => Seq.fill(math.min(c, 10L).toInt)(g) }
       .take(10)
     val idcg = idealGains.zip(disc).map { case (g, w) => g * w }.sum
+    // a corpus where nothing reaches gain>0 has idcg=0 — report ndcg 0
+    // rather than dividing by zero (mirrored in the SQL's greatest())
+    val idcgSafe = math.max(idcg, 1L)
     import spark.implicits._
     Seq(("bm25", dcg(bm)), ("rm3", dcg(rm)))
-      .map { case (s, d) => (s, d, idcg, d * 1000000L / idcg) }
+      .map { case (s, d) => (s, d, idcg, d * 1000000L / idcgSafe) }
       .toDF("system", "dcg_ppm", "idcg_ppm", "ndcg_ppm")
       .orderBy(col("system"))
   }
@@ -1138,7 +1141,7 @@ object CurationQueries {
        |         gain
        |  FROM grades),
        |idcg AS (
-       |  SELECT CAST(SUM(gain * w) AS BIGINT) AS v
+       |  SELECT CAST(COALESCE(SUM(gain * w), 0) AS BIGINT) AS v
        |  FROM ig JOIN disc USING (r)),
        |scores AS (
        |  SELECT 'bm25' AS system, CAST(COALESCE(SUM(
@@ -1151,7 +1154,8 @@ object CurationQueries {
        |  FROM rmr JOIN disc USING (r)
        |  LEFT JOIN grades g USING (doc_id))
        |SELECT system, dcg_ppm, idcg.v AS idcg_ppm,
-       |  CAST(dcg_ppm * 1000000 // idcg.v AS BIGINT) AS ndcg_ppm
+       |  CAST(dcg_ppm * 1000000 // greatest(idcg.v, 1) AS BIGINT)
+       |    AS ndcg_ppm
        |FROM scores CROSS JOIN idcg
        |ORDER BY system""".stripMargin
   }

@@ -1164,6 +1164,7 @@ object ExtendedQueries {
       .filter(col("age_months") <= 11)
       .groupBy(col("cohort_month"), col("age_months"))
       .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).as("r"))
+      .localCheckpoint(eager = true) // feeds BOTH triangular sides
     rev.as("a")
       .join(rev.as("b"),
         col("b.cohort_month") === col("a.cohort_month") &&

@@ -1913,6 +1913,7 @@ object QualityQueries {
     val months = o
       .select(date_trunc("month", col("o_orderdate")).as("month"))
       .distinct()
+      .localCheckpoint(eager = true) // two overlap probes + the report
     def scanned(files: DataFrame, out: String): DataFrame =
       months.join(broadcast(files),
           col("mn") < col("month") + expr("interval 1 month") &&
