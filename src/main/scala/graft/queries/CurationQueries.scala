@@ -664,6 +664,37 @@ object CurationQueries {
   // broadcast of 3 query terms + per-doc sum — a linear scan ranking
   // the whole corpus, the retrieval step in front of an LLM data mix.
   // -------------------------------------------------------------------
+  /** The ONE definition of the integer BM25 scoring join, shared by
+    * q66, q189's feedback pass, and q200's eval — their oracles embed
+    * the same SQL formula, so bit-identity across the three is
+    * structural here rather than copy-discipline. Scores every doc in
+    * `tf` against the (tiny, broadcast) `terms` (term, df) frame. */
+  private def bm25Scored(tf: DataFrame, dl: DataFrame,
+      totals: DataFrame, terms: DataFrame): DataFrame =
+    tf.join(broadcast(terms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib", expr(
+        """((n_total * 1000000) div df) * (22 * dls * tf) div
+          |(10 * dls * tf + 3 * dls + 9 * dl * n_total)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("bm25_score"),
+        count(lit(1)).as("n_terms_hit"))
+
+  /** RM3 expansion-term mining (q189/q200 shared): terms ranked by
+    * Σ_d tf·score(d) div dl(d) over the feedback docs, originals
+    * excluded, top 5. */
+  private def rm3Expansion(tf: DataFrame, dl: DataFrame, fb: DataFrame,
+      qterms: DataFrame): DataFrame =
+    tf.join(broadcast(fb), Seq("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .groupBy(col("term"))
+      .agg(sum(expr("tf * fb_score div dl")).as("mass"))
+      .join(broadcast(qterms.select(col("term"))), Seq("term"),
+        "left_anti")
+      .orderBy(col("mass").desc, col("term")).limit(5)
+      .select(col("term"))
+
   def q66_bm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
@@ -678,15 +709,7 @@ object CurationQueries {
     val qterms = dft
       .orderBy(col("df").desc, col("term")).limit(3)
       .select(col("term"), col("df"))
-    tf.join(broadcast(qterms), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(totals))
-      .withColumn("contrib", expr(
-        """((n_total * 1000000) div df) * (22 * dls * tf) div
-          |(10 * dls * tf + 3 * dls + 9 * dl * n_total)""".stripMargin))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib")).as("bm25_score"),
-        count(lit(1)).as("n_terms_hit"))
+    bm25Scored(tf, dl, totals, qterms)
       .orderBy(col("bm25_score").desc, col("doc_id"))
       .limit(20)
   }
@@ -849,25 +872,11 @@ object CurationQueries {
     val qterms = dft.orderBy(col("df").desc, col("term")).limit(3)
       .select(col("term"), col("df"))
       .localCheckpoint(eager = true) // first pass + exclusion + rescore
-    val fb = tf.join(broadcast(qterms), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(totals))
-      .withColumn("contrib", expr(
-        """((n_total * 1000000) div df) * (22 * dls * tf) div
-          |(10 * dls * tf + 3 * dls + 9 * dl * n_total)""".stripMargin))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib")).as("fb_score"))
+    val fb = bm25Scored(tf, dl, totals, qterms)
+      .select(col("doc_id"), col("bm25_score").as("fb_score"))
       .orderBy(col("fb_score").desc, col("doc_id"))
       .limit(10)
-    val expansion = tf
-      .join(broadcast(fb), Seq("doc_id"))
-      .join(dl, Seq("doc_id"))
-      .groupBy(col("term"))
-      .agg(sum(expr("tf * fb_score div dl")).as("mass"))
-      .join(broadcast(qterms.select(col("term"))), Seq("term"),
-        "left_anti")
-      .orderBy(col("mass").desc, col("term")).limit(5)
-      .select(col("term"))
+    val expansion = rm3Expansion(tf, dl, fb, qterms)
     val weighted = qterms.select(col("term"), lit(2L).as("mult"))
       .unionByName(expansion.select(col("term"), lit(1L).as("mult")))
       .join(dft, Seq("term"))
@@ -1015,9 +1024,9 @@ object CurationQueries {
     // ONE corpus tokenization shared by both rankings and the grades
     // (calling q66/q189 directly re-runs the tf chain three times —
     // measured 3.9 s vs ~2 s shared); dl derives from tf, so the
-    // corpus is exploded exactly once. The formulas below replicate
-    // q66/q189 verbatim — the oracle embeds those queries' SQL, so the
-    // rankings must stay bit-identical to the standalone operators.
+    // corpus is exploded exactly once. Scoring goes through the SAME
+    // bm25Scored/rm3Expansion helpers as the standalone operators, so
+    // the rankings stay bit-identical to the SQL the oracle embeds.
     val docs = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
     val tf = docs.select(col("doc_id"),
@@ -1034,34 +1043,17 @@ object CurationQueries {
     val qterms = dft.orderBy(col("df").desc, col("term")).limit(3)
       .select(col("term"), col("df"))
       .localCheckpoint(eager = true)
-    def bm25Top(terms: DataFrame): DataFrame =
-      tf.join(broadcast(terms), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(totals))
-        .withColumn("contrib", expr(
-          """((n_total * 1000000) div df) * (22 * dls * tf) div
-            |(10 * dls * tf + 3 * dls + 9 * dl * n_total)"""
-            .stripMargin))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("contrib")).as("fb_score"))
     // one execution serves both the bm ranking (ordered rows) and the
     // feedback probe frame (LIMIT-bounded, rebuilt as a local relation)
-    val fbRows = bm25Top(qterms)
+    val fbRows = bm25Scored(tf, dl, totals, qterms)
+      .select(col("doc_id"), col("bm25_score").as("fb_score"))
       .orderBy(col("fb_score").desc, col("doc_id")).limit(10)
       .collect()
     val bmRank = fbRows.map(_.getLong(0))
     import spark.implicits._
     val fb = fbRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
       .toDF("doc_id", "fb_score")
-    val expansion = tf
-      .join(broadcast(fb), Seq("doc_id"))
-      .join(dl, Seq("doc_id"))
-      .groupBy(col("term"))
-      .agg(sum(expr("tf * fb_score div dl")).as("mass"))
-      .join(broadcast(qterms.select(col("term"))), Seq("term"),
-        "left_anti")
-      .orderBy(col("mass").desc, col("term")).limit(5)
-      .select(col("term"))
+    val expansion = rm3Expansion(tf, dl, fb, qterms)
     val weighted = qterms.select(col("term"), lit(2L).as("mult"))
       .unionByName(expansion.select(col("term"), lit(1L).as("mult")))
       .join(dft, Seq("term"))
