@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.QualityQueries.queries ++
       graft.queries.ApiQueries.queries ++
-      graft.queries.RetrievalQueries.queries
+      graft.queries.RetrievalQueries.queries ++
+      graft.queries.ProfilingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracles ++
       graft.queries.QualityQueries.oracles ++
       graft.queries.ApiQueries.oracles ++
-      graft.queries.RetrievalQueries.oracles
+      graft.queries.RetrievalQueries.oracles ++
+      graft.queries.ProfilingQueries.oracles
 }
