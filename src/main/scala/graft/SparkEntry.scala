@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.QualityQueries.queries ++
       graft.queries.ApiQueries.queries ++
       graft.queries.RetrievalQueries.queries ++
-      graft.queries.ProfilingQueries.queries
+      graft.queries.ProfilingQueries.queries ++
+      graft.queries.AugmentQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.QualityQueries.oracles ++
       graft.queries.ApiQueries.oracles ++
       graft.queries.RetrievalQueries.oracles ++
-      graft.queries.ProfilingQueries.oracles
+      graft.queries.ProfilingQueries.oracles ++
+      graft.queries.AugmentQueries.oracles
 }
