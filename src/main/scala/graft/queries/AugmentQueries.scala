@@ -17,39 +17,52 @@ object AugmentQueries {
   // ---------------------------------------------------------------------
   // q205 — perceptual-hash (aHash) image near-dup detection, end to end
   // through the real codec: synthesize one 16×16 PNG per document on
-  // the executors (pixels are a closed-form function of doc_id, with
-  // doc_id div 4 as the "base image" and doc_id mod 4 a one-pixel
-  // perturbation — so each base has 4 near-duplicate variants), decode
-  // with javax.imageio (PNG is lossless ⇒ decoded bytes ≡ the closed
-  // form, which is what lets DuckDB re-derive the hash without a
-  // codec), compute the 64-bit average-hash (8×8 box-downscale of the
-  // integer luma, threshold at the mean), band it 8×8 bits, and find
-  // near-dup pairs by band-equality join + exact hamming ≤ 2 verify.
+  // the executors (pixel gradients are a closed-form function of
+  // doc_id, with doc_id div 4 as the "base image" — its id is MIXED
+  // through a Knuth multiplicative hash into the gradient
+  // coefficients, so the hash space grows with the corpus instead of
+  // cycling mod 256 — and doc_id mod 4 a one-pixel perturbation, so
+  // each base has 4 near-duplicate variants), decode with
+  // javax.imageio (PNG is lossless ⇒ decoded bytes ≡ the closed form,
+  // which is what lets DuckDB re-derive the hash without a codec),
+  // compute the 64-bit average-hash (8×8 box-downscale of the integer
+  // luma, threshold at the mean), band it 4×16 bits, and find near-dup
+  // pairs by band-equality join + exact hamming ≤ 2 verify.
   //
   // Scale shape: hash computation is embarrassingly parallel
-  // mapPartitions; the pair search is the classic hamming-LSH
-  // pigeonhole — 8 bands of 8 bits GUARANTEES recall for hamming ≤ 7
-  // (any such pair agrees on ≥1 full band; the verify threshold 2 is
-  // well inside that radius — every 1-pixel variant lands at ≤ 2), at the cost of ~n²/256
-  // same-band candidates per band; wider bands cut candidates
-  // geometrically but narrow the guaranteed radius. The verify step
-  // touches candidates only, never n².
+  // mapPartitions; the pair search is hamming-LSH pigeonhole — 4
+  // bands of 16 bits GUARANTEES a candidate for any pair at hamming
+  // ≤ 3 (⊇ the verify radius 2) — PLUS the suite's df-cap: band
+  // values shared by more than BandMaxDf docs are skipped as
+  // non-discriminative (the stop-shingle rule), which caps candidate
+  // fan-out at (BandMaxDf−1)·4 per doc — LINEAR in the corpus at any
+  // scale, at the price of best-effort recall inside over-common
+  // pattern clusters (at sf0.01: zero buckets capped, recall exact).
   // ---------------------------------------------------------------------
+  private val BandMaxDf = 64
+
   private[graft] def synthPixels(id: Long): (Int, Int, Array[Byte]) = {
     val (w, h) = (16, 16)
     val base = id / 4
     val noise = (id % 4).toInt
+    // id mixing (mod 2^20 first keeps the product int64-safe at any id)
+    val m = ((base % 1048576L) * 2654435761L) % 1048576L
+    val c1 = m % 13L
+    val c2 = (m / 13L) % 11L
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val d = (y * w + x) * 3
-        val r0 = ((base * 31 + x * 7 + y * 13) % 256).toInt
-        val r = if (x == noise && y == 0) (r0 + 128) % 256 else r0
+        val r0 = ((m % 256L + x * (1 + c1) * 5 + y * (1 + c2) * 7)
+          % 256L).toInt
+        val r = if (x == noise && y == 0) (r0 + 32) % 256 else r0
         rgb(d) = r.toByte
-        rgb(d + 1) = ((base * 17 + x * 11 + y * 5) % 256).toByte
-        rgb(d + 2) = ((base * 23 + x * 3 + y * 19) % 256).toByte
+        rgb(d + 1) = (((m / 7L) % 256L + x * 11 + y * (1 + m % 5L) * 3)
+          % 256L).toByte
+        rgb(d + 2) = (((m / 11L) % 256L + x * (1 + m % 3L) * 2 + y * 19)
+          % 256L).toByte
         x += 1
       }
       y += 1
@@ -57,7 +70,7 @@ object AugmentQueries {
     (w, h, rgb)
   }
 
-  /** 64-bit aHash of a decoded image as 8 bands of 8 bits each:
+  /** 64-bit aHash of a decoded image as 4 bands of 16 bits each:
     * integer luma → 8×8 box means → bit = (block·64 > Σ blocks). */
   private[graft] def aHashBands(img: MediaCodecs.BmpImage): Array[Long] = {
     val blocks = new Array[Long](64)
@@ -87,11 +100,11 @@ object AugmentQueries {
       by += 1
     }
     val total = blocks.sum
-    val bands = new Array[Long](8)
+    val bands = new Array[Long](4)
     var pos = 0
     while (pos < 64) {
       if (blocks(pos) * 64L > total)
-        bands(pos / 8) |= 1L << (pos % 8)
+        bands(pos / 16) |= 1L << (pos % 16)
       pos += 1
     }
     bands
@@ -108,22 +121,28 @@ object AugmentQueries {
           val img = MediaCodecs.decodeImage(png).getOrElse(
             sys.error(s"PNG round-trip failed for doc $id"))
           val b = aHashBands(img)
-          (id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
+          (id, b(0), b(1), b(2), b(3))
         }
-      }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
       .localCheckpoint(eager = true) // feeds bands view + both pair sides
-    val bandCols = (0 until 8).map(i =>
+    val bandCols = (0 until 4).map(i =>
       struct(lit(i).as("band_idx"), col(s"b$i").as("band_val")))
     val bands = hashes
       .select(col("doc_id"), explode(array(bandCols: _*)).as("p"))
       .select(col("doc_id"), col("p.band_idx"), col("p.band_val"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // df-cap: drop over-common band values BEFORE the self-join
+    val rare = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= BandMaxDf)
+      .select(col("band_idx"), col("band_val"))
+    val kept = bands.join(rare, Seq("band_idx", "band_val"), "left_semi")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val ham = (0 until 8).map(i =>
+    val ham = (0 until 4).map(i =>
       expr(s"bit_count(a.b$i ^ c.b$i)")).reduce(_ + _)
     cand.as("p")
       .join(hashes.as("a"), col("p.doc_a") === col("a.doc_id"))
@@ -135,17 +154,23 @@ object AugmentQueries {
   }
 
   val q205_sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS noise
+    s"""WITH d AS (
+      |  SELECT doc_id, doc_id % 4 AS noise,
+      |    ((doc_id // 4) % 1048576 * 2654435761) % 1048576 AS m
       |  FROM documents),
+      |coef AS (
+      |  SELECT doc_id, noise, m, m % 13 AS c1, (m // 13) % 11 AS c2
+      |  FROM d),
       |px AS (
       |  SELECT doc_id, x, y,
       |    CASE WHEN x = noise AND y = 0
-      |      THEN ((base * 31 + x * 7 + y * 13) % 256 + 128) % 256
-      |      ELSE (base * 31 + x * 7 + y * 13) % 256 END AS r,
-      |    (base * 17 + x * 11 + y * 5) % 256 AS g,
-      |    (base * 23 + x * 3 + y * 19) % 256 AS b
-      |  FROM d,
+      |      THEN ((m % 256 + x * (1 + c1) * 5 + y * (1 + c2) * 7) % 256
+      |            + 32) % 256
+      |      ELSE (m % 256 + x * (1 + c1) * 5 + y * (1 + c2) * 7) % 256
+      |      END AS r,
+      |    ((m // 7) % 256 + x * 11 + y * (1 + m % 5) * 3) % 256 AS g,
+      |    ((m // 11) % 256 + x * (1 + m % 3) * 2 + y * 19) % 256 AS b
+      |  FROM coef,
       |    unnest(generate_series(0, 15)) AS xs(x),
       |    unnest(generate_series(0, 15)) AS ys(y)),
       |blk AS (
@@ -161,12 +186,20 @@ object AugmentQueries {
       |    CASE WHEN blk.v * 64 > tot.total THEN 1 ELSE 0 END AS bit
       |  FROM blk JOIN tot ON tot.doc_id = blk.doc_id),
       |bands AS (
-      |  SELECT doc_id, pos // 8 AS band_idx,
-      |    CAST(SUM(bit * (1::BIGINT << (pos % 8))) AS BIGINT) AS band_val
+      |  SELECT doc_id, pos // 16 AS band_idx,
+      |    CAST(SUM(bit * (1::BIGINT << (pos % 16))) AS BIGINT)
+      |      AS band_val
       |  FROM bits GROUP BY 1, 2),
+      |rare AS (
+      |  SELECT band_idx, band_val FROM bands
+      |  GROUP BY 1, 2 HAVING COUNT(*) <= $BandMaxDf),
+      |kept AS (
+      |  SELECT b.doc_id, b.band_idx, b.band_val
+      |  FROM bands b JOIN rare r
+      |    ON r.band_idx = b.band_idx AND r.band_val = b.band_val),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM kept a JOIN kept b
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |   AND a.doc_id < b.doc_id),
       |ham AS (

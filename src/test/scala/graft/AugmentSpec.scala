@@ -31,8 +31,9 @@ class AugmentSpec extends SparkSpec {
     val png = MediaCodecs.encodePng(MediaCodecs.BmpImage(w, h, rgb))
     val decoded = MediaCodecs.decodeImage(png).get
     assert(AugmentQueries.aHashBands(decoded).toSeq === direct.toSeq)
-    assert(direct.forall(b => b >= 0 && b <= 255),
-      "each band holds 8 bits")
+    assert(direct.length === 4)
+    assert(direct.forall(b => b >= 0 && b <= 65535),
+      "each band holds 16 bits")
   }
 
   test("q206 span corruption matches a naive mirror exactly") {
