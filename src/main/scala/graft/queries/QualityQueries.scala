@@ -366,8 +366,20 @@ object QualityQueries {
       when(c === "zh", "cjk").otherwise("latin")
     val hashed = toks.withColumn("h",
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    // per-language sketch: the k smallest hashes of that language
-    val perLang = hashed.withColumn("rn", row_number().over(
+    // per-language sketch: the k smallest hashes of that language.
+    // Two-phase k-min (as q203): a per-(lang, h mod 64) partial top-k
+    // bounds every window partition by its bucket's share of the
+    // distinct-token space — partitionBy(lang) alone would sort a
+    // whole language's vocabulary in ONE partition at corpus scale —
+    // then the exact final window runs over ≤ langs·64·k rows
+    val partial = hashed
+      .withColumn("bkt", pmod(col("h"), lit(64)))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("lang"), col("bkt"))
+          .orderBy(col("h"), col("tok"))))
+      .filter(col("rn") <= KmvK)
+      .drop("rn", "bkt")
+    val perLang = partial.withColumn("rn", row_number().over(
         w.partitionBy(col("lang")).orderBy(col("h"), col("tok"))))
       .filter(col("rn") <= KmvK)
     // merge: union member sketches, dedupe shared tokens, re-take k
