@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.ApiQueries.queries ++
       graft.queries.RetrievalQueries.queries ++
       graft.queries.ProfilingQueries.queries ++
-      graft.queries.AugmentQueries.queries
+      graft.queries.AugmentQueries.queries ++
+      graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.ApiQueries.oracles ++
       graft.queries.RetrievalQueries.oracles ++
       graft.queries.ProfilingQueries.oracles ++
-      graft.queries.AugmentQueries.oracles
+      graft.queries.AugmentQueries.oracles ++
+      graft.queries.StatQueries.oracles
 }

@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.TextAnalysis
+
+/** Sketch/statistics operators rounding out the approximate-analytics
+  * tier: HyperLogLog register sketches (the industry-standard
+  * approx-distinct, complementing the KMV family), word2vec skip-gram
+  * pair extraction, and the two-sample Kolmogorov–Smirnov test.
+  */
+object StatQueries {
+
+  // ---------------------------------------------------------------------
+  // q208 — HyperLogLog registers (Flajolet et al. 2007), built, MERGED,
+  // and estimated entirely in exact integer arithmetic: per event type,
+  // hash each distinct user into one of m=64 registers (low 6 bits) and
+  // keep the max leading-zero rank ρ of the remaining 54 bits; the
+  // cross-type "ALL" sketch is the register-wise MAX of the member
+  // sketches (the mergeability that lets 100 TB reduce through tiny
+  // fixed-size partials — the same property approx_count_distinct
+  // exploits). The raw HLL estimate αm²/Σ2^-reg is computed as one
+  // exact rational: numerator α_ppm·m²·2^55, denominator (Σ2^(55-reg))
+  // ·10^6, floor-divided in DECIMAL(38)/HUGEINT so both engines agree
+  // bit-for-bit. Small-range (linear-counting) correction is
+  // deliberately omitted — it needs ln() — so this is the RAW
+  // estimator, reported against exact counts for calibration.
+  //
+  // ρ is derived engine-portably as 55 − length(ltrim(bin(rest),'0'))
+  // (bin() of 0 ltrims to '', giving the all-zeros ρ = 55).
+  //
+  // Scale shape: one distinct per (type, user), then ONE groupBy to
+  // (type, register) maxima — 64 rows per group regardless of corpus
+  // size; everything after is arithmetic on the register table.
+  // ---------------------------------------------------------------------
+  private val HllM = 64
+  // α for m=64: 0.7213/(1 + 1.079/64) in ppm
+  private val HllAlphaPpm = 709440L
+
+  def q208_hll_registers(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(eager = true) // sketch + exact sides
+    val hashed = users
+      .withColumn("h", conv(substring(md5(concat(lit("hll:"),
+        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .select(col("event_type"),
+        pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+        // integral div — `/` would be double division and lose
+        // precision above 2^53 on the 60-bit hash
+        expr(s"h div $HllM").as("rest"))
+      .withColumn("rho",
+        lit(55) - length(ltrim(bin(col("rest")), "0")))
+    val perType = hashed.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    // merge: register-wise max across the member sketches
+    val merged = perType.groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("ALL").as("event_type"), col("bucket"), col("reg"))
+    val sketches = perType.unionByName(merged)
+    // dense 64-register spine (absent buckets carry reg = 0)
+    val spine = sketches.select(col("event_type")).distinct()
+      .crossJoin(broadcast(
+        spark.range(HllM).select(col("id").as("bucket"))))
+    val dense = spine.join(sketches, Seq("event_type", "bucket"),
+        "left_outer")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("reg"), lit(0)).as("reg"))
+    val denom = dense.groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).as("s"))
+    val est = denom.select(col("event_type"),
+      expr(s"(cast($HllAlphaPpm as decimal(38,0)) * ${HllM * HllM} " +
+        "* 36028797018963968) div (cast(s as decimal(38,0)) * 1000000)")
+        .as("est_distinct"))
+    val exact = users.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .unionByName(users.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+        .select(lit("ALL").as("event_type"), col("exact_distinct")))
+    est.join(exact, Seq("event_type"))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - exact_distinct) * 1000000 " +
+          "div exact_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  val q208_sql: String =
+    s"""WITH users AS (
+       |  SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM users),
+       |r AS (
+       |  SELECT event_type, h % $HllM AS bucket,
+       |    55 - length(ltrim(bin(h // $HllM), '0')) AS rho
+       |  FROM h),
+       |pt AS (
+       |  SELECT event_type, bucket, MAX(rho) AS reg
+       |  FROM r GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT * FROM pt
+       |  UNION ALL
+       |  SELECT 'ALL' AS event_type, bucket, MAX(reg) AS reg
+       |  FROM pt GROUP BY 2),
+       |spine AS (
+       |  SELECT g.event_type, b.bucket
+       |  FROM (SELECT DISTINCT event_type FROM sk) g
+       |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS bucket
+       |              FROM range(0, $HllM)) b),
+       |dense AS (
+       |  SELECT s.event_type, s.bucket, COALESCE(sk.reg, 0) AS reg
+       |  FROM spine s LEFT JOIN sk
+       |    ON sk.event_type = s.event_type AND sk.bucket = s.bucket),
+       |den AS (
+       |  SELECT event_type,
+       |    CAST(SUM(1::BIGINT << (55 - reg)) AS BIGINT) AS s
+       |  FROM dense GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |    CAST(($HllAlphaPpm::HUGEINT * ${HllM * HllM}
+       |      * 36028797018963968) // (s::HUGEINT * 1000000) AS BIGINT)
+       |      AS est_distinct
+       |  FROM den),
+       |ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       |  FROM users GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', COUNT(DISTINCT user_id) FROM users)
+       |SELECT est.event_type, est.est_distinct, ex.exact_distinct,
+       |  ABS(est.est_distinct - ex.exact_distinct) * 1000000
+       |    // ex.exact_distinct AS err_ppm
+       |FROM est JOIN ex ON ex.event_type = est.event_type
+       |ORDER BY est.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q209 — skip-gram pair extraction (word2vec/GloVe input): for every
+  // token position, the tokens at offsets ±1, ±2 within the same
+  // document become (center, context) pairs; global pair counts feed
+  // co-occurrence embedding training. The window is materialized as an
+  // OFFSET EXPLODE (each position advertises itself at i±δ) so the
+  // pairing is a pure equi-join on (doc, position) — never a θ-join —
+  // with fan-out exactly 4 per token: linear at any corpus size, one
+  // shuffle on the position key, one on the pair key.
+  // ---------------------------------------------------------------------
+  def q209_skipgram_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), posexplode(col("_toks")).as(Seq("i", "tok")))
+      .localCheckpoint(eager = true) // center side + advertised side
+    val advertised = pos.select(col("doc_id"),
+        explode(array(lit(-2), lit(-1), lit(1), lit(2))).as("d"),
+        col("i"), col("tok").as("context"))
+      .select(col("doc_id"), (col("i") + col("d")).as("i"), col("context"))
+    pos.join(advertised, Seq("doc_id", "i"))
+      .groupBy(col("tok").as("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("center"), col("context"))
+      .limit(25)
+  }
+
+  val q209_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents WHERE trim(text) <> ''),
+      |pos AS (
+      |  SELECT doc_id, i - 1 AS i, a[i] AS tok
+      |  FROM t, unnest(generate_series(1, len(a))) AS u(i)),
+      |adv AS (
+      |  SELECT doc_id, i + d AS i, tok AS context
+      |  FROM pos, unnest([-2, -1, 1, 2]) AS o(d))
+      |SELECT pos.tok AS center, adv.context, COUNT(*) AS n_pairs
+      |FROM pos JOIN adv ON adv.doc_id = pos.doc_id AND adv.i = pos.i
+      |GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, center, context
+      |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q210 — two-sample Kolmogorov–Smirnov test (distribution drift
+  // between cohorts): D = max |CDF_click(v) − CDF_view(v)| over the
+  // pooled value domain, in ppm, plus the value where the max is
+  // attained — the drift detector run between data snapshots or
+  // sources before mixing. Integer-exact: values quantized to cents,
+  // CDFs as cumulative-count rationals.
+  //
+  // Scale shape: the corpus-sized work is ONE groupBy to per-(side,
+  // value) counts; the cumulative window then runs over the pooled
+  // DISTINCT VALUE domain (bounded by the value range, not row count —
+  // the q76/q114 CDF shape; global because the two CDFs share one
+  // spine).
+  // ---------------------------------------------------------------------
+  def q210_ks_test(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+    val counts = ev.groupBy(col("v"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("cb"))
+      .localCheckpoint(eager = true) // totals + the cumsum probe
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("v")) // pooled distinct-value domain
+    counts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs(expr("cuma * 1000000 div na")
+          - expr("cumb * 1000000 div nb")).as("d"),
+        col("na"), col("nb"))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(col("na").as("n_click"), col("nb").as("n_view"),
+        col("d").as("ks_ppm"), col("v").as("at_cents"))
+  }
+
+  val q210_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |cnt AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM ev GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |         CAST(SUM(cb) AS BIGINT) AS nb FROM cnt),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      |  FROM cnt)
+      |SELECT tot.na AS n_click, tot.nb AS n_view,
+      |  ABS((cuma * 1000000) // tot.na - (cumb * 1000000) // tot.nb)
+      |    AS ks_ppm,
+      |  v AS at_cents
+      |FROM cum CROSS JOIN tot
+      |ORDER BY ks_ppm DESC, at_cents
+      |LIMIT 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_hll_registers" -> q208_hll_registers _,
+    "q209_skipgram_pairs" -> q209_skipgram_pairs _,
+    "q210_ks_test" -> q210_ks_test _)
+
+  val oracles: Map[String, String] = Map(
+    "q208_hll_registers" -> q208_sql,
+    "q209_skipgram_pairs" -> q209_sql,
+    "q210_ks_test" -> q210_sql)
+}

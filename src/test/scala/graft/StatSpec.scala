@@ -1,0 +1,119 @@
+package graft
+
+import graft.queries.StatQueries
+
+/** q208–q210: HLL registers, skip-gram pairs, KS test — each against a
+  * naive single-threaded mirror over collected sf0.001 tables. */
+class StatSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("q208 HLL estimate matches a naive register mirror exactly") {
+    val users = Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    val m = 64
+    def sketch(ids: Seq[Long]): Array[Int] = {
+      val regs = new Array[Int](m)
+      ids.foreach { u =>
+        val h = md5hash60(s"hll:$u")
+        val bucket = (h % m).toInt
+        val rest = h / m
+        val rho =
+          if (rest == 0) 55
+          else 55 - java.lang.Long.toBinaryString(rest).length
+        regs(bucket) = regs(bucket).max(rho)
+      }
+      regs
+    }
+    def estimate(regs: Array[Int]): Long = {
+      val s = regs.map(r => 1L << (55 - r)).sum
+      val num = BigInt(709440L) * (m * m) * BigInt("36028797018963968")
+      (num / (BigInt(s) * 1000000)).toLong
+    }
+    val types = users.map(_._1).distinct
+    val perType = types.map { t =>
+      t -> sketch(users.filter(_._1 == t).map(_._2).toSeq)
+    }.toMap
+    val merged = perType.values
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x.max(y) })
+    val want = (perType.map { case (t, regs) =>
+      t -> (estimate(regs),
+        users.filter(_._1 == t).map(_._2).distinct.length.toLong)
+    } + ("ALL" -> (estimate(merged),
+      users.map(_._2).distinct.length.toLong)))
+      .map { case (t, (est, exact)) =>
+        t -> (est, exact, math.abs(est - exact) * 1000000L / exact)
+      }
+    val got = StatQueries.q208_hll_registers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === want)
+    // the raw estimator (no linear-counting correction) is only
+    // meaningful once n ≳ m; below that it's deliberately biased high
+    // (documented) — just require positivity there
+    got.foreach { case (t, (est, exact, _)) =>
+      if (exact >= 64)
+        assert(est > exact / 2 && est < exact * 2, s"$t: $est vs $exact")
+      else assert(est > 0, s"$t: $est")
+    }
+  }
+
+  test("q209 skip-gram pairs match a naive mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, text) =>
+      val t = text.trim
+      val toks: Array[String] =
+        if (t.isEmpty) Array.empty else t.split("\\s+")
+      for {
+        i <- toks.indices
+        d <- Seq(-2, -1, 1, 2)
+        j = i + d
+        if j >= 0 && j < toks.length
+      } counts((toks(i), toks(j))) =
+        counts.getOrElse((toks(i), toks(j)), 0L) + 1L
+    }
+    val want = counts.toSeq
+      .sortBy { case ((c, x), n) => (-n, c, x) }.take(25)
+      .map { case ((c, x), n) => (c, x, n) }
+    val got = StatQueries.q209_skipgram_pairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === want)
+    // symmetry: the ±window means (a,b) and (b,a) have equal counts
+    val all = counts
+    all.foreach { case ((a, b), n) =>
+      assert(all.getOrElse((b, a), 0L) === n, s"asymmetric pair $a/$b")
+    }
+  }
+
+  test("q210 KS statistic matches a naive mirror exactly") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "cast(floor(value * 100 + 0.5) as long)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(e => e._1 == "click" || e._1 == "view")
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "view").map(_._2)
+    val domain = (a ++ b).distinct.sorted
+    val best = domain.map { v =>
+      val d = math.abs(
+        a.count(_ <= v).toLong * 1000000L / a.length -
+          b.count(_ <= v).toLong * 1000000L / b.length)
+      (d, v)
+    }.sortBy { case (d, v) => (-d, v) }.head
+    val row = StatQueries.q210_ks_test(spark, sf).collect()(0)
+    assert(row.getLong(0) === a.length.toLong)
+    assert(row.getLong(1) === b.length.toLong)
+    assert(row.getLong(2) === best._1)
+    assert(row.getLong(3) === best._2)
+  }
+}
