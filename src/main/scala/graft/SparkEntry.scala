@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.RetrievalQueries.queries ++
       graft.queries.ProfilingQueries.queries ++
       graft.queries.AugmentQueries.queries ++
-      graft.queries.StatQueries.queries
+      graft.queries.StatQueries.queries ++
+      graft.queries.IntegrityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.RetrievalQueries.oracles ++
       graft.queries.ProfilingQueries.oracles ++
       graft.queries.AugmentQueries.oracles ++
-      graft.queries.StatQueries.oracles
+      graft.queries.StatQueries.oracles ++
+      graft.queries.IntegrityQueries.oracles
 }

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Sampling, TextAnalysis}
+
+/** Data-integrity and featurization operators: behavioral-sequence
+  * fingerprint dedup (bot/replay detection), hashing-trick
+  * featurization audit, and merkle-style partition-hash snapshot diff.
+  */
+object IntegrityQueries {
+
+  // ---------------------------------------------------------------------
+  // q211 — behavioral fingerprint dedup (bot/replay detection): each
+  // (user, day) gets a fingerprint of its ordered event-type
+  // sequence; fingerprints recurring across ≥ 3 user-days are the
+  // repeated/automated behavior patterns a fraud or data-quality pass
+  // flags before training on behavior logs. (The day granularity is
+  // what makes patterns recur — whole-history sequences are unique
+  // for any active user.) Sequence order is (ts, event_id) — total
+  // and engine-portable.
+  //
+  // Scale shape: one shuffle on (user, day) to assemble sequences
+  // (group width = one user-day's activity), one groupBy on the
+  // fingerprint; no pairwise comparison ever happens — identical
+  // sequences collide on the hash, the classic fingerprint-dedup
+  // shape (cf. exact dedup q20).
+  // ---------------------------------------------------------------------
+  def q211_behavior_fingerprint(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val seqs = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("ts div 86400000000000").as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ",").as("seq"))
+    seqs
+      .select(col("user_id"), md5(col("seq")).as("fp"),
+        size(split(col("seq"), ",", -1)).cast("long").as("seq_len"))
+      .groupBy(col("fp"), col("seq_len"))
+      .agg(count(lit(1)).as("n_user_days"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("user_id")).as("min_user_id"))
+      .filter(col("n_user_days") >= 3)
+      .orderBy(col("n_user_days").desc, col("fp"))
+      .limit(25)
+  }
+
+  val q211_sql: String =
+    """WITH seqs AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY 1, 2),
+      |fps AS (
+      |  SELECT user_id, md5(seq) AS fp,
+      |    len(string_split(seq, ',')) AS seq_len
+      |  FROM seqs)
+      |SELECT fp, seq_len, COUNT(*) AS n_user_days,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       MIN(user_id) AS min_user_id
+      |FROM fps
+      |GROUP BY fp, seq_len
+      |HAVING COUNT(*) >= 3
+      |ORDER BY n_user_days DESC, fp
+      |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q212 — hashing-trick featurization audit (Weinberger et al. 2009):
+  // tokens are mapped into a fixed 1024-bucket feature space by
+  // hash60 mod B — the featurizer that needs NO vocabulary broadcast
+  // and no fit pass, which is what makes it the default at corpus
+  // scale. Reported: the 20 most-loaded buckets (distinct tokens
+  // mapped in = collision degree, plus occurrence mass) and, in every
+  // row, the global space utilization (buckets used, distinct
+  // tokens) — the numbers that decide whether B must grow.
+  //
+  // Scale shape: bucket assignment is row-local; one groupBy (bucket)
+  // with map-side combine; the distinct-token side aggregates the
+  // (bucket, token) pairs first, so nothing corpus-sized is sorted.
+  // ---------------------------------------------------------------------
+  private val FhB = 1024L
+
+  def q212_feature_hashing(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", pmod(Sampling.hash60("fh", col("tok")),
+        lit(FhB)))
+    val perBucketTok = toks.groupBy(col("bucket"), col("tok"))
+      .agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(eager = true) // bucket rollup + global stats
+    val perBucket = perBucketTok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_occ")).as("n_occurrences"))
+    val global = perBucketTok.agg(
+      countDistinct(col("bucket")).as("buckets_used"),
+      countDistinct(col("tok")).as("distinct_tokens"))
+    perBucket.crossJoin(broadcast(global))
+      .orderBy(col("n_tokens").desc, col("n_occurrences").desc,
+        col("bucket"))
+      .limit(20)
+  }
+
+  val q212_sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE trim(text) <> ''),
+       |b AS (
+       |  SELECT tok,
+       |    ${Sampling.hash60Sql("fh", "tok")} % $FhB AS bucket
+       |  FROM toks),
+       |pbt AS (
+       |  SELECT bucket, tok, COUNT(*) AS n_occ FROM b GROUP BY 1, 2),
+       |pb AS (
+       |  SELECT bucket, COUNT(*) AS n_tokens,
+       |    CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+       |  FROM pbt GROUP BY 1),
+       |g AS (
+       |  SELECT COUNT(DISTINCT bucket) AS buckets_used,
+       |    COUNT(DISTINCT tok) AS distinct_tokens
+       |  FROM pbt)
+       |SELECT pb.bucket, pb.n_tokens, pb.n_occurrences,
+       |  g.buckets_used, g.distinct_tokens
+       |FROM pb CROSS JOIN g
+       |ORDER BY n_tokens DESC, n_occurrences DESC, bucket
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q213 — merkle-style partition-hash snapshot diff: both corpus
+  // snapshots (q91's deterministic old/new synthesis) reduce to 256
+  // bucket digests — XOR of the per-row (id:content) hashes, which is
+  // order-independent and overflow-free — and only buckets whose
+  // digests DISAGREE are reported. This is the sync shortcut that
+  // makes 100 TB change detection cheap: the full-fidelity row diff
+  // (q91) only ever needs to run inside the ~changed/256 fraction of
+  // the data, and identical snapshots reconcile after exchanging 256
+  // rows.
+  //
+  // Scale shape: two scans, each reducing to 256 rows via map-side
+  // XOR partials; the digest comparison joins 256×2 rows.
+  // ---------------------------------------------------------------------
+  private val MerkleBuckets = 256L
+
+  def q213_merkle_diff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 30 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+          .otherwise(col("text")).as("text"))
+    def digest(snap: DataFrame, side: String): DataFrame =
+      snap
+        .select(
+          pmod(Sampling.hash60("mkb", col("doc_id")), lit(MerkleBuckets))
+            .as("bucket"),
+          Sampling.hash60("mkr",
+            concat_ws(":", col("doc_id"), col("text"))).as("h"))
+        .groupBy(col("bucket"))
+        .agg(expr("bit_xor(h)").as(s"digest_$side"),
+          count(lit(1)).as(s"n_$side"))
+    digest(oldSnap, "old")
+      .join(digest(newSnap, "new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("digest_old"), lit(0L)).as("digest_old"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("digest_new"), lit(0L)).as("digest_new"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .filter(col("digest_old") =!= col("digest_new"))
+      .orderBy(col("bucket"))
+  }
+
+  val q213_sql: String = {
+    val rowH = Sampling.hash60Sql("mkr",
+      "CAST(doc_id AS VARCHAR) || ':' || text")
+    val bktH = Sampling.hash60Sql("mkb", "doc_id")
+    s"""WITH oldsnap AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+       |newsnap AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT' ELSE text END
+       |      AS text
+       |  FROM documents WHERE doc_id % 30 <> 0),
+       |od AS (
+       |  SELECT ($bktH) % $MerkleBuckets AS bucket,
+       |    bit_xor($rowH) AS digest_old, COUNT(*) AS n_old
+       |  FROM oldsnap GROUP BY 1),
+       |nd AS (
+       |  SELECT ($bktH) % $MerkleBuckets AS bucket,
+       |    bit_xor($rowH) AS digest_new, COUNT(*) AS n_new
+       |  FROM newsnap GROUP BY 1)
+       |SELECT COALESCE(od.bucket, nd.bucket) AS bucket,
+       |  COALESCE(od.digest_old, 0) AS digest_old,
+       |  COALESCE(od.n_old, 0) AS n_old,
+       |  COALESCE(nd.digest_new, 0) AS digest_new,
+       |  COALESCE(nd.n_new, 0) AS n_new
+       |FROM od FULL OUTER JOIN nd ON nd.bucket = od.bucket
+       |WHERE COALESCE(od.digest_old, 0) <> COALESCE(nd.digest_new, 0)
+       |ORDER BY bucket""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_behavior_fingerprint" -> q211_behavior_fingerprint _,
+    "q212_feature_hashing" -> q212_feature_hashing _,
+    "q213_merkle_diff" -> q213_merkle_diff _)
+
+  val oracles: Map[String, String] = Map(
+    "q211_behavior_fingerprint" -> q211_sql,
+    "q212_feature_hashing" -> q212_sql,
+    "q213_merkle_diff" -> q213_sql)
+}
