@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.ProfilingQueries.queries ++
       graft.queries.AugmentQueries.queries ++
       graft.queries.StatQueries.queries ++
-      graft.queries.IntegrityQueries.queries
+      graft.queries.IntegrityQueries.queries ++
+      graft.queries.TrainPrepQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.ProfilingQueries.oracles ++
       graft.queries.AugmentQueries.oracles ++
       graft.queries.StatQueries.oracles ++
-      graft.queries.IntegrityQueries.oracles
+      graft.queries.IntegrityQueries.oracles ++
+      graft.queries.TrainPrepQueries.oracles
 }

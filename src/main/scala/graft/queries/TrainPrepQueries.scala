@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.TextAnalysis
+
+/** Training-prep and evaluation operators: length-bucketed batch
+  * packing (padding-waste audit), exposure/time-weighted averages,
+  * and the Mann–Whitney/AUC rank statistic — all integer-exact.
+  */
+object TrainPrepQueries {
+
+  // ---------------------------------------------------------------------
+  // q214 — length-sorted batching padding audit: pad-to-longest
+  // batches of 8 docs are formed per source shard in (a) arrival
+  // order and (b) length-sorted order, and the padding waste of each
+  // strategy is compared — the audit behind "sorted batching", the
+  // standard trick that cuts transformer fine-tuning FLOPs by
+  // double-digit percents. waste_ppm = padded ÷ (useful + padded).
+  //
+  // Scale shape: packing runs INSIDE each source shard (window
+  // partition = one shard, as production packers do — a global sort
+  // would serialize the corpus); the per-batch max and the final
+  // roll-up are two bounded aggregations.
+  // ---------------------------------------------------------------------
+  private val BatchSize = 8
+
+  def q214_length_batching(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .localCheckpoint(eager = true) // both strategies read it
+    def waste(orderCols: Seq[String], strategy: String): DataFrame =
+      docs
+        .withColumn("batch",
+          expr(s"(row_number() over (partition by source order by " +
+            s"${orderCols.mkString(", ")}) - 1) div $BatchSize"))
+        .groupBy(col("source"), col("batch"))
+        .agg(max(col("n_tok")).as("mx"), sum(col("n_tok")).as("useful"),
+          count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("useful")).as("total_tokens"),
+          sum(col("mx") * col("n_docs") - col("useful"))
+            .as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("padded_tokens * 1000000 div " +
+            "(total_tokens + padded_tokens)").as("waste_ppm"))
+    waste(Seq("doc_id"), "arrival")
+      .unionByName(waste(Seq("n_tok", "doc_id"), "length_sorted"))
+      .orderBy(col("strategy"))
+  }
+
+  val q214_sql: String = {
+    def arm(order: String, strategy: String): String =
+      s"""SELECT '$strategy' AS strategy,
+         |  COUNT(*) AS n_batches,
+         |  CAST(SUM(useful) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(mx * n_docs - useful) AS BIGINT) AS padded_tokens,
+         |  CAST(SUM(mx * n_docs - useful) AS BIGINT) * 1000000
+         |    // (CAST(SUM(useful) AS BIGINT)
+         |        + CAST(SUM(mx * n_docs - useful) AS BIGINT))
+         |    AS waste_ppm
+         |FROM (
+         |  SELECT source, batch, MAX(n_tok) AS mx, SUM(n_tok) AS useful,
+         |         COUNT(*) AS n_docs
+         |  FROM (
+         |    SELECT source, n_tok,
+         |      (ROW_NUMBER() OVER (PARTITION BY source ORDER BY $order)
+         |        - 1) // $BatchSize AS batch
+         |    FROM d)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |      AS n_tok
+       |  FROM documents)
+       |${arm("doc_id", "arrival")}
+       |UNION ALL
+       |${arm("n_tok, doc_id", "length_sorted")}
+       |ORDER BY strategy""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q215 — time-weighted average (exposure metering): each event's
+  // value is weighted by how long it remained the user's CURRENT
+  // value (lead(ts) − ts, in whole seconds); the per-user TWA is the
+  // duration integral ÷ total covered time — the metric metering and
+  // billing pipelines compute, where a plain AVG over-weights bursts.
+  // The last event of each user carries no duration and is excluded,
+  // as is any zero-second interval.
+  //
+  // Scale shape: one window pass partitioned by user (width = one
+  // user's events), one groupBy; durations are scaled to seconds at
+  // the projection so v·Δt stays far inside int64 at corpus spans.
+  // ---------------------------------------------------------------------
+  def q215_time_weighted_avg(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .withColumn("dt",
+        expr("(lead(ts) over (partition by user_id " +
+          "order by ts, event_id) - ts) div 1000000000"))
+      .filter(col("dt").isNotNull && col("dt") > 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("covered_s"),
+        expr("sum(v * dt) div sum(dt)").as("twa_cents"))
+      .orderBy(col("twa_cents").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val q215_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, v,
+      |    (LEAD(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+      |      - tns) // 1000000000 AS dt
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(dt) AS BIGINT) AS covered_s,
+      |  CAST(SUM(v * dt) AS BIGINT) // CAST(SUM(dt) AS BIGINT)
+      |    AS twa_cents
+      |FROM d WHERE dt IS NOT NULL AND dt > 0
+      |GROUP BY user_id
+      |ORDER BY twa_cents DESC, user_id
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q216 — Mann–Whitney U / AUC (rank-sum classifier evaluation):
+  // does event value separate purchases from the rest? AUC is
+  // computed EXACTLY in integers via doubled midranks (each value's
+  // doubled rank is 2·count-below + ties + 1, so tie-averaging never
+  // leaves ℤ): auc_ppm = (ΣR₂(pos) − n₁(n₁+1)) · 500000 div (n₁·n₀).
+  // The scalable AUC — no per-row sort ever reaches the driver.
+  //
+  // Scale shape: the corpus reduces to per-(value, class) counts
+  // (one groupBy); ranks come from a cumulative window over the
+  // DISTINCT VALUE domain (the q76/q114 CDF shape).
+  // ---------------------------------------------------------------------
+  def q216_auc_mannwhitney(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        (col("event_type") === "purchase").cast("int").as("pos"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+    val counts = ev.groupBy(col("v"))
+      .agg(sum(col("pos")).cast("long").as("p"),
+        (count(lit(1)) - sum(col("pos"))).cast("long").as("q"))
+    val w = Window.orderBy(col("v")) // distinct-value domain (bounded)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("below", coalesce(sum(col("p") + col("q")).over(w),
+        lit(0L)))
+      // ΣR₂ over positives at this value: p · (2·below + ties + 1)
+      .select(col("p"), col("q"),
+        (col("p") * (col("below") * 2 + col("p") + col("q") + 1))
+          .as("r2"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("r2")).as("r2_sum"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("(r2_sum - n_pos * (n_pos + 1)) * 500000 " +
+          "div (n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  val q216_sql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      |    AS pos,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |cnt AS (
+      |  SELECT v, CAST(SUM(pos) AS BIGINT) AS p,
+      |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS q
+      |  FROM ev GROUP BY 1),
+      |rk AS (
+      |  SELECT p, q,
+      |    COALESCE(CAST(SUM(p + q) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS below
+      |  FROM cnt),
+      |s AS (
+      |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |    CAST(SUM(q) AS BIGINT) AS n_neg,
+      |    CAST(SUM(p * (below * 2 + p + q + 1)) AS BIGINT) AS r2_sum
+      |  FROM rk)
+      |SELECT n_pos, n_neg,
+      |  (r2_sum - n_pos * (n_pos + 1)) * 500000 // (n_pos * n_neg)
+      |    AS auc_ppm
+      |FROM s""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_length_batching" -> q214_length_batching _,
+    "q215_time_weighted_avg" -> q215_time_weighted_avg _,
+    "q216_auc_mannwhitney" -> q216_auc_mannwhitney _)
+
+  val oracles: Map[String, String] = Map(
+    "q214_length_batching" -> q214_sql,
+    "q215_time_weighted_avg" -> q215_sql,
+    "q216_auc_mannwhitney" -> q216_sql)
+}
