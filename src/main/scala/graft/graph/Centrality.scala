@@ -387,4 +387,60 @@ object Centrality {
        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes),
        |$steps""".stripMargin
   }
+
+  /** Multi-source BFS: exact hop distances (seed, id, dist ≤ maxHops)
+    * from every seed at once — the shared engine for harmonic
+    * centrality, eccentricity, and diameter estimation. The frontier
+    * carries (seed, id), so k seeds cost one traversal with k× state,
+    * not k traversals; per level: one join edge.src = frontier.id
+    * (shuffle on the join key), one min-groupBy. Returns only settled
+    * pairs (dist non-null).
+    *
+    * Scale: state is O(seeds × reachable) — callers bound the seed
+    * set; the level loop materializes per round like [[sssp]].
+    */
+  def multiSourceBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    require(maxHops >= 1 && maxHops <= 15,
+      s"maxHops ($maxHops) out of the sane unrolled range")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var dist = seeds.select(col("id").cast("long").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxHops) {
+      val next = e
+        .join(dist.select(col("id").as("src"), col("seed"), col("dist")),
+          Seq("src"))
+        .select(col("seed"), col("dst").as("id"),
+          (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("seed"), col("id"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
+
+  /** SQL mirror of [[multiSourceBfs]]: `edgesSql` selects (src, dst),
+    * `seedsSql` selects (id). Final CTE is b$maxHops(seed, id, dist). */
+  def multiSourceBfsSql(edgesSql: String, seedsSql: String,
+      maxHops: Int): String = {
+    val steps = (1 to maxHops).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT seed, id, MIN(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM b${k - 1}
+         |    UNION ALL
+         |    SELECT p.seed, e.dst AS id, p.dist + 1 AS dist
+         |    FROM b${k - 1} p JOIN edges e ON e.src = p.id)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |b0 AS (SELECT DISTINCT id AS seed, id, CAST(0 AS BIGINT) AS dist
+       |  FROM ($seedsSql)),
+       |$steps""".stripMargin
+  }
 }

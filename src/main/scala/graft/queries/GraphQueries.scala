@@ -616,7 +616,78 @@ object GraphQueries {
       |ORDER BY ra_ppm DESC, u, w
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q217 — harmonic centrality (Boldi/Vigna 2014, the "which nodes can
+  // reach everything fast" ranking that, unlike closeness, stays
+  // well-defined on disconnected graphs): for 8 deterministic seeds,
+  // H(s) = Σ_{v≠s, d(s,v)≤6} 10⁶ div d(s,v) over hop distances on the
+  // part-derived graph. One multi-source BFS computes all seeds at
+  // once (frontier carries the seed id); the oracle unrolls the same
+  // levels as chained CTEs.
+  // ---------------------------------------------------------------------
+  private val HcHops = 6
+
+  private def hcSeedsSql: String =
+    "SELECT p_partkey AS id FROM part WHERE p_partkey <= 8"
+
+  def q217_harmonic_centrality(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 8)
+      .select(col("p_partkey").as("id"))
+    graft.graph.Centrality
+      .multiSourceBfs(prEdges(spark, dir), seeds, HcHops)
+      .filter(col("id") =!= col("seed"))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_ppm"))
+      .orderBy(col("harmonic_ppm").desc, col("seed"))
+  }
+
+  val q217_sql: String =
+    s"""WITH ${graft.graph.Centrality
+         .multiSourceBfsSql(prEdgesSql, hcSeedsSql, HcHops)}
+       |SELECT seed, COUNT(*) AS n_reached,
+       |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
+       |FROM b$HcHops WHERE id <> seed
+       |GROUP BY seed
+       |ORDER BY harmonic_ppm DESC, seed""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q218 — eccentricity / diameter lower bound from the SAME BFS
+  // engine: per seed, the farthest settled node within the hop cap;
+  // the max over seeds lower-bounds the graph diameter (the standard
+  // sampled-BFS diameter estimate — exact BFS from a seed sample
+  // instead of an all-pairs pass).
+  // ---------------------------------------------------------------------
+  def q218_eccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 8)
+      .select(col("p_partkey").as("id"))
+    val bfs = graft.graph.Centrality
+      .multiSourceBfs(prEdges(spark, dir), seeds, HcHops)
+    val ecc = bfs.groupBy(col("seed"))
+      .agg(max(col("dist")).as("eccentricity_capped"),
+        count(lit(1)).as("n_settled"))
+    ecc.crossJoin(broadcast(
+        ecc.agg(max(col("eccentricity_capped")).as("diameter_lb"))))
+      .orderBy(col("seed"))
+  }
+
+  val q218_sql: String =
+    s"""WITH ${graft.graph.Centrality
+         .multiSourceBfsSql(prEdgesSql, hcSeedsSql, HcHops)},
+       |ecc AS (
+       |  SELECT seed, MAX(dist) AS eccentricity_capped,
+       |    COUNT(*) AS n_settled
+       |  FROM b$HcHops GROUP BY seed)
+       |SELECT seed, eccentricity_capped, n_settled,
+       |  (SELECT MAX(eccentricity_capped) FROM ecc) AS diameter_lb
+       |FROM ecc ORDER BY seed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_harmonic_centrality" -> q217_harmonic_centrality _,
+    "q218_eccentricity" -> q218_eccentricity _,
     "q185_link_prediction" -> q185_link_prediction _,
     "q95_triangles" -> q95_triangles _,
     "q17_bfs_reach" -> q17_bfs_reach _,
@@ -633,6 +704,8 @@ object GraphQueries {
     "q170_random_walks" -> q170_random_walks _)
 
   val oracles: Map[String, String] = Map(
+    "q217_harmonic_centrality" -> q217_sql,
+    "q218_eccentricity" -> q218_sql,
     "q185_link_prediction" -> q185_sql,
     "q95_triangles" -> q95_sql,
     "q17_bfs_reach" -> q17_sql,

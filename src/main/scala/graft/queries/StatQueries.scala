@@ -195,10 +195,10 @@ object StatQueries {
   // CDFs as cumulative-count rationals.
   //
   // Scale shape: the corpus-sized work is ONE groupBy to per-(side,
-  // value) counts; the cumulative window then runs over the pooled
-  // DISTINCT VALUE domain (bounded by the value range, not row count —
-  // the q76/q114 CDF shape; global because the two CDFs share one
-  // spine).
+  // value) counts; cumulatives then ride the q76/q114 bucketed-CDF
+  // shape — coarse-bucket offsets from a triangular join over the
+  // tiny bucket table plus a PARTITIONED within-bucket window — so no
+  // single task ever sorts the whole value domain.
   // ---------------------------------------------------------------------
   def q210_ks_test(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -211,12 +211,20 @@ object StatQueries {
           .as("ca"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L))
           .as("cb"))
+      .withColumn("grp", expr("v div 4096"))
       .localCheckpoint(eager = true) // totals + the cumsum probe
     val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val w = Window.orderBy(col("v")) // pooled distinct-value domain
-    counts
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
+    val grpTot = counts.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("ga"), sum(col("cb")).as("gb"))
+    val grpBefore = grpTot.as("g")
+      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
+      .groupBy(col("g.grp").as("grp"))
+      .agg(coalesce(sum(col("h.ga")), lit(0L)).as("before_a"),
+        coalesce(sum(col("h.gb")), lit(0L)).as("before_b"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    counts.join(broadcast(grpBefore), Seq("grp"))
+      .withColumn("cuma", col("before_a") + sum(col("ca")).over(w))
+      .withColumn("cumb", col("before_b") + sum(col("cb")).over(w))
       .crossJoin(broadcast(tot))
       .select(col("v"),
         abs(expr("cuma * 1000000 div na")

@@ -145,8 +145,9 @@ object TrainPrepQueries {
   // The scalable AUC — no per-row sort ever reaches the driver.
   //
   // Scale shape: the corpus reduces to per-(value, class) counts
-  // (one groupBy); ranks come from a cumulative window over the
-  // DISTINCT VALUE domain (the q76/q114 CDF shape).
+  // (one groupBy); ranks ride the q76/q114 bucketed-CDF shape —
+  // coarse-bucket offsets plus a PARTITIONED exclusive within-bucket
+  // window — so no single task sorts the whole value domain.
   // ---------------------------------------------------------------------
   def q216_auc_mannwhitney(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -156,11 +157,19 @@ object TrainPrepQueries {
     val counts = ev.groupBy(col("v"))
       .agg(sum(col("pos")).cast("long").as("p"),
         (count(lit(1)) - sum(col("pos"))).cast("long").as("q"))
-    val w = Window.orderBy(col("v")) // distinct-value domain (bounded)
+      .withColumn("grp", expr("v div 4096"))
+      .localCheckpoint(eager = true) // bucket totals + the rank probe
+    val grpTot = counts.groupBy(col("grp"))
+      .agg(sum(col("p") + col("q")).as("gcnt"))
+    val grpBefore = grpTot.as("g")
+      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
+      .groupBy(col("g.grp").as("grp"))
+      .agg(coalesce(sum(col("h.gcnt")), lit(0L)).as("before"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    counts
-      .withColumn("below", coalesce(sum(col("p") + col("q")).over(w),
-        lit(0L)))
+    counts.join(broadcast(grpBefore), Seq("grp"))
+      .withColumn("below", col("before") +
+        coalesce(sum(col("p") + col("q")).over(w), lit(0L)))
       // ΣR₂ over positives at this value: p · (2·below + ties + 1)
       .select(col("p"), col("q"),
         (col("p") * (col("below") * 2 + col("p") + col("q") + 1))

@@ -24,7 +24,9 @@ class GateSpec extends SparkSpec {
     * is the classic 100 TB single-reducer trap. */
   private val boundedGlobalWindowOk: Set[String] = Set(
     "q177_boolean_retrieval", // row_number over a LIMIT 6 frame
-    "q176_growth_accounting") // lag over the O(days) calendar frame
+    "q176_growth_accounting", // lag over the O(days) calendar frame
+    "q202_tcloseness", // global cumsum over the 10-bucket spine
+    "q203_kmv_intersection") // union-minima window over ≤ 2k sketch rows
 
   test("every gate query executes at sf0.001 with clean column names " +
       "and no unbounded global window") {
@@ -74,7 +76,12 @@ class GateSpec extends SparkSpec {
       graft.queries.CurationQueries.queries,
       graft.queries.QualityQueries.queries,
       graft.queries.ApiQueries.queries,
-      graft.queries.RetrievalQueries.queries)
+      graft.queries.RetrievalQueries.queries,
+      graft.queries.ProfilingQueries.queries,
+      graft.queries.AugmentQueries.queries,
+      graft.queries.StatQueries.queries,
+      graft.queries.IntegrityQueries.queries,
+      graft.queries.TrainPrepQueries.queries)
     val all = parts.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names across registries: " +
@@ -117,20 +124,39 @@ class GateSpec extends SparkSpec {
     // second, the rest sub-second with untrimmable 2-decimal values)
     // must keep full 2-decimal precision on every SUB-SECOND entry at
     // the current query count — the mixed rungs trade >=1s decimals
-    // (1dp, then whole seconds <=0.5s absolute) to buy that headroom;
-    // sub-second precision is the last thing the ladder may give up
+    // (1dp, then whole seconds <=0.5s absolute) to buy that headroom.
+    // Past ~210 queries NO object encoding fits sub-second decimals in
+    // the 2000-char tail (218 keys + JSON overhead alone are ~1430
+    // chars), so the stdout guarantee is: parseable, complete, <=0.5s
+    // absolute error per entry — and the EXACT 3-decimal record moves
+    // to BENCH_FULL.json (asserted below), which is not tail-budgeted.
     val real = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
       .map { case (name, i) =>
         (name, 8.88, if (i % 3 == 0) 4.73 else 0.47) }
     val realLine = Bench.renderJson(real, Nil, "/root/testdata/sf0.1")
+    assert(realLine.length < 1985, s"realistic line ${realLine.length}")
     val JObject(rqs) =
       (org.json4s.jackson.JsonMethods.parse(realLine) \ "queries")
         : @unchecked
+    assert(rqs.size === real.size)
     assert(rqs.forall {
-      case (_, JDouble(v)) => v == 0.47 || math.abs(v - 4.73) <= 0.5
-      case (_, JInt(v)) => (v.toDouble - 4.73).abs <= 0.5
+      case (_, JDouble(v)) =>
+        math.abs(v - 0.47) <= 0.5 || math.abs(v - 4.73) <= 0.5
+      case (_, JInt(v)) =>
+        (v.toDouble - 4.73).abs <= 0.5 || (v.toDouble - 0.47).abs <= 0.5
       case _ => false
-    }, "realistic-shape line lost sub-second 2-decimal precision")
+    }, "realistic-shape entry drifted more than 0.5s")
+    // the untruncated companion file keeps EXACT 3-decimal cold+warm
+    // for every query — this is where precision lives at scale
+    val full = org.json4s.jackson.JsonMethods.parse(
+      Bench.renderFullJson(real, Nil, "/root/testdata/sf0.1"))
+    val JObject(cw) = (full \ "cold_warm"): @unchecked
+    assert(cw.size === real.size)
+    assert(cw.forall {
+      case (_, JArray(List(JDouble(c), JDouble(w)))) =>
+        c == 8.88 && (w == 0.47 || w == 4.73)
+      case _ => false
+    }, "BENCH_FULL.json lost exact precision")
   }
 
   test("bench reports a crashed query as failed, never as a timing") {

@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.GraphQueries
+
+/** q217/q218: multi-source BFS centralities vs a naive queue BFS. */
+class HarmonicSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The part-derived graph the Spark side uses (tree ∪ shortcut). */
+  private def edges(): Seq[(Long, Long)] = {
+    val keys = Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0))
+    val tree = keys.filter(_ >= 2).map(k => (k, k / 2))
+    val shortcut = keys.filter(k => k != (k * k) % 1000)
+      .map(k => (k, (k * k) % 1000))
+    (tree ++ shortcut).toSeq
+  }
+
+  private def bfs(adj: Map[Long, Seq[Long]], seed: Long, maxHops: Int)
+      : Map[Long, Long] = {
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Seq(seed)
+    var d = 0L
+    while (frontier.nonEmpty && d < maxHops) {
+      d += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = d)
+    }
+    dist.toMap
+  }
+
+  test("q217 harmonic centrality matches a naive queue BFS") {
+    val es = edges().distinct
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Tables.part(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("p_partkey") <= 8)
+      .select("p_partkey").collect().map(_.getLong(0))
+    val want = seeds.map { s =>
+      val d = bfs(adj, s, 6) - s
+      (s, d.size.toLong, d.values.map(1000000L / _).sum)
+    }.filter(_._2 > 0).sortBy(x => (-x._3, x._1))
+    val got = GraphQueries.q217_harmonic_centrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q218 eccentricity and diameter bound match the same BFS") {
+    val es = edges().distinct
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Tables.part(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("p_partkey") <= 8)
+      .select("p_partkey").collect().map(_.getLong(0))
+    val eccs = seeds.map { s =>
+      val d = bfs(adj, s, 6)
+      (s, d.values.max, d.size.toLong)
+    }
+    val diamLb = eccs.map(_._2).max
+    val want = eccs.map { case (s, e, n) => (s, e, n, diamLb) }
+      .sortBy(_._1)
+    val got = GraphQueries.q218_eccentricity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+  }
+}
