@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.AugmentQueries.queries ++
       graft.queries.StatQueries.queries ++
       graft.queries.IntegrityQueries.queries ++
-      graft.queries.TrainPrepQueries.queries
+      graft.queries.TrainPrepQueries.queries ++
+      graft.queries.MetricQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.AugmentQueries.oracles ++
       graft.queries.StatQueries.oracles ++
       graft.queries.IntegrityQueries.oracles ++
-      graft.queries.TrainPrepQueries.oracles
+      graft.queries.TrainPrepQueries.oracles ++
+      graft.queries.MetricQueries.oracles
 }

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.TextAnalysis
+
+/** Product/metric analytics operators rounding out the event tier:
+  * rolling active users, decay-weighted popularity, inter-rater
+  * agreement, and concentration (Gini) — all integer-exact.
+  */
+object MetricQueries {
+
+  // ---------------------------------------------------------------------
+  // q219 — rolling 7-day active users (WAU): for every day, how many
+  // distinct users were active in the trailing 7-day window. Rolling
+  // DISTINCT cannot be a windowed sum (distincts don't add), so the
+  // exact shape is: distinct (user, day) actives, a row-local ×7
+  // offset explode (each active day advertises the user into the 7
+  // target days it covers), then ONE distinct + count per target day —
+  // linear with constant fan-out, the same offset-explode trick as
+  // q209's skip-grams, and how rolling-MAU jobs avoid re-scanning 30
+  // days of events per day.
+  // ---------------------------------------------------------------------
+  def q219_rolling_wau(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .localCheckpoint(eager = true) // bounds + the advertise explode
+    val bounds = active.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val advertised = active
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+    advertised.crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("d1")) // windows past the data end
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val q219_sql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |bounds AS (SELECT MAX(day) AS d1 FROM active),
+      |adv AS (
+      |  SELECT DISTINCT user_id, day + o AS day
+      |  FROM active, unnest(generate_series(0, 6)) AS u(o))
+      |SELECT adv.day, COUNT(DISTINCT user_id) AS wau
+      |FROM adv CROSS JOIN bounds
+      |WHERE adv.day <= bounds.d1
+      |GROUP BY adv.day
+      |ORDER BY adv.day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q220 — decay-weighted popularity: each event's value contributes
+  // v >> age_weeks (a power-of-two exponential half-life of one week,
+  // computed as an integer SHIFT — the decay curve recommendation
+  // feeds want, with none of the float-pow nondeterminism). Top 15
+  // event types × value deciles by decayed mass.
+  //
+  // Scale shape: age is computed against the corpus max ts (one tiny
+  // broadcast), then a single row-local shift + one groupBy.
+  // ---------------------------------------------------------------------
+  def q220_decayed_popularity(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+    val maxTs = ev.agg(max(col("ts")).as("t1"))
+    ev.crossJoin(broadcast(maxTs))
+      .withColumn("age_weeks",
+        expr("(t1 - ts) div 604800000000000"))
+      .withColumn("decayed",
+        expr("case when age_weeks >= 60 then 0 " +
+          "else shiftright(v, cast(age_weeks as int)) end"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).as("raw_mass"),
+        sum(col("decayed")).as("decayed_mass"))
+      .orderBy(col("decayed_mass").desc, col("event_type"))
+      .limit(15)
+  }
+
+  val q220_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS tns,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |mx AS (SELECT MAX(tns) AS t1 FROM ev),
+      |d AS (
+      |  SELECT event_type, v,
+      |    (t1 - tns) // 604800000000000 AS age_weeks
+      |  FROM ev CROSS JOIN mx)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS BIGINT) AS raw_mass,
+      |  CAST(SUM(CASE WHEN age_weeks >= 60 THEN 0
+      |    ELSE v >> age_weeks END) AS BIGINT) AS decayed_mass
+      |FROM d
+      |GROUP BY event_type
+      |ORDER BY decayed_mass DESC, event_type
+      |LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q221 — Cohen's κ inter-rater agreement between two cheap quality
+  // labelers (length rule vs stopword-ratio rule) over documents: the
+  // standard check that weak supervision rules measure the same thing
+  // before their votes are combined. κ_ppm = (pₒ − pₑ)·10⁶ div
+  // (10⁶ − pₑ) with pₒ, pₑ in ppm — all from the 2×2 agreement
+  // counts, one corpus scan.
+  // ---------------------------------------------------------------------
+  def q221_cohens_kappa(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.documents(spark, dir)
+      .select(
+        (col("n_chars") >= 200).cast("int").as("a"),
+        (TextAnalysis.tokenCount(col("text")) >= 40).cast("int").as("b"))
+    labeled
+      .agg(count(lit(1)).as("n"),
+        sum(expr("case when a = 1 and b = 1 then 1 else 0 end"))
+          .as("n11"),
+        sum(expr("case when a = 1 and b = 0 then 1 else 0 end"))
+          .as("n10"),
+        sum(expr("case when a = 0 and b = 1 then 1 else 0 end"))
+          .as("n01"),
+        sum(expr("case when a = 0 and b = 0 then 1 else 0 end"))
+          .as("n00"))
+      .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+      .withColumn("pe_ppm", expr(
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) " +
+          "* 1000000 div (n * n)"))
+      .withColumn("kappa_ppm",
+        expr("(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)"))
+  }
+
+  val q221_sql: String =
+    """WITH l AS (
+      |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 40
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n00
+      |  FROM l),
+      |p AS (
+      |  SELECT *, (n11 + n00) * 1000000 // n AS po_ppm,
+      |    ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      |      * 1000000 // (n * n) AS pe_ppm
+      |  FROM c)
+      |SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
+      |  (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS kappa_ppm
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q222 — Gini concentration of customer revenue (the "how top-heavy
+  // is the corpus/market" profiling op; the same statistic audits
+  // per-source token concentration before mixture balancing):
+  // G = (2·Σ rank·xᵢ) div (n·Σx) − (n+1) div n, exact in ppm via the
+  // identity over ranked values. Ranks ride the bucketed-CDF shape
+  // (coarse revenue buckets + partitioned window), never a global
+  // sort; ties break by customer id for total determinism. Revenue is
+  // whole dollars to keep Σ rank·x inside int64 headroom (the
+  // identity is rank-weighted, so at ≥10⁹ customers the sums must be
+  // promoted to DECIMAL(38) — same pattern as q208's estimator).
+  // ---------------------------------------------------------------------
+  def q222_gini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("x"))
+      .withColumn("grp", expr("x div 262144"))
+      .localCheckpoint(eager = true) // bucket totals + the rank probe
+    val grpTot = rev.groupBy(col("grp")).agg(count(lit(1)).as("gn"))
+    val grpBefore = grpTot.as("g")
+      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
+      .groupBy(col("g.grp").as("grp"))
+      .agg(coalesce(sum(col("h.gn")), lit(0L)).as("before"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("x"), col("o_custkey"))
+    rev.join(broadcast(grpBefore), Seq("grp"))
+      .withColumn("rank", col("before") + row_number().over(w))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(col("rank") * col("x")).as("rx"))
+      .select(col("n"), col("total"),
+        expr("(2 * rx * 1000000) div (n * total) " +
+          "- ((n + 1) * 1000000) div n").as("gini_ppm"))
+  }
+
+  val q222_sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rank
+      |  FROM rev),
+      |s AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
+      |    CAST(SUM(rank * x) AS BIGINT) AS rx
+      |  FROM rk)
+      |SELECT n, total,
+      |  (2 * rx * 1000000) // (n * total)
+      |    - ((n + 1) * 1000000) // n AS gini_ppm
+      |FROM s""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_rolling_wau" -> q219_rolling_wau _,
+    "q220_decayed_popularity" -> q220_decayed_popularity _,
+    "q221_cohens_kappa" -> q221_cohens_kappa _,
+    "q222_gini" -> q222_gini _)
+
+  val oracles: Map[String, String] = Map(
+    "q219_rolling_wau" -> q219_sql,
+    "q220_decayed_popularity" -> q220_sql,
+    "q221_cohens_kappa" -> q221_sql,
+    "q222_gini" -> q222_sql)
+}

@@ -81,7 +81,8 @@ class GateSpec extends SparkSpec {
       graft.queries.AugmentQueries.queries,
       graft.queries.StatQueries.queries,
       graft.queries.IntegrityQueries.queries,
-      graft.queries.TrainPrepQueries.queries)
+      graft.queries.TrainPrepQueries.queries,
+      graft.queries.MetricQueries.queries)
     val all = parts.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names across registries: " +

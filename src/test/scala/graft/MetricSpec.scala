@@ -1,0 +1,98 @@
+package graft
+
+import graft.queries.MetricQueries
+
+/** q219–q222: rolling WAU, decay popularity, Cohen's κ, Gini — against
+  * naive mirrors over collected sf0.001 tables. */
+class MetricSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q219 rolling WAU matches a naive window-count mirror") {
+    val actives = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 86400000000000").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val d1 = actives.map(_._2).max
+    val days = actives.map(_._2).flatMap(d => d to d + 6).distinct
+      .filter(_ <= d1).sorted
+    val want = days.map { d =>
+      d -> actives.filter(a => a._2 >= d - 6 && a._2 <= d)
+        .map(_._1).distinct.length.toLong
+    }
+    val got = MetricQueries.q219_rolling_wau(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq === want.toSeq)
+    // the rolling window can only see >= as many users as any single day
+    val daily = actives.groupBy(_._2).view.mapValues(
+      _.map(_._1).distinct.length.toLong).toMap
+    got.foreach { case (d, w) =>
+      assert(w >= daily.getOrElse(d, 0L))
+    }
+  }
+
+  test("q220 decayed mass matches a naive shift mirror exactly") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts",
+        "cast(floor(value * 100 + 0.5) as long)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val t1 = ev.map(_._2).max
+    val want = ev.groupBy(_._1).view.mapValues { es =>
+      val raw = es.map(_._3).sum
+      val dec = es.map { case (_, ts, v) =>
+        val w = (t1 - ts) / 604800000000000L
+        if (w >= 60) 0L else v >> w
+      }.sum
+      (es.length.toLong, raw, dec)
+    }.toMap
+    val got = MetricQueries.q220_decayed_popularity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === want.toMap)
+    // decay never increases mass
+    got.values.foreach { case (_, raw, dec) => assert(dec <= raw) }
+  }
+
+  test("q221 Cohen's kappa matches a naive mirror exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select("n_chars", "text").collect()
+      .map { r =>
+        val t = r.getString(1).trim
+        val toks = if (t.isEmpty) 0 else t.split("\\s+").length
+        (if (r.getLong(0) >= 200) 1 else 0, if (toks >= 40) 1 else 0)
+      }
+    val n = docs.length.toLong
+    val n11 = docs.count(d => d._1 == 1 && d._2 == 1).toLong
+    val n10 = docs.count(d => d._1 == 1 && d._2 == 0).toLong
+    val n01 = docs.count(d => d._1 == 0 && d._2 == 1).toLong
+    val n00 = docs.count(d => d._1 == 0 && d._2 == 0).toLong
+    val po = (n11 + n00) * 1000000L / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) *
+      1000000L / (n * n)
+    val kappa = (po - pe) * 1000000L / (1000000L - pe)
+    val row = MetricQueries.q221_cohens_kappa(spark, sf).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) === ((n, n11, n10, n01, n00)))
+    assert(row.getLong(5) === po)
+    assert(row.getLong(6) === pe)
+    assert(row.getLong(7) === kappa)
+  }
+
+  test("q222 Gini matches the naive ranked identity exactly") {
+    val rev = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "cast(floor(o_totalprice + 0.5) as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).sum) }.toSeq
+    val ranked = rev.sortBy(identity).sortBy(r => (r._2, r._1))
+      .zipWithIndex.map { case ((_, x), i) => (i + 1L, x) }
+    val n = ranked.length.toLong
+    val total = ranked.map(_._2).sum
+    val rx = ranked.map { case (r, x) => r * x }.sum
+    val gini = 2L * rx * 1000000L / (n * total) - (n + 1) * 1000000L / n
+    val row = MetricQueries.q222_gini(spark, sf).collect()(0)
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === total)
+    assert(row.getLong(2) === gini)
+    // Gini of a non-degenerate distribution sits strictly in (0, 1)
+    assert(gini > 0L && gini < 1000000L)
+  }
+}
