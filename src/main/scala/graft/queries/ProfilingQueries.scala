@@ -189,11 +189,15 @@ object ProfilingQueries {
   private val KmvK = 64
 
   def q203_kmv_intersection(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(
-        (expr("cast(substring(source, 4, 10) as int) % 2") === 0)
-          .as("even"),
-        explode(graft.pipeline.Dedup.shingles(col("text"), 2)).as("tok"))
+    // shingleRows materializes the token array in its own projection
+    // first — the inline-shingles form re-tokenized the text once per
+    // bigram (O(tokens²) per row; measured 2× the whole-query time)
+    val toks = graft.pipeline.Dedup.shingleRows(
+        Tables.documents(spark, dir).select(
+          (expr("cast(substring(source, 4, 10) as int) % 2") === 0)
+            .as("ev"), col("text")),
+        "ev", "text", n = 2)
+      .select(col("doc").as("even"), col("shingle").as("tok"))
       .distinct()
       .localCheckpoint(eager = true) // one scan feeds sketches AND exact
     val hashed = toks.withColumn("h",
