@@ -359,6 +359,7 @@ object AugmentQueries {
       .select(substring(col("v").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // ≤ 9 rows; feeds join AND total
     val total = digits.agg(sum(col("n")).as("n_total"))
     // exp is the preserved (left) side of the outer join, so it cannot
     // be the broadcast build side; both inputs are ≤ 9 rows anyway

@@ -29,8 +29,7 @@ object MetricQueries {
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       .distinct()
       .localCheckpoint(eager = true) // bounds + the advertise explode
-    val bounds = active.agg(min(col("day")).as("d0"),
-      max(col("day")).as("d1"))
+    val bounds = active.agg(max(col("day")).as("d1"))
     val advertised = active
       .select(col("user_id"),
         explode(sequence(col("day"), col("day") + 6)).as("day"))
@@ -72,6 +71,9 @@ object MetricQueries {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"),
         floor(col("value") * 100 + 0.5).cast("long").as("v"))
+    // ev is deliberately NOT checkpointed: it is corpus-sized, and the
+    // max-ts pass is a single-column pruned scan — cheaper than
+    // materializing the whole projection for one max
     val maxTs = ev.agg(max(col("ts")).as("t1"))
     ev.crossJoin(broadcast(maxTs))
       .withColumn("age_weeks",
@@ -130,9 +132,12 @@ object MetricQueries {
         sum(expr("case when a = 0 and b = 0 then 1 else 0 end"))
           .as("n00"))
       .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+      // the expected-agreement numerator is O(n²)·10⁶ — DECIMAL(38)
+      // keeps it exact past the ~3·10⁶-document int64 ceiling
       .withColumn("pe_ppm", expr(
-        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) " +
-          "* 1000000 div (n * n)"))
+        "cast((cast(n11 + n10 as decimal(38,0)) * (n11 + n01) " +
+          "+ cast(n01 + n00 as decimal(38,0)) * (n10 + n00)) " +
+          "* 1000000 div (cast(n as decimal(38,0)) * n) as bigint)"))
       .withColumn("kappa_ppm",
         expr("(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)"))
   }
@@ -157,8 +162,9 @@ object MetricQueries {
       |  FROM l),
       |p AS (
       |  SELECT *, (n11 + n00) * 1000000 // n AS po_ppm,
-      |    ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
-      |      * 1000000 // (n * n) AS pe_ppm
+      |    CAST(((n11 + n10)::HUGEINT * (n11 + n01)
+      |      + (n01 + n00)::HUGEINT * (n10 + n00))
+      |      * 1000000 // (n::HUGEINT * n) AS BIGINT) AS pe_ppm
       |  FROM c)
       |SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
       |  (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS kappa_ppm
@@ -182,20 +188,24 @@ object MetricQueries {
       .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("x"))
       .withColumn("grp", expr("x div 262144"))
       .localCheckpoint(eager = true) // bucket totals + the rank probe
-    val grpTot = rev.groupBy(col("grp")).agg(count(lit(1)).as("gn"))
-    val grpBefore = grpTot.as("g")
-      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
-      .groupBy(col("g.grp").as("grp"))
-      .agg(coalesce(sum(col("h.gn")), lit(0L)).as("before"))
+    val grpBefore = graft.pipeline.Ranks.prefixOffsets(
+      rev.groupBy(col("grp")).agg(count(lit(1)).as("gn")),
+      "grp", Seq("gn" -> "before"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("x"), col("o_custkey"))
+    // rank·x sums grow ~n²·x̄ — already past int64 at sf0.1 (measured:
+    // 2·rx·10⁶ ≈ 6.8·10²⁰) — so the rank-weighted sum and the final
+    // ratio run in DECIMAL(38) (HUGEINT on the oracle side), the q208
+    // promotion pattern
     rev.join(broadcast(grpBefore), Seq("grp"))
       .withColumn("rank", col("before") + row_number().over(w))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
-        sum(col("rank") * col("x")).as("rx"))
+        sum((col("rank") * col("x")).cast("decimal(38,0)")).as("rx"))
       .select(col("n"), col("total"),
-        expr("(2 * rx * 1000000) div (n * total) " +
-          "- ((n + 1) * 1000000) div n").as("gini_ppm"))
+        expr("cast((2 * rx * 1000000) div " +
+          "(cast(n as decimal(38,0)) * total) " +
+          "- (cast(n + 1 as decimal(38,0)) * 1000000) div n " +
+          "as bigint)").as("gini_ppm"))
   }
 
   val q222_sql: String =
@@ -209,11 +219,11 @@ object MetricQueries {
       |  FROM rev),
       |s AS (
       |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
-      |    CAST(SUM(rank * x) AS BIGINT) AS rx
+      |    CAST(SUM(rank::HUGEINT * x) AS HUGEINT) AS rx
       |  FROM rk)
       |SELECT n, total,
-      |  (2 * rx * 1000000) // (n * total)
-      |    - ((n + 1) * 1000000) // n AS gini_ppm
+      |  CAST((2 * rx * 1000000) // (n::HUGEINT * total)
+      |    - ((n + 1)::HUGEINT * 1000000) // n AS BIGINT) AS gini_ppm
       |FROM s""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -202,22 +202,10 @@ object ProfilingQueries {
       .localCheckpoint(eager = true) // one scan feeds sketches AND exact
     val hashed = toks.withColumn("h",
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    // two-phase k-min: a per-(side, hash-bucket) partial top-k first,
-    // so no window partition ever sees more than its bucket's share of
-    // the distinct-bigram space (a bare partitionBy(even) would sort
-    // HALF THE CORPUS VOCABULARY in one partition at scale); the
-    // global k-min per side is a subset of the union of bucket k-mins,
-    // so the final ≤ 2·64·k-row window is exact
-    val wBkt = Window.partitionBy(col("even"), col("bkt"))
-      .orderBy(col("h"), col("tok"))
-    val partial = hashed.withColumn("bkt", pmod(col("h"), lit(64)))
-      .withColumn("rn", row_number().over(wBkt))
-      .filter(col("rn") <= KmvK)
-      .drop("rn", "bkt")
-    val w = Window.partitionBy(col("even")).orderBy(col("h"), col("tok"))
-    val sketches = partial
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KmvK)
+    // two-phase k-min (Ranks.twoPhaseKMin): a bare partitionBy(even)
+    // would sort HALF THE CORPUS VOCABULARY in one window partition
+    val sketches = graft.pipeline.Ranks
+      .twoPhaseKMin(hashed, "even", "h", "tok", KmvK)
       .select(col("even"), col("h"))
       .localCheckpoint(eager = true) // ≤ 2k rows; feeds union + both sides
     // k minima of A∪B from the member sketches (mergeability)

@@ -366,22 +366,11 @@ object QualityQueries {
       when(c === "zh", "cjk").otherwise("latin")
     val hashed = toks.withColumn("h",
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    // per-language sketch: the k smallest hashes of that language.
-    // Two-phase k-min (as q203): a per-(lang, h mod 64) partial top-k
-    // bounds every window partition by its bucket's share of the
-    // distinct-token space — partitionBy(lang) alone would sort a
-    // whole language's vocabulary in ONE partition at corpus scale —
-    // then the exact final window runs over ≤ langs·64·k rows
-    val partial = hashed
-      .withColumn("bkt", pmod(col("h"), lit(64)))
-      .withColumn("rn", row_number().over(
-        w.partitionBy(col("lang"), col("bkt"))
-          .orderBy(col("h"), col("tok"))))
-      .filter(col("rn") <= KmvK)
-      .drop("rn", "bkt")
-    val perLang = partial.withColumn("rn", row_number().over(
-        w.partitionBy(col("lang")).orderBy(col("h"), col("tok"))))
-      .filter(col("rn") <= KmvK)
+    // per-language sketch: the k smallest hashes of that language via
+    // the shared two-phase k-min (partitionBy(lang) alone would sort
+    // a whole language's vocabulary in ONE partition at corpus scale)
+    val perLang = graft.pipeline.Ranks
+      .twoPhaseKMin(hashed, "lang", "h", "tok", KmvK)
     // merge: union member sketches, dedupe shared tokens, re-take k
     val merged = perLang.select(grpOf(col("lang")).as("grp"), col("h"))
       .distinct()

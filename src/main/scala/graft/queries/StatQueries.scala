@@ -214,13 +214,10 @@ object StatQueries {
       .withColumn("grp", expr("v div 4096"))
       .localCheckpoint(eager = true) // totals + the cumsum probe
     val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val grpTot = counts.groupBy(col("grp"))
-      .agg(sum(col("ca")).as("ga"), sum(col("cb")).as("gb"))
-    val grpBefore = grpTot.as("g")
-      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
-      .groupBy(col("g.grp").as("grp"))
-      .agg(coalesce(sum(col("h.ga")), lit(0L)).as("before_a"),
-        coalesce(sum(col("h.gb")), lit(0L)).as("before_b"))
+    val grpBefore = graft.pipeline.Ranks.prefixOffsets(
+      counts.groupBy(col("grp"))
+        .agg(sum(col("ca")).as("ga"), sum(col("cb")).as("gb")),
+      "grp", Seq("ga" -> "before_a", "gb" -> "before_b"))
     val w = Window.partitionBy(col("grp")).orderBy(col("v"))
     counts.join(broadcast(grpBefore), Seq("grp"))
       .withColumn("cuma", col("before_a") + sum(col("ca")).over(w))

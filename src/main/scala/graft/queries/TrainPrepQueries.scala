@@ -159,26 +159,29 @@ object TrainPrepQueries {
         (count(lit(1)) - sum(col("pos"))).cast("long").as("q"))
       .withColumn("grp", expr("v div 4096"))
       .localCheckpoint(eager = true) // bucket totals + the rank probe
-    val grpTot = counts.groupBy(col("grp"))
-      .agg(sum(col("p") + col("q")).as("gcnt"))
-    val grpBefore = grpTot.as("g")
-      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
-      .groupBy(col("g.grp").as("grp"))
-      .agg(coalesce(sum(col("h.gcnt")), lit(0L)).as("before"))
+    val grpBefore = graft.pipeline.Ranks.prefixOffsets(
+      counts.groupBy(col("grp"))
+        .agg(sum(col("p") + col("q")).as("gcnt")),
+      "grp", Seq("gcnt" -> "before"))
     val w = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     counts.join(broadcast(grpBefore), Seq("grp"))
       .withColumn("below", col("before") +
         coalesce(sum(col("p") + col("q")).over(w), lit(0L)))
-      // ΣR₂ over positives at this value: p · (2·below + ties + 1)
+      // ΣR₂ over positives at this value: p · (2·below + ties + 1).
+      // r2_sum grows ~0.4·N², so the sum and the final ratio are
+      // promoted to DECIMAL(38) (HUGEINT on the oracle side) — int64
+      // would overflow near 10⁷ events (the q208 promotion pattern)
       .select(col("p"), col("q"),
-        (col("p") * (col("below") * 2 + col("p") + col("q") + 1))
-          .as("r2"))
+        ((col("p") * (col("below") * 2 + col("p") + col("q") + 1))
+          .cast("decimal(38,0)")).as("r2"))
       .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
         sum(col("r2")).as("r2_sum"))
       .select(col("n_pos"), col("n_neg"),
-        expr("(r2_sum - n_pos * (n_pos + 1)) * 500000 " +
-          "div (n_pos * n_neg)").as("auc_ppm"))
+        expr("cast((r2_sum - cast(n_pos as decimal(38,0)) " +
+          "* (n_pos + 1)) * 500000 " +
+          "div (cast(n_pos as decimal(38,0)) * n_neg) as bigint)")
+          .as("auc_ppm"))
   }
 
   val q216_sql: String =
@@ -200,11 +203,12 @@ object TrainPrepQueries {
       |s AS (
       |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
       |    CAST(SUM(q) AS BIGINT) AS n_neg,
-      |    CAST(SUM(p * (below * 2 + p + q + 1)) AS BIGINT) AS r2_sum
+      |    CAST(SUM(p::HUGEINT * (below * 2 + p + q + 1)) AS HUGEINT)
+      |      AS r2_sum
       |  FROM rk)
       |SELECT n_pos, n_neg,
-      |  (r2_sum - n_pos * (n_pos + 1)) * 500000 // (n_pos * n_neg)
-      |    AS auc_ppm
+      |  CAST((r2_sum - n_pos::HUGEINT * (n_pos + 1)) * 500000
+      |    // (n_pos::HUGEINT * n_neg) AS BIGINT) AS auc_ppm
       |FROM s""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
