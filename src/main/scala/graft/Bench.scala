@@ -139,8 +139,12 @@ object Bench {
       val p = prefixOf(full)
       if (dupPrefixes(p)) full
       else if (bare && p.length > 1 && p.head == 'q' &&
-        p.tail.forall(_.isDigit)) p.tail
-      else p
+        p.tail.forall(_.isDigit)) {
+        // leading zeros carry nothing ("q01" → "1"); at 222 queries
+        // those 9 chars are the difference between fitting and not
+        val stripped = p.tail.dropWhile(_ == '0')
+        if (stripped.isEmpty) "0" else stripped
+      } else p
     }
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
@@ -165,9 +169,12 @@ object Bench {
     // seconds (<= 0.5s absolute) — past ~190 queries plain mixed no
     // longer fits and the >=1s decimals are the cheapest chars left.
     def render(dpFor: Double => Int, bare: Boolean): String = {
+      // failures keep their FULL names — a crash report must be
+      // unambiguous, failures are rare, and the budget cost is nil in
+      // the common (empty ⇒ omitted) case
       val failedField =
         if (failed.isEmpty) ""
-        else failed.map(n => "\"" + shortKey(n, bare) + "\"")
+        else failed.map(n => "\"" + n + "\"")
           .mkString(""""failed":[""", ",", "],")
       val qs = results.map { case (full, _, warm) =>
         "\"" + shortKey(full, bare) + "\":" + fmtTrim(warm, dpFor(warm))

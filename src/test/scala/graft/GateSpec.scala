@@ -54,7 +54,10 @@ class GateSpec extends SparkSpec {
           if (global.nonEmpty)
             bad += s"$name: ${global.size} unbounded global window(s)"
         }
-        df.count() // must execute, empty results are legal
+        // noop sink: EVALUATES every output column (count() would let
+        // Catalyst prune the final projection, hiding projection-time
+        // errors — the q222 ANSI overflow escaped exactly that way)
+        df.write.format("noop").mode("overwrite").save()
       } catch {
         case e: Throwable => bad += s"$name: ${e.getMessage}"
       }
