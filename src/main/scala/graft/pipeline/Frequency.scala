@@ -316,4 +316,52 @@ object Frequency {
         sum(col("b.new_types")).as("cum_types"))
       .orderBy(col("bucket"))
   }
+
+  // -------------------------------------------------------------------
+  // HyperLogLog registers (shared by batch q208 and streaming q223).
+  // Register building needs NO distinct and NO order: duplicate keys
+  // produce the same rho, and max-merge is associative/commutative —
+  // the two properties that make the sketch maintainable one
+  // micro-batch at a time with 64 rows of state per group.
+  // -------------------------------------------------------------------
+  val HllM = 64
+  /** alpha for m=64: 0.7213/(1 + 1.079/64) in ppm. */
+  val HllAlphaPpm = 709440L
+
+  /** (grpCols..., bucket, reg) partial HLL sketch of `keyCol` —
+    * mergeable by register-wise MAX. */
+  def hllRegisters(df: DataFrame, grpCols: Seq[String], keyCol: String)
+      : DataFrame = {
+    val hashed = df
+      .withColumn("_h", conv(substring(md5(concat(lit("hll:"),
+        col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("bucket", pmod(col("_h"), lit(HllM.toLong)))
+      // integral div — `/` would be double division and lose precision
+      // above 2^53 on the 60-bit hash
+      .withColumn("_rest", expr(s"_h div $HllM"))
+      .withColumn("rho",
+        lit(55) - length(ltrim(bin(col("_rest")), "0")))
+    hashed.groupBy((grpCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Raw HLL estimate per group from a (grpCols..., bucket, reg)
+    * sketch: densify to all m registers, then αm²/Σ2^-reg as ONE
+    * exact rational in DECIMAL(38) (no ln ⇒ no small-range
+    * correction — deliberately the RAW estimator). */
+  def hllEstimate(sketch: DataFrame, grpCols: Seq[String],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val spine = sketch.select(grpCols.map(col): _*).distinct()
+      .crossJoin(broadcast(
+        spark.range(HllM).select(col("id").as("bucket"))))
+    val dense = spine.join(sketch, grpCols :+ "bucket", "left_outer")
+      .select((grpCols.map(col) :+ col("bucket") :+
+        coalesce(col("reg"), lit(0)).as("reg")): _*)
+    dense.groupBy(grpCols.map(col): _*)
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).as("s"))
+      .select((grpCols.map(col) :+
+        expr(s"(cast($HllAlphaPpm as decimal(38,0)) * ${HllM * HllM} " +
+          "* 36028797018963968) div (cast(s as decimal(38,0)) * 1000000)")
+          .as("est_distinct")): _*)
+  }
 }

@@ -36,45 +36,24 @@ object StatQueries {
   // (type, register) maxima — 64 rows per group regardless of corpus
   // size; everything after is arithmetic on the register table.
   // ---------------------------------------------------------------------
-  private val HllM = 64
-  // α for m=64: 0.7213/(1 + 1.079/64) in ppm
-  private val HllAlphaPpm = 709440L
+  private val HllM = graft.pipeline.Frequency.HllM
+  private val HllAlphaPpm = graft.pipeline.Frequency.HllAlphaPpm
 
   def q208_hll_registers(spark: SparkSession, dir: String): DataFrame = {
-    val users = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint(eager = true) // sketch + exact sides
-    val hashed = users
-      .withColumn("h", conv(substring(md5(concat(lit("hll:"),
-        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"))
-      .select(col("event_type"),
-        pmod(col("h"), lit(HllM.toLong)).as("bucket"),
-        // integral div — `/` would be double division and lose
-        // precision above 2^53 on the 60-bit hash
-        expr(s"h div $HllM").as("rest"))
-      .withColumn("rho",
-        lit(55) - length(ltrim(bin(col("rest")), "0")))
-    val perType = hashed.groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("reg"))
+    import graft.pipeline.Frequency
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+    // register building needs no distinct (duplicate users hit the
+    // same register with the same rho) — only the exact side dedups
+    val perType = Frequency.hllRegisters(ev, Seq("event_type"),
+      "user_id")
     // merge: register-wise max across the member sketches
     val merged = perType.groupBy(col("bucket"))
       .agg(max(col("reg")).as("reg"))
       .select(lit("ALL").as("event_type"), col("bucket"), col("reg"))
-    val sketches = perType.unionByName(merged)
-    // dense 64-register spine (absent buckets carry reg = 0)
-    val spine = sketches.select(col("event_type")).distinct()
-      .crossJoin(broadcast(
-        spark.range(HllM).select(col("id").as("bucket"))))
-    val dense = spine.join(sketches, Seq("event_type", "bucket"),
-        "left_outer")
-      .select(col("event_type"), col("bucket"),
-        coalesce(col("reg"), lit(0)).as("reg"))
-    val denom = dense.groupBy(col("event_type"))
-      .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).as("s"))
-    val est = denom.select(col("event_type"),
-      expr(s"(cast($HllAlphaPpm as decimal(38,0)) * ${HllM * HllM} " +
-        "* 36028797018963968) div (cast(s as decimal(38,0)) * 1000000)")
-        .as("est_distinct"))
+    val est = Frequency.hllEstimate(perType.unionByName(merged),
+      Seq("event_type"), spark)
+    val users = ev.distinct()
     val exact = users.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_distinct"))
       .unionByName(users.select(col("user_id")).distinct()
@@ -261,13 +240,94 @@ object StatQueries {
       |ORDER BY ks_ppm DESC, at_cents
       |LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q223 — STREAMING HLL maintenance under the batch oracle: the
+  // events table replayed through a parquet file stream; each
+  // micro-batch reduces to a 64-row partial register sketch
+  // (Frequency.hllRegisters — the SAME reduction as batch q208) and
+  // foreachBatch MERGEs it into a 64-row state table by register-wise
+  // max. Because register max-merge is associative, commutative, AND
+  // duplicate-insensitive, the final state is independent of
+  // micro-batch slicing and replay order — so the streamed estimate
+  // must equal the batch q208 "ALL" computation bit-for-bit, which is
+  // exactly what the oracle checks. This is continuous approx-distinct
+  // with O(m) state on an unbounded stream (no dedup state at all).
+  // ---------------------------------------------------------------------
+  def q223_stream_hll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Frequency
+    val stream = Tables.streamTable(spark, dir, "events")
+      .select(col("user_id"))
+    // state: (bucket, reg), ≤ m rows; merged per micro-batch
+    var state = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("reg",
+          org.apache.spark.sql.types.IntegerType))))
+    val query = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = Frequency.hllRegisters(batch, Seq.empty, "user_id")
+          .select(col("bucket"), col("reg"))
+        state = state.unionByName(partial)
+          .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+          .localCheckpoint(eager = true) // state must outlive the batch
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val est = Frequency.hllEstimate(
+      state.select(lit("ALL").as("grp"), col("bucket"), col("reg")),
+      Seq("grp"), spark)
+    val exact = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.crossJoin(exact)
+      .select(col("est_distinct"), col("exact_distinct"),
+        expr("abs(est_distinct - exact_distinct) * 1000000 " +
+          "div exact_distinct").as("err_ppm"))
+  }
+
+  val q223_sql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |h AS (
+       |  SELECT CAST(('0x' || substr(md5('hll:' ||
+       |    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM u),
+       |r AS (
+       |  SELECT h % $HllM AS bucket,
+       |    55 - length(ltrim(bin(h // $HllM), '0')) AS rho
+       |  FROM h),
+       |sk AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY 1),
+       |dense AS (
+       |  SELECT b.bucket, COALESCE(sk.reg, 0) AS reg
+       |  FROM (SELECT CAST(range AS BIGINT) AS bucket
+       |        FROM range(0, $HllM)) b
+       |  LEFT JOIN sk ON sk.bucket = b.bucket),
+       |den AS (
+       |  SELECT CAST(SUM(1::BIGINT << (55 - reg)) AS BIGINT) AS s
+       |  FROM dense),
+       |est AS (
+       |  SELECT CAST(($HllAlphaPpm::HUGEINT * ${HllM * HllM}
+       |    * 36028797018963968) // (s::HUGEINT * 1000000) AS BIGINT)
+       |    AS est_distinct
+       |  FROM den),
+       |ex AS (SELECT COUNT(*) AS exact_distinct FROM u)
+       |SELECT est.est_distinct, ex.exact_distinct,
+       |  ABS(est.est_distinct - ex.exact_distinct) * 1000000
+       |    // ex.exact_distinct AS err_ppm
+       |FROM est CROSS JOIN ex""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_hll_registers" -> q208_hll_registers _,
     "q209_skipgram_pairs" -> q209_skipgram_pairs _,
-    "q210_ks_test" -> q210_ks_test _)
+    "q210_ks_test" -> q210_ks_test _,
+    "q223_stream_hll" -> q223_stream_hll _)
 
   val oracles: Map[String, String] = Map(
     "q208_hll_registers" -> q208_sql,
     "q209_skipgram_pairs" -> q209_sql,
-    "q210_ks_test" -> q210_sql)
+    "q210_ks_test" -> q210_sql,
+    "q223_stream_hll" -> q223_sql)
 }

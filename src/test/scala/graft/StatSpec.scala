@@ -66,6 +66,17 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("q223 streamed HLL state equals the batch ALL sketch exactly") {
+    // micro-batch max-merge must reproduce the one-shot batch sketch:
+    // same estimate, same exact count, same error — bit for bit
+    val streamed = StatQueries.q223_stream_hll(spark, sf).collect()(0)
+    val batchAll = StatQueries.q208_hll_registers(spark, sf).collect()
+      .find(_.getString(0) == "ALL").get
+    assert(streamed.getLong(0) === batchAll.getLong(1)) // est
+    assert(streamed.getLong(1) === batchAll.getLong(2)) // exact
+    assert(streamed.getLong(2) === batchAll.getLong(3)) // err_ppm
+  }
+
   test("q209 skip-gram pairs match a naive mirror") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
