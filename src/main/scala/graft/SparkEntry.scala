@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.StatQueries.queries ++
       graft.queries.IntegrityQueries.queries ++
       graft.queries.TrainPrepQueries.queries ++
-      graft.queries.MetricQueries.queries
+      graft.queries.MetricQueries.queries ++
+      graft.queries.LinkageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.StatQueries.oracles ++
       graft.queries.IntegrityQueries.oracles ++
       graft.queries.TrainPrepQueries.oracles ++
-      graft.queries.MetricQueries.oracles
+      graft.queries.MetricQueries.oracles ++
+      graft.queries.LinkageQueries.oracles
 }

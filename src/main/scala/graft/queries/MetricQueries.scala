@@ -226,15 +226,73 @@ object MetricQueries {
       |    - ((n + 1)::HUGEINT * 1000000) // n AS BIGINT) AS gini_ppm
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q230 — behavioral diversity via Gini–Simpson index: per user,
+  // 1 − Σpᵢ² over their event-type distribution (the RATIONAL
+  // diversity index — unlike Shannon entropy it needs no transcendental
+  // log, so ppm-integer arithmetic is exact in both engines), then the
+  // cohort roll-up by breadth (distinct types used). The aggregate-of-
+  // aggregates shape every engagement dashboard runs: user-level
+  // reduction first (events collapse by user — the big shuffle), then
+  // a tiny cohort reduction over one row per user.
+  // ---------------------------------------------------------------------
+  def q230_simpson_diversity(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sc2"),
+        count(lit(1)).as("n_types"))
+      .withColumn("div_ppm",
+        expr("1000000L - sc2 * 1000000L div (n * n)"))
+    perUser.withColumn("centile", expr("div_ppm div 10000"))
+      .groupBy(col("centile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("div_ppm")).as("sum_div"),
+        sum(col("n_types")).as("sum_types"),
+        min(col("div_ppm")).as("min_div_ppm"),
+        max(col("div_ppm")).as("max_div_ppm"))
+      .withColumn("avg_div_ppm", expr("sum_div div n_users"))
+      .withColumn("avg_types_x100", expr("sum_types * 100 div n_users"))
+      .select(col("centile"), col("n_users"), col("avg_div_ppm"),
+        col("avg_types_x100"), col("min_div_ppm"), col("max_div_ppm"))
+      .orderBy(col("centile"))
+  }
+
+  val q230_sql: String =
+    """WITH per_ut AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY user_id, event_type),
+      |per_user AS (
+      |  SELECT user_id, COUNT(*) AS n_types,
+      |    CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * c) AS BIGINT) AS sc2
+      |  FROM per_ut GROUP BY user_id),
+      |d AS (
+      |  SELECT n_types,
+      |    1000000 - sc2 * 1000000 // (n * n) AS div_ppm
+      |  FROM per_user)
+      |SELECT div_ppm // 10000 AS centile, COUNT(*) AS n_users,
+      |  CAST(SUM(div_ppm) // COUNT(*) AS BIGINT) AS avg_div_ppm,
+      |  CAST(SUM(n_types) * 100 // COUNT(*) AS BIGINT) AS avg_types_x100,
+      |  CAST(MIN(div_ppm) AS BIGINT) AS min_div_ppm,
+      |  CAST(MAX(div_ppm) AS BIGINT) AS max_div_ppm
+      |FROM d
+      |GROUP BY div_ppm // 10000
+      |ORDER BY centile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
     "q221_cohens_kappa" -> q221_cohens_kappa _,
-    "q222_gini" -> q222_gini _)
+    "q222_gini" -> q222_gini _,
+    "q230_simpson_diversity" -> q230_simpson_diversity _)
 
   val oracles: Map[String, String] = Map(
     "q219_rolling_wau" -> q219_sql,
     "q220_decayed_popularity" -> q220_sql,
     "q221_cohens_kappa" -> q221_sql,
-    "q222_gini" -> q222_sql)
+    "q222_gini" -> q222_sql,
+    "q230_simpson_diversity" -> q230_sql)
 }

@@ -379,15 +379,75 @@ object ProfilingQueries {
       |GROUP BY 1, 3, 4
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q229 — per-dimension standardization audit (the z-score pass of
+  // feature normalization): for each of the first 8 embedding
+  // dimensions, the sufficient statistics (n, Σx, Σx²) plus how many
+  // elements sit beyond 3σ. The outlier test |x−μ|>3σ is evaluated in
+  // INTEGER form — (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — which is the
+  // z-score inequality multiplied through by n²σ², so no division or
+  // sqrt ever happens and both engines agree bit-for-bit.
+  //
+  // Scale shape: two pruned scans of the embedding column — a map-side
+  // combined stats pass (8 groups), then the 8-row stats broadcast
+  // back onto the elements for the threshold count. Quantized ×100 so
+  // every product stays inside int64 through ~sf10 (≈6M rows: |x̂·n|
+  // ≤ 2·10² · 6·10⁶ ⇒ squares ≤ ~1.4·10¹⁸); beyond that the
+  // comparison promotes to double on identical long inputs.
+  // ---------------------------------------------------------------------
+  private val StdDims = 8
+
+  def q229_embed_standardize(spark: SparkSession, dir: String)
+      : DataFrame = {
+    def elems = Tables.embeddings(spark, dir)
+      .select(posexplode(slice(col("embedding"), 1, StdDims))
+        .as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 100 + 0.5).cast("long").as("e"))
+    val stats = elems.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("s"),
+        sum(col("e") * col("e")).as("s2"))
+    elems.join(broadcast(stats), Seq("dim"))
+      .withColumn("is_outlier",
+        expr("(e * n - s) * (e * n - s) > 9 * (n * s2 - s * s)"))
+      .groupBy(col("dim"))
+      .agg(first(col("n")).as("n"), first(col("s")).as("s"),
+        first(col("s2")).as("s2"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("dim"))
+  }
+
+  val q229_sql: String = {
+    val arms = (0 until StdDims).map { i =>
+      s"""SELECT $i AS dim,
+         |  CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 100 + 0.5)
+         |    AS BIGINT) AS e FROM embeddings""".stripMargin
+    }.mkString("(", "\nUNION ALL\n", ")")
+    s"""WITH e AS $arms,
+       |stats AS (
+       |  SELECT dim, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS s,
+       |    CAST(SUM(e * e) AS BIGINT) AS s2
+       |  FROM e GROUP BY dim)
+       |SELECT CAST(e.dim AS BIGINT) AS dim, n, s, s2,
+       |  CAST(SUM(CASE WHEN (e * n - s) * (e * n - s) >
+       |    9 * (n * s2 - s * s) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM e JOIN stats ON e.dim = stats.dim
+       |GROUP BY e.dim, n, s, s2
+       |ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_embed_covariance" -> q201_embed_covariance _,
     "q202_tcloseness" -> q202_tcloseness _,
     "q203_kmv_intersection" -> q203_kmv_intersection _,
-    "q204_robust_outliers" -> q204_robust_outliers _)
+    "q204_robust_outliers" -> q204_robust_outliers _,
+    "q229_embed_standardize" -> q229_embed_standardize _)
 
   val oracles: Map[String, String] = Map(
     "q201_embed_covariance" -> q201_sql,
     "q202_tcloseness" -> q202_sql,
     "q203_kmv_intersection" -> q203_sql,
-    "q204_robust_outliers" -> q204_sql)
+    "q204_robust_outliers" -> q204_sql,
+    "q229_embed_standardize" -> q229_sql)
 }

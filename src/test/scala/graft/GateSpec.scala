@@ -26,7 +26,8 @@ class GateSpec extends SparkSpec {
     "q177_boolean_retrieval", // row_number over a LIMIT 6 frame
     "q176_growth_accounting", // lag over the O(days) calendar frame
     "q202_tcloseness", // global cumsum over the 10-bucket spine
-    "q203_kmv_intersection") // union-minima window over ≤ 2k sketch rows
+    "q203_kmv_intersection", // union-minima window over ≤ 2k sketch rows
+    "q233_gap_interpolation") // carry windows over the O(calendar) spine
 
   test("every gate query executes at sf0.001 with clean column names " +
       "and no unbounded global window") {
@@ -85,7 +86,8 @@ class GateSpec extends SparkSpec {
       graft.queries.StatQueries.queries,
       graft.queries.IntegrityQueries.queries,
       graft.queries.TrainPrepQueries.queries,
-      graft.queries.MetricQueries.queries)
+      graft.queries.MetricQueries.queries,
+      graft.queries.LinkageQueries.queries)
     val all = parts.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names across registries: " +
@@ -99,9 +101,12 @@ class GateSpec extends SparkSpec {
   test("bench JSON line stays within the tail-truncation budget") {
     // worst-ish case: every query at >10s cold and warm with no
     // trailing zeros to trim — the precision ladder MAY step down as
-    // far as whole seconds at this pathological shape (161 queries x
-    // 5-char values no longer fit at 1 decimal), but the line must stay
-    // parseable, complete, and lose at most 0.5s per query
+    // far as whole seconds, and past ~225 queries this pathological
+    // shape no longer fits ANY complete object encoding, so the
+    // last-resort rung ELIDES entries (gate queries survive first,
+    // then slowest) with an explicit "elided" count. The line must
+    // stay parseable, fully ACCOUNTED (kept + elided = all), and lose
+    // at most 0.5s per kept entry.
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(name => (name, 88.88, 77.77))
     val line = Bench.renderJson(results, Nil, "/root/testdata/sf0.1")
@@ -109,7 +114,19 @@ class GateSpec extends SparkSpec {
     import org.json4s._
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val JObject(qs) = (parsed \ "queries"): @unchecked
-    assert(qs.size === results.size)
+    val elided = (parsed \ "elided") match {
+      case JInt(v) => v.toInt
+      case JNothing => 0
+      case other => fail(s"unexpected elided: $other")
+    }
+    assert(qs.size + elided === results.size)
+    // the judge's BASELINE gate entries must survive elision
+    if (elided > 0) {
+      val kept = qs.map(_._1).toSet
+      Seq("1", "2", "3", "17", "18", "19", "101", "102").foreach { g =>
+        assert(kept(g), s"gate query q$g elided from bench line")
+      }
+    }
     // at whole-second precision the value renders "78" → JInt, not
     // JDouble — both are valid JSON numbers for the collector
     assert(qs.forall {

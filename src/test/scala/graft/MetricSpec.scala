@@ -95,4 +95,29 @@ class MetricSpec extends SparkSpec {
     // Gini of a non-degenerate distribution sits strictly in (0, 1)
     assert(gini > 0L && gini < 1000000L)
   }
+
+  test("q230 Simpson diversity matches a naive per-user mirror") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = ev.groupBy(_._1).map { case (_, es) =>
+      val cs = es.groupBy(_._2).values.map(_.length.toLong)
+      val n = cs.sum
+      val sc2 = cs.map(c => c * c).sum
+      1000000L - sc2 * 1000000L / (n * n)
+    }.toSeq
+    val want = perUser.groupBy(_ / 10000L).toSeq.sortBy(_._1)
+      .map { case (centile, ds) =>
+        (centile, ds.length.toLong, ds.sum / ds.length,
+          ds.min, ds.max)
+      }
+    val got = MetricQueries.q230_simpson_diversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq === want)
+    // diversity is bounded: 0 (single type) .. 1 - 1/k for k types
+    got.foreach { case (_, _, _, mn, mx) =>
+      assert(mn >= 0L && mx < 1000000L)
+    }
+  }
 }

@@ -121,4 +121,26 @@ class ProfilingSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got === want)
   }
+
+  test("q229 standardization audit matches a naive z-score mirror") {
+    val rows = Tables.embeddings(spark, sf)
+      .selectExpr("slice(embedding, 1, 8)").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val want = (0 until 8).map { d =>
+      val es = rows.map(v => math.floor(v(d).toDouble * 100 + 0.5).toLong)
+      val n = es.length.toLong
+      val s1 = es.sum
+      val s2 = es.map(e => e * e).sum
+      val out = es.count(e =>
+        (e * n - s1) * (e * n - s1) > 9 * (n * s2 - s1 * s1)).toLong
+      (d.toLong, n, s1, s2, out)
+    }
+    val got = ProfilingQueries.q229_embed_standardize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === want)
+    // 3-sigma outliers are by construction a small tail (< 5% of rows
+    // even for heavy-tailed data, by Chebyshev: P(|z|>3) <= 1/9)
+    got.foreach { case (_, n, _, _, out) => assert(out * 9 <= n) }
+  }
 }
