@@ -602,6 +602,78 @@ object CurationQueries {
       |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q238 — audio FEATURE EXTRACTION over the decoded PCM (the DSP step
+  // after q164's decode): per document, frame the samples at 16/frame
+  // and compute the features a speech-data pipeline filters on —
+  // per-frame energy (Σv², max + total) and the zero-crossing rate
+  // (sign flips between consecutive samples — the classic cheap
+  // voiced/unvoiced discriminator). The WAV bytes are synthesized and
+  // decoded with the REAL codec on executors; the oracle recomputes
+  // every feature from the synthesis closed form with generate_series,
+  // so a green row proves decode + imperative DSP loop agree with the
+  // declarative formula bit-for-bit. Embarrassingly parallel
+  // mapPartitions, no shuffle until the final tiny sort.
+  // -------------------------------------------------------------------
+  def q238_audio_features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          (((id * 31 + i * 7) % 65536) - 32768).toShort)
+        val wav = MediaCodecs.encodeWav(samples, 16000, 1)
+        val (_, got) = MediaCodecs.decodeWav(wav).getOrElse(
+          sys.error(s"WAV round-trip failed for doc $id"))
+        var (sumE, maxE, zc) = (0L, 0L, 0L)
+        var frameE = 0L
+        var i = 0
+        while (i < got.length) {
+          val v = got(i).toLong
+          frameE += v * v
+          if (i % 16 == 15 || i == got.length - 1) {
+            sumE += frameE
+            if (frameE > maxE) maxE = frameE
+            frameE = 0L
+          }
+          if (i > 0 && got(i - 1).toLong * v < 0L) zc += 1
+          i += 1
+        }
+        val nFrames = (got.length + 15) / 16
+        (id, got.length.toLong, nFrames.toLong, sumE, maxE, zc)
+      }
+    }.toDF("doc_id", "n_samples", "n_frames", "sum_energy",
+        "max_frame_energy", "zero_crossings")
+      .orderBy(col("doc_id"))
+  }
+
+  val q238_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, ii.i AS i,
+      |    (doc_id * 31 + ii.i * 7) % 65536 - 32768 AS v
+      |  FROM d, unnest(generate_series(0, n - 1)) AS ii(i)),
+      |frames AS (
+      |  SELECT doc_id, i // 16 AS frame, SUM(v * v) AS fe
+      |  FROM s GROUP BY doc_id, i // 16),
+      |zc AS (
+      |  SELECT a.doc_id, COUNT(*) AS z
+      |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  WHERE a.v * b.v < 0 GROUP BY a.doc_id)
+      |SELECT d.doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST((n + 15) // 16 AS BIGINT) AS n_frames,
+      |  CAST(f.se AS BIGINT) AS sum_energy,
+      |  CAST(f.me AS BIGINT) AS max_frame_energy,
+      |  CAST(COALESCE(zc.z, 0) AS BIGINT) AS zero_crossings
+      |FROM d
+      |JOIN (SELECT doc_id, SUM(fe) AS se, MAX(fe) AS me
+      |      FROM frames GROUP BY doc_id) f ON d.doc_id = f.doc_id
+      |LEFT JOIN zc ON d.doc_id = zc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q164 — REAL WAV codec under the oracle (the audio analog of q161):
   // synthesize one PCM WAV per document on the EXECUTORS (sample i is a
   // closed-form function of doc_id), run it through encodeWav →
@@ -1691,7 +1763,8 @@ object CurationQueries {
     "q64_posting_lists" -> q64_posting_lists _,
     "q65_media_frames" -> q65_media_frames _,
     "q161_image_decode" -> q161_image_decode _,
-    "q164_audio_decode" -> q164_audio_decode _)
+    "q164_audio_decode" -> q164_audio_decode _,
+    "q238_audio_features" -> q238_audio_features _)
 
   val oracles: Map[String, String] = Map(
     "q126_leakfree_split" -> q126_sql,
@@ -1726,5 +1799,6 @@ object CurationQueries {
     "q64_posting_lists" -> q64_sql,
     "q65_media_frames" -> q65_sql,
     "q161_image_decode" -> q161_sql,
-    "q164_audio_decode" -> q164_sql)
+    "q164_audio_decode" -> q164_sql,
+    "q238_audio_features" -> q238_sql)
 }

@@ -592,6 +592,75 @@ object LinkageQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  // ---------------------------------------------------------------------
+  // q235 — vocabulary shift between corpus halves: split documents at
+  // the median doc_id (old crawl vs new crawl), compute each token's
+  // share of its half's token mass, and surface the 20 tokens whose
+  // share moved most. The drift diagnostic a recurring-crawl pipeline
+  // runs before retraining tokenizers or mixing snapshots; complements
+  // q142 (schema types) and q175 (source mix) with TOKEN-level drift.
+  //
+  // Scale shape: one explode + one conditional-aggregation groupBy
+  // (both halves counted in a single pass — no per-half scans), the
+  // two totals broadcast back, TakeOrdered(20). A df≥50 floor keeps
+  // rare-token noise out of the ranking (and the tie-space small).
+  // ---------------------------------------------------------------------
+  def q235_vocab_shift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
+    val bounds = docs.agg(min(col("doc_id")).as("d0"),
+      max(col("doc_id")).as("d1"))
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("in_b", col("doc_id") * 2 > col("d0") + col("d1"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(!col("in_b"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("ta"),
+      sum(col("cnt_b")).as("tb"))
+    counts.filter(col("cnt_a") + col("cnt_b") >= 50L)
+      .crossJoin(broadcast(totals))
+      .withColumn("share_a_ppm", expr("cnt_a * 1000000L div ta"))
+      .withColumn("share_b_ppm", expr("cnt_b * 1000000L div tb"))
+      .withColumn("delta_ppm", expr("share_b_ppm - share_a_ppm"))
+      .select(col("tok"), col("cnt_a"), col("cnt_b"),
+        col("share_a_ppm"), col("share_b_ppm"), col("delta_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("tok"))
+      .limit(20)
+  }
+
+  val q235_sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+      |bounds AS (
+      |  SELECT MIN(doc_id) AS d0, MAX(doc_id) AS d1 FROM docs),
+      |toks AS (
+      |  SELECT doc_id * 2 > d0 + d1 AS in_b, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM docs) CROSS JOIN bounds),
+      |counts AS (
+      |  SELECT tok,
+      |    CAST(SUM(CASE WHEN in_b THEN 0 ELSE 1 END) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      |  FROM toks GROUP BY tok),
+      |totals AS (
+      |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+      |    CAST(SUM(cnt_b) AS BIGINT) AS tb FROM counts),
+      |shares AS (
+      |  SELECT tok, cnt_a, cnt_b,
+      |    cnt_a * 1000000 // ta AS share_a_ppm,
+      |    cnt_b * 1000000 // tb AS share_b_ppm
+      |  FROM counts CROSS JOIN totals
+      |  WHERE cnt_a + cnt_b >= 50)
+      |SELECT tok, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
+      |  share_b_ppm - share_a_ppm AS delta_ppm
+      |FROM shares
+      |ORDER BY abs(share_b_ppm - share_a_ppm) DESC, tok
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_sorted_neighborhood" -> q224_sorted_neighborhood _,
     "q225_chao1_richness" -> q225_chao1_richness _,
@@ -601,7 +670,8 @@ object LinkageQueries {
     "q231_market_share" -> q231_market_share _,
     "q232_pr_curve" -> q232_pr_curve _,
     "q233_gap_interpolation" -> q233_gap_interpolation _,
-    "q234_fanout_profile" -> q234_fanout_profile _)
+    "q234_fanout_profile" -> q234_fanout_profile _,
+    "q235_vocab_shift" -> q235_vocab_shift _)
 
   val oracles: Map[String, String] = Map(
     "q224_sorted_neighborhood" -> q224_sql,
@@ -612,5 +682,6 @@ object LinkageQueries {
     "q231_market_share" -> q231_sql,
     "q232_pr_curve" -> q232_sql,
     "q233_gap_interpolation" -> q233_sql,
-    "q234_fanout_profile" -> q234_sql)
+    "q234_fanout_profile" -> q234_sql,
+    "q235_vocab_shift" -> q235_sql)
 }

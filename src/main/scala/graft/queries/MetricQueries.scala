@@ -282,17 +282,89 @@ object MetricQueries {
       |GROUP BY div_ppm // 10000
       |ORDER BY centile""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q236 — inter-arrival time percentiles per event type: the gap
+  // between a user's consecutive events of a type, summarized as exact
+  // p50/p90/p99/max seconds. Inter-arrival profiles drive rate-limit
+  // thresholds, bot detection, and sessionization gap tuning (q31's 30
+  // min gap is exactly a point on this curve).
+  //
+  // Scale shape: one lag window per (user, type) — bounded partitions,
+  // shuffled once on the same key the groupBy reuses — then the q76
+  // distributed-CDF percentile shape: per (type, gap) counts, a cumsum
+  // window over the tiny gap spectrum, conditional-min thresholds. No
+  // percentile_disc (its buffer is every distinct value per group).
+  // ---------------------------------------------------------------------
+  def q236_interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("(ts - prev) div 1000000000").as("gap_s"))
+    val spectrum = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+    spectrum
+      .withColumn("cum", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_gaps"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("gap_s")))
+          .as("p50_s"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("gap_s")))
+          .as("p90_s"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("gap_s")))
+          .as("p99_s"),
+        max(col("gap_s")).as("max_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val q236_sql: String =
+    """WITH gaps AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+      |      (PARTITION BY user_id, event_type
+      |       ORDER BY epoch_ns(ts), event_id)) // 1000000000 AS gap_s
+      |  FROM events),
+      |g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL),
+      |spectrum AS (
+      |  SELECT event_type, gap_s, COUNT(*) AS c
+      |  FROM g GROUP BY event_type, gap_s),
+      |cdf AS (
+      |  SELECT event_type, gap_s, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM spectrum)
+      |SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN gap_s END)
+      |    AS BIGINT) AS p50_s,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN gap_s END)
+      |    AS BIGINT) AS p90_s,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_s END)
+      |    AS BIGINT) AS p99_s,
+      |  CAST(MAX(gap_s) AS BIGINT) AS max_s
+      |FROM cdf
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
     "q221_cohens_kappa" -> q221_cohens_kappa _,
     "q222_gini" -> q222_gini _,
-    "q230_simpson_diversity" -> q230_simpson_diversity _)
+    "q230_simpson_diversity" -> q230_simpson_diversity _,
+    "q236_interarrival" -> q236_interarrival _)
 
   val oracles: Map[String, String] = Map(
     "q219_rolling_wau" -> q219_sql,
     "q220_decayed_popularity" -> q220_sql,
     "q221_cohens_kappa" -> q221_sql,
     "q222_gini" -> q222_sql,
-    "q230_simpson_diversity" -> q230_sql)
+    "q230_simpson_diversity" -> q230_sql,
+    "q236_interarrival" -> q236_sql)
 }

@@ -319,15 +319,79 @@ object StatQueries {
        |    // ex.exact_distinct AS err_ppm
        |FROM est CROSS JOIN ex""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q237 — chi-square test of proportions, each source vs the rest of
+  // the corpus: does source s keep documents (n_chars ≥ 200) at a rate
+  // the global process can't explain? χ² = N(ad−bc)²/((a+b)(c+d)(a+c)
+  // (b+d)) over the 2×2 table — the A/B significance primitive behind
+  // "did this crawl slice regress". Reported ×1000 in DECIMAL(38)
+  // arithmetic (the numerator is O(N³·10³): int64 dies at ~10⁵ docs,
+  // decimal is exact to ~10³⁵ and matches DuckDB's HUGEINT path).
+  // Complements q210 (KS, continuous) and q216 (AUC, ranked) with the
+  // categorical test.
+  //
+  // Scale shape: one conditional-aggregation pass to the per-source
+  // 2×2 counts (map-side combined), totals broadcast back, all the
+  // test arithmetic on metadata-sized rows.
+  // ---------------------------------------------------------------------
+  def q237_chi2_proportions(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(when(col("n_chars") >= 200L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("n_chars") < 200L, 1L).otherwise(0L)).as("b"))
+    val totals = perSource.agg(sum(col("a")).as("ka"),
+      sum(col("b")).as("kb"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("c", expr("ka - a")) // keeps elsewhere
+      .withColumn("d", expr("kb - b")) // drops elsewhere
+      .withColumn("chi2_x1000", expr(
+        "cast((cast(a + b + c + d as decimal(38,0)) " +
+          "* (cast(a as decimal(38,0)) * d - " +
+          "cast(b as decimal(38,0)) * c) " +
+          "* (cast(a as decimal(38,0)) * d - " +
+          "cast(b as decimal(38,0)) * c) * 1000) div " +
+          "(cast(a + b as decimal(38,0)) * (c + d) * (a + c) * (b + d)) " +
+          "as bigint)"))
+      .select(col("source"), col("a"), col("b"), col("c"), col("d"),
+        col("chi2_x1000"))
+      .orderBy(col("source"))
+  }
+
+  val q237_sql: String =
+    """WITH per_source AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b
+      |  FROM documents GROUP BY source),
+      |totals AS (
+      |  SELECT CAST(SUM(a) AS BIGINT) AS ka,
+      |    CAST(SUM(b) AS BIGINT) AS kb FROM per_source),
+      |t AS (
+      |  SELECT source, a, b, ka - a AS c, kb - b AS d
+      |  FROM per_source CROSS JOIN totals)
+      |SELECT source, a, b, c, d,
+      |  CAST(((a + b + c + d)::HUGEINT
+      |    * (a::HUGEINT * d - b::HUGEINT * c)
+      |    * (a::HUGEINT * d - b::HUGEINT * c) * 1000) //
+      |    ((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
+      |    AS BIGINT) AS chi2_x1000
+      |FROM t
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_hll_registers" -> q208_hll_registers _,
     "q209_skipgram_pairs" -> q209_skipgram_pairs _,
     "q210_ks_test" -> q210_ks_test _,
-    "q223_stream_hll" -> q223_stream_hll _)
+    "q223_stream_hll" -> q223_stream_hll _,
+    "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
     "q208_hll_registers" -> q208_sql,
     "q209_skipgram_pairs" -> q209_sql,
     "q210_ks_test" -> q210_sql,
-    "q223_stream_hll" -> q223_sql)
+    "q223_stream_hll" -> q223_sql,
+    "q237_chi2_proportions" -> q237_sql)
 }

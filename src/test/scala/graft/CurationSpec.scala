@@ -231,4 +231,21 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("q238 audio features match the synthesis closed form") {
+    val ids = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("cast(doc_id as long)").collect().map(_.getLong(0))
+    val want = ids.sorted.map { id =>
+      val n = (64 + id % 64).toInt
+      val v = Array.tabulate(n)(i => (id * 31 + i * 7) % 65536 - 32768)
+      val frames = v.grouped(16).map(_.map(x => x * x).sum).toSeq
+      val zc = v.zip(v.tail).count { case (a, b) => a * b < 0 }.toLong
+      (id, n.toLong, ((n + 15) / 16).toLong, frames.sum, frames.max, zc)
+    }
+    val got = graft.queries.CurationQueries
+      .q238_audio_features(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want.toSeq)
+  }
 }

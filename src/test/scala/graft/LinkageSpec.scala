@@ -234,6 +234,30 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("q235 vocab shift matches a naive half-split mirror") {
+    val docs = docRows.filter(_._4.trim.nonEmpty)
+    val (d0, d1) = (docs.map(_._1).min, docs.map(_._1).max)
+    val toks = docs.flatMap(d =>
+      d._4.trim.split("\\s+").map(t => (t, d._1 * 2 > d0 + d1)))
+    val counts = toks.groupBy(_._1).view.mapValues { ts =>
+      (ts.count(!_._2).toLong, ts.count(_._2).toLong)
+    }.toMap
+    val ta = counts.values.map(_._1).sum
+    val tb = counts.values.map(_._2).sum
+    val want = counts.toSeq
+      .filter { case (_, (a, b)) => a + b >= 50 }
+      .map { case (t, (a, b)) =>
+        val (sa, sb) = (a * 1000000L / ta, b * 1000000L / tb)
+        (t, a, b, sa, sb, sb - sa)
+      }
+      .sortBy { case (t, _, _, _, _, d) => (-math.abs(d), t) }
+      .take(20)
+    val got = LinkageQueries.q235_vocab_shift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+  }
+
   test("q227 Spearman matches a naive rank mirror and sanity bounds") {
     val docs = docRows
     val want = docs.groupBy(_._2).view.mapValues { ds =>

@@ -120,4 +120,29 @@ class MetricSpec extends SparkSpec {
       assert(mn >= 0L && mx < 1000000L)
     }
   }
+
+  test("q236 inter-arrival percentiles match a naive sorted mirror") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._4)).map(_._3)
+      sorted.zip(sorted.tail).map { case (a, b) => (es.head._2, (b - a) / 1000000000L) }
+    }.toSeq
+    val want = gaps.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, gs) =>
+      val sorted = gs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def pct(p: Long): Long =
+        sorted(sorted.indices.find(i => (i + 1) * 100 >= n * p).get)
+      (t, n, pct(50), pct(90), pct(99), sorted.max)
+    }
+    val got = MetricQueries.q236_interarrival(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+    // percentiles are monotone: p50 <= p90 <= p99 <= max
+    got.foreach { case (_, _, p50, p90, p99, mx) =>
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx)
+    }
+  }
 }

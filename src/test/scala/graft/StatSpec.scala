@@ -127,4 +127,26 @@ class StatSpec extends SparkSpec {
     assert(row.getLong(2) === best._1)
     assert(row.getLong(3) === best._2)
   }
+
+  test("q237 chi-square of proportions matches a BigInt mirror") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val per = docs.groupBy(_._1).view.mapValues { ds =>
+      (ds.count(_._2 >= 200).toLong, ds.count(_._2 < 200).toLong)
+    }.toMap
+    val (ka, kb) = (per.values.map(_._1).sum, per.values.map(_._2).sum)
+    val want = per.toSeq.sortBy(_._1).map { case (src, (a, b)) =>
+      val (c, d) = (ka - a, kb - b)
+      val num = BigInt(a + b + c + d) *
+        (BigInt(a) * d - BigInt(b) * c).pow(2) * 1000
+      val den = BigInt(a + b) * (c + d) * (a + c) * (b + d)
+      (src, a, b, c, d, (num / den).toLong)
+    }
+    val got = graft.queries.StatQueries.q237_chi2_proportions(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+  }
 }
