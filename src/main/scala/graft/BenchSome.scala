@@ -35,10 +35,15 @@ object BenchSome {
         all(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val g0 = gcMs
-      val cold = once(); val warm = once()
-      spark.sparkContext.getPersistentRDDs.values
+      def release(): Unit = spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      val g0 = gcMs
+      // release between runs too: the warm run re-materializes its own
+      // localCheckpoint blocks, and keeping the cold run's pinned
+      // doubles storage pressure — in a many-query session that
+      // accumulation showed up as warm > cold inversions (SCALING.md)
+      val cold = once(); release()
+      val warm = once(); release()
       println(f"BENCHSOME $name cold=$cold%.2f warm=$warm%.2f " +
         f"gc_delta_ms=${gcMs - g0}")
     }

@@ -185,12 +185,44 @@ object Similarity {
       .distinct()
   }
 
-  /** Approximate top-k from WTA candidates + exact cosine re-rank.
-    * Deterministic end-to-end → exactly reproducible by the DuckDB
-    * oracle (see q29). */
-  def wtaTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      planes: Int, bandBits: Int, dims: Int, roundTo: Int = 5): DataFrame = {
-    val cands = wtaCandidates(df, idCol, vecCol, planes, bandBits, dims)
+  /** Multiprobe WTA candidates: besides its exact bucket, every vector
+    * PROBES the `bandBits` Hamming-1 neighbors of each band value (Lv
+    * et al., VLDB'07). Catches near-neighbors that a single comparison
+    * bit flipped into an adjacent bucket — recall rises without adding
+    * hash tables, at a constant (1 + bandBits)× probe fan-out instead
+    * of another full corpus pass per table. XOR probing is symmetric
+    * (a sees b's bucket iff b sees a's), so `id_a < id_b` + distinct
+    * still enumerates each pair once. */
+  def wtaMultiprobeCandidates(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bandBits: Int, dims: Int): DataFrame = {
+    require(planes % bandBits == 0,
+      s"planes ($planes) must be divisible by bandBits ($bandBits)")
+    val pairs = wtaPairs(planes, dims)
+    val sigs = df.select(col(idCol).as("vid"),
+      wtaSignature(col(vecCol), pairs).as("sig"))
+    val nBands = planes / bandBits
+    val banded = sigs.select(col("vid"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(sig, band * $bandBits) & ${(1 << bandBits) - 1}"))
+    // probe j = -1 is the exact bucket; j >= 0 flips bit j
+    val probes = banded
+      .withColumn("j", explode(sequence(lit(-1), lit(bandBits - 1))))
+      .withColumn("probe_val", expr(
+        "case when j < 0 then band_val " +
+          "else cast(band_val as bigint) ^ shiftleft(1L, j) end"))
+    probes.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.probe_val") === col("b.band_val") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+  }
+
+  /** Approximate top-k over an arbitrary candidate set + exact cosine
+    * re-rank (shared by the single-probe and multiprobe paths). */
+  def candidateTopK(df: DataFrame, idCol: String, vecCol: String,
+      cands: DataFrame, k: Int, roundTo: Int): DataFrame = {
     val directed = cands.select(col("id_a").as("query_id"),
         col("id_b").as("neighbor_id"))
       .unionByName(cands.select(col("id_b").as("query_id"),
@@ -207,6 +239,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Approximate top-k from WTA candidates + exact cosine re-rank.
+    * Deterministic end-to-end → exactly reproducible by the DuckDB
+    * oracle (see q29). */
+  def wtaTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int, bandBits: Int, dims: Int, roundTo: Int = 5): DataFrame = {
+    val cands = wtaCandidates(df, idCol, vecCol, planes, bandBits, dims)
+    candidateTopK(df, idCol, vecCol, cands, k, roundTo)
+  }
+
+  /** Multiprobe variant of [[wtaTopK]] — same re-rank over the
+    * Hamming-1-probed candidate set. */
+  def wtaMultiprobeTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int, bandBits: Int, dims: Int, roundTo: Int = 5)
+      : DataFrame =
+    candidateTopK(df, idCol, vecCol,
+      wtaMultiprobeCandidates(df, idCol, vecCol, planes, bandBits, dims),
+      k, roundTo)
 
   /** Mutual nearest-neighbor pairs (the margin-free core of bitext /
     * parallel-corpus mining, Artetxe & Schwenk 2019): (a, b) such that

@@ -654,7 +654,59 @@ object PipelineQueries {
        |       // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_ppm
        |FROM hits""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q240 — MULTIPROBE LSH ANN (Lv et al., VLDB'07): q29's WTA banding,
+  // but each vector also probes the 8 Hamming-1 neighbors of every
+  // band value. The standard way to buy recall WITHOUT more hash
+  // tables: probe fan-out is a constant (1 + bandBits)× — candidate
+  // growth, not another corpus scan per table. Same exact-cosine
+  // re-rank; with the 16-bit signature fully banded, coverage is
+  // strictly a superset of q29's, so every q29 neighbor list is
+  // preserved or improved.
+  // -------------------------------------------------------------------
+  def q240_multiprobe_lsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.wtaMultiprobeTopK(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 3, planes = 16, bandBits = 8,
+        dims = ExtendedQueries.EmbDim)
+      .withColumnRenamed("rank", "rk")
+      .orderBy(col("query_id"), col("rk"))
+
+  val q240_sql: String = {
+    val bits = ExtendedQueries.wtaSigSql(16, "embedding")
+    s"""WITH s AS (
+       |  SELECT vec_id AS vid, $bits AS sig FROM embeddings),
+       |banded AS (
+       |  SELECT vid, sig, g.i AS band, (sig >> (g.i * 8)) & 255 AS band_val
+       |  FROM s CROSS JOIN generate_series(0, 1) AS g(i)),
+       |probes AS (
+       |  SELECT vid, band,
+       |    CASE WHEN p.j < 0 THEN band_val
+       |      ELSE xor(band_val, 1 << p.j) END AS probe_val
+       |  FROM banded CROSS JOIN generate_series(-1, 7) AS p(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM probes a JOIN banded b
+       |    ON a.band = b.band AND a.probe_val = b.band_val
+       |   AND a.vid < b.vid),
+       |directed AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+       |  UNION ALL SELECT id_b, id_a FROM cand),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 5) AS sim
+       |  FROM directed d JOIN embeddings q ON q.vec_id = d.query_id
+       |                  JOIN embeddings c ON c.vec_id = d.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_multiprobe_lsh" -> q240_multiprobe_lsh _,
     "q112_lsh_recall" -> q112_lsh_recall _,
     "q122_editsim_dedup" -> q122_editsim_dedup _,
     "q128_winnow_pairs" -> q128_winnow_pairs _,
@@ -675,6 +727,7 @@ object PipelineQueries {
     "q33_dedup_keep" -> q33_dedup_keep _)
 
   val oracles: Map[String, String] = Map(
+    "q240_multiprobe_lsh" -> q240_sql,
     "q112_lsh_recall" -> q112_sql,
     "q122_editsim_dedup" -> q122_sql,
     "q128_winnow_pairs" -> q128_sql,

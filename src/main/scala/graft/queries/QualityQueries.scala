@@ -2182,7 +2182,73 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // -------------------------------------------------------------------
+  // q239 — filter bias audit: does the hashed quality classifier
+  // (q107) keep documents at different rates across LENGTH strata? A
+  // filter whose keep-rate climbs with document length silently skews
+  // the corpus toward long documents — the selection-bias check every
+  // learned filter gets before deployment (cf. Gopher's "quality
+  // filters prefer longer pages" caveat). Per 100-char length bucket
+  // (capped at 9): docs, keeps, keep-rate ppm, and lift vs the global
+  // rate ×1000. Integer-exact; one scoring pass + a 1-row broadcast.
+  // -------------------------------------------------------------------
+  def q239_filter_bias_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(least(expr("n_chars div 100"), lit(9L)).as("bucket"),
+        (TextAnalysis.hashedClassifierScore(col("text")) > 0L)
+          .as("keep"))
+    val buckets = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val overall = buckets.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_keep")).as("tk"))
+    buckets.crossJoin(broadcast(overall))
+      .withColumn("keep_ppm", expr("n_keep * 1000000L div n_docs"))
+      .withColumn("overall_ppm", expr("tk * 1000000L div td"))
+      .withColumn("lift_x1000", expr(
+        "case when overall_ppm = 0 then null " +
+          "else keep_ppm * 1000 div overall_ppm end"))
+      .select(col("bucket"), col("n_docs"), col("n_keep"),
+        col("keep_ppm"), col("overall_ppm"), col("lift_x1000"))
+      .orderBy(col("bucket"))
+  }
+
+  val q239_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, LEAST(n_chars // 100, 9) AS bucket,
+      |    regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM(((CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
+      |      AS BIGINT) % 1024) * 2654435761) % 2001 - 1000) AS score
+      |  FROM e GROUP BY doc_id),
+      |scored AS (
+      |  SELECT bucket, COALESCE(s.score, 0) > 0 AS keep
+      |  FROM t LEFT JOIN s USING (doc_id)),
+      |buckets AS (
+      |  SELECT bucket, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |  FROM scored GROUP BY bucket),
+      |overall AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+      |    CAST(SUM(n_keep) AS BIGINT) AS tk FROM buckets),
+      |r AS (
+      |  SELECT bucket, n_docs, n_keep,
+      |    n_keep * 1000000 // n_docs AS keep_ppm,
+      |    tk * 1000000 // td AS overall_ppm
+      |  FROM buckets CROSS JOIN overall)
+      |SELECT bucket, n_docs, n_keep, keep_ppm, overall_ppm,
+      |  CASE WHEN overall_ppm = 0 THEN NULL
+      |    ELSE keep_ppm * 1000 // overall_ppm END AS lift_x1000
+      |FROM r
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_filter_bias_audit" -> q239_filter_bias_audit _,
     "q153_zorder_layout" -> q153_zorder_layout _,
     "q182_pareto_skyline" -> q182_pareto_skyline _,
     "q183_compaction_plan" -> q183_compaction_plan _,
@@ -2229,6 +2295,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q239_filter_bias_audit" -> q239_sql,
     "q153_zorder_layout" -> q153_sql,
     "q182_pareto_skyline" -> q182_sql,
     "q183_compaction_plan" -> q183_sql,

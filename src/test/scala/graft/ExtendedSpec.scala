@@ -243,4 +243,42 @@ class ExtendedSpec extends SparkSpec {
     assert(r.getLong(3) === 10000001L)      // last-touch: ONE head
     assert(r.getLong(4) === 10000001L)      // linear sums exactly
   }
+
+  test("multiprobe candidates are a superset of single-probe candidates") {
+    // pseudo-random but deterministic: signatures spread across many
+    // buckets, so single-probe misses pairs that differ in exactly one
+    // comparison bit — the case multiprobe exists to recover
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 13) % 29).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def pairs(cand: org.apache.spark.sql.DataFrame) = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.wtaCandidates(
+      df, "vec_id", "embedding", 8, 4, 8))
+    val multi = pairs(Similarity.wtaMultiprobeCandidates(
+      df, "vec_id", "embedding", 8, 4, 8))
+    assert(single.subsetOf(multi),
+      s"missing: ${single -- multi}")
+    // Hamming-1 probing must actually widen coverage on this data
+    assert(multi.size > single.size)
+    multi.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("q240 multiprobe never ranks a worse neighbor set than q29") {
+    val sf = "/root/testdata/sf0.001"
+    def top1Sim(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rk") === 1).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s29 = top1Sim(
+      graft.queries.PipelineQueries.q29_ann_lsh(spark, sf))
+    val s240 = top1Sim(
+      graft.queries.PipelineQueries.q240_multiprobe_lsh(spark, sf))
+    // every q29 query still answered, and its best-sim never degrades
+    s29.foreach { case (q, sim) =>
+      assert(s240.contains(q), s"query $q lost")
+      assert(s240(q) >= sim - 1e-9, s"query $q: ${s240(q)} < $sim")
+    }
+    assert(s240.size >= s29.size)
+  }
 }

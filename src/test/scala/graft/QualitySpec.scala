@@ -400,4 +400,37 @@ class QualitySpec extends SparkSpec {
       (0L, 0L, 2L, 20100L, 0L, 1L), // f0 + the whale start bin 0
       (0L, 2L, 1L, 100L, 2L, 2L)))  // f2 lands past the whale's mass
   }
+
+  test("q239 filter bias audit matches a naive scored mirror") {
+    val sf = "/root/testdata/sf0.001"
+    def score(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.trim.split("\\s+").map { tok =>
+        val hex = md.digest(s"feat:$tok".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val slot = java.lang.Long.parseLong(hex, 16) % 1024L
+        (slot * 2654435761L) % 2001L - 1000L
+      }.sum
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+      .map { case (nc, text) => (math.min(nc / 100, 9), score(text) > 0) }
+    val td = docs.length.toLong
+    val tk = docs.count(_._2).toLong
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ds) =>
+      val (n, k) = (ds.length.toLong, ds.count(_._2).toLong)
+      val keepPpm = k * 1000000L / n
+      val overall = tk * 1000000L / td
+      (b, n, k, keepPpm, overall,
+        if (overall == 0) None else Some(keepPpm * 1000L / overall))
+    }
+    val got = graft.queries.QualityQueries
+      .q239_filter_bias_audit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.toSeq === want)
+  }
 }
