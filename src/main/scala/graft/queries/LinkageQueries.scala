@@ -661,6 +661,64 @@ object LinkageQueries {
       |ORDER BY abs(share_b_ppm - share_a_ppm) DESC, tok
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q241 — pairwise source vocabulary overlap: Jaccard similarity of
+  // the distinct-token sets of every source pair. The redundancy map a
+  // corpus-mixing decision reads — two sources with near-identical
+  // vocabularies contribute less marginal diversity than their row
+  // counts suggest (complements q119's doc-level duplicate attribution
+  // with a DISTRIBUTION-level view).
+  //
+  // Scale shape: one distinct to (source, tok), a token-keyed
+  // self-join whose per-token fan-out is bounded by (sources choose 2)
+  // — a metadata constant, not data — then broadcast size joins onto
+  // the pair counts.
+  // ---------------------------------------------------------------------
+  def q241_source_token_overlap(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct()
+      .localCheckpoint(eager = true) // sizes + both join sides
+    val sizes = vocab.groupBy(col("source"))
+      .agg(count(lit(1)).as("sz"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("src_a", "sz_a")), Seq("src_a"))
+      .join(broadcast(sizes.toDF("src_b", "sz_b")), Seq("src_b"))
+      .withColumn("jaccard_ppm",
+        expr("inter * 1000000L div (sz_a + sz_b - inter)"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q241_sql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source,
+      |      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM documents WHERE trim(text) <> '')),
+      |sizes AS (
+      |  SELECT source, COUNT(*) AS sz FROM vocab GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      |  FROM vocab a JOIN vocab b
+      |    ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT src_a, src_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+      |  inter * 1000000 // (sa.sz + sb.sz - inter) AS jaccard_ppm
+      |FROM inter
+      |JOIN sizes sa ON src_a = sa.source
+      |JOIN sizes sb ON src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_sorted_neighborhood" -> q224_sorted_neighborhood _,
     "q225_chao1_richness" -> q225_chao1_richness _,
@@ -671,7 +729,8 @@ object LinkageQueries {
     "q232_pr_curve" -> q232_pr_curve _,
     "q233_gap_interpolation" -> q233_gap_interpolation _,
     "q234_fanout_profile" -> q234_fanout_profile _,
-    "q235_vocab_shift" -> q235_vocab_shift _)
+    "q235_vocab_shift" -> q235_vocab_shift _,
+    "q241_source_token_overlap" -> q241_source_token_overlap _)
 
   val oracles: Map[String, String] = Map(
     "q224_sorted_neighborhood" -> q224_sql,
@@ -683,5 +742,6 @@ object LinkageQueries {
     "q232_pr_curve" -> q232_sql,
     "q233_gap_interpolation" -> q233_sql,
     "q234_fanout_profile" -> q234_sql,
-    "q235_vocab_shift" -> q235_sql)
+    "q235_vocab_shift" -> q235_sql,
+    "q241_source_token_overlap" -> q241_sql)
 }

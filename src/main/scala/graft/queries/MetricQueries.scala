@@ -352,13 +352,124 @@ object MetricQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q242 — value-distribution drift by total-variation distance: split
+  // the event stream at its temporal midpoint, histogram each half's
+  // value distribution per event type (10 fixed-width buckets on the
+  // ×100-quantized value), and report TV = Σ|p−q|/2 in ppm. The
+  // monitoring statistic behind "did this metric's distribution move"
+  // — unlike PSI/KL it needs no transcendental log, so it is ppm-exact
+  // in both engines; q210's KS covers the continuous/ordered view,
+  // this the binned/categorical one.
+  //
+  // Scale shape: a 1-row min/max broadcast to place the midpoint, one
+  // (type, half, bucket) groupBy with map-side combine, per-type
+  // totals broadcast back onto 10-bucket rows.
+  // ---------------------------------------------------------------------
+  def q242_tv_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        least(expr("cast(floor(value * 100 + 0.5) as long) div 1000"),
+          lit(9L)).as("bucket"))
+    val bounds = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("in_b", col("ts") * 2 > col("t0") + col("t1"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(!col("in_b"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("cb"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("d_ppm", abs(
+        expr("ca * 1000000L div na") - expr("cb * 1000000L div nb")))
+      .groupBy(col("event_type"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sum(col("d_ppm")).as("sd"))
+      .withColumn("tv_ppm", expr("sd div 2"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("tv_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q242_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS tns,
+      |    LEAST(CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000, 9)
+      |      AS bucket
+      |  FROM events),
+      |bounds AS (SELECT MIN(tns) AS t0, MAX(tns) AS t1 FROM ev),
+      |cells AS (
+      |  SELECT event_type, bucket,
+      |    CAST(SUM(CASE WHEN tns * 2 > t0 + t1 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN tns * 2 > t0 + t1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM ev CROSS JOIN bounds
+      |  GROUP BY event_type, bucket),
+      |totals AS (
+      |  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM cells GROUP BY event_type)
+      |SELECT c.event_type, na AS n_a, nb AS n_b,
+      |  CAST(SUM(abs(ca * 1000000 // na - cb * 1000000 // nb)) // 2
+      |    AS BIGINT) AS tv_ppm
+      |FROM cells c JOIN totals t ON c.event_type = t.event_type
+      |GROUP BY c.event_type, na, nb
+      |ORDER BY c.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q243 — burstiness via the Fano factor: variance-to-mean ratio of
+  // per-10-minute-bucket counts, per event type. Poisson traffic has
+  // F = 1; F ≫ 1 is bursty (bot storms, batch jobs), F < 1 is
+  // pathologically regular (heartbeats). Computed ×1000 from the
+  // integer sufficient statistics — F = (n·Σc² − (Σc)²)/(n·Σc) — over
+  // OBSERVED buckets (zero-buckets excluded; documented, since
+  // including the empty calendar would need the q233 spine).
+  //
+  // Scale shape: two nested map-side-combined groupBys, nothing else.
+  // ---------------------------------------------------------------------
+  def q243_burstiness(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 600000000000").as("b"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sc2"))
+      .withColumn("mean_x1000",
+        expr("n_events * 1000 div n_buckets"))
+      .withColumn("fano_x1000", expr(
+        "(n_buckets * sc2 - n_events * n_events) * 1000 " +
+          "div (n_buckets * n_events)"))
+      .select(col("event_type"), col("n_buckets"), col("n_events"),
+        col("mean_x1000"), col("fano_x1000"))
+      .orderBy(col("event_type"))
+
+  val q243_sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, epoch_ns(ts) // 600000000000 AS b,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n_buckets,
+      |    CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(c * c) AS BIGINT) AS sc2
+      |  FROM cells GROUP BY event_type)
+      |SELECT event_type, n_buckets, n_events,
+      |  n_events * 1000 // n_buckets AS mean_x1000,
+      |  (n_buckets * sc2 - n_events * n_events) * 1000
+      |    // (n_buckets * n_events) AS fano_x1000
+      |FROM stats
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
     "q221_cohens_kappa" -> q221_cohens_kappa _,
     "q222_gini" -> q222_gini _,
     "q230_simpson_diversity" -> q230_simpson_diversity _,
-    "q236_interarrival" -> q236_interarrival _)
+    "q236_interarrival" -> q236_interarrival _,
+    "q242_tv_drift" -> q242_tv_drift _,
+    "q243_burstiness" -> q243_burstiness _)
 
   val oracles: Map[String, String] = Map(
     "q219_rolling_wau" -> q219_sql,
@@ -366,5 +477,7 @@ object MetricQueries {
     "q221_cohens_kappa" -> q221_sql,
     "q222_gini" -> q222_sql,
     "q230_simpson_diversity" -> q230_sql,
-    "q236_interarrival" -> q236_sql)
+    "q236_interarrival" -> q236_sql,
+    "q242_tv_drift" -> q242_sql,
+    "q243_burstiness" -> q243_sql)
 }

@@ -290,4 +290,28 @@ class LinkageSpec extends SparkSpec {
     // this corpus: the association must be decisively positive
     assert(got.values.flatMap(_._3).forall(_ > 0.5))
   }
+
+  test("q241 source vocabulary overlap matches a naive set mirror") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.trim.split("\\s+")).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val want = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield {
+      val (a, b) = (vocab(srcs(i)), vocab(srcs(j)))
+      val inter = (a & b).size.toLong
+      (srcs(i), srcs(j), inter, a.size.toLong, b.size.toLong,
+        inter * 1000000L / (a.size + b.size - inter))
+    }
+    val got = LinkageQueries.q241_source_token_overlap(spark, sf)
+      .selectExpr("src_a", "src_b", "inter", "sz_a", "sz_b",
+        "jaccard_ppm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want.toSeq)
+  }
 }

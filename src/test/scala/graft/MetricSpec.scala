@@ -145,4 +145,43 @@ class MetricSpec extends SparkSpec {
       assert(p50 <= p90 && p90 <= p99 && p99 <= mx)
     }
   }
+
+  test("q242 TV drift matches a naive histogram mirror") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts",
+        "least(cast(floor(value * 100 + 0.5) as long) div 1000, 9)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (t0, t1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, es) =>
+      val (a, b) = es.partition(e => e._2 * 2 <= t0 + t1)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val buckets = es.map(_._3).distinct
+      val tv = buckets.map { k =>
+        val ca = a.count(_._3 == k).toLong
+        val cb = b.count(_._3 == k).toLong
+        math.abs(ca * 1000000L / na - cb * 1000000L / nb)
+      }.sum / 2
+      (t, na, nb, tv)
+    }
+    val got = MetricQueries.q242_tv_drift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want)
+    // TV distance is a metric on distributions: within [0, 1]
+    got.foreach { case (_, _, _, tv) => assert(tv >= 0L && tv <= 1000000L) }
+  }
+
+  test("q243 Fano factor matches a naive bucket mirror") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 600000000000").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, es) =>
+      val cs = es.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val (n, s, s2) = (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+      (t, n, s, s * 1000L / n, (n * s2 - s * s) * 1000L / (n * s))
+    }
+    val got = MetricQueries.q243_burstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === want)
+  }
 }
