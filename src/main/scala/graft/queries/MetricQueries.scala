@@ -461,6 +461,65 @@ object MetricQueries {
       |FROM stats
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q244 — STREAMING drift monitor: q242's total-variation statistic
+  // maintained incrementally over a replayed event stream. Histogram
+  // cell counts are ADDITIVE, so the foreachBatch merge is a pure
+  // union + sum — O(types × buckets) state, no raw-event retention,
+  // and completely insensitive to micro-batch slicing/replay order.
+  // The split midpoint comes from the (fixed) reference bounds, as a
+  // production monitor would pin its baseline window. The streamed TV
+  // must therefore equal batch q242 bit-for-bit — exactly what the
+  // oracle (q242's own SQL) checks, and MetricSpec asserts directly.
+  // ---------------------------------------------------------------------
+  def q244_stream_tv_drift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1")).head()
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val stream = Tables.normalizeEventTs(
+      Tables.streamTable(spark, dir, "events"))
+      .select(col("event_type"),
+        (col("ts") * 2 > lit(t0) + lit(t1)).as("in_b"),
+        least(expr("cast(floor(value * 100 + 0.5) as long) div 1000"),
+          lit(9L)).as("bucket"))
+    var state = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ca",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cb",
+          org.apache.spark.sql.types.LongType))))
+    val query = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = batch.groupBy(col("event_type"), col("bucket"))
+          .agg(sum(when(!col("in_b"), 1L).otherwise(0L)).as("ca"),
+            sum(when(col("in_b"), 1L).otherwise(0L)).as("cb"))
+        state = state.unionByName(partial)
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+          .localCheckpoint(eager = true) // state must outlive the batch
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val totals = state.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    state.join(broadcast(totals), Seq("event_type"))
+      .withColumn("d_ppm", abs(
+        expr("ca * 1000000L div na") - expr("cb * 1000000L div nb")))
+      .groupBy(col("event_type"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sum(col("d_ppm")).as("sd"))
+      .withColumn("tv_ppm", expr("sd div 2"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("tv_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
@@ -469,7 +528,8 @@ object MetricQueries {
     "q230_simpson_diversity" -> q230_simpson_diversity _,
     "q236_interarrival" -> q236_interarrival _,
     "q242_tv_drift" -> q242_tv_drift _,
-    "q243_burstiness" -> q243_burstiness _)
+    "q243_burstiness" -> q243_burstiness _,
+    "q244_stream_tv_drift" -> q244_stream_tv_drift _)
 
   val oracles: Map[String, String] = Map(
     "q219_rolling_wau" -> q219_sql,
@@ -479,5 +539,6 @@ object MetricQueries {
     "q230_simpson_diversity" -> q230_sql,
     "q236_interarrival" -> q236_sql,
     "q242_tv_drift" -> q242_sql,
-    "q243_burstiness" -> q243_sql)
+    "q243_burstiness" -> q243_sql,
+    "q244_stream_tv_drift" -> q242_sql)
 }

@@ -184,4 +184,12 @@ class MetricSpec extends SparkSpec {
         r.getLong(4)))
     assert(got.toSeq === want)
   }
+
+  test("q244 streamed TV drift equals batch q242 bit-for-bit") {
+    val batch = MetricQueries.q242_tv_drift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val streamed = MetricQueries.q244_stream_tv_drift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
