@@ -719,6 +719,74 @@ object LinkageQueries {
       |JOIN sizes sb ON src_b = sb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q246 — n-gram novelty between corpus halves: what fraction (ppm)
+  // of the newer half's distinct bigrams never appeared in the older
+  // half, per language. The crawl-freshness metric behind "is this
+  // snapshot adding new content or re-serving the old web" —
+  // complements q235 (share drift of EXISTING tokens) with the
+  // appearance rate of NEW constructions, and q124's Heaps curve with
+  // a two-snapshot contrast.
+  //
+  // Scale shape: one tokenize-once bigram explode (the q203-lesson
+  // shingleRows projection shape), ONE shuffle to (lang, shingle)
+  // half-presence flags, then a per-lang metadata-sized reduction.
+  // ---------------------------------------------------------------------
+  def q246_ngram_novelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
+    val bounds = docs.agg(min(col("doc_id")).as("d0"),
+      max(col("doc_id")).as("d1"))
+    val sh = docs.crossJoin(broadcast(bounds))
+      .select(col("lang"),
+        (col("doc_id") * 2 > col("d0") + col("d1")).as("in_b"),
+        TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("lang"), col("in_b"),
+        explode(Dedup.shinglesFromToks(col("_toks"), 2)).as("shingle"))
+    val flags = sh.groupBy(col("lang"), col("shingle"))
+      .agg(max(when(!col("in_b"), 1).otherwise(0)).as("has_old"),
+        max(when(col("in_b"), 1).otherwise(0)).as("has_new"))
+    flags.groupBy(col("lang"))
+      .agg(sum(col("has_old")).as("n_old"),
+        sum(col("has_new")).as("n_new"),
+        sum(when(col("has_new") === 1 && col("has_old") === 0, 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "case when n_new = 0 then null " +
+          "else n_novel * 1000000L div n_new end"))
+      .orderBy(col("lang"))
+  }
+
+  val q246_sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |bounds AS (SELECT MIN(doc_id) AS d0, MAX(doc_id) AS d1 FROM docs),
+      |sh AS (
+      |  SELECT lang, doc_id * 2 > d0 + d1 AS in_b,
+      |    unnest([t[i] || ' ' || t[i + 1]
+      |            FOR i IN generate_series(1, len(t) - 1)]) AS shingle
+      |  FROM docs CROSS JOIN bounds WHERE len(t) >= 2),
+      |flags AS (
+      |  SELECT lang, shingle,
+      |    MAX(CASE WHEN in_b THEN 0 ELSE 1 END) AS has_old,
+      |    MAX(CASE WHEN in_b THEN 1 ELSE 0 END) AS has_new
+      |  FROM sh GROUP BY lang, shingle)
+      |SELECT lang,
+      |  CAST(SUM(has_old) AS BIGINT) AS n_old,
+      |  CAST(SUM(has_new) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN has_new = 1 AND has_old = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CASE WHEN SUM(has_new) = 0 THEN NULL
+      |    ELSE CAST(SUM(CASE WHEN has_new = 1 AND has_old = 0
+      |      THEN 1 ELSE 0 END) * 1000000 // SUM(has_new) AS BIGINT) END
+      |    AS novelty_ppm
+      |FROM flags
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_sorted_neighborhood" -> q224_sorted_neighborhood _,
     "q225_chao1_richness" -> q225_chao1_richness _,
@@ -730,7 +798,8 @@ object LinkageQueries {
     "q233_gap_interpolation" -> q233_gap_interpolation _,
     "q234_fanout_profile" -> q234_fanout_profile _,
     "q235_vocab_shift" -> q235_vocab_shift _,
-    "q241_source_token_overlap" -> q241_source_token_overlap _)
+    "q241_source_token_overlap" -> q241_source_token_overlap _,
+    "q246_ngram_novelty" -> q246_ngram_novelty _)
 
   val oracles: Map[String, String] = Map(
     "q224_sorted_neighborhood" -> q224_sql,
@@ -743,5 +812,6 @@ object LinkageQueries {
     "q233_gap_interpolation" -> q233_sql,
     "q234_fanout_profile" -> q234_sql,
     "q235_vocab_shift" -> q235_sql,
-    "q241_source_token_overlap" -> q241_sql)
+    "q241_source_token_overlap" -> q241_sql,
+    "q246_ngram_novelty" -> q246_sql)
 }

@@ -520,6 +520,88 @@ object MetricQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------------
+  // q245 — funnel step latency: for the view→signup→purchase funnel
+  // (q77's steps), the per-user time between FIRST occurrences of
+  // consecutive steps, summarized as exact p50/p90/max seconds per
+  // step pair. q77 counts WHO converts; this measures HOW LONG each
+  // transition takes — the number a growth team actually tunes
+  // against. Users who did a later step before an earlier one (or
+  // never) contribute no latency for that pair.
+  //
+  // Scale shape: one conditional-min groupBy per user (single
+  // shuffle), a row-local ×2 step explode, then the q76/q236
+  // distributed-CDF percentile shape over the tiny (step, gap)
+  // spectrum.
+  // ---------------------------------------------------------------------
+  def q245_funnel_latency(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "signup", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+    val gaps = perUser.select(explode(array(
+        struct(lit("1_view_signup").as("step"),
+          when(col("t2") >= col("t1"),
+            expr("(t2 - t1) div 1000000000")).as("gap_s")),
+        struct(lit("2_signup_purchase").as("step"),
+          when(col("t3") >= col("t2"),
+            expr("(t3 - t2) div 1000000000")).as("gap_s"))))
+        .as("g"))
+      .select(col("g.step"), col("g.gap_s"))
+      .filter(col("gap_s").isNotNull)
+    val spectrum = gaps.groupBy(col("step"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("step")).orderBy(col("gap_s"))
+    spectrum
+      .withColumn("cum", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("step"))))
+      .groupBy(col("step"))
+      .agg(first(col("n")).as("n_users"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("gap_s")))
+          .as("p50_s"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("gap_s")))
+          .as("p90_s"),
+        max(col("gap_s")).as("max_s"))
+      .orderBy(col("step"))
+  }
+
+  val q245_sql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t1,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END)
+      |      AS t2,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+      |      AS t3
+      |  FROM events GROUP BY user_id),
+      |gaps AS (
+      |  SELECT '1_view_signup' AS step,
+      |    CASE WHEN t2 >= t1 THEN (t2 - t1) // 1000000000 END AS gap_s
+      |  FROM per_user
+      |  UNION ALL
+      |  SELECT '2_signup_purchase',
+      |    CASE WHEN t3 >= t2 THEN (t3 - t2) // 1000000000 END
+      |  FROM per_user),
+      |g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL),
+      |spectrum AS (
+      |  SELECT step, gap_s, COUNT(*) AS c FROM g GROUP BY step, gap_s),
+      |cdf AS (
+      |  SELECT step, gap_s, c,
+      |    SUM(c) OVER (PARTITION BY step ORDER BY gap_s) AS cum,
+      |    SUM(c) OVER (PARTITION BY step) AS n
+      |  FROM spectrum)
+      |SELECT step, CAST(MIN(n) AS BIGINT) AS n_users,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN gap_s END)
+      |    AS BIGINT) AS p50_s,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN gap_s END)
+      |    AS BIGINT) AS p90_s,
+      |  CAST(MAX(gap_s) AS BIGINT) AS max_s
+      |FROM cdf
+      |GROUP BY step
+      |ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
@@ -529,7 +611,8 @@ object MetricQueries {
     "q236_interarrival" -> q236_interarrival _,
     "q242_tv_drift" -> q242_tv_drift _,
     "q243_burstiness" -> q243_burstiness _,
-    "q244_stream_tv_drift" -> q244_stream_tv_drift _)
+    "q244_stream_tv_drift" -> q244_stream_tv_drift _,
+    "q245_funnel_latency" -> q245_funnel_latency _)
 
   val oracles: Map[String, String] = Map(
     "q219_rolling_wau" -> q219_sql,
@@ -540,5 +623,6 @@ object MetricQueries {
     "q236_interarrival" -> q236_sql,
     "q242_tv_drift" -> q242_sql,
     "q243_burstiness" -> q243_sql,
-    "q244_stream_tv_drift" -> q242_sql)
+    "q244_stream_tv_drift" -> q242_sql,
+    "q245_funnel_latency" -> q245_sql)
 }

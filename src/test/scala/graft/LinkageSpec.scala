@@ -314,4 +314,30 @@ class LinkageSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("q246 n-gram novelty matches a naive bigram-set mirror") {
+    val docs = docRows.filter(_._4.trim.nonEmpty)
+    val (d0, d1) = (docs.map(_._1).min, docs.map(_._1).max)
+    def bigrams(text: String): Set[String] = {
+      val t = text.trim.split("\\s+")
+      if (t.length < 2) Set.empty
+      else t.zip(t.tail).map { case (a, b) => s"$a $b" }.toSet
+    }
+    val want = docs.map(_._2).distinct.sorted.map { lang =>
+      val ds = docs.filter(_._2 == lang)
+      val old = ds.filter(_._1 * 2 <= d0 + d1).flatMap(d => bigrams(d._4))
+        .toSet
+      val nw = ds.filter(_._1 * 2 > d0 + d1).flatMap(d => bigrams(d._4))
+        .toSet
+      val novel = (nw -- old).size.toLong
+      (lang, old.size.toLong, nw.size.toLong, novel,
+        if (nw.isEmpty) None else Some(novel * 1000000L / nw.size))
+    }
+    val got = LinkageQueries.q246_ngram_novelty(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq === want)
+    // novelty is a fraction of the new half's bigrams
+    got.foreach { case (_, _, nw, novel, _) => assert(novel <= nw) }
+  }
 }

@@ -192,4 +192,33 @@ class MetricSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("q245 funnel latency matches a naive first-occurrence mirror") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def firstTs(u: Long, t: String): Option[Long] = {
+      val xs = ev.filter(e => e._1 == u && e._2 == t).map(_._3)
+      if (xs.isEmpty) None else Some(xs.min)
+    }
+    val users = ev.map(_._1).distinct
+    def gaps(a: String, b: String): Seq[Long] = users.toSeq.flatMap { u =>
+      for {
+        ta <- firstTs(u, a); tb <- firstTs(u, b) if tb >= ta
+      } yield (tb - ta) / 1000000000L
+    }
+    def pct(sorted: Seq[Long], p: Long): Long =
+      sorted(sorted.indices.find(i =>
+        (i + 1) * 100 >= sorted.length.toLong * p).get)
+    val want = Seq("1_view_signup" -> gaps("view", "signup"),
+      "2_signup_purchase" -> gaps("signup", "purchase")).map {
+      case (step, gs) =>
+        val s = gs.sorted
+        (step, s.length.toLong, pct(s, 50), pct(s, 90), s.max)
+    }
+    val got = MetricQueries.q245_funnel_latency(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === want)
+  }
 }
