@@ -602,6 +602,80 @@ object MetricQueries {
       |GROUP BY step
       |ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q247 — leaderboard churn: per event type, how much of the top-10
+  // most-active-user leaderboard survives from the older half of the
+  // stream to the newer half (overlap@k). The stability check behind
+  // any "top users/items" surface — a 20% overlap means the ranking is
+  // noise, a 95% overlap means it is stale. Ties broken by user_id so
+  // both engines cut the same top-10.
+  //
+  // Scale shape: one (type, user) count groupBy carrying both halves
+  // as conditional sums, two per-(type) top-k windows over the
+  // per-user rows (bounded by users-per-type), then a per-type overlap
+  // count — no corpus-sized join.
+  // ---------------------------------------------------------------------
+  def q247_leaderboard_churn(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val bounds = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("in_b", col("ts") * 2 > col("t0") + col("t1"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(!col("in_b"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(eager = true) // consumed by both rankings
+    def topK(cnt: String): DataFrame = counts
+      .filter(col(cnt) > 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col(cnt).desc, col("user_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("event_type"), col("user_id"))
+    val overlap = topK("ca").intersect(topK("cb"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_overlap"))
+    counts.select(col("event_type")).distinct()
+      .join(overlap, Seq("event_type"), "left_outer")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_ppm", expr("n_overlap * 1000000L div 10"))
+      .orderBy(col("event_type"))
+  }
+
+  val q247_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, epoch_ns(ts) AS tns FROM events),
+      |bounds AS (SELECT MIN(tns) AS t0, MAX(tns) AS t1 FROM ev),
+      |counts AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CASE WHEN tns * 2 > t0 + t1 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN tns * 2 > t0 + t1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM ev CROSS JOIN bounds
+      |  GROUP BY event_type, user_id),
+      |ta AS (
+      |  SELECT event_type, user_id FROM (
+      |    SELECT event_type, user_id, row_number() OVER (
+      |      PARTITION BY event_type ORDER BY ca DESC, user_id) AS rk
+      |    FROM counts WHERE ca > 0) WHERE rk <= 10),
+      |tb AS (
+      |  SELECT event_type, user_id FROM (
+      |    SELECT event_type, user_id, row_number() OVER (
+      |      PARTITION BY event_type ORDER BY cb DESC, user_id) AS rk
+      |    FROM counts WHERE cb > 0) WHERE rk <= 10),
+      |ov AS (
+      |  SELECT event_type, COUNT(*) AS n_overlap
+      |  FROM (SELECT * FROM ta INTERSECT SELECT * FROM tb)
+      |  GROUP BY event_type)
+      |SELECT c.event_type,
+      |  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(COALESCE(n_overlap, 0) * 1000000 // 10 AS BIGINT)
+      |    AS overlap_ppm
+      |FROM (SELECT DISTINCT event_type FROM counts) c
+      |LEFT JOIN ov ON c.event_type = ov.event_type
+      |ORDER BY c.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
@@ -612,7 +686,8 @@ object MetricQueries {
     "q242_tv_drift" -> q242_tv_drift _,
     "q243_burstiness" -> q243_burstiness _,
     "q244_stream_tv_drift" -> q244_stream_tv_drift _,
-    "q245_funnel_latency" -> q245_funnel_latency _)
+    "q245_funnel_latency" -> q245_funnel_latency _,
+    "q247_leaderboard_churn" -> q247_leaderboard_churn _)
 
   val oracles: Map[String, String] = Map(
     "q219_rolling_wau" -> q219_sql,
@@ -624,5 +699,6 @@ object MetricQueries {
     "q242_tv_drift" -> q242_sql,
     "q243_burstiness" -> q243_sql,
     "q244_stream_tv_drift" -> q242_sql,
-    "q245_funnel_latency" -> q245_sql)
+    "q245_funnel_latency" -> q245_sql,
+    "q247_leaderboard_churn" -> q247_sql)
 }

@@ -221,4 +221,23 @@ class MetricSpec extends SparkSpec {
         r.getLong(4)))
     assert(got.toSeq === want)
   }
+
+  test("q247 leaderboard churn matches a naive top-10 mirror") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (t0, t1) = (ev.map(_._3).min, ev.map(_._3).max)
+    val want = ev.map(_._1).distinct.sorted.map { t =>
+      val es = ev.filter(_._1 == t)
+      def top(half: Boolean): Set[Long] = es
+        .filter(e => (e._3 * 2 > t0 + t1) == half)
+        .groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (u, c) => (-c, u) }.take(10).map(_._1).toSet
+      val ov = (top(false) & top(true)).size.toLong
+      (t, ov, ov * 1000000L / 10)
+    }
+    val got = MetricQueries.q247_leaderboard_churn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want)
+  }
 }
