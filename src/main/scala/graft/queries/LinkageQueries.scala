@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Record-linkage and corpus-statistics operators: sorted-neighborhood
-  * blocking (the classic entity-resolution candidate generator), Chao1
-  * vocabulary-richness estimation, seasonal event-rate anomaly
-  * detection, and Spearman rank correlation — all integer-exact except
+  * blocking, Chao1 vocabulary richness, seasonal anomaly detection,
+  * Spearman rank correlation, boilerplate-line detection, star-schema
+  * market share (TPC-H Q8 shape), classifier PR curves, time-series
+  * gap interpolation, FK fan-out profiling, vocabulary shift, source
+  * vocabulary overlap, and n-gram novelty — integer-exact except
   * Spearman's final rounded ratio.
   */
 object LinkageQueries {

@@ -9,7 +9,10 @@ import graft.pipeline.TextAnalysis
 
 /** Product/metric analytics operators rounding out the event tier:
   * rolling active users, decay-weighted popularity, inter-rater
-  * agreement, and concentration (Gini) — all integer-exact.
+  * agreement, concentration (Gini), behavioral diversity,
+  * inter-arrival percentiles, distribution drift (batch + streaming),
+  * burstiness, funnel latency, and leaderboard churn — all
+  * integer-exact.
   */
 object MetricQueries {
 
