@@ -789,6 +789,61 @@ object LinkageQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q248 — Bowley quartile skewness of document length per source:
+  // (Q3 + Q1 − 2·Q2) ·1000 / (Q3 − Q1), the robust skewness a corpus
+  // profile reports when means are distorted by a heavy tail. Exact
+  // quartiles via the distributed-CDF shape (per-(source, n_chars)
+  // counts + a cumsum window over the tiny spectrum — never
+  // percentile_disc's value buffer), so the statistic is integer-exact.
+  // Zero-IQR (degenerate) groups report NULL rather than dividing by 0.
+  // ---------------------------------------------------------------------
+  def q248_length_skew(spark: SparkSession, dir: String): DataFrame = {
+    val spectrum = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    spectrum
+      .withColumn("cum", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(first(col("n")).as("n_docs"),
+        min(when(col("cum") * 4 >= col("n"), col("n_chars"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("n_chars"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("n_chars")))
+          .as("q3"))
+      .withColumn("bowley_x1000", expr(
+        "case when q3 = q1 then null " +
+          "else (q3 + q1 - 2 * q2) * 1000 div (q3 - q1) end"))
+      .orderBy(col("source"))
+  }
+
+  val q248_sql: String =
+    """WITH spectrum AS (
+      |  SELECT source, n_chars, COUNT(*) AS c
+      |  FROM documents GROUP BY source, n_chars),
+      |cdf AS (
+      |  SELECT source, n_chars, c,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM spectrum),
+      |q AS (
+      |  SELECT source, CAST(MIN(n) AS BIGINT) AS n_docs,
+      |    CAST(MIN(CASE WHEN cum * 4 >= n THEN n_chars END) AS BIGINT)
+      |      AS q1,
+      |    CAST(MIN(CASE WHEN cum * 2 >= n THEN n_chars END) AS BIGINT)
+      |      AS q2,
+      |    CAST(MIN(CASE WHEN cum * 4 >= n * 3 THEN n_chars END)
+      |      AS BIGINT) AS q3
+      |  FROM cdf GROUP BY source)
+      |SELECT source, n_docs, q1, q2, q3,
+      |  CASE WHEN q3 = q1 THEN NULL
+      |    ELSE (q3 + q1 - 2 * q2) * 1000 // (q3 - q1) END
+      |    AS bowley_x1000
+      |FROM q
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_sorted_neighborhood" -> q224_sorted_neighborhood _,
     "q225_chao1_richness" -> q225_chao1_richness _,
@@ -801,7 +856,8 @@ object LinkageQueries {
     "q234_fanout_profile" -> q234_fanout_profile _,
     "q235_vocab_shift" -> q235_vocab_shift _,
     "q241_source_token_overlap" -> q241_source_token_overlap _,
-    "q246_ngram_novelty" -> q246_ngram_novelty _)
+    "q246_ngram_novelty" -> q246_ngram_novelty _,
+    "q248_length_skew" -> q248_length_skew _)
 
   val oracles: Map[String, String] = Map(
     "q224_sorted_neighborhood" -> q224_sql,
@@ -815,5 +871,6 @@ object LinkageQueries {
     "q234_fanout_profile" -> q234_sql,
     "q235_vocab_shift" -> q235_sql,
     "q241_source_token_overlap" -> q241_sql,
-    "q246_ngram_novelty" -> q246_sql)
+    "q246_ngram_novelty" -> q246_sql,
+    "q248_length_skew" -> q248_sql)
 }

@@ -679,6 +679,102 @@ object MetricQueries {
       |LEFT JOIN ov ON c.event_type = ov.event_type
       |ORDER BY c.event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q249 — session-basket lift: treating each 30-minute session (q31's
+  // gap rule) as a basket of the event types it contains, the lift
+  // P(a,b)/(P(a)·P(b)) for every type pair — q158's association-rule
+  // statistic lifted from purchase orders to BEHAVIORAL sessions
+  // ("users who error in a session also purchase in it?"). lift > 1000
+  // (×1000 fixed-point) means co-occurring beyond independence. The
+  // cross-multiplied form n_ab·S·1000/(n_a·n_b) runs in DECIMAL(38)
+  // (≡ DuckDB HUGEINT) so it stays exact at any session count.
+  //
+  // Scale shape: the q31 per-user lag/cumsum sessionization (bounded
+  // partitions, one shuffle on user), distinct to (user, sid, type)
+  // baskets, a basket-keyed self-join with ≤ C(5,2) pairs per basket,
+  // then metadata-sized reductions broadcast back.
+  // ---------------------------------------------------------------------
+  def q249_session_lift(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val baskets = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts") - col("prev") > 1800000000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("sid"), col("event_type"))
+      .distinct()
+      .localCheckpoint(eager = true) // totals, singles, AND both pair sides
+    val total = baskets.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("s_total"))
+    val singles = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_single"))
+    val pairs = baskets.as("a").join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.sid") === col("b.sid") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.toDF("type_a", "n_a")), Seq("type_a"))
+      .join(broadcast(singles.toDF("type_b", "n_b")), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_x1000", expr(
+        "cast(cast(n_ab as decimal(38,0)) * s_total * 1000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("s_total"), col("lift_x1000"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q249_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_type, tns,
+      |    CASE WHEN lag(tns) OVER
+      |        (PARTITION BY user_id ORDER BY tns, event_id) IS NULL
+      |      OR tns - lag(tns) OVER
+      |        (PARTITION BY user_id ORDER BY tns, event_id)
+      |        > 1800000000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, event_type,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |baskets AS (
+      |  SELECT DISTINCT user_id, sid, event_type FROM sess),
+      |total AS (
+      |  SELECT COUNT(*) AS s_total FROM
+      |    (SELECT DISTINCT user_id, sid FROM baskets)),
+      |singles AS (
+      |  SELECT event_type, COUNT(*) AS n FROM baskets
+      |  GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_ab
+      |  FROM baskets a JOIN baskets b
+      |    ON a.user_id = b.user_id AND a.sid = b.sid
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  CAST(s_total AS BIGINT) AS s_total,
+      |  CAST(n_ab::HUGEINT * s_total * 1000
+      |    // (sa.n::HUGEINT * sb.n) AS BIGINT) AS lift_x1000
+      |FROM pairs
+      |JOIN singles sa ON type_a = sa.event_type
+      |JOIN singles sb ON type_b = sb.event_type
+      |CROSS JOIN total
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
@@ -690,7 +786,8 @@ object MetricQueries {
     "q243_burstiness" -> q243_burstiness _,
     "q244_stream_tv_drift" -> q244_stream_tv_drift _,
     "q245_funnel_latency" -> q245_funnel_latency _,
-    "q247_leaderboard_churn" -> q247_leaderboard_churn _)
+    "q247_leaderboard_churn" -> q247_leaderboard_churn _,
+    "q249_session_lift" -> q249_session_lift _)
 
   val oracles: Map[String, String] = Map(
     "q219_rolling_wau" -> q219_sql,
@@ -703,5 +800,6 @@ object MetricQueries {
     "q243_burstiness" -> q243_sql,
     "q244_stream_tv_drift" -> q242_sql,
     "q245_funnel_latency" -> q245_sql,
-    "q247_leaderboard_churn" -> q247_sql)
+    "q247_leaderboard_churn" -> q247_sql,
+    "q249_session_lift" -> q249_sql)
 }

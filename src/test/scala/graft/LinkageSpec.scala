@@ -340,4 +340,27 @@ class LinkageSpec extends SparkSpec {
     // novelty is a fraction of the new half's bigrams
     got.foreach { case (_, _, nw, novel, _) => assert(novel <= nw) }
   }
+
+  test("q248 Bowley skewness matches a naive quartile mirror") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = docs.map(_._1).distinct.sorted.map { src =>
+      val s = docs.filter(_._1 == src).map(_._2).sorted
+      val n = s.length.toLong
+      def q(num: Long, den: Long): Long =
+        s(s.indices.find(i => (i + 1) * den >= n * num).get)
+      val (q1, q2, q3) = (q(1, 4), q(1, 2), q(3, 4))
+      (src, n, q1, q2, q3,
+        if (q3 == q1) None
+        else Some((q3 + q1 - 2 * q2) * 1000L / (q3 - q1)))
+    }
+    val got = LinkageQueries.q248_length_skew(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.toSeq === want)
+    // Bowley skewness is bounded in [-1, 1] by construction
+    got.flatMap(_._6).foreach(b => assert(b >= -1000L && b <= 1000L))
+  }
 }

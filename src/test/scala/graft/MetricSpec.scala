@@ -240,4 +240,43 @@ class MetricSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === want)
   }
+
+  test("q249 session lift matches a naive sessionized-basket mirror") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val baskets = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var sid = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800000000000L) sid += 1
+        prev = e._4
+        ((e._1, sid), e._3)
+      }
+    }.toSeq.distinct
+    val sessions = baskets.map(_._1).distinct
+    val sTotal = sessions.length.toLong
+    val singles = baskets.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val types = singles.keys.toSeq.sorted
+    val bySession = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield {
+      val (a, b) = (types(i), types(j))
+      val nAb = bySession.values.count(s => s(a) && s(b)).toLong
+      (a, b, nAb, singles(a), singles(b), sTotal,
+        (BigInt(nAb) * sTotal * 1000 /
+          (BigInt(singles(a)) * singles(b))).toLong)
+    }).filter(_._3 > 0)
+    // read by NAME — the joins reorder the key columns in the output
+    val got = MetricQueries.q249_session_lift(spark, sf)
+      .selectExpr("type_a", "type_b", "n_ab", "n_a", "n_b", "s_total",
+        "lift_x1000").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === want.toSeq)
+  }
 }
