@@ -674,6 +674,84 @@ object CurationQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q250 — curation pipeline v2, composing the round's audit operators
+  // into the build a data team would actually ship: non-empty docs →
+  // hashed quality classifier keep (q107's scorer, whose length bias
+  // q239 audits) → exact-dup removal keep-first by normalized
+  // fingerprint (q22's hash) → per-language mixture report with final
+  // token budget shares. Complements q100's funnel (which composes the
+  // heuristic-filter tier) with the CLASSIFIER tier.
+  //
+  // Scale shape: one scoring scan, the dedup window partitioned by
+  // fingerprint (bounded by duplicate-group size), and metadata-sized
+  // reductions; the raw/kept/final counts come from conditional
+  // aggregation over the same frame — no per-stage re-scans.
+  // -------------------------------------------------------------------
+  def q250_curation_v2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val scored = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        (TextAnalysis.hashedClassifierScore(col("text")) > 0L)
+          .as("keep"))
+    val ranked = scored.withColumn("rk",
+      when(col("keep"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"), col("keep"))
+          .orderBy(col("doc_id")))).otherwise(lit(null)))
+    val perLang = ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("rk") === 1, col("n_toks")).otherwise(0L))
+          .as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("tt"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_tokens * 1000000L div tt"))
+      .select(col("lang"), col("n_raw"), col("n_kept"), col("n_final"),
+        col("n_tokens"), col("share_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q250_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(text), '\s+') AS tk,
+      |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      AS fp
+      |  FROM documents WHERE trim(text) <> ''),
+      |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM(((CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
+      |      AS BIGINT) % 1024) * 2654435761) % 2001 - 1000) AS score
+      |  FROM e GROUP BY doc_id),
+      |d AS (
+      |  SELECT t.doc_id, lang, fp, CAST(len(tk) AS BIGINT) AS n_toks,
+      |    COALESCE(s.score, 0) > 0 AS keep
+      |  FROM t LEFT JOIN s USING (doc_id)),
+      |ranked AS (
+      |  SELECT *, CASE WHEN keep THEN row_number() OVER (
+      |    PARTITION BY fp, keep ORDER BY doc_id) END AS rk
+      |  FROM d),
+      |per_lang AS (
+      |  SELECT lang, COUNT(*) AS n_raw,
+      |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_kept,
+      |    CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_final,
+      |    CAST(SUM(CASE WHEN rk = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+      |      AS n_tokens
+      |  FROM ranked GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per_lang)
+      |SELECT lang, n_raw, n_kept, n_final, n_tokens,
+      |  n_tokens * 1000000 // tt AS share_ppm
+      |FROM per_lang CROSS JOIN tot
+      |ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // q164 — REAL WAV codec under the oracle (the audio analog of q161):
   // synthesize one PCM WAV per document on the EXECUTORS (sample i is a
   // closed-form function of doc_id), run it through encodeWav →
@@ -1764,7 +1842,8 @@ object CurationQueries {
     "q65_media_frames" -> q65_media_frames _,
     "q161_image_decode" -> q161_image_decode _,
     "q164_audio_decode" -> q164_audio_decode _,
-    "q238_audio_features" -> q238_audio_features _)
+    "q238_audio_features" -> q238_audio_features _,
+    "q250_curation_v2" -> q250_curation_v2 _)
 
   val oracles: Map[String, String] = Map(
     "q126_leakfree_split" -> q126_sql,
@@ -1800,5 +1879,6 @@ object CurationQueries {
     "q65_media_frames" -> q65_sql,
     "q161_image_decode" -> q161_sql,
     "q164_audio_decode" -> q164_sql,
-    "q238_audio_features" -> q238_sql)
+    "q238_audio_features" -> q238_sql,
+    "q250_curation_v2" -> q250_sql)
 }

@@ -248,4 +248,49 @@ class CurationSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("q250 curation v2 matches a naive filter->dedup->mixture mirror") {
+    val sf = "/root/testdata/sf0.001"
+    def score(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.trim.split("\\s+").map { tok =>
+        val hex = md.digest(s"feat:$tok".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val slot = java.lang.Long.parseLong(hex, 16) % 1024L
+        (slot * 2654435761L) % 2001L - 1000L
+      }.sum
+    }
+    def fp(text: String): String = {
+      val norm = text.toLowerCase.replaceAll("\\s+", " ")
+        .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.trim.nonEmpty)
+    val kept = docs.filter(d => score(d._3) > 0)
+    val finalDocs = kept.groupBy(d => fp(d._3)).values
+      .map(_.minBy(_._1)).toSeq
+    val totalToks = finalDocs
+      .map(_._3.trim.split("\\s+").length.toLong).sum
+    val want = docs.map(_._2).distinct.sorted.map { lang =>
+      val raw = docs.count(_._2 == lang).toLong
+      val k = kept.count(_._2 == lang).toLong
+      val fin = finalDocs.filter(_._2 == lang)
+      val toks = fin.map(_._3.trim.split("\\s+").length.toLong).sum
+      (lang, raw, k, fin.length.toLong, toks,
+        toks * 1000000L / totalToks)
+    }
+    val got = graft.queries.CurationQueries.q250_curation_v2(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+    // the funnel only narrows: raw >= kept >= final
+    got.foreach { case (_, raw, k, fin, _, _) =>
+      assert(raw >= k && k >= fin)
+    }
+  }
 }
