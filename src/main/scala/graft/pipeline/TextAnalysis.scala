@@ -133,6 +133,16 @@ object TextAnalysis {
     * and row-local integer scoring — is exactly what a learned filter
     * runs over 100 TB: one codegen'd projection, no shuffle, no UDF.
     * Integer end-to-end so any engine reproduces it bit-for-bit. */
+  /** DuckDB mirror of [[hashedClassifierScore]]'s per-token weight sum
+    * — shared by every oracle that scores with it (q107, q232, q239,
+    * q250) so the Spark and SQL sides cannot drift, the same pattern
+    * as `ExtendedQueries.wtaSigSql`. `tokExpr` names the exploded
+    * token column in the caller's CTE. */
+  def hashedScoreSqlSum(tokExpr: String = "tok", buckets: Int = 1024,
+      salt: String = "feat"): String =
+    s"SUM(((CAST(('0x' || substr(md5('$salt:' || $tokExpr), 1, 15)) " +
+      s"AS BIGINT) % $buckets) * 2654435761) % 2001 - 1000)"
+
   def hashedClassifierScore(text: Column, buckets: Int = 1024,
       salt: String = "feat"): Column = {
     val slot = (t: Column) =>

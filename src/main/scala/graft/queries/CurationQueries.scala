@@ -716,17 +716,16 @@ object CurationQueries {
   }
 
   val q250_sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang,
-      |    regexp_split_to_array(trim(text), '\s+') AS tk,
-      |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |    regexp_split_to_array(trim(text), '\\s+') AS tk,
+      |    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
       |      AS fp
       |  FROM documents WHERE trim(text) <> ''),
       |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
       |s AS (
       |  SELECT doc_id,
-      |    SUM(((CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
-      |      AS BIGINT) % 1024) * 2654435761) % 2001 - 1000) AS score
+      |    ${graft.pipeline.TextAnalysis.hashedScoreSqlSum()} AS score
       |  FROM e GROUP BY doc_id),
       |d AS (
       |  SELECT t.doc_id, lang, fp, CAST(len(tk) AS BIGINT) AS n_toks,

@@ -432,15 +432,14 @@ object LinkageQueries {
   }
 
   val q232_sql: String =
-    """WITH t0 AS (
+    s"""WITH t0 AS (
       |  SELECT doc_id, n_chars >= 200 AS truth,
-      |    regexp_split_to_array(trim(text), '\s+') AS tk
+      |    regexp_split_to_array(trim(text), '\\s+') AS tk
       |  FROM documents WHERE trim(text) <> ''),
       |e AS (SELECT doc_id, unnest(tk) AS tok FROM t0),
       |s AS (
       |  SELECT doc_id,
-      |    SUM(((CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
-      |      AS BIGINT) % 1024) * 2654435761) % 2001 - 1000) AS score
+      |    ${graft.pipeline.TextAnalysis.hashedScoreSqlSum()} AS score
       |  FROM e GROUP BY doc_id),
       |scored AS (
       |  SELECT CAST(COALESCE(s.score, 0) AS BIGINT) AS score, truth
@@ -799,20 +798,13 @@ object LinkageQueries {
   // Zero-IQR (degenerate) groups report NULL rather than dividing by 0.
   // ---------------------------------------------------------------------
   def q248_length_skew(spark: SparkSession, dir: String): DataFrame = {
-    val spectrum = Tables.documents(spark, dir)
-      .groupBy(col("source"), col("n_chars"))
-      .agg(count(lit(1)).as("c"))
-    val cw = Window.partitionBy(col("source")).orderBy(col("n_chars"))
-    spectrum
-      .withColumn("cum", sum(col("c")).over(cw))
-      .withColumn("n", sum(col("c")).over(
-        Window.partitionBy(col("source"))))
-      .groupBy(col("source"))
-      .agg(first(col("n")).as("n_docs"),
-        min(when(col("cum") * 4 >= col("n"), col("n_chars"))).as("q1"),
-        min(when(col("cum") * 2 >= col("n"), col("n_chars"))).as("q2"),
-        min(when(col("cum") * 4 >= col("n") * 3, col("n_chars")))
-          .as("q3"))
+    graft.pipeline.Frequency.cdfPercentiles(
+        Tables.documents(spark, dir).select(col("source"),
+          col("n_chars")),
+        Seq("source"), "n_chars",
+        Seq(("q1", 1, 4), ("q2", 1, 2), ("q3", 3, 4)))
+      .select(col("source"), col("n_rows").as("n_docs"), col("q1"),
+        col("q2"), col("q3"))
       .withColumn("bowley_x1000", expr(
         "case when q3 = q1 then null " +
           "else (q3 + q1 - 2 * q2) * 1000 div (q3 - q1) end"))

@@ -308,22 +308,12 @@ object MetricQueries {
       .filter(col("prev").isNotNull)
       .select(col("event_type"),
         expr("(ts - prev) div 1000000000").as("gap_s"))
-    val spectrum = gaps.groupBy(col("event_type"), col("gap_s"))
-      .agg(count(lit(1)).as("c"))
-    val cw = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
-    spectrum
-      .withColumn("cum", sum(col("c")).over(cw))
-      .withColumn("n", sum(col("c")).over(
-        Window.partitionBy(col("event_type"))))
-      .groupBy(col("event_type"))
-      .agg(first(col("n")).as("n_gaps"),
-        min(when(col("cum") * 100 >= col("n") * 50, col("gap_s")))
-          .as("p50_s"),
-        min(when(col("cum") * 100 >= col("n") * 90, col("gap_s")))
-          .as("p90_s"),
-        min(when(col("cum") * 100 >= col("n") * 99, col("gap_s")))
-          .as("p99_s"),
-        max(col("gap_s")).as("max_s"))
+    graft.pipeline.Frequency.cdfPercentiles(gaps, Seq("event_type"),
+        "gap_s", Seq(("p50_s", 50, 100), ("p90_s", 90, 100),
+          ("p99_s", 99, 100)))
+      .select(col("event_type"), col("n_rows").as("n_gaps"),
+        col("p50_s"), col("p90_s"), col("p99_s"),
+        col("max_val").as("max_s"))
       .orderBy(col("event_type"))
   }
 
@@ -369,17 +359,14 @@ object MetricQueries {
   // (type, half, bucket) groupBy with map-side combine, per-type
   // totals broadcast back onto 10-bucket rows.
   // ---------------------------------------------------------------------
-  def q242_tv_drift(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("ts"),
-        least(expr("cast(floor(value * 100 + 0.5) as long) div 1000"),
-          lit(9L)).as("bucket"))
-    val bounds = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-    val cells = ev.crossJoin(broadcast(bounds))
-      .withColumn("in_b", col("ts") * 2 > col("t0") + col("t1"))
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(sum(when(!col("in_b"), 1L).otherwise(0L)).as("ca"),
-        sum(when(col("in_b"), 1L).otherwise(0L)).as("cb"))
+  /** q242/q244 shared pieces — the streamed monitor's oracle is the
+    * batch query and MetricSpec asserts bit-parity, so the bucket
+    * quantization and the TV reduction live in ONE place. */
+  private def tvBucketCol =
+    least(expr("cast(floor(value * 100 + 0.5) as long) div 1000"),
+      lit(9L)).as("bucket")
+
+  private def tvFromCells(cells: DataFrame): DataFrame = {
     val totals = cells.groupBy(col("event_type"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     cells.join(broadcast(totals), Seq("event_type"))
@@ -391,6 +378,18 @@ object MetricQueries {
       .withColumn("tv_ppm", expr("sd div 2"))
       .select(col("event_type"), col("n_a"), col("n_b"), col("tv_ppm"))
       .orderBy(col("event_type"))
+  }
+
+  def q242_tv_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), tvBucketCol)
+    val bounds = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("in_b", col("ts") * 2 > col("t0") + col("t1"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(!col("in_b"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("cb"))
+    tvFromCells(cells)
   }
 
   val q242_sql: String =
@@ -440,9 +439,13 @@ object MetricQueries {
         sum(col("c") * col("c")).as("sc2"))
       .withColumn("mean_x1000",
         expr("n_events * 1000 div n_buckets"))
+      // n_buckets·Σc²·1000 exceeds int64 exactly on the bursty shapes
+      // this query exists to flag — DECIMAL(38) (≡ DuckDB HUGEINT)
+      // keeps the quadratic numerator exact (same promotion as q237)
       .withColumn("fano_x1000", expr(
-        "(n_buckets * sc2 - n_events * n_events) * 1000 " +
-          "div (n_buckets * n_events)"))
+        "cast((cast(n_buckets as decimal(38,0)) * sc2 " +
+          "- cast(n_events as decimal(38,0)) * n_events) * 1000 " +
+          "div (cast(n_buckets as decimal(38,0)) * n_events) as bigint)"))
       .select(col("event_type"), col("n_buckets"), col("n_events"),
         col("mean_x1000"), col("fano_x1000"))
       .orderBy(col("event_type"))
@@ -459,8 +462,9 @@ object MetricQueries {
       |  FROM cells GROUP BY event_type)
       |SELECT event_type, n_buckets, n_events,
       |  n_events * 1000 // n_buckets AS mean_x1000,
-      |  (n_buckets * sc2 - n_events * n_events) * 1000
-      |    // (n_buckets * n_events) AS fano_x1000
+      |  CAST((n_buckets::HUGEINT * sc2 - n_events::HUGEINT * n_events)
+      |    * 1000 // (n_buckets::HUGEINT * n_events) AS BIGINT)
+      |    AS fano_x1000
       |FROM stats
       |ORDER BY event_type""".stripMargin
 
@@ -478,13 +482,14 @@ object MetricQueries {
   def q244_stream_tv_drift(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.events(spark, dir)
       .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1")).head()
-    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    // zero-row input ⇒ NULL bounds; any midpoint yields the same empty
+    // result batch q242 produces
+    val (t0, t1) =
+      if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
     val stream = Tables.normalizeEventTs(
       Tables.streamTable(spark, dir, "events"))
       .select(col("event_type"),
-        (col("ts") * 2 > lit(t0) + lit(t1)).as("in_b"),
-        least(expr("cast(floor(value * 100 + 0.5) as long) div 1000"),
-          lit(9L)).as("bucket"))
+        (col("ts") * 2 > lit(t0) + lit(t1)).as("in_b"), tvBucketCol)
     var state = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
@@ -510,17 +515,7 @@ object MetricQueries {
       }
       .start()
     try query.processAllAvailable() finally query.stop()
-    val totals = state.groupBy(col("event_type"))
-      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    state.join(broadcast(totals), Seq("event_type"))
-      .withColumn("d_ppm", abs(
-        expr("ca * 1000000L div na") - expr("cb * 1000000L div nb")))
-      .groupBy(col("event_type"))
-      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
-        sum(col("d_ppm")).as("sd"))
-      .withColumn("tv_ppm", expr("sd div 2"))
-      .select(col("event_type"), col("n_a"), col("n_b"), col("tv_ppm"))
-      .orderBy(col("event_type"))
+    tvFromCells(state)
   }
 
   // ---------------------------------------------------------------------
@@ -553,20 +548,10 @@ object MetricQueries {
         .as("g"))
       .select(col("g.step"), col("g.gap_s"))
       .filter(col("gap_s").isNotNull)
-    val spectrum = gaps.groupBy(col("step"), col("gap_s"))
-      .agg(count(lit(1)).as("c"))
-    val cw = Window.partitionBy(col("step")).orderBy(col("gap_s"))
-    spectrum
-      .withColumn("cum", sum(col("c")).over(cw))
-      .withColumn("n", sum(col("c")).over(
-        Window.partitionBy(col("step"))))
-      .groupBy(col("step"))
-      .agg(first(col("n")).as("n_users"),
-        min(when(col("cum") * 100 >= col("n") * 50, col("gap_s")))
-          .as("p50_s"),
-        min(when(col("cum") * 100 >= col("n") * 90, col("gap_s")))
-          .as("p90_s"),
-        max(col("gap_s")).as("max_s"))
+    graft.pipeline.Frequency.cdfPercentiles(gaps, Seq("step"), "gap_s",
+        Seq(("p50_s", 50, 100), ("p90_s", 90, 100)))
+      .select(col("step"), col("n_rows").as("n_users"), col("p50_s"),
+        col("p90_s"), col("max_val").as("max_s"))
       .orderBy(col("step"))
   }
 
@@ -737,7 +722,7 @@ object MetricQueries {
       |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
       |  FROM events),
       |flagged AS (
-      |  SELECT user_id, event_type, tns,
+      |  SELECT user_id, event_id, event_type, tns,
       |    CASE WHEN lag(tns) OVER
       |        (PARTITION BY user_id ORDER BY tns, event_id) IS NULL
       |      OR tns - lag(tns) OVER
@@ -746,7 +731,7 @@ object MetricQueries {
       |  FROM e),
       |sess AS (
       |  SELECT user_id, event_type,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM flagged),
       |baskets AS (

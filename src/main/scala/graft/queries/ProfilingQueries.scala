@@ -390,10 +390,10 @@ object ProfilingQueries {
   //
   // Scale shape: two pruned scans of the embedding column — a map-side
   // combined stats pass (8 groups), then the 8-row stats broadcast
-  // back onto the elements for the threshold count. Quantized ×100 so
-  // every product stays inside int64 through ~sf10 (≈6M rows: |x̂·n|
-  // ≤ 2·10² · 6·10⁶ ⇒ squares ≤ ~1.4·10¹⁸); beyond that the
-  // comparison promotes to double on identical long inputs.
+  // back onto the elements for the threshold count. The inequality's
+  // quadratic products ((x̂·n)², n·Σx²) leave int64 around ~10⁷ rows,
+  // so the comparison runs in DECIMAL(38) (≡ DuckDB HUGEINT) — exact
+  // at any realistic corpus size, same promotion as q221/q237.
   // ---------------------------------------------------------------------
   private val StdDims = 8
 
@@ -409,7 +409,10 @@ object ProfilingQueries {
         sum(col("e") * col("e")).as("s2"))
     elems.join(broadcast(stats), Seq("dim"))
       .withColumn("is_outlier",
-        expr("(e * n - s) * (e * n - s) > 9 * (n * s2 - s * s)"))
+        expr("(cast(e as decimal(38,0)) * n - s) " +
+          "* (cast(e as decimal(38,0)) * n - s) " +
+          "> 9 * (cast(n as decimal(38,0)) * s2 " +
+          "- cast(s as decimal(38,0)) * s)"))
       .groupBy(col("dim"))
       .agg(first(col("n")).as("n"), first(col("s")).as("s"),
         first(col("s2")).as("s2"),
@@ -429,9 +432,9 @@ object ProfilingQueries {
        |    CAST(SUM(e * e) AS BIGINT) AS s2
        |  FROM e GROUP BY dim)
        |SELECT CAST(e.dim AS BIGINT) AS dim, n, s, s2,
-       |  CAST(SUM(CASE WHEN (e * n - s) * (e * n - s) >
-       |    9 * (n * s2 - s * s) THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_outliers
+       |  CAST(SUM(CASE WHEN (e::HUGEINT * n - s) * (e::HUGEINT * n - s)
+       |    > 9 * (n::HUGEINT * s2 - s::HUGEINT * s) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
        |FROM e JOIN stats ON e.dim = stats.dim
        |GROUP BY e.dim, n, s, s2
        |ORDER BY dim""".stripMargin

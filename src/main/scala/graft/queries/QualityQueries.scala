@@ -1183,14 +1183,13 @@ object QualityQueries {
       .orderBy(col("doc_id"))
 
   val q107_sql: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
       |  FROM documents WHERE trim(text) <> ''),
       |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
       |s AS (
       |  SELECT doc_id,
-      |    SUM(((CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
-      |      AS BIGINT) % 1024) * 2654435761) % 2001 - 1000) AS score
+      |    ${graft.pipeline.TextAnalysis.hashedScoreSqlSum()} AS score
       |  FROM e GROUP BY doc_id)
       |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
       |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
@@ -2216,15 +2215,14 @@ object QualityQueries {
   }
 
   val q239_sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, LEAST(n_chars // 100, 9) AS bucket,
-      |    regexp_split_to_array(trim(text), '\s+') AS tk
+      |    regexp_split_to_array(trim(text), '\\s+') AS tk
       |  FROM documents WHERE trim(text) <> ''),
       |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
       |s AS (
       |  SELECT doc_id,
-      |    SUM(((CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
-      |      AS BIGINT) % 1024) * 2654435761) % 2001 - 1000) AS score
+      |    ${graft.pipeline.TextAnalysis.hashedScoreSqlSum()} AS score
       |  FROM e GROUP BY doc_id),
       |scored AS (
       |  SELECT bucket, COALESCE(s.score, 0) > 0 AS keep
