@@ -381,7 +381,90 @@ object StatQueries {
       |FROM t
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q251 — rolling 7-day distinct users from MERGEABLE daily HLL
+  // sketches: build one 64-register sketch per day, advertise each
+  // day's REGISTERS into the 7 windows it serves (q219's offset-
+  // explode), and merge by register-wise max. This is how rolling
+  // MAU/WAU actually ships at 100 TB — the window merge touches
+  // m-register sketches (64 rows/day) instead of re-deduplicating
+  // user IDs per window, so window length is free. Scored against
+  // q219's exact rolling WAU per day (err_ppm), the same
+  // estimate-vs-exact contract as q208/q223.
+  // ---------------------------------------------------------------------
+  def q251_rolling_hll_wau(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Frequency
+    val daily = Frequency.hllRegisters(
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day")),
+      Seq("day"), "user_id")
+      .localCheckpoint(eager = true) // bounds probe + the advertise
+    val bounds = daily.agg(max(col("day")).as("d1"))
+    val rolling = daily.crossJoin(broadcast(bounds))
+      .select(explode(sequence(col("day"),
+        least(col("day") + 6, col("d1")))).as("day"),
+        col("bucket"), col("reg"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val est = Frequency.hllEstimate(rolling, Seq("day"), spark)
+    val exact = MetricQueries.q219_rolling_wau(spark, dir)
+      .withColumnRenamed("wau", "exact_distinct")
+    est.join(exact, Seq("day"))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - exact_distinct) * 1000000 " +
+          "div exact_distinct"))
+      .orderBy(col("day"))
+  }
+
+  val q251_sql: String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id,
+       |    epoch_ns(ts) // 86400000000000 AS day
+       |  FROM events),
+       |bounds AS (SELECT MAX(day) AS d1 FROM active),
+       |win AS (
+       |  SELECT DISTINCT user_id, day + o AS day
+       |  FROM active, unnest(generate_series(0, 6)) AS u(o)
+       |  CROSS JOIN bounds WHERE day + o <= d1),
+       |h AS (
+       |  SELECT day,
+       |    CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM win),
+       |r AS (
+       |  SELECT day, h % $HllM AS bucket,
+       |    55 - length(ltrim(bin(h // $HllM), '0')) AS rho
+       |  FROM h),
+       |sk AS (SELECT day, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT g.day, b.bucket
+       |  FROM (SELECT DISTINCT day FROM sk) g
+       |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS bucket
+       |              FROM range(0, $HllM)) b),
+       |dense AS (
+       |  SELECT s.day, s.bucket, COALESCE(sk.reg, 0) AS reg
+       |  FROM spine s LEFT JOIN sk
+       |    ON sk.day = s.day AND sk.bucket = s.bucket),
+       |den AS (
+       |  SELECT day, CAST(SUM(1::BIGINT << (55 - reg)) AS BIGINT) AS s
+       |  FROM dense GROUP BY 1),
+       |est AS (
+       |  SELECT day,
+       |    CAST(($HllAlphaPpm::HUGEINT * ${HllM * HllM}
+       |      * 36028797018963968) // (s::HUGEINT * 1000000) AS BIGINT)
+       |      AS est_distinct
+       |  FROM den),
+       |ex AS (
+       |  SELECT day, COUNT(DISTINCT user_id) AS exact_distinct
+       |  FROM win GROUP BY 1)
+       |SELECT est.day, est_distinct, exact_distinct,
+       |  ABS(est_distinct - exact_distinct) * 1000000
+       |    // exact_distinct AS err_ppm
+       |FROM est JOIN ex ON ex.day = est.day
+       |ORDER BY est.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_rolling_hll_wau" -> q251_rolling_hll_wau _,
     "q208_hll_registers" -> q208_hll_registers _,
     "q209_skipgram_pairs" -> q209_skipgram_pairs _,
     "q210_ks_test" -> q210_ks_test _,
@@ -389,6 +472,7 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q251_rolling_hll_wau" -> q251_sql,
     "q208_hll_registers" -> q208_sql,
     "q209_skipgram_pairs" -> q209_sql,
     "q210_ks_test" -> q210_sql,

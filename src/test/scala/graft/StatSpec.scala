@@ -149,4 +149,43 @@ class StatSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))
     assert(got.toSeq === want)
   }
+
+  test("q251 rolling HLL WAU matches a register-formula mirror") {
+    val rows = graft.queries.StatQueries
+      .q251_rolling_hll_wau(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val actives = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 86400000000000").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val d1 = actives.map(_._2).max
+    def rawEstimate(users: Set[Long]): Long = {
+      val m = 64
+      val regs = Array.fill(m)(0)
+      users.foreach { u =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"hll:$u".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val b = (h % m).toInt
+        val rest = h / m
+        val rho = 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (rho > regs(b)) regs(b) = rho.toInt
+      }
+      val den = regs.map(r => 1L << (55 - r)).sum
+      (BigInt(709440L) * (m * m) * 36028797018963968L /
+        (BigInt(den) * 1000000L)).toLong
+    }
+    val want = actives.flatMap(a => (a._2 to a._2 + 6).map(d => (d, a)))
+      .filter(_._1 <= d1)
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (day, as) =>
+        val users = as.map(_._2._1).toSet
+        (day, rawEstimate(users), users.size.toLong)
+      }
+    val got = rows.map(r => (r._1, r._2, r._3))
+    assert(got.toSeq === want)
+    rows.foreach { case (_, est, ex, err) =>
+      assert(err === math.abs(est - ex) * 1000000L / ex)
+    }
+  }
 }
+
