@@ -463,7 +463,140 @@ object StatQueries {
        |FROM est JOIN ex ON ex.day = est.day
        |ORDER BY est.day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q252 — mergeable histogram quantile sketch, accuracy sweep: the
+  // equi-width-histogram estimator (fixed [min,max] split into B
+  // buckets, p-th quantile linearly interpolated inside the bucket
+  // where the CDF crosses p) evaluated at B ∈ {16, 64, 256} against
+  // the exact distributed-CDF percentiles, on lineitem price cents.
+  // Histogram sketches are THE scalable quantile path — bucket counts
+  // are additive (mergeable across partitions/windows, unlike exact
+  // rank), and this sweep measures what that buys and costs: the
+  // B-vs-error curve a pipeline reads before sizing its sketch.
+  // Everything integer: bucket = (v−min)·B div (max−min+1), estimate
+  // = lo + width·(need−cum_below)·…  all in int64 (cents ≤ 10⁷,
+  // widths ≤ 10⁷, counts ≤ corpus).
+  // ---------------------------------------------------------------------
+  def q252_histogram_quantiles(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val v = Tables.lineitem(spark, dir)
+      .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as long)")
+        .as("v"))
+    val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n"))
+    // exact global CDF without a global window — q114's two-level
+    // shape: window within coarse value groups, per-group prefix
+    // added via a tiny group-total join
+    val perVal = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("grp", expr("v div 1048576"))
+      .localCheckpoint(eager = true)
+    val grpTot = perVal.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val grpBefore = grpTot.as("g")
+      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
+      .groupBy(col("g.grp").as("grp"))
+      .agg(coalesce(sum(col("h.gcnt")), lit(0L)).as("before"))
+    val exact = perVal.join(broadcast(grpBefore), Seq("grp"))
+      .withColumn("ecum", col("before") + sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("v"))))
+      .crossJoin(broadcast(bounds))
+      .agg(min(when(col("ecum") * 2 >= col("n"), col("v")))
+          .as("exact_p50"),
+        min(when(col("ecum") * 100 >= col("n") * 99, col("v")))
+          .as("exact_p99"))
+    val bs = spark.createDataFrame(Seq(Tuple1(16L), Tuple1(64L),
+      Tuple1(256L))).toDF("b")
+    // one histogram pass per B via a row-local ×3 fan-out
+    val cells = v.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(bs))
+      .withColumn("bucket",
+        expr("(v - lo) * b div (hi - lo + 1)"))
+      .groupBy(col("b"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cdf = cells
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+          .orderBy(col("bucket"))))
+      .crossJoin(broadcast(bounds))
+    // estimate = bucket_lo + bucket_width·(need − cum_below) div c,
+    // evaluated ONLY at the unique crossing bucket (cum passes need
+    // here but had not at the previous bucket) — a bare min(when(cum
+    // crosses)) over the interpolation would mix in later buckets'
+    // values, which are not monotone in cum
+    def est(num: Int, den: Int, alias: String) = {
+      val need = s"((n * $num + ${den - 1}) div $den)" // ceil(n·p)
+      min(when(col("cum") * den >= col("n") * num &&
+        (col("cum") - col("c")) * den < col("n") * num, expr(
+        s"lo + (bucket * (hi - lo + 1)) div b + " +
+          s"(((hi - lo + 1) div b) * ($need - (cum - c))) div c")))
+        .as(alias)
+    }
+    cdf.groupBy(col("b"))
+      .agg(est(1, 2, "est_p50"), est(99, 100, "est_p99"))
+      .crossJoin(broadcast(exact))
+      .withColumn("err_p50_ppm", expr(
+        "abs(est_p50 - exact_p50) * 1000000 div greatest(exact_p50, 1)"))
+      .withColumn("err_p99_ppm", expr(
+        "abs(est_p99 - exact_p99) * 1000000 div greatest(exact_p99, 1)"))
+      .select(col("b"), col("est_p50"), col("exact_p50"),
+        col("err_p50_ppm"), col("est_p99"), col("exact_p99"),
+        col("err_p99_ppm"))
+      .orderBy(col("b"))
+  }
+
+  val q252_sql: String =
+    """WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM lineitem),
+      |bounds AS (
+      |  SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM v),
+      |exact_cdf AS (
+      |  SELECT v.v, COUNT(*) AS c FROM v GROUP BY v.v),
+      |exact_cum AS (
+      |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM exact_cdf),
+      |exact AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum * 2 >= n THEN v END) AS exact_p50,
+      |    MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS exact_p99
+      |  FROM exact_cum CROSS JOIN bounds),
+      |cells AS (
+      |  SELECT b, (v - lo) * b // (hi - lo + 1) AS bucket,
+      |    COUNT(*) AS c
+      |  FROM v CROSS JOIN bounds
+      |  CROSS JOIN (VALUES (16), (64), (256)) AS bb(b)
+      |  GROUP BY 1, 2),
+      |cdf AS (
+      |  SELECT b, bucket, c,
+      |    SUM(c) OVER (PARTITION BY b ORDER BY bucket) AS cum
+      |  FROM cells),
+      |ests AS (
+      |  SELECT cdf.b,
+      |    MIN(CASE WHEN cum * 2 >= n AND (cum - c) * 2 < n THEN
+      |      lo + (bucket * (hi - lo + 1)) // b +
+      |      (((hi - lo + 1) // b) * ((n * 1 + 1) // 2 - (cum - c))) // c
+      |      END) AS est_p50,
+      |    MIN(CASE WHEN cum * 100 >= n * 99
+      |        AND (cum - c) * 100 < n * 99 THEN
+      |      lo + (bucket * (hi - lo + 1)) // b +
+      |      (((hi - lo + 1) // b) * ((n * 99 + 99) // 100 - (cum - c)))
+      |        // c END) AS est_p99
+      |  FROM cdf CROSS JOIN bounds
+      |  GROUP BY cdf.b)
+      |SELECT CAST(b AS BIGINT) AS b,
+      |  CAST(est_p50 AS BIGINT) AS est_p50,
+      |  CAST(exact_p50 AS BIGINT) AS exact_p50,
+      |  CAST(ABS(est_p50 - exact_p50) * 1000000
+      |    // GREATEST(exact_p50, 1) AS BIGINT) AS err_p50_ppm,
+      |  CAST(est_p99 AS BIGINT) AS est_p99,
+      |  CAST(exact_p99 AS BIGINT) AS exact_p99,
+      |  CAST(ABS(est_p99 - exact_p99) * 1000000
+      |    // GREATEST(exact_p99, 1) AS BIGINT) AS err_p99_ppm
+      |FROM ests CROSS JOIN exact
+      |ORDER BY b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_histogram_quantiles" -> q252_histogram_quantiles _,
     "q251_rolling_hll_wau" -> q251_rolling_hll_wau _,
     "q208_hll_registers" -> q208_hll_registers _,
     "q209_skipgram_pairs" -> q209_skipgram_pairs _,
@@ -472,6 +605,7 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q252_histogram_quantiles" -> q252_sql,
     "q251_rolling_hll_wau" -> q251_sql,
     "q208_hll_registers" -> q208_sql,
     "q209_skipgram_pairs" -> q209_sql,

@@ -149,20 +149,35 @@ class GateSpec extends SparkSpec {
     // must keep full 2-decimal precision on every SUB-SECOND entry at
     // the current query count — the mixed rungs trade >=1s decimals
     // (1dp, then whole seconds <=0.5s absolute) to buy that headroom.
-    // Past ~210 queries NO object encoding fits sub-second decimals in
-    // the 2000-char tail (218 keys + JSON overhead alone are ~1430
-    // chars), so the stdout guarantee is: parseable, complete, <=0.5s
-    // absolute error per entry — and the EXACT 3-decimal record moves
-    // to BENCH_FULL.json (asserted below), which is not tail-budgeted.
+    // Past ~240 queries NO complete object encoding fits the 2000-char
+    // tail at ANY precision (bare keys alone are ~7 chars each), so
+    // the stdout guarantee becomes: parseable, fully ACCOUNTED
+    // (kept + elided = all), gate entries always kept, <=0.5s absolute
+    // error per kept entry — and the EXACT 3-decimal record moves to
+    // BENCH_FULL.json (asserted below), which is not tail-budgeted.
     val real = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
       .map { case (name, i) =>
         (name, 8.88, if (i % 3 == 0) 4.73 else 0.47) }
     val realLine = Bench.renderJson(real, Nil, "/root/testdata/sf0.1")
     assert(realLine.length < 1985, s"realistic line ${realLine.length}")
-    val JObject(rqs) =
-      (org.json4s.jackson.JsonMethods.parse(realLine) \ "queries")
-        : @unchecked
-    assert(rqs.size === real.size)
+    val realParsed = org.json4s.jackson.JsonMethods.parse(realLine)
+    val JObject(rqs) = (realParsed \ "queries"): @unchecked
+    val realElided = (realParsed \ "elided") match {
+      case JInt(v) => v.toInt
+      case JNothing => 0
+      case other => fail(s"unexpected elided: $other")
+    }
+    assert(rqs.size + realElided === real.size)
+    // elision must stay a small tail, never the bulk of the map
+    assert(realElided * 10 <= real.size,
+      s"realistic shape elided $realElided of ${real.size}")
+    if (realElided > 0) {
+      val kept = rqs.map(_._1).toSet
+      Bench.BaselineGates.foreach { full =>
+        val short = full.takeWhile(_ != '_').drop(1).dropWhile(_ == '0')
+        assert(kept(short) || kept(full), s"gate $full elided")
+      }
+    }
     assert(rqs.forall {
       case (_, JDouble(v)) =>
         math.abs(v - 0.47) <= 0.5 || math.abs(v - 4.73) <= 0.5

@@ -187,5 +187,41 @@ class StatSpec extends SparkSpec {
       assert(err === math.abs(est - ex) * 1000000L / ex)
     }
   }
-}
 
+  test("q252 histogram quantiles match a naive mirror; error shrinks " +
+      "with B") {
+    val vs = Tables.lineitem(spark, sf)
+      .selectExpr("cast(floor(l_extendedprice * 100 + 0.5) as long)")
+      .collect().map(_.getLong(0)).sorted
+    val (lo, hi, n) = (vs.min, vs.max, vs.length.toLong)
+    def exactPct(num: Long, den: Long): Long =
+      vs(vs.indices.find(i => (i + 1) * den >= n * num).get)
+    val (e50, e99) = (exactPct(1, 2), exactPct(99, 100))
+    val want = Seq(16L, 64L, 256L).map { b =>
+      val counts = vs.groupBy(v => (v - lo) * b / (hi - lo + 1))
+        .view.mapValues(_.length.toLong).toMap
+      def est(num: Long, den: Long): Long = {
+        val need = (n * num + den - 1) / den
+        var cum = 0L
+        val bucket = counts.keys.toSeq.sorted.find { k =>
+          cum += counts(k); cum * den >= n * num
+        }.get
+        val below = cum - counts(bucket)
+        lo + (bucket * (hi - lo + 1)) / b +
+          ((hi - lo + 1) / b) * (need - below) / counts(bucket)
+      }
+      (b, est(1, 2), e50, est(99, 100), e99)
+    }
+    val got = graft.queries.StatQueries
+      .q252_histogram_quantiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5)).toSeq ===
+      want.map(x => (x._1, x._2, x._3, x._4, x._5)))
+    // more buckets can only tighten the p50 bracket on this data
+    val errs = graft.queries.StatQueries
+      .q252_histogram_quantiles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(errs(256L) <= errs(16L))
+  }
+}
