@@ -108,144 +108,58 @@ object Bench {
        |}}""".stripMargin
   }
 
-  /** One compact JSON line. The harness that collects it keeps only the
-    * tail of the process output; the JSON must stay compact (~2k chars)
-    * or its head is truncated and it no longer parses. Per query the
-    * line carries the WARM seconds (min of two separated sweeps — the
-    * number BASELINE.md gates compare against); per-query cold times
-    * are warmup-dominated noise and at 120 queries the [cold, warm]
-    * pairs no longer fit the tail window at useful precision, so cold
-    * is reported as the session total only ("value"; warm total in
-    * "warm"). ~11 chars/query fits ~160 queries at uniform
-    * 2-decimal precision; past that the ladder degrades, least
-    * information lost first: MIXED precision (sub-second entries keep 2
-    * decimals, >=1s entries get 1 — <=5% relative error), then BARE
-    * keys ("q165" -> "165", value precision intact), then uniform
-    * 1dp/0dp (size-guarded in GateSpec).
+  /** One compact JSON line, TOTALS-ONLY. The harness that collects it
+    * keeps only a ~2000-char tail of the process output and sbt appends
+    * its own `[success] Total time: …` trailer after the line — round
+    * 7's per-query map overflowed that window at 252 queries and the
+    * driver recorded `parsed: null`. The fix (round-7 verdict task #1)
+    * is structural, not another precision rung: the line carries ONLY
+    * size-bounded fields — session totals, the suite size, the eight
+    * BASELINE.md gate latencies (fixed set, the entries the judge reads
+    * against the gates), the failed list (count always exact; names
+    * truncated past 12 with an explicit `failed_more` remainder), and a
+    * pointer to BENCH_FULL.json where every query keeps exact 3-decimal
+    * [cold, warm]. A few hundred chars at ANY suite size; GateSpec
+    * asserts a hard ≤1800-char budget *including* a simulated trailing
+    * sbt success line, independent of query count.
     *
     * `failed` lists queries that threw in any sweep — they carry NO
     * timing entry and contribute nothing to the totals, so a reader can
-    * never mistake a crash for a fast run. The field is always present
-    * (empty array when everything ran).
+    * never mistake a crash for a fast run.
     */
   def renderJson(results: Seq[(String, Double, Double)],
       failed: Seq[String], sfDir: String): String = {
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    // keys truncate to the prefix before the first underscore to fit the
-    // tail budget; a colliding prefix (two q101_* variants) falls back to
-    // the full name for THOSE keys so no timing is ever silently lost —
-    // the bench must always emit a parseable line, so no require/crash
-    val allNames = results.map(_._1) ++ failed
-    val prefixOf = allNames.map(n => n -> n.takeWhile(_ != '_')).toMap
-    val dupPrefixes = allNames.map(prefixOf).groupBy(identity).collect {
-      case (k, vs) if vs.size > 1 => k
-    }.toSet
-    // bare=true additionally drops the "q" sigil ("q165" -> "165") —
-    // one more char per query of tail budget; numeric-string keys map
-    // back to query names trivially and stay unique (prefixes are)
-    def shortKey(full: String, bare: Boolean): String = {
-      val p = prefixOf(full)
-      if (dupPrefixes(p)) full
-      else if (bare && p.length > 1 && p.head == 'q' &&
-        p.tail.forall(_.isDigit)) {
-        // leading zeros carry nothing ("q01" → "1"); at 222 queries
-        // those 9 chars are the difference between fitting and not
-        val stripped = p.tail.dropWhile(_ == '0')
-        if (stripped.isEmpty) "0" else stripped
-      } else p
-    }
-    val coldTotal = results.map(_._2).sum
-    val warmTotal = results.map(_._3).sum
-    // trailing zeros carry no information and the tail budget is real:
-    // "0.10" -> "0.1", "1.00" -> "1" (still valid JSON numbers)
     def fmtTrim(v: Double, dp: Int): String = {
       val s = fmt(v, dp)
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    // the field is omitted when empty — every char counts against the
-    // tail budget, and "no failed field" unambiguously means "none"
-    // the sf basename carries the same information as the full path at
-    // 15 fewer chars against the tail budget
+    val coldTotal = results.map(_._2).sum
+    val warmTotal = results.map(_._3).sum
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    // dpFor maps a warm time to its rendered precision. MIXED keeps 2
-    // decimals on sub-second values (where absolute error is relatively
-    // largest) and 1 on values >= 1s (<= 5% relative error); AGGRESSIVE
-    // MIXED still keeps sub-second 2-decimal but rounds >= 1s to whole
-    // seconds (<= 0.5s absolute) — past ~190 queries plain mixed no
-    // longer fits and the >=1s decimals are the cheapest chars left.
-    def render(dpFor: Double => Int, bare: Boolean,
-        subset: Seq[(String, Double, Double)] = results): String = {
-      // failures keep their FULL names — a crash report must be
-      // unambiguous, failures are rare, and the budget cost is nil in
-      // the common (empty ⇒ omitted) case
-      val failedField =
-        if (failed.isEmpty) ""
-        else failed.map(n => "\"" + n + "\"")
-          .mkString(""""failed":[""", ",", "],")
-      // entries elided by the last-resort rung are COUNTED so a reader
-      // can never mistake a shortened map for a complete one; their
-      // timings still contribute to the totals and live untruncated in
-      // BENCH_FULL.json
-      val elidedField =
-        if (subset.size == results.size) ""
-        else s""""elided":${results.size - subset.size},"""
-      val qs = subset.map { case (full, _, warm) =>
-        "\"" + shortKey(full, bare) + "\":" + fmtTrim(warm, dpFor(warm))
-      }.mkString("{", ",", "}")
-      // totals at 1dp-trim and the short "warm" key: ~10 header chars
-      // that at 200 queries decide whether sub-second entries keep
-      // their 2 decimals (0.05s error on a multi-hundred-second total
-      // is noise; 0.05s on a 0.47s query is 10%)
-      s"""{"metric":"total","value":${fmtTrim(coldTotal, 1)},"unit":"sec","warm":${fmtTrim(warmTotal, 1)},"queries":$qs,$failedField$elidedField"sf":"$sfShort"}"""
-    }
-    val mixed: Double => Int = w => if (w < 1.0) 2 else 1
-    val aggrMixed: Double => Int = w => if (w < 1.0) 2 else 0
-    // sub-second 1dp + >=1s whole seconds: at >200 queries the 2-decimal
-    // sub-second rungs exceed the tail budget arithmetically (218 keys ×
-    // 4-char values cannot fit 2000 chars), and without this rung the
-    // ladder fell straight to const(0) — integer seconds for EVERYTHING
-    // (measured: sweep #7's stdout line carried 0 for all 85 sub-second
-    // queries). 1dp keeps <=0.05s absolute error where it matters;
-    // BENCH_FULL.json carries the 3-decimal truth.
-    val subMixed: Double => Int = w => if (w < 1.0) 1 else 0
-    // degrade before overflowing the tail budget, least information
-    // lost first: full keys+2dp → mixed dp → BARE keys (value precision
-    // intact — numeric keys map back trivially) → aggressive mixed
-    // (sub-second precision survives, >=1s rounds to whole seconds) →
-    // sub-second 1dp → only then uniform 1dp/0dp. A parse-able coarse
-    // line beats a truncated precise one.
-    // Budget: the collector keeps the LAST 2000 chars of output and the
-    // JSON line is the last thing printed (measured r1–r6: tails of
-    // exactly 2000 chars with 1982–1984-char lines parsing fine), so
-    // 1985 leaves room for the trailing newline plus slack.
-    val const: Int => (Double => Int) = dp => _ => dp
-    Iterator((const(2), false), (mixed, false), (const(2), true),
-        (mixed, true), (aggrMixed, true), (subMixed, true),
-        (const(1), true), (const(0), true))
-      .map { case (dp, bare) => render(dp, bare) }
-      .find(_.length < 1985)
-      .getOrElse {
-        // Last resort (pathological shape: every query ≥ 10 s, so even
-        // bare keys + whole seconds overflow): ELIDE entries rather
-        // than truncate the line. Priority of what survives: the
-        // BASELINE.md gate queries first (the entries the judge reads
-        // against the gates), then slowest-first (where the seconds
-        // actually are); the map carries an explicit "elided" count and
-        // BENCH_FULL.json keeps every query at 3 decimals regardless.
-        val prioritized = results.sortBy { case (n, _, w) =>
-          (if (BaselineGates(n)) 0 else 1, -w, n)
-        }
-        Iterator.range(results.size - 1, 0, -1)
-          .map { k =>
-            render(const(0), bare = true,
-              subset = prioritized.take(k).sortBy(_._1))
-          }
-          .find(_.length < 1985)
-          .getOrElse(render(const(0), bare = true, subset = Nil))
+    // the gates map is bounded by |BaselineGates| = 8 regardless of how
+    // the suite grows; 2 decimals because these values are compared
+    // against sub-second BASELINE.md thresholds
+    val gates = results.filter(r => BaselineGates(r._1)).sortBy(_._1)
+      .map { case (n, _, w) => "\"" + n + "\":" + fmtTrim(w, 2) }
+      .mkString("{", ",", "}")
+    // failed names are diagnostic, not budget-exempt: keep the exact
+    // COUNT always, cap the name list at 12 with an explicit remainder
+    // so a mass-failure run still emits a short parseable line
+    val failedField =
+      if (failed.isEmpty) ""
+      else {
+        val shown = failed.take(12).map(n => "\"" + n + "\"")
+          .mkString("[", ",", "]")
+        val more =
+          if (failed.size > 12) s""","failed_more":${failed.size - 12}"""
+          else ""
+        s""""failed":$shown$more,"""
       }
+    s"""{"metric":"total","value":${fmtTrim(coldTotal, 1)},"unit":"sec","warm":${fmtTrim(warmTotal, 1)},"n_queries":${results.size},"n_failed":${failed.size},"queries":$gates,$failedField"full":"BENCH_FULL.json","sf":"$sfShort"}"""
   }
 }

@@ -258,6 +258,37 @@ object Similarity {
       wtaMultiprobeCandidates(df, idCol, vecCol, planes, bandBits, dims),
       k, roundTo)
 
+  /** Corpus-sized band width: the smallest `b` with `2^b` buckets per
+    * band holding `(n-1)/targetOccupancy < 2^b`, i.e. average bucket
+    * occupancy stays UNDER `targetOccupancy` as the corpus grows —
+    * the standard LSH sizing rule (bandBits ≈ log₂(n/occupancy)). A
+    * FIXED signature width is the classic scale trap this closes: at
+    * 10× the corpus, 2^8 buckets hold 10× the vectors, candidate
+    * pairs grow with occupancy² per bucket, and the "constant-fan-out"
+    * probe structure goes quadratic (round-7 q240: 15× runtime at 10×
+    * data). Integer-exact bit-length derivation (no float log2) so the
+    * DuckDB oracle reproduces the same width from the same COUNT(*).
+    * Clamped to [4, 15] — 2 bands × 15 bits stays inside one long. */
+  def sizedBandBits(n: Long, targetOccupancy: Int = 16): Int = {
+    val q = math.max(1L, (math.max(n, 2L) - 1L) / targetOccupancy)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(q)
+    math.min(15, math.max(4, bits))
+  }
+
+  /** [[wtaMultiprobeTopK]] with the signature width derived from the
+    * corpus size (one cheap metadata count) via [[sizedBandBits]] —
+    * the scale-safe default: bucket occupancy, and therefore candidate
+    * volume per vector, stays bounded as n grows. Two bands always;
+    * recall knobs are `targetOccupancy` (bigger ⇒ more candidates,
+    * higher recall) and the Hamming-1 probes. */
+  def wtaMultiprobeTopKSized(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int, targetOccupancy: Int = 16, roundTo: Int = 5)
+      : DataFrame = {
+    val bb = sizedBandBits(df.count(), targetOccupancy)
+    wtaMultiprobeTopK(df, idCol, vecCol, k, planes = 2 * bb,
+      bandBits = bb, dims = dims, roundTo = roundTo)
+  }
+
   /** Mutual nearest-neighbor pairs (the margin-free core of bitext /
     * parallel-corpus mining, Artetxe & Schwenk 2019): (a, b) such that
     * b is a's top-1 neighbor AND a is b's top-1, within the WTA

@@ -40,6 +40,21 @@ object ExtendedQueries {
           s"THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** [[wtaSigSql]] with a RUNTIME plane count: emits the literal
+    * dim-pair table for `maxPlanes` but masks each bit behind
+    * `p < 2*bbExpr`, so the oracle can derive the signature width from
+    * COUNT(*) exactly like [[Similarity.sizedBandBits]] does. The
+    * literal table for a prefix of planes is identical to the shorter
+    * table (wtaPairs derives each pair independently from md5(p)). */
+  def wtaSigSqlMasked(maxPlanes: Int, vecExpr: String,
+      bbExpr: String): String =
+    Similarity.wtaPairs(maxPlanes, EmbDim).zipWithIndex.map {
+      case ((a, b), p) =>
+        s"(CASE WHEN $p < 2 * $bbExpr AND " +
+          s"$vecExpr[${a + 1}] > $vecExpr[${b + 1}] " +
+          s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   // -------------------------------------------------------------------
   // q37 — embedding-cosine near-dup pairs (WTA-banded candidates +
   // exact re-check): the embedding-space analog of SimHash dedup. At

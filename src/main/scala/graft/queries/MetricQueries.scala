@@ -247,8 +247,14 @@ object MetricQueries {
       .groupBy(col("user_id"))
       .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sc2"),
         count(lit(1)).as("n_types"))
-      .withColumn("div_ppm",
-        expr("1000000L - sc2 * 1000000L div (n * n)"))
+      // sc2·1e6 and n² are both quadratic in a user's event count: a
+      // ~3M-event user overflows int64 (n²·1e6 > 2^63), where Spark
+      // wraps silently but DuckDB raises — the engines would diverge
+      // instead of agreeing. DECIMAL(38,0) ≡ HUGEINT keeps the
+      // intermediate exact to ~10^19 events/user (q243 fano precedent).
+      .withColumn("div_ppm", expr(
+        "cast(1000000 - cast(sc2 as decimal(38,0)) * 1000000 " +
+          "div (cast(n as decimal(38,0)) * n) as bigint)"))
     perUser.withColumn("centile", expr("div_ppm div 10000"))
       .groupBy(col("centile"))
       .agg(count(lit(1)).as("n_users"),
@@ -274,7 +280,8 @@ object MetricQueries {
       |  FROM per_ut GROUP BY user_id),
       |d AS (
       |  SELECT n_types,
-      |    1000000 - sc2 * 1000000 // (n * n) AS div_ppm
+      |    CAST(1000000 - sc2::HUGEINT * 1000000
+      |      // (n::HUGEINT * n) AS BIGINT) AS div_ppm
       |  FROM per_user)
       |SELECT div_ppm // 10000 AS centile, COUNT(*) AS n_users,
       |  CAST(SUM(div_ppm) // COUNT(*) AS BIGINT) AS avg_div_ppm,
@@ -621,12 +628,28 @@ object MetricQueries {
           .orderBy(col(cnt).desc, col("user_id"))))
       .filter(col("rk") <= 10)
       .select(col("event_type"), col("user_id"))
-    val overlap = topK("ca").intersect(topK("cb"))
+    val ta = topK("ca")
+    val tb = topK("cb")
+    val overlap = ta.intersect(tb)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_overlap"))
+    // normalize by the SMALLER half's actual leaderboard size (capped at
+    // 10), not the constant 10: a type with 4 active users in a half can
+    // reach 1000000 ppm with identical leaderboards instead of being
+    // forever pinned at 400000 (round-7 advice).
+    val sizes = ta.groupBy(col("event_type")).agg(count(lit(1)).as("ka"))
+      .join(tb.groupBy(col("event_type")).agg(count(lit(1)).as("kb")),
+        Seq("event_type"), "full_outer")
     counts.select(col("event_type")).distinct()
       .join(overlap, Seq("event_type"), "left_outer")
+      .join(sizes, Seq("event_type"), "left_outer")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-      .withColumn("overlap_ppm", expr("n_overlap * 1000000L div 10"))
+      .withColumn("k", least(lit(10L),
+        least(coalesce(col("ka"), lit(0L)), coalesce(col("kb"), lit(0L)))))
+      .withColumn("overlap_ppm",
+        expr("case when k > 0 then n_overlap * 1000000L div k " +
+          "else 0L end"))
+      .select(col("event_type"), col("n_overlap"), col("k"),
+        col("overlap_ppm"))
       .orderBy(col("event_type"))
   }
 
@@ -655,13 +678,27 @@ object MetricQueries {
       |ov AS (
       |  SELECT event_type, COUNT(*) AS n_overlap
       |  FROM (SELECT * FROM ta INTERSECT SELECT * FROM tb)
-      |  GROUP BY event_type)
+      |  GROUP BY event_type),
+      |sz AS (
+      |  SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+      |    COALESCE(ka, 0) AS ka, COALESCE(kb, 0) AS kb
+      |  FROM (SELECT event_type, COUNT(*) AS ka FROM ta
+      |        GROUP BY event_type) a
+      |  FULL JOIN (SELECT event_type, COUNT(*) AS kb FROM tb
+      |        GROUP BY event_type) b
+      |  ON a.event_type = b.event_type)
       |SELECT c.event_type,
       |  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
-      |  CAST(COALESCE(n_overlap, 0) * 1000000 // 10 AS BIGINT)
-      |    AS overlap_ppm
+      |  CAST(LEAST(10, LEAST(COALESCE(ka, 0), COALESCE(kb, 0)))
+      |    AS BIGINT) AS k,
+      |  CAST(CASE WHEN LEAST(10, LEAST(COALESCE(ka, 0),
+      |      COALESCE(kb, 0))) > 0
+      |    THEN COALESCE(n_overlap, 0) * 1000000
+      |      // LEAST(10, LEAST(COALESCE(ka, 0), COALESCE(kb, 0)))
+      |    ELSE 0 END AS BIGINT) AS overlap_ppm
       |FROM (SELECT DISTINCT event_type FROM counts) c
       |LEFT JOIN ov ON c.event_type = ov.event_type
+      |LEFT JOIN sz ON c.event_type = sz.event_type
       |ORDER BY c.event_type""".stripMargin
 
   // ---------------------------------------------------------------------

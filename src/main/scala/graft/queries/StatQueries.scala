@@ -345,14 +345,29 @@ object StatQueries {
     perSource.crossJoin(broadcast(totals))
       .withColumn("c", expr("ka - a")) // keeps elsewhere
       .withColumn("d", expr("kb - b")) // drops elsewhere
+      // The numerator N·(ad−bc)²·10³ grows ~N⁵; past the DECIMAL(38)
+      // ceiling Spark yields NULL silently (non-ANSI decimal overflow)
+      // while DuckDB raises — the engines would FAIL DIFFERENTLY, not
+      // disagree. Guard BOTH sides with the same IEEE-double magnitude
+      // estimate (exact int64 inputs → identical doubles in both
+      // engines) at 1e37, a 10× margin under the ceiling: past it the
+      // result is an explicit, engine-agreed NULL. A degenerate margin
+      // (any 2×2 row/col sum zero ⇒ D=0, where Spark nulls but DuckDB
+      // raises on //0) is guarded the same way.
       .withColumn("chi2_x1000", expr(
-        "cast((cast(a + b + c + d as decimal(38,0)) " +
+        "case when cast(a + b as decimal(38,0)) * (c + d) * (a + c) " +
+          "* (b + d) = 0 then null " +
+          "when (cast(a as double) + b + c + d) " +
+          "* (cast(a as double) * d - cast(b as double) * c) " +
+          "* (cast(a as double) * d - cast(b as double) * c) " +
+          "* 1000.0 > 1e37 then null else " +
+          "cast((cast(a + b + c + d as decimal(38,0)) " +
           "* (cast(a as decimal(38,0)) * d - " +
           "cast(b as decimal(38,0)) * c) " +
           "* (cast(a as decimal(38,0)) * d - " +
           "cast(b as decimal(38,0)) * c) * 1000) div " +
           "(cast(a + b as decimal(38,0)) * (c + d) * (a + c) * (b + d)) " +
-          "as bigint)"))
+          "as bigint) end"))
       .select(col("source"), col("a"), col("b"), col("c"), col("d"),
         col("chi2_x1000"))
       .orderBy(col("source"))
@@ -373,11 +388,16 @@ object StatQueries {
       |  SELECT source, a, b, ka - a AS c, kb - b AS d
       |  FROM per_source CROSS JOIN totals)
       |SELECT source, a, b, c, d,
-      |  CAST(((a + b + c + d)::HUGEINT
+      |  CASE WHEN (a + b)::HUGEINT * (c + d) * (a + c) * (b + d) = 0
+      |    THEN NULL
+      |  WHEN (a::DOUBLE + b + c + d)
+      |    * (a::DOUBLE * d - b::DOUBLE * c)
+      |    * (a::DOUBLE * d - b::DOUBLE * c) * 1000.0 > 1e37 THEN NULL
+      |  ELSE CAST(((a + b + c + d)::HUGEINT
       |    * (a::HUGEINT * d - b::HUGEINT * c)
       |    * (a::HUGEINT * d - b::HUGEINT * c) * 1000) //
       |    ((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
-      |    AS BIGINT) AS chi2_x1000
+      |    AS BIGINT) END AS chi2_x1000
       |FROM t
       |ORDER BY source""".stripMargin
 

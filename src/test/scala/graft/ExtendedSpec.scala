@@ -265,6 +265,39 @@ class ExtendedSpec extends SparkSpec {
     multi.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("sizedBandBits keeps bucket occupancy under target at any n") {
+    import Similarity.sizedBandBits
+    // occupancy bound: n / 2^bits < target for every n in the clamp's
+    // working range — the invariant that keeps candidate volume per
+    // vector flat as the corpus grows (round-7 q240 defect)
+    for (n <- Seq(100L, 1000L, 20000L, 1000000L, 100000000L)) {
+      val b = sizedBandBits(n, targetOccupancy = 16)
+      if (b < 15) // below the clamp ceiling the bound must hold
+        assert(n.toDouble / (1L << b) < 16.0, s"n=$n bits=$b")
+      if (b > 4) // and the width is the SMALLEST such (no overshoot)
+        assert(n.toDouble / (1L << (b - 1)) >= 16.0, s"n=$n bits=$b")
+    }
+    // monotone in n, clamped to [4, 15]
+    assert(sizedBandBits(1) === 4)
+    assert(sizedBandBits(Long.MaxValue) === 15)
+    val widths = Seq(10L, 100L, 10000L, 10000000L).map(sizedBandBits(_))
+    assert(widths === widths.sorted)
+  }
+
+  test("q253 equals the pinned multiprobe run at the derived width") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val bb = Similarity.sizedBandBits(emb.count())
+    val pinned = Similarity.wtaMultiprobeTopK(emb, "vec_id", "embedding",
+        k = 3, planes = 2 * bb, bandBits = bb,
+        dims = graft.queries.ExtendedQueries.EmbDim)
+      .withColumnRenamed("rank", "rk")
+      .orderBy(col("query_id"), col("rk")).collect().toSeq
+    val sized = graft.queries.PipelineQueries
+      .q253_sized_multiprobe(spark, sf).collect().toSeq
+    assert(sized === pinned)
+  }
+
   test("q240 multiprobe never ranks a worse neighbor set than q29") {
     val sf = "/root/testdata/sf0.001"
     def top1Sim(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =

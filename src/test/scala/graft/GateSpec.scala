@@ -98,99 +98,73 @@ class GateSpec extends SparkSpec {
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
-  test("bench JSON line stays within the tail-truncation budget") {
-    // worst-ish case: every query at >10s cold and warm with no
-    // trailing zeros to trim — the precision ladder MAY step down as
-    // far as whole seconds, and past ~225 queries this pathological
-    // shape no longer fits ANY complete object encoding, so the
-    // last-resort rung ELIDES entries (gate queries survive first,
-    // then slowest) with an explicit "elided" count. The line must
-    // stay parseable, fully ACCOUNTED (kept + elided = all), and lose
-    // at most 0.5s per kept entry.
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .map(name => (name, 88.88, 77.77))
-    val line = Bench.renderJson(results, Nil, "/root/testdata/sf0.1")
-    assert(line.length < 1985, s"bench JSON ${line.length} chars")
+  test("bench JSON line is totals-only and fits a hard byte budget " +
+      "including a trailing sbt line, at any suite size") {
+    // Round-7 defect #1: the per-query map overflowed the collector's
+    // ~2000-char output tail at 252 queries (the tail also holds sbt's
+    // trailing `[success]` line) and the driver recorded parsed=null.
+    // The contract is now structural: the line carries ONLY bounded
+    // fields (totals, n_queries, the 8 BASELINE gate latencies, a
+    // capped failed list, the BENCH_FULL.json pointer), so its length
+    // is independent of suite size. Simulate the collector window:
+    // line + newline + a realistic sbt success trailer must fit 1800
+    // chars even for a 10_000-query suite with a mass failure.
     import org.json4s._
+    val sbtTrailer =
+      "\n[success] Total time: 1234 s (20:34), completed Aug 14, 2026, 12:00:00 PM\n"
+    def budgetOk(line: String): Unit =
+      assert(line.length + sbtTrailer.length <= 1800,
+        s"bench line ${line.length} chars breaks the 1800 budget")
+
+    // realistic current-suite shape
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, 8.88, if (i % 3 == 0) 4.73 else 0.47) }
+    val line = Bench.renderJson(results, Nil, "/root/testdata/sf0.1")
+    budgetOk(line)
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other => fail(s"unexpected number: $other")
+    }
+    // totals are exact to the 1dp rendering
+    val nSub = names.indices.count(_ % 3 != 0)
+    val expWarm = 4.73 * (names.size - nSub) + 0.47 * nSub
+    assert(math.abs(num(parsed \ "value") - 8.88 * names.size) <= 0.05)
+    assert(math.abs(num(parsed \ "warm") - expWarm) <= 0.05)
+    assert(num(parsed \ "n_queries") === names.size.toDouble)
+    assert(num(parsed \ "n_failed") === 0.0)
+    assert((parsed \ "full") === JString("BENCH_FULL.json"))
+    // the gates map carries exactly the BASELINE gate queries present
     val JObject(qs) = (parsed \ "queries"): @unchecked
-    val elided = (parsed \ "elided") match {
-      case JInt(v) => v.toInt
-      case JNothing => 0
-      case other => fail(s"unexpected elided: $other")
-    }
-    assert(qs.size + elided === results.size)
-    // the judge's BASELINE gate entries must survive elision — derive
-    // the expected SHORT keys from Bench's own list so they can't drift
-    if (elided > 0) {
-      val kept = qs.map(_._1).toSet
-      Bench.BaselineGates.foreach { full =>
-        val short = full.takeWhile(_ != '_').drop(1).dropWhile(_ == '0')
-        assert(kept(short) || kept(full),
-          s"gate query $full elided from bench line")
-      }
-    }
-    // at whole-second precision the value renders "78" → JInt, not
-    // JDouble — both are valid JSON numbers for the collector
-    assert(qs.forall {
-      case (_, JDouble(v)) => math.abs(v - 77.77) <= 0.5
-      case (_, JInt(v)) => (v.toDouble - 77.77).abs <= 0.5
-      case _ => false
-    })
-    // totals render at 1dp-trim (a whole number parses as JInt)
-    val coldTotal = (parsed \ "value") match {
-      case JDouble(v) => v
-      case JInt(v) => v.toDouble
-      case other => fail(s"unexpected value: $other")
-    }
-    assert(math.abs(coldTotal - 88.88 * results.size) <= 0.05)
-    // the REALISTIC shape (the measured r6 mix: ~30% of queries over a
-    // second, the rest sub-second with untrimmable 2-decimal values)
-    // must keep full 2-decimal precision on every SUB-SECOND entry at
-    // the current query count — the mixed rungs trade >=1s decimals
-    // (1dp, then whole seconds <=0.5s absolute) to buy that headroom.
-    // Past ~240 queries NO complete object encoding fits the 2000-char
-    // tail at ANY precision (bare keys alone are ~7 chars each), so
-    // the stdout guarantee becomes: parseable, fully ACCOUNTED
-    // (kept + elided = all), gate entries always kept, <=0.5s absolute
-    // error per kept entry — and the EXACT 3-decimal record moves to
-    // BENCH_FULL.json (asserted below), which is not tail-budgeted.
-    val real = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
-      .map { case (name, i) =>
-        (name, 8.88, if (i % 3 == 0) 4.73 else 0.47) }
-    val realLine = Bench.renderJson(real, Nil, "/root/testdata/sf0.1")
-    assert(realLine.length < 1985, s"realistic line ${realLine.length}")
-    val realParsed = org.json4s.jackson.JsonMethods.parse(realLine)
-    val JObject(rqs) = (realParsed \ "queries"): @unchecked
-    val realElided = (realParsed \ "elided") match {
-      case JInt(v) => v.toInt
-      case JNothing => 0
-      case other => fail(s"unexpected elided: $other")
-    }
-    assert(rqs.size + realElided === real.size)
-    // elision must stay a small tail, never the bulk of the map
-    assert(realElided * 10 <= real.size,
-      s"realistic shape elided $realElided of ${real.size}")
-    if (realElided > 0) {
-      val kept = rqs.map(_._1).toSet
-      Bench.BaselineGates.foreach { full =>
-        val short = full.takeWhile(_ != '_').drop(1).dropWhile(_ == '0')
-        assert(kept(short) || kept(full), s"gate $full elided")
-      }
-    }
-    assert(rqs.forall {
-      case (_, JDouble(v)) =>
-        math.abs(v - 0.47) <= 0.5 || math.abs(v - 4.73) <= 0.5
-      case (_, JInt(v)) =>
-        (v.toDouble - 4.73).abs <= 0.5 || (v.toDouble - 0.47).abs <= 0.5
-      case _ => false
-    }, "realistic-shape entry drifted more than 0.5s")
+    assert(qs.map(_._1).toSet === Bench.BaselineGates.intersect(
+      names.toSet), "gates map != BaselineGates")
+    assert(qs.forall { case (_, v) =>
+      math.abs(num(v) - 0.47) <= 0.005 || math.abs(num(v) - 4.73) <= 0.005
+    }, "gate entry lost 2-decimal precision")
+
+    // pathological: 10_000 queries, 10_000 failures — length must stay
+    // bounded (count exact, names capped with failed_more remainder)
+    val huge = (1 to 10000).map(i => (f"q$i%05d_synthetic", 88.8, 77.7))
+    val hugeFailed = (1 to 10000).map(i => f"f$i%05d_synthetic_failure")
+    val hugeLine =
+      Bench.renderJson(huge, hugeFailed, "/root/testdata/sf0.1")
+    budgetOk(hugeLine)
+    val hp = org.json4s.jackson.JsonMethods.parse(hugeLine)
+    assert(num(hp \ "n_queries") === 10000.0)
+    assert(num(hp \ "n_failed") === 10000.0)
+    val JArray(fshown) = (hp \ "failed"): @unchecked
+    assert(fshown.size === 12)
+    assert(num(hp \ "failed_more") === (10000 - 12).toDouble)
+
     // the untruncated companion file keeps EXACT 3-decimal cold+warm
-    // for every query — this is where precision lives at scale
+    // for every query — this is where per-query precision lives
     val full = org.json4s.jackson.JsonMethods.parse(
-      Bench.renderFullJson(real, Nil, "/root/testdata/sf0.1"))
+      Bench.renderFullJson(results, Nil, "/root/testdata/sf0.1"))
     val JObject(cw) = (full \ "cold_warm"): @unchecked
-    assert(cw.size === real.size)
+    assert(cw.size === results.size)
     assert(cw.forall {
       case (_, JArray(List(JDouble(c), JDouble(w)))) =>
         c == 8.88 && (w == 0.47 || w == 4.73)
@@ -200,22 +174,20 @@ class GateSpec extends SparkSpec {
 
   test("bench reports a crashed query as failed, never as a timing") {
     import org.json4s._
-    // a broken query must land in "failed" with NO entry in "queries"
-    // and NO contribution to the totals — a crash that "finishes" in
-    // 0.06s must not read as a perf win (round-6 verdict defect #2)
+    // a broken query must land in "failed" with NO timing contribution
+    // to the totals — a crash that "finishes" in 0.06s must not read
+    // as a perf win (round-6 verdict defect #2)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val (broken, fine) = (names.head, names.tail)
     val results = fine.map(name => (name, 2.0, 1.0))
     val line = Bench.renderJson(results, Seq(broken), "/root/testdata/sf0.1")
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val JArray(failed) = (parsed \ "failed"): @unchecked
-    assert(failed.nonEmpty, "failed field missing or empty")
-    val failedKeys = failed.collect { case JString(s) => s }
-    assert(failedKeys.exists(k => broken.startsWith(k)),
-      s"broken query $broken not listed in failed=$failedKeys")
-    val JObject(qs) = (parsed \ "queries"): @unchecked
-    assert(!qs.exists { case (k, _) => broken.startsWith(k) },
-      "crashed query still carries a timing entry")
+    assert(failed === List(JString(broken)))
+    (parsed \ "n_failed") match {
+      case JInt(v) => assert(v === 1)
+      case other => fail(s"unexpected n_failed: $other")
+    }
     val coldTotal = (parsed \ "value") match {
       case JDouble(v) => v
       case JInt(v) => v.toDouble
@@ -223,14 +195,19 @@ class GateSpec extends SparkSpec {
     }
     assert(math.abs(coldTotal - 2.0 * fine.size) <= 0.05,
       "crashed query leaked into the cold total")
-    // the no-failure shape omits the field entirely (tail budget) —
-    // absent-or-empty both mean "nothing failed"
+    // the no-failure shape omits the names field; n_failed:0 is the
+    // unambiguous "nothing failed" signal
     val cleanLine = Bench.renderJson(
       names.map(n => (n, 1.0, 0.5)), Nil, "/root/testdata/sf0.1")
-    (org.json4s.jackson.JsonMethods.parse(cleanLine) \ "failed") match {
-      case JNothing => () // omitted: ok
+    val clean = org.json4s.jackson.JsonMethods.parse(cleanLine)
+    (clean \ "failed") match {
+      case JNothing => ()
       case JArray(none) => assert(none.isEmpty)
       case other => fail(s"unexpected failed field: $other")
+    }
+    (clean \ "n_failed") match {
+      case JInt(v) => assert(v === 0)
+      case other => fail(s"unexpected n_failed: $other")
     }
   }
 }

@@ -234,10 +234,14 @@ class MetricSpec extends SparkSpec {
         .groupBy(_._2).view.mapValues(_.length.toLong).toSeq
         .sortBy { case (u, c) => (-c, u) }.take(10).map(_._1).toSet
       val ov = (top(false) & top(true)).size.toLong
-      (t, ov, ov * 1000000L / 10)
+      // denominator = the smaller half's actual leaderboard size capped
+      // at 10 (round-7 advice) — a sparse type with identical 4-user
+      // leaderboards scores 1000000, not a forever-capped 400000
+      val k = math.min(10L, math.min(top(false).size, top(true).size))
+      (t, ov, k, if (k > 0) ov * 1000000L / k else 0L)
     }
     val got = MetricQueries.q247_leaderboard_churn(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === want)
   }
 
