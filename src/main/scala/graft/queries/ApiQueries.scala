@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -136,11 +136,156 @@ object ApiQueries {
        |  UNION ALL SELECT * FROM callees)
        |ORDER BY part, name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q254 — INCREMENTAL CODE-GRAPH INDEXING end-to-end (the reference's
+  // planned pipeline, rfc/001-code-intelligence-platform.md:76-80 /
+  // research.md:280-323: edit detection → delta re-derivation → atomic
+  // graph update). A deterministic Go corpus is generated from `part`
+  // (one file per key, two functions each); version B edits every
+  // k%7==0 file (FnA's call retargeted, FnB removed, FnC added). The
+  // query runs the REAL pipeline: full ingest of version A, then
+  // IncrementalIndex.reindex with version B — hash change detection,
+  // GoFrontend re-derivation of ONLY the changed files, stale-node +
+  // dangling-edge deletion, symbol GC — then a from-scratch ingest of
+  // version B as the in-engine recompute control (the q97/q167
+  // incremental-equals-recompute discipline: inc_vs_full_* must be 0).
+  // The DuckDB oracle independently REPLAYS the full re-index
+  // arithmetic from `part` (function survivorship, call-target
+  // existence, md5 checksums over names), so a wrong incremental
+  // result fails BOTH the in-engine control and the oracle.
+  // -------------------------------------------------------------------
+  private def goCorpus(spark: SparkSession, dir: String,
+      changed: Boolean): DataFrame =
+    Tables.part(spark, dir).filter(col("p_partkey") <= 2000)
+      .select(col("p_partkey").as("k"))
+      .withColumn("is_chg", (col("k") % 7 === 0) && lit(changed))
+      .withColumn("path", concat(lit("svc/pkg"), col("k") % 10,
+        lit("/f"), col("k"), lit(".go")))
+      .withColumn("callee", when(col("is_chg"), (col("k") * 11 + 1) % 50)
+        .otherwise((col("k") * 7 + 3) % 50))
+      .withColumn("second_fn", when(col("is_chg"),
+        concat(lit("FnC"), col("k"))).otherwise(concat(lit("FnB"), col("k"))))
+      .withColumn("content", concat(
+        lit("package pkg"), col("k") % 10,
+        lit("\n\n// doc for FnA\nfunc FnA"), col("k"),
+        lit("() {\n\tFnB"), col("callee"),
+        lit("()\n}\n\nfunc "), col("second_fn"), lit("() {\n}\n")))
+      .select(col("path"), col("content"))
+
+  def q254_incremental_index(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.model.Model.{Labels, RelTypes}
+    import graft.store.GraphStore
+    import graft.ingest.{GoFrontend, IncrementalIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incidx")
+    try {
+      val inc = new GraphStore(spark, s"$tmp/inc")
+      val full = new GraphStore(spark, s"$tmp/full")
+      GoFrontend.ingest(inc, goCorpus(spark, dir, changed = false), "svc")
+      val s = IncrementalIndex
+        .reindex(inc, goCorpus(spark, dir, changed = true), "svc")
+        .collect()(0)
+      GoFrontend.ingest(full, goCorpus(spark, dir, changed = true), "svc")
+
+      def md5i(c: Column): Column =
+        conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+      def agg1(df: DataFrame, ck: Column): (Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum(ck), lit(0L))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val funcs = inc.nodes.filter(col("label") === Labels.Function)
+      val (nFn, ckFn) = agg1(funcs,
+        md5i(concat(col("name"), lit("|"), col("filePath"))))
+      val names = funcs.select(col("id"), col("name"))
+      val callPairs = inc.edges.filter(col("relType") === RelTypes.Calls)
+        .join(names.toDF("src", "caller"), Seq("src"))
+        .join(names.toDF("dst", "callee"), Seq("dst"))
+      val (nCalls, ckCalls) = agg1(callPairs,
+        md5i(concat(col("caller"), lit(">"), col("callee"))))
+      def cnt(df: DataFrame): Long = df.count()
+      val nFiles = cnt(inc.nodesByLabel(Labels.File))
+      val nMods = cnt(inc.nodesByLabel(Labels.Module))
+      val nSyms = cnt(inc.nodesByLabel(Labels.Symbol))
+      val nContains = cnt(inc.edgesByType(RelTypes.Contains))
+      val nDefines = cnt(inc.edgesByType(RelTypes.Defines))
+      val incIds = inc.nodes.select(col("id"))
+      val fullIds = full.nodes.select(col("id"))
+      val diffNodes = cnt(incIds.except(fullIds)) +
+        cnt(fullIds.except(incIds))
+      def ek(df: DataFrame) = df.select(col("src"), col("dst"),
+        col("relType"))
+      val diffEdges = cnt(ek(inc.edges).except(ek(full.edges))) +
+        cnt(ek(full.edges).except(ek(inc.edges)))
+      Seq(
+        ("calls", nCalls, ckCalls),
+        ("changed_files", s.getLong(0), 0L),
+        ("contains", nContains, 0L),
+        ("defines", nDefines, 0L),
+        ("files", nFiles, 0L),
+        ("functions", nFn, ckFn),
+        ("inc_vs_full_edges", diffEdges, 0L),
+        ("inc_vs_full_nodes", diffNodes, 0L),
+        ("modules", nMods, 0L),
+        ("stale_nodes", s.getLong(3), 0L),
+        ("symbols", nSyms, 0L))
+        .toDF("metric", "n", "checksum")
+        .orderBy(col("metric"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
+
+  val q254_sql: String =
+    """WITH keys AS (
+      |  SELECT p_partkey AS k FROM part WHERE p_partkey <= 2000),
+      |fp AS (
+      |  SELECT k, 'svc/pkg' || CAST(k % 10 AS VARCHAR) || '/f' ||
+      |    CAST(k AS VARCHAR) || '.go' AS fpath FROM keys),
+      |fns AS (
+      |  SELECT 'FnA' || CAST(k AS VARCHAR) AS name, fpath FROM fp
+      |  UNION ALL
+      |  SELECT 'FnB' || CAST(k AS VARCHAR), fpath FROM fp WHERE k % 7 <> 0
+      |  UNION ALL
+      |  SELECT 'FnC' || CAST(k AS VARCHAR), fpath FROM fp WHERE k % 7 = 0),
+      |calls AS (
+      |  SELECT 'FnA' || CAST(k AS VARCHAR) AS caller,
+      |    'FnB' || CAST(CASE WHEN k % 7 = 0 THEN (k * 11 + 1) % 50
+      |      ELSE (k * 7 + 3) % 50 END AS VARCHAR) AS callee
+      |  FROM keys),
+      |vcalls AS (
+      |  SELECT caller, callee FROM calls
+      |  WHERE callee IN (SELECT name FROM fns)),
+      |m AS (
+      |  SELECT 'calls' AS metric,
+      |    (SELECT COUNT(*) FROM vcalls) AS n,
+      |    (SELECT COALESCE(SUM(('0x' || substr(md5(caller || '>' ||
+      |      callee), 1, 7))::BIGINT), 0) FROM vcalls) AS checksum
+      |  UNION ALL SELECT 'changed_files',
+      |    (SELECT COUNT(*) FROM keys WHERE k % 7 = 0), 0
+      |  UNION ALL SELECT 'contains', 3 * (SELECT COUNT(*) FROM keys), 0
+      |  UNION ALL SELECT 'defines', (SELECT COUNT(*) FROM fns), 0
+      |  UNION ALL SELECT 'files', (SELECT COUNT(*) FROM keys), 0
+      |  UNION ALL SELECT 'functions', (SELECT COUNT(*) FROM fns),
+      |    (SELECT COALESCE(SUM(('0x' || substr(md5(name || '|' ||
+      |      fpath), 1, 7))::BIGINT), 0) FROM fns)
+      |  UNION ALL SELECT 'inc_vs_full_edges', 0, 0
+      |  UNION ALL SELECT 'inc_vs_full_nodes', 0, 0
+      |  UNION ALL SELECT 'modules',
+      |    (SELECT COUNT(DISTINCT k % 10) FROM keys), 0
+      |  UNION ALL SELECT 'stale_nodes',
+      |    (SELECT COUNT(*) FROM keys WHERE k % 7 = 0), 0
+      |  UNION ALL SELECT 'symbols', (SELECT COUNT(*) FROM fns), 0)
+      |SELECT metric, CAST(n AS BIGINT) AS n,
+      |  CAST(checksum AS BIGINT) AS checksum
+      |FROM m ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_callers_callees" -> q101_callers_callees _,
-    "q102_analyze_function" -> q102_analyze_function _)
+    "q102_analyze_function" -> q102_analyze_function _,
+    "q254_incremental_index" -> q254_incremental_index _)
 
   val oracles: Map[String, String] = Map(
     "q101_callers_callees" -> q101_sql,
-    "q102_analyze_function" -> q102_sql)
+    "q102_analyze_function" -> q102_sql,
+    "q254_incremental_index" -> q254_sql)
 }
