@@ -2,12 +2,13 @@ package graft.pipeline
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Real decoders for the codec-FREE media containers — PCM WAV (RIFF)
-  * and uncompressed 24-bit BMP — in pure JVM byte arithmetic, so the
-  * multimodal layer genuinely decodes where no codec library is needed.
-  * Compressed formats (JPEG, H.264, …) still fall back to the declared
-  * stub ([[Multimodal.decodeStub]]); this container has no codecs, and
-  * an honest stub beats a fake decoder.
+/** Real decoders for the codec-FREE media containers — PCM WAV (RIFF),
+  * uncompressed 24-bit BMP, and the MJPEG-in-AVI RIFF walk — in pure
+  * JVM byte arithmetic, so the multimodal layer genuinely decodes where
+  * no codec library is needed; PNG/JPEG/GIF ride javax.imageio (so
+  * MJPEG AVI frames decode end-to-end). Formats with no JDK codec
+  * (H.264, compressed audio) still fall back to the declared stub
+  * ([[Multimodal.decodeStub]]); an honest stub beats a fake decoder.
   *
   * Everything here is a pure function of the byte array — executor-safe
   * inside `mapPartitions`, deterministic on any partitioning.
@@ -344,5 +345,116 @@ object MediaCodecs {
     }
     out(7) = img.width.toFloat / math.max(1, img.height)
     out
+  }
+
+  // ------------------------------------------------------------- AVI
+  /** AVI container metadata (from the `avih` main header). */
+  case class AviMeta(width: Int, height: Int, usecPerFrame: Int,
+      frameCount: Int)
+
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Encode an MJPEG-in-AVI container: minimal RIFF layout (hdrl with
+    * avih + one vids/MJPG stream, movi with one `00dc` chunk per JPEG
+    * frame) in pure byte arithmetic — the video-side counterpart of
+    * [[encodeWav]]. `frames` are already-encoded JPEG payloads (use
+    * [[encodeJpeg]]); all frames are declared at (width, height). */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+      usecPerFrame: Int): Array[Byte] = {
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length % 2
+      val buf = ByteBuffer.allocate(8 + data.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(fourcc(id)).putInt(data.length).put(data)
+      if (pad == 1) buf.put(0.toByte)
+      buf.array()
+    }
+    def list(subtype: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(subtype) ++ payload)
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usecPerFrame).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      b.putInt(width).putInt(height)
+      b.array() // 4 reserved dwords stay zero
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(fourcc("vids")).put(fourcc("MJPG"))
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+      b.putInt(usecPerFrame).putInt(1000000) // scale/rate = frame rate
+      b.putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+      b.putShort(0).putShort(0)
+      b.putShort(width.toShort).putShort(height.toShort)
+      b.array()
+    }
+    val strf = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height).putShort(1)
+      b.putShort(24).put(fourcc("MJPG")).putInt(width * height * 3)
+      b.array() // remaining BITMAPINFOHEADER fields zero
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    val out = ByteBuffer.allocate(8 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(fourcc("RIFF")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Walk the RIFF tree of an AVI and return the main-header metadata
+    * plus every video frame payload (`##dc`/`##db` chunks inside LIST
+    * movi, in file order — for MJPEG each payload is a complete JPEG,
+    * decodable by [[decodeImage]]). Unknown chunks are skipped, chunk
+    * word-alignment is honored, and any structural violation returns
+    * None — same discipline as [[decodeWav]]/[[decodeBmp]]. */
+  def decodeAviFrames(bytes: Array[Byte])
+      : Option[(AviMeta, Seq[Array[Byte]])] = {
+    if (!isAvi(bytes)) return None
+    try {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val riffLen = buf.getInt(4)
+      val end = math.min(bytes.length.toLong, 8L + riffLen).toInt
+      var meta: Option[AviMeta] = None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def id(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      // walk one chunk run [from, until); recurse into LIST hdrl/movi
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val cid = id(off)
+          val len = buf.getInt(off + 4)
+          if (len < 0 || off + 8 + len > until) return // truncated
+          if (cid == "LIST" && len >= 4) {
+            val sub = id(off + 8)
+            if (sub == "hdrl" || sub == "movi" || sub == "strl")
+              walk(off + 12, off + 8 + len)
+          } else if (cid == "avih" && len >= 40) {
+            meta = Some(AviMeta(
+              width = buf.getInt(off + 8 + 32),
+              height = buf.getInt(off + 8 + 36),
+              usecPerFrame = buf.getInt(off + 8),
+              frameCount = buf.getInt(off + 8 + 16)))
+          } else if (cid.length == 4 &&
+              cid(0).isDigit && cid(1).isDigit &&
+              (cid.endsWith("dc") || cid.endsWith("db"))) {
+            frames += java.util.Arrays.copyOfRange(bytes, off + 8,
+              off + 8 + len)
+          }
+          off += 8 + len + (len % 2) // chunks are word-aligned
+        }
+      }
+      walk(12, end)
+      meta.map(m => (m, frames.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -1807,6 +1807,86 @@ object CurationQueries {
       |FROM base b LEFT JOIN kept k USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+
+  // -------------------------------------------------------------------
+  // q255 — MJPEG-in-AVI FRAME FAN-OUT with the real container walk and
+  // the real JPEG decoder (round-7 verdict task #7: the closable video
+  // slice — RIFF is pure byte arithmetic, ImageIO decodes the frames).
+  // Per document an AVI is synthesized ON THE EXECUTORS: k JPEG frames
+  // of a smooth closed-form gradient, muxed by encodeAviMjpeg, then
+  // demuxed by decodeAviFrames (RIFF chunk walk) and each frame decoded
+  // by decodeImage. The oracle predicts everything deterministic —
+  // frame count, per-frame dims, fps from the avih header — while two
+  // boolean gates prove the lossy/byte-level parts executed: byte_exact
+  // (extracted payload == muxed payload, container transparency) and
+  // pixels_ok (decoded pixels within JPEG tolerance of the synthesis
+  // formula — gradients are smooth so mean abs error stays small).
+  // Scale shape: embarrassingly parallel mapPartitions, k rows/doc.
+  // -------------------------------------------------------------------
+  def q255_avi_frames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.flatMap { id =>
+      val k = (2 + id % 4).toInt
+      val w = (16 + (id % 3) * 8).toInt
+      val h = 16
+      val usec = Seq(100000, 50000, 40000)((id % 3).toInt)
+      def pix(f: Int): Array[Byte] = {
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val d = (y * w + x) * 3
+            rgb(d) = ((id % 64) + 2 * x + 8 * f).toByte
+            rgb(d + 1) = ((id % 64) + 2 * y + 4 * f).toByte
+            rgb(d + 2) = (100 + 2 * f).toByte
+            x += 1
+          }
+          y += 1
+        }
+        rgb
+      }
+      val jpegs = (0 until k).map(f =>
+        MediaCodecs.encodeJpeg(MediaCodecs.BmpImage(w, h, pix(f))))
+      val avi = MediaCodecs.encodeAviMjpeg(jpegs, w, h, usec)
+      val (meta, frames) = MediaCodecs.decodeAviFrames(avi).getOrElse(
+        sys.error(s"AVI demux failed for doc $id"))
+      frames.zipWithIndex.map { case (payload, f) =>
+        val byteExact = java.util.Arrays.equals(payload, jpegs(f))
+        val img = MediaCodecs.decodeImage(payload).getOrElse(
+          sys.error(s"frame decode failed for doc $id frame $f"))
+        val want = pix(f)
+        var absErr = 0L
+        var i = 0
+        while (i < want.length) {
+          absErr += math.abs((img.rgb(i) & 0xff) - (want(i) & 0xff))
+          i += 1
+        }
+        val pixelsOk = absErr.toDouble / want.length < 8.0
+        (id, f, img.width, img.height, 1000000 / meta.usecPerFrame,
+          frames.length.toLong, byteExact, pixelsOk)
+      }
+    }.toDF("media_id", "frame_index", "width", "height", "fps",
+        "n_frames", "byte_exact", "pixels_ok")
+      .orderBy(col("media_id"), col("frame_index"))
+  }
+
+  val q255_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS k,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS w,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 20
+      |      ELSE 25 END AS INT) AS fps
+      |  FROM documents)
+      |SELECT doc_id AS media_id, CAST(u.f AS INT) AS frame_index,
+      |  w AS width, CAST(16 AS INT) AS height, fps,
+      |  CAST(k AS BIGINT) AS n_frames,
+      |  true AS byte_exact, true AS pixels_ok
+      |FROM d, unnest(generate_series(0, CAST(k AS BIGINT) - 1)) AS u(f)
+      |ORDER BY media_id, frame_index""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_leakfree_split" -> q126_leakfree_split _,
     "q130_shard_manifest" -> q130_shard_manifest _,
@@ -1842,6 +1922,7 @@ object CurationQueries {
     "q161_image_decode" -> q161_image_decode _,
     "q164_audio_decode" -> q164_audio_decode _,
     "q238_audio_features" -> q238_audio_features _,
+    "q255_avi_frames" -> q255_avi_frames _,
     "q250_curation_v2" -> q250_curation_v2 _)
 
   val oracles: Map[String, String] = Map(
@@ -1879,5 +1960,6 @@ object CurationQueries {
     "q161_image_decode" -> q161_sql,
     "q164_audio_decode" -> q164_sql,
     "q238_audio_features" -> q238_sql,
+    "q255_avi_frames" -> q255_sql,
     "q250_curation_v2" -> q250_sql)
 }

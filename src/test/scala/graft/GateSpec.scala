@@ -132,8 +132,9 @@ class GateSpec extends SparkSpec {
     // totals are exact to the 1dp rendering
     val nSub = names.indices.count(_ % 3 != 0)
     val expWarm = 4.73 * (names.size - nSub) + 0.47 * nSub
-    assert(math.abs(num(parsed \ "value") - 8.88 * names.size) <= 0.05)
-    assert(math.abs(num(parsed \ "warm") - expWarm) <= 0.05)
+    // 1dp rendering floor + binary-float sum drift: 0.05 + epsilon
+    assert(math.abs(num(parsed \ "value") - 8.88 * names.size) <= 0.051)
+    assert(math.abs(num(parsed \ "warm") - expWarm) <= 0.051)
     assert(num(parsed \ "n_queries") === names.size.toDouble)
     assert(num(parsed \ "n_failed") === 0.0)
     assert((parsed \ "full") === JString("BENCH_FULL.json"))

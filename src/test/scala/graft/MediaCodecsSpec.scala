@@ -332,4 +332,42 @@ class MediaCodecsSpec extends SparkSpec {
     // junk output shrank by the pixel ratio (stub path)
     assert(out(2L).bytes.length === 96 * (2 * 2) / (4 * 4))
   }
+
+  test("AVI mux/demux round-trips frame bytes; odd sizes pad; meta " +
+      "fields survive; corrupt input returns None") {
+    import MediaCodecs._
+    // frames with ODD byte lengths exercise the word-alignment rule
+    val f1 = Array.tabulate[Byte](101)(i => (i * 3).toByte)
+    val f2 = Array.tabulate[Byte](256)(i => (i ^ 0x5a).toByte)
+    val f3 = Array.tabulate[Byte](7)(i => i.toByte)
+    val avi = encodeAviMjpeg(Seq(f1, f2, f3), 64, 48, 40000)
+    assert(isAvi(avi))
+    val (meta, frames) = decodeAviFrames(avi).get
+    assert(meta === AviMeta(64, 48, 40000, 3))
+    assert(frames.length === 3)
+    assert(frames(0).toSeq === f1.toSeq)
+    assert(frames(1).toSeq === f2.toSeq)
+    assert(frames(2).toSeq === f3.toSeq)
+    // a REAL jpeg payload survives the container and decodes
+    val img = BmpImage(16, 16, Array.tabulate[Byte](16 * 16 * 3)(i =>
+      (40 + (i % 48)).toByte))
+    val jpeg = encodeJpeg(img)
+    val (m2, fr2) = decodeAviFrames(
+      encodeAviMjpeg(Seq(jpeg), 16, 16, 100000)).get
+    assert(m2.frameCount === 1)
+    val dec = decodeImage(fr2.head)
+    assert(dec.exists(d => d.width === 16 && d.height === 16))
+    // zero frames: meta still parses, empty frame list
+    val (m0, fr0) = decodeAviFrames(
+      encodeAviMjpeg(Nil, 8, 8, 100000)).get
+    assert(m0.frameCount === 0 && fr0.isEmpty)
+    // corrupt inputs: not RIFF, truncated mid-chunk, wrong form type
+    assert(decodeAviFrames("nope".getBytes).isEmpty)
+    assert(decodeAviFrames(avi.take(11)).isEmpty)
+    val wav = encodeWav(Array.tabulate[Short](32)(_.toShort), 8000, 1)
+    assert(decodeAviFrames(wav).isEmpty)
+    // truncation INSIDE the movi list must not yield phantom frames
+    val cut = decodeAviFrames(avi.dropRight(40))
+    assert(cut.forall(_._2.length < 3))
+  }
 }
