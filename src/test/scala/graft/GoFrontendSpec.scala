@@ -405,5 +405,20 @@ class GoFrontendSpec extends SparkSpec {
     val fullNext = new GraphStore(spark, s"$dir/fullNext")
     GoFrontend.ingest(fullNext, vNext.toDF("path", "content"), "svc")
     graphEq(inc, fullNext, "distributed path")
+
+    // LSP queries re-verify against the incrementally-updated store
+    // (the rfc/001 end state: save → delta index → live queries)
+    val cg = CodeGraph(inc)
+    val defRow = cg.goToDefinition(
+      "scip-go go svc v0 p1/Fn9().").collect()
+    assert(defRow.length === 1 && defRow(0)
+      .getAs[String]("name") === "Fn9")
+    // f9 now calls Fn20 — callersOf must see the NEW edge, not v1's
+    val callers = cg.callersOf("Fn20", 10).collect()
+      .map(_.getAs[String]("name")).toSet
+    assert(callers.contains("Fn9"))
+    val gone = cg.callersOf("Fn10", 10).collect()
+      .map(_.getAs[String]("name")).toSet
+    assert(!gone.contains("Fn9"), "stale CALLS edge survived reindex")
   }
 }
