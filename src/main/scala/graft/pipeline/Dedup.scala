@@ -457,7 +457,7 @@ object Dedup {
     * corpora. The shingle rows materialize once and feed the df-rank,
     * set-collect, and candidate branches. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2): DataFrame = {
+      n: Int = 2, setVerifyMaxShingleRows: Long = 3000000L): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, n).localCheckpoint(true)
     // document frequency as groupBy + join-back (NOT a window over the
     // full shingle rows): AQE broadcasts the df table when the
@@ -471,26 +471,65 @@ object Dedup {
       .withColumn("_rk", row_number().over(wRarest))
       .filter(col("_rk") <= 2)
       .select(col("doc"), col("shingle"))
-    val sets = sh.groupBy(col("doc"))
-      .agg(collect_list(col("shingle")).as("set"),
-        count(lit(1)).as("sz"))
     val cand = prefix.as("r").join(sh.as("o"),
         col("r.shingle") === col("o.shingle") &&
         col("r.doc") =!= col("o.doc"))
       .groupBy(col("r.doc").as("inner_id"), col("o.doc").as("outer_id"))
       .agg(count(lit(1)).as("_matched"))
-    cand
-      .join(sets.select(col("doc").as("inner_id"),
-        col("set").as("_iset"), col("sz").as("size_inner")), Seq("inner_id"))
-      // a 1-shingle doc has a 1-long prefix — require the full prefix
-      .filter(col("_matched") === least(lit(2), col("size_inner")))
-      .join(sets.select(col("doc").as("outer_id"),
-        col("set").as("_oset"), col("sz").as("size_outer")), Seq("outer_id"))
-      .filter(col("size_inner") < col("size_outer") &&
-        size(array_intersect(col("_iset"), col("_oset"))) ===
-          col("size_inner"))
-      .select(col("inner_id"), col("outer_id"),
-        col("size_inner"), col("size_outer"))
+    // Two equivalent verify strategies (equality-tested in QualitySpec),
+    // chosen by corpus size — the jaccardPairsAdaptive discipline:
+    //   - SMALL (shingle rows fit executor memory comfortably): carry
+    //     collect_list shingle sets to the candidates and use a native
+    //     array_intersect — fewest joins, fastest at bench scale.
+    //   - LARGE: the wide set rows become the bottleneck (at the 100×
+    //     stress — 600k docs, 25.6M shingle rows — the set-carrying
+    //     path spent 42 s in GC and spilled; measured 719 s warm).
+    //     Verify JOIN-NATIVE instead: explode each surviving pair by
+    //     the inner doc's shingles and probe the outer doc's rows on
+    //     (doc, shingle) — narrow rows, O(Σ candidate·|inner|) shuffle,
+    //     no wide-row memory cliff, the shape a 1000-executor cluster
+    //     partitions cleanly (measured 668 s warm / 27 s GC at 100×,
+    //     and degrading smoothly rather than cliffing).
+    val nsh = sh.count() // sh is checkpointed — metadata-cheap
+    if (nsh <= setVerifyMaxShingleRows) {
+      val sets = sh.groupBy(col("doc"))
+        .agg(collect_list(col("shingle")).as("set"),
+          count(lit(1)).as("sz"))
+      cand
+        .join(sets.select(col("doc").as("inner_id"),
+          col("set").as("_iset"), col("sz").as("size_inner")),
+          Seq("inner_id"))
+        // a 1-shingle doc has a 1-long prefix — require the full prefix
+        .filter(col("_matched") === least(lit(2), col("size_inner")))
+        .join(sets.select(col("doc").as("outer_id"),
+          col("set").as("_oset"), col("sz").as("size_outer")),
+          Seq("outer_id"))
+        .filter(col("size_inner") < col("size_outer") &&
+          size(array_intersect(col("_iset"), col("_oset"))) ===
+            col("size_inner"))
+        .select(col("inner_id"), col("outer_id"),
+          col("size_inner"), col("size_outer"))
+    } else {
+      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+      val filtered = cand
+        .join(sizes.select(col("doc").as("inner_id"),
+          col("sz").as("size_inner")), Seq("inner_id"))
+        .filter(col("_matched") === least(lit(2), col("size_inner")))
+        .join(sizes.select(col("doc").as("outer_id"),
+          col("sz").as("size_outer")), Seq("outer_id"))
+        .filter(col("size_inner") < col("size_outer"))
+      filtered
+        .join(sh.select(col("doc").as("inner_id"), col("shingle")),
+          Seq("inner_id"))
+        .join(sh.select(col("doc").as("outer_id"), col("shingle")),
+          Seq("outer_id", "shingle"))
+        .groupBy(col("inner_id"), col("outer_id"),
+          col("size_inner"), col("size_outer"))
+        .agg(count(lit(1)).as("_inter"))
+        .filter(col("_inter") === col("size_inner"))
+        .select(col("inner_id"), col("outer_id"),
+          col("size_inner"), col("size_outer"))
+    }
   }
 
   /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating

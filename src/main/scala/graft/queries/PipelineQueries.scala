@@ -767,9 +767,109 @@ object PipelineQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+
+  // -------------------------------------------------------------------
+  // q256 — RECALL AUDIT of the size-adaptive multiprobe (q253) against
+  // exact brute-force top-3 (q25's baseline), completing the sizing-
+  // rule story: SCALING.md shows the rule holds candidate volume flat;
+  // this entry gates what that bounded volume BUYS — recall@3 over a
+  // deterministic 5% query sample, as an exact ppm both engines
+  // reproduce (q112's LSH-recall discipline, applied to the
+  // corpus-sized signature). At scale the brute side is the audit, not
+  // the serving path: queries are sampled, the corpus side streams.
+  // -------------------------------------------------------------------
+  def q256_sized_recall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exact = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+        k = 3, roundTo = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = Similarity.wtaMultiprobeTopKSized(e, "vec_id", "embedding",
+        k = 3, dims = ExtendedQueries.EmbDim)
+      .filter(col("query_id") % 20 === 0)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+    exact.join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(coalesce(col("_hit"), lit(0L))), lit(0L))
+          .as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        expr("n_hit * 1000000 div greatest(n_true, 1)")
+          .as("recall_ppm"))
+  }
+
+  val q256_sql: String = {
+    val bits = ExtendedQueries.wtaSigSqlMasked(30, "embedding", "bb")
+    s"""WITH nq AS (
+       |  SELECT GREATEST((GREATEST(COUNT(*), 2) - 1) // 16, 1) AS q
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT LEAST(15, GREATEST(4, (
+       |    SELECT COUNT(*) FROM nq, generate_series(0, 62) g(i)
+       |    WHERE q >> i > 0))) AS bb),
+       |s AS (
+       |  SELECT vec_id AS vid, bb, $bits AS sig
+       |  FROM embeddings CROSS JOIN p),
+       |banded AS (
+       |  SELECT vid, bb, g.i AS band,
+       |    (sig >> (g.i * bb)) & ((1::BIGINT << bb) - 1) AS band_val
+       |  FROM s CROSS JOIN generate_series(0, 1) AS g(i)),
+       |probes AS (
+       |  SELECT vid, band,
+       |    CASE WHEN pr.j < 0 THEN band_val
+       |      ELSE xor(band_val, 1::BIGINT << pr.j) END AS probe_val
+       |  FROM banded CROSS JOIN generate_series(-1, 14) AS pr(j)
+       |  WHERE pr.j < bb),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM probes a JOIN banded b
+       |    ON a.band = b.band AND a.probe_val = b.band_val
+       |   AND a.vid < b.vid),
+       |directed AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+       |  UNION ALL SELECT id_b, id_a FROM cand),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 5) AS sim
+       |  FROM directed d JOIN embeddings q ON q.vec_id = d.query_id
+       |                  JOIN embeddings c ON c.vec_id = d.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id FROM r
+       |  WHERE rk <= 3 AND query_id % 20 = 0),
+       |bq AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |bc AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |bs AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(qv, cv), 5) AS sim
+       |  FROM bq, bc WHERE neighbor_id <> query_id),
+       |br AS (
+       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM bs),
+       |ex AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 3),
+       |hits AS (
+       |  SELECT CASE WHEN l.query_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM ex LEFT JOIN lsh l ON ex.query_id = l.query_id
+       |    AND ex.neighbor_id = l.neighbor_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(SUM(hit), 0) * 1000000
+       |    // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_ppm
+       |FROM hits""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q240_multiprobe_lsh" -> q240_multiprobe_lsh _,
     "q253_sized_multiprobe" -> q253_sized_multiprobe _,
+    "q256_sized_recall" -> q256_sized_recall _,
     "q112_lsh_recall" -> q112_lsh_recall _,
     "q122_editsim_dedup" -> q122_editsim_dedup _,
     "q128_winnow_pairs" -> q128_winnow_pairs _,
@@ -792,6 +892,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q240_multiprobe_lsh" -> q240_sql,
     "q253_sized_multiprobe" -> q253_sql,
+    "q256_sized_recall" -> q256_sql,
     "q112_lsh_recall" -> q112_sql,
     "q122_editsim_dedup" -> q122_sql,
     "q128_winnow_pairs" -> q128_sql,

@@ -433,4 +433,20 @@ class QualitySpec extends SparkSpec {
         if (r.isNullAt(5)) None else Some(r.getLong(5))))
     assert(got.toSeq === want)
   }
+
+  test("containment verify: set path and join-native path agree") {
+    // the adaptive verify (jaccardPairsAdaptive discipline) must be a
+    // pure execution-strategy choice — same pairs either way
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(thresh: Long) = graft.pipeline.Dedup
+      .containmentPairs(docs, "doc_id", "text", 2,
+        setVerifyMaxShingleRows = thresh)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val viaSets = pairs(Long.MaxValue)
+    val viaJoin = pairs(0L)
+    assert(viaSets === viaJoin)
+    assert(viaSets.nonEmpty, "fixture produced no containment pairs")
+  }
 }
