@@ -425,21 +425,25 @@ object Centrality {
   }
 
   /** SQL mirror of [[multiSourceBfs]]: `edgesSql` selects (src, dst),
-    * `seedsSql` selects (id). Final CTE is b$maxHops(seed, id, dist). */
+    * `seedsSql` selects (id). Final CTE is ${prefix}b$maxHops(seed, id,
+    * dist). `prefix` namespaces every CTE so one oracle can run TWO
+    * independent BFS passes (q257 runs a landmark pass and an exact
+    * audit pass in the same WITH chain); the default keeps the
+    * historical names so existing oracles are byte-identical. */
   def multiSourceBfsSql(edgesSql: String, seedsSql: String,
-      maxHops: Int): String = {
+      maxHops: Int, prefix: String = ""): String = {
     val steps = (1 to maxHops).map { k =>
-      s"""b$k AS MATERIALIZED (
+      s"""${prefix}b$k AS MATERIALIZED (
          |  SELECT seed, id, MIN(dist) AS dist FROM (
-         |    SELECT seed, id, dist FROM b${k - 1}
+         |    SELECT seed, id, dist FROM ${prefix}b${k - 1}
          |    UNION ALL
          |    SELECT p.seed, e.dst AS id, p.dist + 1 AS dist
-         |    FROM b${k - 1} p JOIN edges e ON e.src = p.id)
+         |    FROM ${prefix}b${k - 1} p JOIN ${prefix}edges e ON e.src = p.id)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""edges AS MATERIALIZED (
+    s"""${prefix}edges AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM ($edgesSql)),
-       |b0 AS (SELECT DISTINCT id AS seed, id, CAST(0 AS BIGINT) AS dist
+       |${prefix}b0 AS (SELECT DISTINCT id AS seed, id, CAST(0 AS BIGINT) AS dist
        |  FROM ($seedsSql)),
        |$steps""".stripMargin
   }

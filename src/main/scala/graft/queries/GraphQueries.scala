@@ -685,7 +685,121 @@ object GraphQueries {
        |  (SELECT MAX(eccentricity_capped) FROM ecc) AS diameter_lb
        |FROM ecc ORDER BY seed""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q257 — landmark (pivot) distance oracle: precompute BFS distances
+  // from a small landmark set L, then answer point distance queries
+  // d(u,w) with the sketch estimate d̂ = min_{l∈L} d(u,l)+d(l,w)
+  // (Potamias et al. 2009, the standard shortest-path index for
+  // social-scale graphs where per-query BFS is unaffordable). An exact
+  // multi-source BFS from a BOUNDED source sample audits the estimate:
+  // stretch_ppm = d̂·10⁶ div d ≥ 10⁶ by the triangle inequality (the
+  // graph is symmetrized, so landmark distances are admissible upper
+  // bounds), with equality whenever some landmark lies on a shortest
+  // u–w path.
+  //
+  // Scale shape: the landmark pass is ONE multi-source BFS carrying
+  // |L| seeds (state O(|L|·V), the precomputed index a real system
+  // materializes once); query evaluation is two broadcast-pruned joins
+  // on the landmark id — never a per-query traversal. The exact audit
+  // side is capped at ≤207 sources at ANY scale (p_partkey ≤ 20000),
+  // the same bounded-exactness-baseline discipline as q68's ANN
+  // recall audit.
+  // ---------------------------------------------------------------------
+  private val LdHops = 12
+
+  private def undSymSql: String =
+    """SELECT a AS src, b AS dst FROM (
+      |    SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+      |      SELECT p_partkey AS s, p_partkey // 2 AS d FROM part
+      |      WHERE p_partkey >= 2
+      |      UNION ALL
+      |      SELECT p_partkey, p_partkey - 1 FROM part WHERE p_partkey >= 2)
+      |    WHERE s <> d)
+      |  UNION ALL
+      |  SELECT b, a FROM (
+      |    SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+      |      SELECT p_partkey AS s, p_partkey // 2 AS d FROM part
+      |      WHERE p_partkey >= 2
+      |      UNION ALL
+      |      SELECT p_partkey, p_partkey - 1 FROM part WHERE p_partkey >= 2)
+      |    WHERE s <> d)""".stripMargin
+
+  def q257_landmark_distance(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val raw = p.filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("s"), expr("p_partkey div 2").as("d"))
+      .unionAll(p.filter(col("p_partkey") >= 2)
+        .select(col("p_partkey").as("s"), (col("p_partkey") - 1).as("d")))
+    val und = raw.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val landmarks = p.filter(col("p_partkey") % 293 === 7)
+      .select(col("p_partkey").as("id"))
+    val sources = p.filter(col("p_partkey") % 97 === 5 &&
+        col("p_partkey") <= 20000)
+      .select(col("p_partkey").as("id"))
+    val targets = p.filter(col("p_partkey") % 89 === 7)
+      .select(col("p_partkey").as("id"))
+    val lDist = graft.graph.Centrality.multiSourceBfs(sym, landmarks, LdHops)
+    val sDist = graft.graph.Centrality.multiSourceBfs(sym, sources, LdHops)
+    // restrict the index to the query endpoints BEFORE the landmark
+    // self-join — joining the full index with itself would be
+    // O(reach²) per landmark
+    val lu = lDist.join(broadcast(sources), Seq("id"))
+      .select(col("seed").as("l"), col("id").as("u"), col("dist").as("du"))
+    val lw = lDist.join(broadcast(targets), Seq("id"))
+      .select(col("seed").as("l"), col("id").as("w"), col("dist").as("dw"))
+    val est = lu.join(lw, Seq("l"))
+      .groupBy(col("u"), col("w"))
+      .agg(min(col("du") + col("dw")).as("d_est"))
+    val exact = sDist
+      .select(col("seed").as("u"), col("id").as("w"), col("dist").as("d_exact"))
+    val pairs = targets.select(col("id").as("w"))
+      .crossJoin(broadcast(sources.select(col("id").as("u"))))
+      .filter(col("u") =!= col("w"))
+    pairs
+      .join(est, Seq("u", "w"), "left_outer")
+      .join(exact, Seq("u", "w"), "left_outer")
+      .select(col("u"), col("w"), col("d_exact"), col("d_est"),
+        when(col("d_exact").isNotNull && col("d_est").isNotNull,
+          expr("(d_est * 1000000) div d_exact")).as("stretch_ppm"))
+      .orderBy(col("stretch_ppm").desc_nulls_last, col("u"), col("w"))
+      .limit(50)
+  }
+
+  val q257_sql: String = {
+    val lm = "SELECT p_partkey AS id FROM part WHERE p_partkey % 293 = 7"
+    val src = "SELECT p_partkey AS id FROM part " +
+      "WHERE p_partkey % 97 = 5 AND p_partkey <= 20000"
+    s"""WITH ${graft.graph.Centrality
+         .multiSourceBfsSql(undSymSql, lm, LdHops, "l")},
+       |${graft.graph.Centrality
+         .multiSourceBfsSql(undSymSql, src, LdHops, "s")},
+       |srcs AS ($src),
+       |tgts AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 89 = 7),
+       |lu AS (SELECT seed AS l, id AS u, dist AS du FROM lb$LdHops
+       |       WHERE id IN (SELECT id FROM srcs)),
+       |lw AS (SELECT seed AS l, id AS w, dist AS dw FROM lb$LdHops
+       |       WHERE id IN (SELECT id FROM tgts)),
+       |est AS (SELECT u, w, MIN(du + dw) AS d_est
+       |        FROM lu JOIN lw USING (l) GROUP BY u, w),
+       |ex AS (SELECT seed AS u, id AS w, dist AS d_exact FROM sb$LdHops),
+       |pairs AS (SELECT s.id AS u, t.id AS w FROM srcs s, tgts t
+       |          WHERE s.id <> t.id)
+       |SELECT p.u, p.w, ex.d_exact, est.d_est,
+       |  CASE WHEN ex.d_exact IS NOT NULL AND est.d_est IS NOT NULL
+       |       THEN (est.d_est * 1000000) // ex.d_exact END AS stretch_ppm
+       |FROM pairs p
+       |LEFT JOIN est ON est.u = p.u AND est.w = p.w
+       |LEFT JOIN ex ON ex.u = p.u AND ex.w = p.w
+       |ORDER BY stretch_ppm DESC NULLS LAST, p.u, p.w
+       |LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_landmark_distance" -> q257_landmark_distance _,
     "q217_harmonic_centrality" -> q217_harmonic_centrality _,
     "q218_eccentricity" -> q218_eccentricity _,
     "q185_link_prediction" -> q185_link_prediction _,
@@ -704,6 +818,7 @@ object GraphQueries {
     "q170_random_walks" -> q170_random_walks _)
 
   val oracles: Map[String, String] = Map(
+    "q257_landmark_distance" -> q257_sql,
     "q217_harmonic_centrality" -> q217_sql,
     "q218_eccentricity" -> q218_sql,
     "q185_link_prediction" -> q185_sql,

@@ -46,6 +46,50 @@ class HarmonicSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q257 landmark estimates are admissible and match a naive mirror") {
+    // undirected tree∪chain graph, symmetrized (the q257 edge set)
+    val keys = Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0))
+    val und = keys.filter(_ >= 2)
+      .flatMap(k => Seq((k, k / 2), (k, k - 1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val h = 12
+    val landmarks = keys.filter(_ % 293 == 7)
+    val sources = keys.filter(k => k % 97 == 5 && k <= 20000)
+    val targets = keys.filter(_ % 89 == 7)
+    val lDist = landmarks.map(l => l -> bfs(adj, l, h)).toMap
+    val sDist = sources.map(s => s -> bfs(adj, s, h)).toMap
+    val rows = for {
+      u <- sources; w <- targets if u != w
+    } yield {
+      val est = landmarks.flatMap(l =>
+        for (du <- lDist(l).get(u); dw <- lDist(l).get(w))
+          yield du + dw).sorted.headOption
+      val exact = sDist(u).get(w)
+      val stretch = for (e <- exact; d <- est) yield d * 1000000L / e
+      (u, w, exact, est, stretch)
+    }
+    val want = rows
+      .sortBy { case (u, w, _, _, st) =>
+        (st.isEmpty, -st.getOrElse(0L), u, w) }
+      .take(50).toSeq
+    val got = GraphQueries.q257_landmark_distance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq === want)
+    // admissibility: on the symmetrized graph the landmark sum is an
+    // upper bound on the true distance wherever both are settled
+    assert(rows.forall { case (_, _, ex, est, _) =>
+      ex.isEmpty || est.isEmpty || est.get >= ex.get })
+    assert(rows.exists(_._5.isDefined), "no settled pair audited")
+  }
+
   test("q218 eccentricity and diameter bound match the same BFS") {
     val es = edges().distinct
     val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
