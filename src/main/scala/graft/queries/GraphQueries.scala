@@ -700,10 +700,14 @@ object GraphQueries {
   // Scale shape: the landmark pass is ONE multi-source BFS carrying
   // |L| seeds (state O(|L|·V), the precomputed index a real system
   // materializes once); query evaluation is two broadcast-pruned joins
-  // on the landmark id — never a per-query traversal. The exact audit
-  // side is capped at ≤207 sources at ANY scale (p_partkey ≤ 20000),
-  // the same bounded-exactness-baseline discipline as q68's ANN
-  // recall audit.
+  // on the landmark id — never a per-query traversal. BOTH sample sets
+  // are capped at ANY scale: landmarks at ≤205 (p_partkey ≤ 60000 —
+  // published landmark indexes use a FIXED landmark budget, so |L|
+  // must not grow with the corpus or the index state turns
+  // O(n·ball)), and the exact audit side at ≤207 sources
+  // (p_partkey ≤ 20000), the same bounded-exactness-baseline
+  // discipline as q68's ANN recall audit. Only the target set scales
+  // with n, keeping pairs linear.
   // ---------------------------------------------------------------------
   private val LdHops = 12
 
@@ -735,7 +739,8 @@ object GraphQueries {
       .filter(col("a") =!= col("b")).distinct()
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-    val landmarks = p.filter(col("p_partkey") % 293 === 7)
+    val landmarks = p.filter(col("p_partkey") % 293 === 7 &&
+        col("p_partkey") <= 60000)
       .select(col("p_partkey").as("id"))
     val sources = p.filter(col("p_partkey") % 97 === 5 &&
         col("p_partkey") <= 20000)
@@ -770,7 +775,8 @@ object GraphQueries {
   }
 
   val q257_sql: String = {
-    val lm = "SELECT p_partkey AS id FROM part WHERE p_partkey % 293 = 7"
+    val lm = "SELECT p_partkey AS id FROM part " +
+      "WHERE p_partkey % 293 = 7 AND p_partkey <= 60000"
     val src = "SELECT p_partkey AS id FROM part " +
       "WHERE p_partkey % 97 = 5 AND p_partkey <= 20000"
     s"""WITH ${graft.graph.Centrality
