@@ -612,4 +612,157 @@ object Similarity {
         col("adc_d2"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** IVF-PQ with asymmetric distance (Jégou et al. 2011 §IV "IVFADC",
+    * the FAISS billion-scale default): a coarse inverted-file quantizer
+    * prunes the corpus to `nprobe` cells per query, and within probed
+    * cells vectors are compared through PQ codes of their RESIDUAL
+    * (quantized vector minus its cell centroid) — residual PQ is what
+    * distinguishes IVFADC from running PQ ([[pqTopK]]) behind an IVF
+    * filter ([[ivfTopK]]): encoding the residual re-centers every cell
+    * at the origin so one shared codebook covers all cells.
+    *
+    * Both codebooks are FIXED-SIZE at any corpus scale (id-capped
+    * deterministic samples standing in for k-means codebooks, the
+    * q257-landmark-budget discipline): coarse cells ≤ ~`coarseCap /
+    * coarseMod`, PQ entries ≤ ~`pqCap / pqMod`. Fixed K keeps the
+    * per-query LUT (nprobe·numSub·K rows) and the driver-collected
+    * codebooks O(1) in n; only cell occupancy grows with the corpus —
+    * the IVF design point (scan n·nprobe/K of the corpus as narrow
+    * integer code rows).
+    *
+    * All-integer (global int8 quantization, integer L2², (d2, id) tie
+    * rules) ⇒ bit-portable to any engine. Encode and LUT argmins run
+    * as tight per-row loops over the broadcast codebooks — no
+    * corpus×K shuffle. Returns (query_id, neighbor_id, adc_d2,
+    * rank ≤ k), self excluded.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      coarseMod: Int, coarseCap: Long, pqMod: Int, pqCap: Long,
+      queryMod: Int, nprobe: Int, numSub: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val gmax = v.agg(max(array_max(transform(col("v"), x => abs(x))))
+      .as("gm"))
+    val q = v.crossJoin(broadcast(gmax))
+      .select(col("vid"),
+        when(col("gm") > 0.0, transform(col("v"),
+            x => floor(x / col("gm") * 127.0 + 0.5).cast("long")))
+          .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+    // coarse codebook: bounded by construction (id cap), driver-sized
+    val coarse: Array[(Long, Array[Long])] = q
+      .filter(col("vid") % coarseMod === 0 && col("vid") <= coarseCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(coarse.nonEmpty, "empty coarse codebook")
+    val subDim = coarse.head._2.length / numSub
+    def l2(a: Array[Long], b: Array[Long], aOff: Int, bOff: Int,
+        len: Int): Long = {
+      var d = 0L; var i = 0
+      while (i < len) {
+        val x = a(aOff + i) - b(bOff + i); d += x * x; i += 1
+      }
+      d
+    }
+    // (cells sorted by cid, strict < ⇒ ties keep the smaller cid)
+    def nearestCell(qv: Array[Long]): Int = {
+      var best = 0; var bestD = Long.MaxValue; var i = 0
+      while (i < coarse.length) {
+        val d = l2(qv, coarse(i)._2, 0, 0, qv.length)
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    // PQ codebook over RESIDUALS of the capped sample, per subspace
+    val pqSample = q
+      .filter(col("vid") % pqMod === 0 && col("vid") <= pqCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val cb: Array[Array[(Long, Array[Long])]] = Array.tabulate(numSub) {
+      s =>
+        pqSample.map { case (pid, qv) =>
+          val cq = coarse(nearestCell(qv))._2
+          val sub = Array.tabulate(subDim)(j =>
+            qv(s * subDim + j) - cq(s * subDim + j))
+          (pid, sub)
+        }
+    }
+    val coarseBc = spark.sparkContext.broadcast(coarse)
+    val cbBc = spark.sparkContext.broadcast(cb)
+    val nSub = numSub
+    val sDim = subDim
+    // encode: (vid, cid, s, code) — one broadcast-argmin pass, no shuffle
+    val codes = q.as[(Long, Array[Long])].mapPartitions { it =>
+      val cents = coarseBc.value
+      val book = cbBc.value
+      it.flatMap { case (vid, qv) =>
+        var best = 0; var bestD = Long.MaxValue; var i = 0
+        while (i < cents.length) {
+          var d = 0L; var j = 0
+          while (j < qv.length) {
+            val x = qv(j) - cents(i)._2(j); d += x * x; j += 1
+          }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        val cq = cents(best)._2
+        (0 until nSub).map { s =>
+          val entries = book(s)
+          var bc = 0L; var bd = Long.MaxValue; var e = 0
+          while (e < entries.length) {
+            val sub = entries(e)._2
+            var d = 0L; var j = 0
+            while (j < sDim) {
+              val x = qv(s * sDim + j) - cq(s * sDim + j) - sub(j)
+              d += x * x; j += 1
+            }
+            if (d < bd) { bd = d; bc = entries(e)._1 }
+            e += 1
+          }
+          (vid, cents(best)._1, s.toLong, bc)
+        }
+      }
+    }.toDF("vid", "cid", "s", "code")
+    // LUT: per (query, probed cell, subspace, codebook entry) — the
+    // residual query is re-derived per probed cell
+    val np = nprobe
+    val lut = q.filter(col("vid") % queryMod === 0)
+      .as[(Long, Array[Long])].mapPartitions { it =>
+        val cents = coarseBc.value
+        val book = cbBc.value
+        it.flatMap { case (qid, qv) =>
+          val scored = cents.map { case (cid, cq) =>
+            (l2(qv, cq, 0, 0, qv.length), cid, cq)
+          }.sortBy(t => (t._1, t._2)).take(np)
+          scored.toSeq.flatMap { case (_, cid, cq) =>
+            (0 until nSub).flatMap { s =>
+              book(s).map { case (pid, sub) =>
+                var d = 0L; var j = 0
+                while (j < sDim) {
+                  val x = qv(s * sDim + j) - cq(s * sDim + j) - sub(j)
+                  d += x * x; j += 1
+                }
+                (qid, cid, s.toLong, pid, d)
+              }
+            }
+          }
+        }
+      }.toDF("query_id", "cid", "s", "code", "d2")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("vid"))
+    codes.join(lut, Seq("cid", "s", "code"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("adc_d2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -336,6 +336,100 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q258 — IVF-PQ / IVFADC (Jégou et al. 2011 §IV, the FAISS
+  // billion-scale layout): coarse inverted-file quantizer prunes to
+  // nprobe=4 cells per query; within probed cells, vectors compare
+  // through 8-subspace PQ codes of their RESIDUAL (vector minus cell
+  // centroid) via the asymmetric-distance LUT. Both codebooks are
+  // id-capped deterministic samples (coarse ≤251 cells, PQ ≤251
+  // entries at ANY corpus size — fixed-K discipline), so LUT volume
+  // per query and driver-collected state are O(1) in n. All-integer.
+  // See Similarity.ivfPqTopK.
+  // -------------------------------------------------------------------
+  def q258_ivfpq_adc(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", k = 5, coarseMod = 32, coarseCap = 8000L,
+      pqMod = 16, pqCap = 4000L, queryMod = 25, nprobe = 4, numSub = 8)
+
+  private def sqD2(a: String, b: String): String = (1 to 8)
+    .map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+    .mkString(" + ")
+
+  private val coarseD2: String =
+    """list_sum([ (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i])
+      |      FOR i IN generate_series(1, len(a.q)) ])""".stripMargin
+
+  val q258_sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |g AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS gm
+       |      FROM v),
+       |q AS (
+       |  SELECT vid, CASE WHEN gm > 0 THEN
+       |      list_transform(v, x ->
+       |        CAST(floor(x / gm * 127.0 + 0.5) AS BIGINT))
+       |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       |  FROM v CROSS JOIN g),
+       |coarse AS (
+       |  SELECT vid AS ccid, q AS cq FROM q
+       |  WHERE vid % 32 = 0 AND vid <= 8000),
+       |assign AS (
+       |  SELECT vid, ccid, q, cq FROM (
+       |    SELECT a.vid, c.ccid, a.q, c.cq,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vid
+       |        ORDER BY $coarseD2, c.ccid) AS rn
+       |    FROM q a CROSS JOIN coarse c)
+       |  WHERE rn = 1),
+       |res AS (
+       |  SELECT vid, ccid,
+       |    [q[i] - cq[i] FOR i IN generate_series(1, len(q))] AS r
+       |  FROM assign),
+       |subs AS (
+       |  SELECT vid, ccid, CAST(t.s AS BIGINT) AS s,
+       |    r[t.s * (len(r) // 8) + 1 : (t.s + 1) * (len(r) // 8)] AS sq
+       |  FROM res CROSS JOIN generate_series(0, 7) t(s)),
+       |book AS (
+       |  SELECT vid AS pid, s, sq AS bq FROM subs
+       |  WHERE vid % 16 = 0 AND vid <= 4000),
+       |enc AS (
+       |  SELECT vid, ccid, s, pid AS code FROM (
+       |    SELECT a.vid, a.ccid, a.s, b.pid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vid, a.s
+       |        ORDER BY ${sqD2("a.sq", "b.bq")}, b.pid) AS rn
+       |    FROM subs a JOIN book b USING (s))
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, ccid, q, cq FROM (
+       |    SELECT a.vid AS query_id, c.ccid, a.q, c.cq,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vid
+       |        ORDER BY $coarseD2, c.ccid) AS rn
+       |    FROM q a CROSS JOIN coarse c WHERE a.vid % 25 = 0)
+       |  WHERE rn <= 4),
+       |qres AS (
+       |  SELECT query_id, ccid,
+       |    [q[i] - cq[i] FOR i IN generate_series(1, len(q))] AS r
+       |  FROM probes),
+       |qsubs AS (
+       |  SELECT query_id, ccid, CAST(t.s AS BIGINT) AS s,
+       |    r[t.s * (len(r) // 8) + 1 : (t.s + 1) * (len(r) // 8)] AS sq
+       |  FROM qres CROSS JOIN generate_series(0, 7) t(s)),
+       |lut AS (
+       |  SELECT a.query_id, a.ccid, a.s, b.pid AS code,
+       |    CAST(${sqD2("a.sq", "b.bq")} AS BIGINT) AS d2
+       |  FROM qsubs a JOIN book b USING (s)),
+       |adc AS (
+       |  SELECT l.query_id, e.vid, SUM(l.d2) AS adc_d2
+       |  FROM enc e JOIN lut l
+       |    ON l.ccid = e.ccid AND l.s = e.s AND l.code = e.code
+       |  WHERE e.vid <> l.query_id GROUP BY 1, 2)
+       |SELECT query_id, vid AS neighbor_id,
+       |  CAST(adc_d2 AS BIGINT) AS adc_d2, rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2, vid) AS rank FROM adc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q132 — Matryoshka progressive re-rank: coarse cosine on the first
   // 16 of 64 dims → shortlist 20 → exact full-dim re-rank to top-5
   // (Kusupati et al. 2022 precision layering). Same query set as q25.
@@ -875,6 +969,7 @@ object PipelineQueries {
     "q128_winnow_pairs" -> q128_winnow_pairs _,
     "q129_continuations" -> q129_continuations _,
     "q131_pq_adc" -> q131_pq_adc _,
+    "q258_ivfpq_adc" -> q258_ivfpq_adc _,
     "q132_prefix_rerank" -> q132_prefix_rerank _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
@@ -898,6 +993,7 @@ object PipelineQueries {
     "q128_winnow_pairs" -> q128_sql,
     "q129_continuations" -> q129_sql,
     "q131_pq_adc" -> q131_sql,
+    "q258_ivfpq_adc" -> q258_sql,
     "q132_prefix_rerank" -> q132_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,

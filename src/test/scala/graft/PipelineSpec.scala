@@ -608,6 +608,69 @@ class PipelineSpec extends SparkSpec {
       byQuery(20L).find(_._4 == 1).get._3)
   }
 
+  test("ivfPqTopK matches a naive integer IVFADC mirror") {
+    val rnd = new scala.util.Random(11)
+    // 60 vectors of dim 16; vec 25 duplicates vec 0 exactly
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val vecs = base.map { case (i, v) =>
+      if (i == 25L) (i, base.head._2) else (i, v)
+    }
+    val docs = vecs.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val k = 3; val coarseMod = 10; val pqMod = 6
+    val queryMod = 25; val nprobe = 3; val numSub = 4
+    val out = Similarity.ivfPqTopK(docs, "vec_id", "embedding", k,
+        coarseMod, coarseCap = 1000L, pqMod, pqCap = 1000L,
+        queryMod, nprobe, numSub)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // naive mirror: same quantization, residual encode, LUT, ranking
+    val dv = vecs.map { case (i, v) => (i, v.map(_.toDouble)) }
+    val gm = dv.flatMap(_._2.map(math.abs)).max
+    val q = dv.map { case (i, v) =>
+      (i, v.map(x => math.floor(x / gm * 127.0 + 0.5).toLong)) }
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val coarse = q.filter(t => t._1 % coarseMod == 0).sortBy(_._1)
+    def cell(v: Array[Long]): (Long, Array[Long]) =
+      coarse.minBy(c => (l2(v, c._2), c._1))
+    val subDim = 16 / numSub
+    def sub(v: Array[Long], s: Int): Array[Long] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    val book = (0 until numSub).map { s =>
+      q.filter(t => t._1 % pqMod == 0).sortBy(_._1).map { case (p, v) =>
+        val cq = cell(v)._2
+        (p, sub(v, s).zip(sub(cq, s)).map { case (x, c) => x - c })
+      }
+    }
+    val enc = q.map { case (i, v) =>
+      val (cid, cq) = cell(v)
+      (i, cid, (0 until numSub).map { s =>
+        val rs = sub(v, s).zip(sub(cq, s)).map { case (x, c) => x - c }
+        book(s).minBy(e => (l2(rs, e._2), e._1))._1
+      })
+    }
+    val want = q.filter(_._1 % queryMod == 0).flatMap { case (qid, qv) =>
+      val probed = coarse.sortBy(c => (l2(qv, c._2), c._1)).take(nprobe)
+      val cand = enc.filter(e =>
+        e._1 != qid && probed.exists(_._1 == e._2))
+      cand.map { case (vid, cid, codes) =>
+        val cq = probed.find(_._1 == cid).get._2
+        val adc = (0 until numSub).map { s =>
+          val rs = sub(qv, s).zip(sub(cq, s)).map { case (x, c) => x - c }
+          l2(rs, book(s).find(_._1 == codes(s)).get._2)
+        }.sum
+        (qid, vid, adc)
+      }.sortBy(t => (t._3, t._2)).take(k).zipWithIndex
+        .map { case ((a, b, c), r) => (a, b, c, r + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(out.toSeq === want.toSeq)
+    // the exact duplicate of query 0 shares every code: minimal ADC
+    assert(out.filter(t => t._1 == 0L && t._4 == 1).head._2 === 25L)
+  }
+
   test("continuationPairs joins tail fingerprints to head fingerprints") {
     val d = Seq(
       (1L, "page one text ends with a cliff hanger here"),   // tail: "a cliff hanger here"
