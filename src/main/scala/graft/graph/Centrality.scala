@@ -424,6 +424,76 @@ object Centrality {
     dist
   }
 
+  /** Multi-source BFS that also counts shortest paths: returns
+    * (seed, id, dist, sigma) where sigma = number of distinct
+    * shortest paths seed→id — the forward pass of Brandes's
+    * betweenness algorithm (Brandes 2001), run for ALL seeds in one
+    * traversal. Unlike [[multiSourceBfs]]'s union-min loop, the
+    * frontier here must be LAYERED (expand only from nodes settled at
+    * exactly dist k−1, anti-joined against everything settled
+    * earlier), because sigma sums path counts over predecessors in
+    * the BFS DAG: expanding from stale levels would double-count.
+    * Per level: one edges⋈frontier shuffle, one sum-groupBy, one
+    * anti-join against the settled set; state O(seeds × reachable),
+    * callers bound the seed set.
+    */
+  def sigmaBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    require(maxHops >= 1 && maxHops <= 15,
+      s"maxHops ($maxHops) out of the sane unrolled range")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var settled = seeds.select(col("id").cast("long").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint(eager = true)
+    var frontier = settled
+    for (k <- 1 to maxHops) {
+      frontier = e
+        .join(frontier.select(col("id").as("src"), col("seed"),
+          col("sigma")), Seq("src"))
+        .groupBy(col("seed"), col("dst").as("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled.select(col("seed"), col("id")),
+          Seq("seed", "id"), "left_anti")
+        .select(col("seed"), col("id"), lit(k.toLong).as("dist"),
+          col("sigma"))
+        .localCheckpoint(eager = true)
+      settled = settled.unionByName(frontier)
+        .localCheckpoint(eager = true)
+    }
+    settled
+  }
+
+  /** SQL mirror of [[sigmaBfs]] (layered frontier/settled CTE pairs);
+    * final CTE is ${prefix}t$maxHops(seed, id, dist, sigma). `prefix`
+    * namespaces the chain exactly as in [[multiSourceBfsSql]]. */
+  def sigmaBfsSql(edgesSql: String, seedsSql: String, maxHops: Int,
+      prefix: String): String = {
+    val p = prefix
+    val steps = (1 to maxHops).map { k =>
+      s"""${p}f$k AS MATERIALIZED (
+         |  SELECT seed, id, CAST($k AS BIGINT) AS dist, sigma FROM (
+         |    SELECT f.seed, e.dst AS id, SUM(f.sigma) AS sigma
+         |    FROM ${p}f${k - 1} f JOIN ${p}edges e ON e.src = f.id
+         |    GROUP BY 1, 2) n
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${p}t${k - 1} t
+         |    WHERE t.seed = n.seed AND t.id = n.id)),
+         |${p}t$k AS MATERIALIZED (
+         |  SELECT * FROM ${p}t${k - 1} UNION ALL SELECT * FROM ${p}f$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${p}edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |${p}f0 AS (SELECT DISTINCT id AS seed, id,
+       |    CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+       |  FROM ($seedsSql)),
+       |${p}t0 AS (SELECT * FROM ${p}f0),
+       |$steps""".stripMargin
+  }
+
   /** SQL mirror of [[multiSourceBfs]]: `edgesSql` selects (src, dst),
     * `seedsSql` selects (id). Final CTE is ${prefix}b$maxHops(seed, id,
     * dist). `prefix` namespaces every CTE so one oracle can run TWO

@@ -728,7 +728,10 @@ object GraphQueries {
       |      SELECT p_partkey, p_partkey - 1 FROM part WHERE p_partkey >= 2)
       |    WHERE s <> d)""".stripMargin
 
-  def q257_landmark_distance(spark: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized part tree∪chain graph (k→k/2 binary-tree hops plus
+    * k→k−1 chain hops, deduped undirected, both directions) — the
+    * shared substrate of q257/q259. */
+  private def partGraphSym(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val raw = p.filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("s"), expr("p_partkey div 2").as("d"))
@@ -737,8 +740,13 @@ object GraphQueries {
     val und = raw.select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+    und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  def q257_landmark_distance(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val sym = partGraphSym(spark, dir)
     val landmarks = p.filter(col("p_partkey") % 293 === 7 &&
         col("p_partkey") <= 60000)
       .select(col("p_partkey").as("id"))
@@ -804,8 +812,80 @@ object GraphQueries {
        |LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q259 — sampled stress centrality (Brandes 2001 forward pass ×2):
+  // for bounded source/target samples S and T, count the shortest s–t
+  // paths passing THROUGH each node v: Σ_{s,t} σ(s,v)·σ(v,t) over
+  // pairs where d(s,v)+d(v,t)=d(s,t) (v interior). Two σ-carrying
+  // multi-source BFS passes — seeds S and seeds T (σ(v,t)=σ(t,v) on
+  // the symmetrized graph) — joined on v, gated by the s–t distance
+  // (read off the S-pass at t). Integer path counts ⇒ exact oracle;
+  // betweenness proper divides by σ_st, which is not
+  // engine-portable — stress keeps the same ranking signal (which
+  // nodes carry the traffic) in exact arithmetic.
+  //
+  // Scale shape: both seed samples are id-capped (≤40 each at ANY
+  // corpus size — the q257 fixed-budget discipline), so BFS state is
+  // O(|S∪T|·ball) and the v-join fan-out is ≤|S|·|T| per node. The
+  // s–t distance table (|S|·|T| rows) broadcasts.
+  // ---------------------------------------------------------------------
+  private val StHops = 8
+
+  def q259_stress_centrality(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val p = Tables.part(spark, dir)
+    val sym = partGraphSym(spark, dir)
+    val srcs = p.filter(col("p_partkey") % 331 === 3 &&
+        col("p_partkey") <= 13000)
+      .select(col("p_partkey").as("id"))
+    val tgts = p.filter(col("p_partkey") % 317 === 5 &&
+        col("p_partkey") <= 13000)
+      .select(col("p_partkey").as("id"))
+    val sB = graft.graph.Centrality.sigmaBfs(sym, srcs, StHops)
+    val tB = graft.graph.Centrality.sigmaBfs(sym, tgts, StHops)
+    val sd = sB.join(tgts, Seq("id"))
+      .select(col("seed").as("s"), col("id").as("t"),
+        col("dist").as("d_st"))
+    sB.select(col("seed").as("s"), col("id").as("v"),
+        col("dist").as("d_sv"), col("sigma").as("sig_sv"))
+      .join(tB.select(col("seed").as("t"), col("id").as("v"),
+        col("dist").as("d_vt"), col("sigma").as("sig_vt")), Seq("v"))
+      .join(broadcast(sd), Seq("s", "t"))
+      .filter(col("d_sv") + col("d_vt") === col("d_st") &&
+        col("v") =!= col("s") && col("v") =!= col("t"))
+      .groupBy(col("v"))
+      .agg(sum(col("sig_sv") * col("sig_vt")).as("stress_paths"))
+      .orderBy(col("stress_paths").desc, col("v"))
+      .limit(50)
+  }
+
+  val q259_sql: String = {
+    val src = "SELECT p_partkey AS id FROM part " +
+      "WHERE p_partkey % 331 = 3 AND p_partkey <= 13000"
+    val tgt = "SELECT p_partkey AS id FROM part " +
+      "WHERE p_partkey % 317 = 5 AND p_partkey <= 13000"
+    s"""WITH ${graft.graph.Centrality
+         .sigmaBfsSql(undSymSql, src, StHops, "s")},
+       |${graft.graph.Centrality
+         .sigmaBfsSql(undSymSql, tgt, StHops, "t")},
+       |sd AS (SELECT seed AS s, id AS t, dist AS d_st FROM st$StHops
+       |       WHERE id IN ($tgt)),
+       |th AS (
+       |  SELECT a.id AS v,
+       |    CAST(SUM(a.sigma * b.sigma) AS BIGINT) AS stress_paths
+       |  FROM st$StHops a
+       |  JOIN tt$StHops b ON b.id = a.id
+       |  JOIN sd ON sd.s = a.seed AND sd.t = b.seed
+       |  WHERE a.dist + b.dist = sd.d_st
+       |    AND a.id <> a.seed AND a.id <> b.seed
+       |  GROUP BY 1)
+       |SELECT v, stress_paths FROM th
+       |ORDER BY stress_paths DESC, v LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q257_landmark_distance" -> q257_landmark_distance _,
+    "q259_stress_centrality" -> q259_stress_centrality _,
     "q217_harmonic_centrality" -> q217_harmonic_centrality _,
     "q218_eccentricity" -> q218_eccentricity _,
     "q185_link_prediction" -> q185_link_prediction _,
@@ -825,6 +905,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q257_landmark_distance" -> q257_sql,
+    "q259_stress_centrality" -> q259_sql,
     "q217_harmonic_centrality" -> q217_sql,
     "q218_eccentricity" -> q218_sql,
     "q185_link_prediction" -> q185_sql,

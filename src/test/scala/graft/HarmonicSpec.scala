@@ -90,6 +90,56 @@ class HarmonicSpec extends SparkSpec {
     assert(rows.exists(_._5.isDefined), "no settled pair audited")
   }
 
+  /** Layered BFS with shortest-path counting (Brandes forward pass). */
+  private def sigmaBfs(adj: Map[Long, Seq[Long]], seed: Long,
+      maxHops: Int): Map[Long, (Long, Long)] = {
+    val out = scala.collection.mutable.Map(seed -> (0L, 1L))
+    var frontier = Map(seed -> 1L)
+    var d = 0L
+    while (frontier.nonEmpty && d < maxHops) {
+      d += 1
+      val next = scala.collection.mutable.Map.empty[Long, Long]
+      for ((u, sig) <- frontier; v <- adj.getOrElse(u, Nil)
+           if !out.contains(v))
+        next(v) = next.getOrElse(v, 0L) + sig
+      frontier = next.toMap
+      frontier.foreach { case (v, sig) => out(v) = (d, sig) }
+    }
+    out.toMap
+  }
+
+  test("q259 stress centrality matches a naive sigma-BFS mirror") {
+    // the q257/q259 substrate: symmetrized tree∪chain over part keys
+    val keys = Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0))
+    val und = keys.filter(_ >= 2)
+      .flatMap(k => Seq((k, k / 2), (k, k - 1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val h = 8
+    val srcs = keys.filter(k => k % 331 == 3 && k <= 13000)
+    val tgts = keys.filter(k => k % 317 == 5 && k <= 13000)
+    val sB = srcs.map(s => s -> sigmaBfs(adj, s, h)).toMap
+    val tB = tgts.map(t => t -> sigmaBfs(adj, t, h)).toMap
+    val stress = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      s <- srcs; t <- tgts
+      (dst, _) <- sB(s).get(t).toSeq
+      v <- sB(s).keySet intersect tB(t).keySet
+      if v != s && v != t
+      if sB(s)(v)._1 + tB(t)(v)._1 == dst
+    } stress(v) = stress.getOrElse(v, 0L) +
+      sB(s)(v)._2 * tB(t)(v)._2
+    val want = stress.toSeq.sortBy { case (v, p) => (-p, v) }.take(50)
+    val got = GraphQueries.q259_stress_centrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === want)
+    assert(want.nonEmpty, "no interior node audited")
+  }
+
   test("q218 eccentricity and diameter bound match the same BFS") {
     val es = edges().distinct
     val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
