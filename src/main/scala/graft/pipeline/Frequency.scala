@@ -278,6 +278,41 @@ object Frequency {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** CMS cells over a KEY column (no tokenization) — the sketch side
+    * of join-size estimation. Same md5 row-slicing hash family as
+    * [[cmsBuild]]; keys are hashed through their decimal string so any
+    * engine reproduces the buckets. Returns (j, bucket, cnt). */
+  def cmsKeyCells(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 4 && width >= 2,
+      s"bad CMS shape ($depth×$width)")
+    df.select(md5(concat(lit(salt), lit(":"),
+        col(keyCol).cast("string"))).as("dig"))
+      .crossJoin(broadcast(
+        df.sparkSession.range(depth).select(col("id").as("j"))))
+      .select(col("j"),
+        (expr("conv(substring(dig, j * 8 + 1, 8), 16, 10)").cast("long")
+          % width).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CM-sketch inner-product (join-size) estimate (Cormode &
+    * Muthukrishnan 2005 §4.2): est = min_j Σ_b A_j[b]·B_j[b] ≥
+    * |A ⋈_key B|, overshoot ≤ N_A·N_B/width per row w.h.p. The two
+    * sketches MUST share depth/width/salt. This is the 100 TB
+    * join-planning story: each relation's sketch is one map-side
+    * pass (and mergeable across partitions/days), and the estimate
+    * costs depth·width cell products — no key-space shuffle, no
+    * sampling of either relation. Returns one row (est_join_size). */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA
+      .join(cellsB.select(col("j"), col("bucket"),
+        col("cnt").as("cnt_b")), Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+      .agg(min(col("dot")).as("est_join_size"))
+
   /** CMS point estimates for the given (token) rows against
     * [[cmsBuild]] cells: min over the depth rows. The parameters MUST
     * match the build call. Returns the input plus `est_cnt`. */

@@ -1687,6 +1687,65 @@ object QualityQueries {
       |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin
 
   // -------------------------------------------------------------------
+  // q260 — CM-sketch join-size estimation (Cormode & Muthukrishnan
+  // 2005 §4.2): estimate |R ⋈ A| on l_partkey between the returned
+  // ('R') and accepted ('A') lineitem slices from two independently
+  // built 4×256 sketches — est = min_j Σ_b R_j[b]·A_j[b], never under
+  // the true size (spec-asserted). The planner's join-size question
+  // answered from mergeable map-side state instead of a key shuffle;
+  // the exact Σ_k f_R(k)·f_A(k) rides along to expose overshoot_ppm.
+  // overshoot_ppm promoted through DECIMAL(38,0) ↔ HUGEINT (est·10⁶
+  // exceeds int64 past ~3M rows/side). See Frequency.cmsKeyCells /
+  // cmsJoinSize.
+  // -------------------------------------------------------------------
+  def q260_cms_join_size(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ra = li.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("k"))
+    val rb = li.filter(col("l_returnflag") === "A")
+      .select(col("l_partkey").as("k"))
+    val est = Frequency.cmsJoinSize(
+      Frequency.cmsKeyCells(ra, "k", salt = "cmj"),
+      Frequency.cmsKeyCells(rb, "k", salt = "cmj"))
+    val exact = ra.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(rb.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_join_size"), col("est_join_size"),
+        expr("cast(cast(est_join_size as decimal(38,0)) * 1000000 " +
+          "div exact_join_size as bigint)").as("overshoot_ppm"))
+  }
+
+  val q260_sql: String =
+    """WITH ra AS (
+      |  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |rb AS (
+      |  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+      |ca AS (
+      |  SELECT j, CAST(('0x' || substr(md5('cmj:' || CAST(k AS VARCHAR)),
+      |      j * 8 + 1, 8)) AS BIGINT) % 256 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ra CROSS JOIN generate_series(0, 3) t(j) GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT j, CAST(('0x' || substr(md5('cmj:' || CAST(k AS VARCHAR)),
+      |      j * 8 + 1, 8)) AS BIGINT) % 256 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM rb CROSS JOIN generate_series(0, 3) t(j) GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+      |  FROM ca JOIN cb ON cb.j = ca.j AND cb.bucket = ca.bucket
+      |  GROUP BY 1),
+      |est AS (SELECT MIN(dot) AS est_join_size FROM dots),
+      |ex AS (
+      |  SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_join_size
+      |  FROM (SELECT k, COUNT(*) AS cnt FROM ra GROUP BY 1) a
+      |  JOIN (SELECT k, COUNT(*) AS cnt FROM rb GROUP BY 1) b USING (k))
+      |SELECT exact_join_size, est_join_size,
+      |  CAST((est_join_size::HUGEINT * 1000000) // exact_join_size
+      |    AS BIGINT) AS overshoot_ppm
+      |FROM ex CROSS JOIN est""".stripMargin
+
+  // -------------------------------------------------------------------
   // q148 — join-key skew audit (the pre-flight check before any big
   // join: will AQE need skew-split on this key?): per-key row counts
   // → key-space summary (distinct keys, max/avg count, skew ratio in
@@ -2256,6 +2315,7 @@ object QualityQueries {
     "q198_dict_audit" -> q198_dict_audit _,
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
+    "q260_cms_join_size" -> q260_cms_join_size _,
     "q127_max_run" -> q127_max_run _,
     "q125_line_filter" -> q125_line_filter _,
     "q124_vocab_growth" -> q124_vocab_growth _,
@@ -2303,6 +2363,7 @@ object QualityQueries {
     "q198_dict_audit" -> q198_sql,
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
+    "q260_cms_join_size" -> q260_sql,
     "q127_max_run" -> q127_sql,
     "q125_line_filter" -> q125_sql,
     "q124_vocab_growth" -> q124_sql,

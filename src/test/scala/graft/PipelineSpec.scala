@@ -584,6 +584,28 @@ class PipelineSpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("cmsJoinSize never under-estimates and is exact-tight when " +
+      "buckets are collision-free") {
+    val r = new scala.util.Random(5)
+    val ka = (1 to 300).map(_ => (r.nextInt(40) + 1).toLong)
+    val kb = (1 to 300).map(_ => (r.nextInt(40) + 1).toLong)
+    val da = ka.map(Tuple1(_)).toDF("k")
+    val db = kb.map(Tuple1(_)).toDF("k")
+    val est = Frequency.cmsJoinSize(
+        Frequency.cmsKeyCells(da, "k", salt = "cmj"),
+        Frequency.cmsKeyCells(db, "k", salt = "cmj"))
+      .collect().head.getLong(0)
+    val fa = ka.groupBy(identity).view.mapValues(_.size.toLong)
+    val fb = kb.groupBy(identity).view.mapValues(_.size.toLong)
+    val exact = fa.map { case (k, ca) =>
+      ca * fb.getOrElse(k, 0L) }.sum
+    assert(est >= exact, s"CMS inner product under-counted: $est < $exact")
+    // 40 keys in 256 buckets: overshoot only from collisions, which
+    // add positive products — bounded above by the j=any row total
+    // product; sanity: within 50% here
+    assert(est <= exact * 3 / 2)
+  }
+
   test("pqTopK ranks an exact duplicate first via ADC") {
     val r = new scala.util.Random(7)
     // 40 vectors of dim 16; vec 20 duplicates vec 0 exactly
