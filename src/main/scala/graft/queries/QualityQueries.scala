@@ -1687,6 +1687,152 @@ object QualityQueries {
       |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin
 
   // -------------------------------------------------------------------
+  // q261 — Gopher REPETITION signals (Rae et al. 2021 §A1.1) — the
+  // intra-document repetition filters q84's quality rules do not
+  // cover: (a) top-2-gram character fraction (chars of the most
+  // frequent word bigram × its count over total token chars, reject
+  // > 20%), and (b) duplicate-5-gram character fraction (token chars
+  // POSITIONALLY covered by any 5-gram occurring ≥ 2× in the doc,
+  // union-of-positions so overlapping occurrences never double-count,
+  // reject > 15%). The two signals catch boilerplate loops and
+  // degenerate completions that per-corpus dedup never sees.
+  //
+  // Scale shape: everything is keyed by doc_id — per-doc windows
+  // (lead) for n-gram assembly, doc-keyed groupBys, one distinct on
+  // covered positions; nothing crosses documents, so the operator
+  // scan-partitions perfectly.
+  // -------------------------------------------------------------------
+  def q261_repetition_signals(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"),
+        length(col("tok")).cast("long").as("wl"))
+      .localCheckpoint(eager = true) // grams + totals + coverage reuse it
+    val totals = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wl")).as("n_chars"))
+    val big = toks
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("w2")).as("bg"),
+        (col("wl") + length(col("w2"))).as("bl"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("bg"))
+    val top2 = big.groupBy(col("doc_id"), col("bg"), col("bl"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cnt").as("top2_cnt"),
+        (col("cnt") * col("bl")).as("top2_chars"))
+    val five = toks
+      .withColumn("g", concat_ws(" ", col("tok"),
+        lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w),
+        lead(col("tok"), 3).over(w), lead(col("tok"), 4).over(w)))
+      .withColumn("ok", lead(col("tok"), 4).over(w).isNotNull)
+      .filter(col("ok"))
+      .select(col("doc_id"), col("p"), col("g"))
+    val dupStarts = five.join(
+      five.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("doc_id"), col("g")),
+      Seq("doc_id", "g"))
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + 4)).as("p"))
+      .distinct()
+      .join(toks.select(col("doc_id"), col("p"), col("wl")),
+        Seq("doc_id", "p"))
+      .groupBy(col("doc_id")).agg(sum(col("wl")).as("dup5_chars"))
+    totals
+      .join(top2, Seq("doc_id"), "left_outer")
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        when(col("n_chars") > 0,
+            expr("coalesce(top2_chars, 0) * 1000000 div n_chars"))
+          .otherwise(0L).as("top2_char_ppm"),
+        when(col("n_chars") > 0,
+            expr("coalesce(dup5_chars, 0) * 1000000 div n_chars"))
+          .otherwise(0L).as("dup5_char_ppm"))
+      .withColumn("pass",
+        when(col("top2_char_ppm") <= 200000 &&
+          col("dup5_char_ppm") <= 150000, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val q261_sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tks
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, CAST(u.s['p'] AS BIGINT) AS p,
+      |    u.s['tok'] AS tok,
+      |    CAST(length(u.s['tok']) AS BIGINT) AS wl
+      |  FROM tk, unnest([{'p': i - 1, 'tok': tks[i]}
+      |    FOR i IN generate_series(1, len(tks))]) u(s)),
+      |totals AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(wl) AS BIGINT) AS n_chars
+      |  FROM toks GROUP BY 1),
+      |big AS (
+      |  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg,
+      |    a.wl + b.wl AS bl
+      |  FROM toks a JOIN toks b
+      |    ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+      |top2 AS (
+      |  SELECT doc_id, cnt AS top2_cnt, cnt * bl AS top2_chars FROM (
+      |    SELECT doc_id, bg, bl, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY COUNT(*) DESC, bg) AS rn
+      |    FROM big GROUP BY 1, 2, 3)
+      |  WHERE rn = 1),
+      |five AS (
+      |  SELECT a.doc_id, a.p,
+      |    a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+      |      || ' ' || e.tok AS g
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+      |  JOIN toks d ON d.doc_id = a.doc_id AND d.p = a.p + 3
+      |  JOIN toks e ON e.doc_id = a.doc_id AND e.p = a.p + 4),
+      |dupg AS (
+      |  SELECT doc_id, g FROM five GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT f.doc_id, f.p + o.o AS p
+      |  FROM five f JOIN dupg USING (doc_id, g)
+      |  CROSS JOIN generate_series(0, 4) o(o)),
+      |dup5 AS (
+      |  SELECT cov.doc_id, CAST(SUM(t.wl) AS BIGINT) AS dup5_chars
+      |  FROM cov JOIN toks t ON t.doc_id = cov.doc_id AND t.p = cov.p
+      |  GROUP BY 1)
+      |SELECT t.doc_id, t.n_tokens, t.n_chars,
+      |  coalesce(top2.top2_cnt, 0) AS top2_cnt,
+      |  CASE WHEN t.n_chars > 0 THEN
+      |    coalesce(top2.top2_chars, 0) * 1000000 // t.n_chars
+      |    ELSE 0 END AS top2_char_ppm,
+      |  CASE WHEN t.n_chars > 0 THEN
+      |    coalesce(dup5.dup5_chars, 0) * 1000000 // t.n_chars
+      |    ELSE 0 END AS dup5_char_ppm,
+      |  CASE WHEN (CASE WHEN t.n_chars > 0 THEN
+      |      coalesce(top2.top2_chars, 0) * 1000000 // t.n_chars
+      |      ELSE 0 END) <= 200000
+      |    AND (CASE WHEN t.n_chars > 0 THEN
+      |      coalesce(dup5.dup5_chars, 0) * 1000000 // t.n_chars
+      |      ELSE 0 END) <= 150000
+      |    THEN 1 ELSE 0 END AS pass
+      |FROM totals t
+      |LEFT JOIN top2 ON top2.doc_id = t.doc_id
+      |LEFT JOIN dup5 ON dup5.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q260 — CM-sketch join-size estimation (Cormode & Muthukrishnan
   // 2005 §4.2): estimate |R ⋈ A| on l_partkey between the returned
   // ('R') and accepted ('A') lineitem slices from two independently
@@ -2316,6 +2462,7 @@ object QualityQueries {
     "q148_skew_audit" -> q148_skew_audit _,
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q260_cms_join_size" -> q260_cms_join_size _,
+    "q261_repetition_signals" -> q261_repetition_signals _,
     "q127_max_run" -> q127_max_run _,
     "q125_line_filter" -> q125_line_filter _,
     "q124_vocab_growth" -> q124_vocab_growth _,
@@ -2364,6 +2511,7 @@ object QualityQueries {
     "q148_skew_audit" -> q148_sql,
     "q133_cms_estimate" -> q133_sql,
     "q260_cms_join_size" -> q260_sql,
+    "q261_repetition_signals" -> q261_sql,
     "q127_max_run" -> q127_sql,
     "q125_line_filter" -> q125_sql,
     "q124_vocab_growth" -> q124_sql,

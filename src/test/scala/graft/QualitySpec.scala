@@ -7,6 +7,47 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("q261 repetition signals match a naive per-doc mirror") {
+    val sf = "/root/testdata/sf0.001"
+    val want = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, text) =>
+        val toks =
+          if (text.trim.isEmpty) Array.empty[String]
+          else text.trim.split("\\s+")
+        if (toks.isEmpty) None else {
+          val nChars = toks.map(_.length.toLong).sum
+          val bigs = toks.sliding(2).filter(_.length == 2).toSeq
+            .map(p => (p.mkString(" "), p.map(_.length.toLong).sum))
+          val top2 = bigs.groupBy(identity).view.mapValues(_.size.toLong)
+            .toSeq.sortBy { case ((bg, _), c) => (-c, bg) }.headOption
+          val top2Cnt = top2.map(_._2).getOrElse(0L)
+          val top2Chars = top2.map { case ((_, bl), c) => c * bl }
+            .getOrElse(0L)
+          val fives = toks.sliding(5).filter(_.length == 5).zipWithIndex
+            .map { case (g, i) => (g.mkString(" "), i) }.toSeq
+          val dup = fives.groupBy(_._1).filter(_._2.size >= 2).keySet
+          val covered = fives.filter(f => dup(f._1))
+            .flatMap(f => f._2 to f._2 + 4).distinct
+          val dup5Chars = covered.map(p => toks(p).length.toLong).sum
+          val top2Ppm =
+            if (nChars > 0) top2Chars * 1000000L / nChars else 0L
+          val dup5Ppm =
+            if (nChars > 0) dup5Chars * 1000000L / nChars else 0L
+          val pass = if (top2Ppm <= 200000 && dup5Ppm <= 150000) 1L else 0L
+          Some((id, toks.length.toLong, nChars, top2Cnt, top2Ppm,
+            dup5Ppm, pass))
+        }
+      }.sortBy(_._1).toSeq
+    val got = graft.queries.QualityQueries
+      .q261_repetition_signals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === want)
+    assert(want.nonEmpty)
+  }
+
   test("q167 delta joins broadcast the delta side, not the base") {
     val plan = graft.queries.QualityQueries
       .q167_incremental_join(spark, "/root/testdata/sf0.001")
