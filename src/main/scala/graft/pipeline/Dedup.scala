@@ -892,4 +892,102 @@ object Dedup {
         expr("n_unique * 1000000L div n_shingles").as("uniq_ppm"))
       .orderBy(col("doc"))
   }
+
+  /** Suffix-array prefix doubling (Manber & Myers 1990), the machinery
+    * behind exact-substring training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * after round i, every suffix carries a DENSE RANK identifying its
+    * first 2^i tokens (doc-terminated — suffixes never cross document
+    * boundaries, so (doc_id, p) is the position key and the shift
+    * lookup is a within-doc join). Each round is one distributed
+    * dense-rank of (rank, rank-at-p+k) pairs — implemented as
+    * range-partition + partition-local sort + zipWithIndex, i.e. a
+    * plain distributed sort, NOT a single-task global window — so the
+    * whole build is `doublings` shuffle-sorts of the corpus, the
+    * canonical out-of-core suffix-array construction.
+    *
+    * Returns the duplicated-prefix profile, one row per level
+    * k ∈ {1, 2, 4, …, 2^doublings}: how many token positions start a
+    * k-token run that appears elsewhere in the corpus (the Lee et al.
+    * "fraction of corpus in duplicated substrings" measurement), how
+    * many distinct duplicated runs there are, and the largest
+    * duplicate group with its lexicographically-first occurrence.
+    * Columns: (k, dup_positions, dup_groups, distinct_groups,
+    * top_group_size, top_doc, top_p), ordered by k.
+    */
+  def suffixDoublingProfile(df: DataFrame, idCol: String,
+      textCol: String, doublings: Int): DataFrame = {
+    require(doublings >= 1 && doublings <= 10,
+      s"doublings ($doublings) out of the sane unrolled range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+      .localCheckpoint(eager = true)
+    // distributed dense rank of distinct keys: range-partition, sort
+    // within partitions, zipWithIndex — indexes are globally ordered
+    // and contiguous, so this IS the dense rank of the distinct set
+    val vr = {
+      val d = toks.select(col("tok")).distinct()
+        .repartitionByRange(32, col("tok"))
+        .sortWithinPartitions(col("tok"))
+      spark.createDataFrame(d.as[String].rdd.zipWithIndex()
+          .map { case (t, i) => (t, i + 1L) })
+        .toDF("tok", "r")
+    }
+    var rank = toks.join(vr, Seq("tok"))
+      .select(col("doc_id"), col("p"), col("r"))
+      .localCheckpoint(eager = true)
+    // eager ONE-ROW stats per level, so no corpus-sized rank table
+    // outlives its round (9 retained levels cost 42 s of GC at 10×
+    // before this restructure — the ContextCleaner can only reclaim
+    // checkpoint blocks once the DataFrame is unreferenced)
+    def levelStats(lvl: Long, rdf: DataFrame): DataFrame = {
+      val g = rdf.groupBy(col("r"))
+        .agg(count(lit(1)).as("sz"),
+          min(struct(col("doc_id"), col("p"))).as("rep"))
+        .localCheckpoint(eager = true) // three aggregate consumers
+      val dups = g.filter(col("sz") >= 2)
+      val top = dups.orderBy(col("sz").desc, col("rep")).limit(1)
+        .select(col("sz").as("top_group_size"),
+          col("rep.doc_id").as("top_doc"), col("rep.p").as("top_p"))
+      g.agg(count(lit(1)).as("distinct_groups"))
+        .crossJoin(dups.agg(
+          coalesce(sum(col("sz")), lit(0L)).as("dup_positions"),
+          count(lit(1)).as("dup_groups")))
+        .join(top, lit(true), "left_outer")
+        .select(lit(lvl).as("k"), col("dup_positions"),
+          col("dup_groups"), col("distinct_groups"),
+          coalesce(col("top_group_size"), lit(0L)).as("top_group_size"),
+          coalesce(col("top_doc"), lit(-1L)).as("top_doc"),
+          coalesce(col("top_p"), lit(-1L)).as("top_p"))
+        .localCheckpoint(eager = true)
+    }
+    var out = levelStats(1L, rank)
+    var k = 1L
+    for (_ <- 1 to doublings) {
+      val shifted = rank.select(col("doc_id"), (col("p") - k).as("p"),
+        col("r").as("r2"))
+      val paired = rank.join(shifted, Seq("doc_id", "p"), "left_outer")
+        .select(col("doc_id"), col("p"), col("r").as("a"),
+          coalesce(col("r2"), lit(0L)).as("b"))
+        .localCheckpoint(eager = true) // distinct + rank-join consumers
+      val dr = {
+        val d = paired.select(col("a"), col("b")).distinct()
+          .repartitionByRange(32, col("a"), col("b"))
+          .sortWithinPartitions(col("a"), col("b"))
+        spark.createDataFrame(d.as[(Long, Long)].rdd.zipWithIndex()
+            .map { case ((a, b), i) => (a, b, i + 1L) })
+          .toDF("a", "b", "r")
+      }
+      rank = paired.join(dr, Seq("a", "b"))
+        .select(col("doc_id"), col("p"), col("r"))
+        .localCheckpoint(eager = true)
+      k *= 2
+      out = out.unionByName(levelStats(k, rank))
+    }
+    out.orderBy(col("k"))
+  }
 }

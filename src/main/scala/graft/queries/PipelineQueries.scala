@@ -430,6 +430,83 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q262 — suffix-array prefix doubling (Manber & Myers 1990) with the
+  // duplicated-prefix profile — the exact-substring dedup measurement
+  // of Lee et al. 2022: per level k ∈ {1…256}, how many token
+  // positions start a k-token run appearing elsewhere in the corpus,
+  // how many distinct duplicated runs exist, and the largest duplicate
+  // group with its first occurrence. Eight rounds of distributed
+  // dense-rank (range-partition + local sort + zipWithIndex — a plain
+  // shuffle-sort per round, never a single-task global window);
+  // profile outputs depend only on rank GROUP PARTITIONS, never rank
+  // values, so engine collation differences cannot leak into the
+  // result. See Dedup.suffixDoublingProfile.
+  // -------------------------------------------------------------------
+  def q262_suffix_doubling(spark: SparkSession, dir: String): DataFrame =
+    Dedup.suffixDoublingProfile(Tables.documents(spark, dir), "doc_id",
+      "text", doublings = 8)
+
+  val q262_sql: String = {
+    val rounds = (0 until 8).map { i =>
+      val sh = 1L << i
+      val prev = 1L << i
+      val cur = prev * 2
+      s"""p$cur AS MATERIALIZED (
+         |  SELECT a.doc_id, a.p, a.r AS ra, COALESCE(b.r, 0) AS rb
+         |  FROM r$prev a LEFT JOIN r$prev b
+         |    ON b.doc_id = a.doc_id AND b.p = a.p + $sh),
+         |r$cur AS MATERIALIZED (
+         |  SELECT doc_id, p,
+         |    CAST(DENSE_RANK() OVER (ORDER BY ra, rb) AS BIGINT) AS r
+         |  FROM p$cur)""".stripMargin
+    }.mkString(",\n")
+    val lvls = (0 to 8).map(i => 1L << i)
+    val stats = lvls.map { k =>
+      s"""s$k AS (
+         |  SELECT r, COUNT(*) AS sz,
+         |    MIN({'doc_id': doc_id, 'p': p}) AS rep
+         |  FROM r$k GROUP BY r),
+         |t$k AS (
+         |  SELECT sz AS top_group_size, rep['doc_id'] AS top_doc,
+         |    rep['p'] AS top_p
+         |  FROM s$k WHERE sz >= 2 ORDER BY sz DESC, rep LIMIT 1),
+         |l$k AS (
+         |  SELECT CAST($k AS BIGINT) AS k,
+         |    CAST(COALESCE(SUM(CASE WHEN sz >= 2 THEN sz END), 0)
+         |      AS BIGINT) AS dup_positions,
+         |    CAST(COALESCE(SUM(CASE WHEN sz >= 2 THEN 1 END), 0)
+         |      AS BIGINT) AS dup_groups,
+         |    CAST(COUNT(*) AS BIGINT) AS distinct_groups
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = lvls.map { k =>
+      s"""SELECT l.k, l.dup_positions, l.dup_groups, l.distinct_groups,
+         |  CAST(COALESCE(t.top_group_size, 0) AS BIGINT)
+         |    AS top_group_size,
+         |  CAST(COALESCE(t.top_doc, -1) AS BIGINT) AS top_doc,
+         |  CAST(COALESCE(t.top_p, -1) AS BIGINT) AS top_p
+         |FROM l$k l LEFT JOIN t$k t ON TRUE""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tks
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(u.s['p'] AS BIGINT) AS p, u.s['tok'] AS tok
+       |  FROM tk, unnest([{'p': i - 1, 'tok': tks[i]}
+       |    FOR i IN generate_series(1, len(tks))]) u(s)),
+       |r1 AS MATERIALIZED (
+       |  SELECT doc_id, p,
+       |    CAST(DENSE_RANK() OVER (ORDER BY tok) AS BIGINT) AS r
+       |  FROM toks),
+       |$rounds,
+       |$stats
+       |$sel
+       |ORDER BY k""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q132 — Matryoshka progressive re-rank: coarse cosine on the first
   // 16 of 64 dims → shortlist 20 → exact full-dim re-rank to top-5
   // (Kusupati et al. 2022 precision layering). Same query set as q25.
@@ -970,6 +1047,7 @@ object PipelineQueries {
     "q129_continuations" -> q129_continuations _,
     "q131_pq_adc" -> q131_pq_adc _,
     "q258_ivfpq_adc" -> q258_ivfpq_adc _,
+    "q262_suffix_doubling" -> q262_suffix_doubling _,
     "q132_prefix_rerank" -> q132_prefix_rerank _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
@@ -994,6 +1072,7 @@ object PipelineQueries {
     "q129_continuations" -> q129_sql,
     "q131_pq_adc" -> q131_sql,
     "q258_ivfpq_adc" -> q258_sql,
+    "q262_suffix_doubling" -> q262_sql,
     "q132_prefix_rerank" -> q132_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,

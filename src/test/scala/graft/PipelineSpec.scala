@@ -606,6 +606,36 @@ class PipelineSpec extends SparkSpec {
     assert(est <= exact * 3 / 2)
   }
 
+  test("q262 suffix doubling profile matches naive k-token-slice groups") {
+    val sf = "/root/testdata/sf0.001"
+    val dcs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        (id, if (t.trim.isEmpty) Array.empty[String]
+             else t.trim.split("\\s+")) }
+    val want = (0 to 8).map(i => 1L << i).map { k =>
+      // group key: the ACTUAL (doc-end-truncated) k-token slice —
+      // the invariant prefix doubling's rank groups must reproduce
+      val groups = dcs.flatMap { case (id, toks) =>
+        toks.indices.map(p =>
+          (toks.slice(p, p + k.toInt).toSeq, (id, p.toLong)))
+      }.groupBy(_._1).values.map(_.map(_._2).sortBy(identity)).toSeq
+      val dups = groups.filter(_.length >= 2)
+      val top = dups.sortBy(g => (-g.length, g.head)).headOption
+      (k, dups.map(_.length.toLong).sum, dups.length.toLong,
+        groups.length.toLong,
+        top.map(_.length.toLong).getOrElse(0L),
+        top.map(_.head._1).getOrElse(-1L),
+        top.map(_.head._2).getOrElse(-1L))
+    }
+    val got = graft.queries.PipelineQueries.q262_suffix_doubling(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === want)
+    assert(want.head._2 > 0, "no single-token duplicates in the corpus?")
+  }
+
   test("pqTopK ranks an exact duplicate first via ADC") {
     val r = new scala.util.Random(7)
     // 40 vectors of dim 16; vec 20 duplicates vec 0 exactly
