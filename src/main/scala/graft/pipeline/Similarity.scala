@@ -613,6 +613,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Margin-based candidate mining (Artetxe & Schwenk 2019 — the
+    * ratio-margin criterion behind CCMatrix/LASER bitext mining): the
+    * id-parity halves of the corpus stand in for the two languages;
+    * for a bounded query sample X from side A, each top-k side-B
+    * neighbor y of x is scored margin(x,y) = cos(x,y) / ((avg top-k
+    * sim of x in B + avg top-k sim of y in A) / 2). Dividing by both
+    * endpoints' local similarity level suppresses hub vectors that
+    * score high against everything — the failure mode of raw-cosine
+    * mining.
+    *
+    * Scale shape: side-B top-k is |X|·|B| (bounded query sample — the
+    * q25/q68 exactness-baseline discipline; compose with IVF/LSH for
+    * the corpus-scan term); the reverse top-k only runs for the ≤k·|X|
+    * candidate y's. Similarities quantize to ppm ints at the scan so
+    * the margin ratio is integer-exact on any engine. Returns
+    * (x, y, sim_ppm, margin_x1000) top-`limit` by margin.
+    */
+  def marginMining(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, queryMod: Int, limit: Int, roundTo: Int = 5): DataFrame = {
+    val a = df.filter(col(idCol) % 2 === 0)
+    val b = df.filter(col(idCol) % 2 === 1)
+    val xs = a.filter(col(idCol) % queryMod === 0)
+    val ppm = (c: Column) => floor(c * 1000000.0 + 0.5).cast("long")
+    val topB = bruteForceTopK(xs, b, idCol, vecCol, k, roundTo)
+      .select(col("query_id").as("x"), col("neighbor_id").as("y"),
+        ppm(col("sim")).as("sim_ppm"))
+      .localCheckpoint(eager = true) // pair rows + both sum consumers
+    val sumX = topB.groupBy(col("x"))
+      .agg(sum(col("sim_ppm")).as("sum_x"))
+    val ys = topB.select(col("y").as(idCol)).distinct()
+    val sumY = bruteForceTopK(b.join(broadcast(ys), Seq(idCol)), a,
+        idCol, vecCol, k, roundTo)
+      .groupBy(col("query_id").as("y"))
+      .agg(sum(ppm(col("sim"))).as("sum_y"))
+    topB
+      .join(broadcast(sumX), Seq("x"))
+      .join(broadcast(sumY), Seq("y"))
+      .filter(col("sum_x") + col("sum_y") > 0)
+      .select(col("x"), col("y"), col("sim_ppm"),
+        expr(s"sim_ppm * ${2000L * k} div (sum_x + sum_y)")
+          .as("margin_x1000"))
+      .orderBy(col("margin_x1000").desc, col("x"), col("y"))
+      .limit(limit)
+  }
+
   /** IVF-PQ with asymmetric distance (Jégou et al. 2011 §IV "IVFADC",
     * the FAISS billion-scale default): a coarse inverted-file quantizer
     * prunes the corpus to `nprobe` cells per query, and within probed

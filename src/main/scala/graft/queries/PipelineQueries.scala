@@ -507,6 +507,56 @@ object PipelineQueries {
   }
 
   // -------------------------------------------------------------------
+  // q263 — ratio-margin bitext-style mining (Artetxe & Schwenk 2019,
+  // the CCMatrix criterion): mine aligned pairs across the id-parity
+  // halves of the embedding corpus, scoring each candidate by cosine
+  // over the mean of both endpoints' top-4 neighborhoods — hubness-
+  // robust where raw cosine is not. Sims quantize to ppm at the scan;
+  // margin is an integer ratio. See Similarity.marginMining.
+  // -------------------------------------------------------------------
+  def q263_margin_mining(spark: SparkSession, dir: String): DataFrame =
+    Similarity.marginMining(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", k = 4, queryMod = 50, limit = 30)
+
+  val q263_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |a AS (SELECT * FROM v WHERE vid % 2 = 0),
+      |b AS (SELECT * FROM v WHERE vid % 2 = 1),
+      |xs AS (SELECT * FROM a WHERE vid % 50 = 0),
+      |tb AS (
+      |  SELECT x, y, sim_ppm FROM (
+      |    SELECT xs.vid AS x, b.vid AS y,
+      |      CAST(floor(round(list_cosine_similarity(xs.v, b.v), 5)
+      |        * 1000000 + 0.5) AS BIGINT) AS sim_ppm,
+      |      ROW_NUMBER() OVER (PARTITION BY xs.vid ORDER BY
+      |        round(list_cosine_similarity(xs.v, b.v), 5) DESC, b.vid)
+      |        AS rn
+      |    FROM xs, b)
+      |  WHERE rn <= 4),
+      |sx AS (SELECT x, CAST(SUM(sim_ppm) AS BIGINT) AS sum_x
+      |       FROM tb GROUP BY 1),
+      |ys AS (SELECT DISTINCT y FROM tb),
+      |ta AS (
+      |  SELECT qy, sim_ppm FROM (
+      |    SELECT yb.vid AS qy, a.vid AS n,
+      |      CAST(floor(round(list_cosine_similarity(yb.v, a.v), 5)
+      |        * 1000000 + 0.5) AS BIGINT) AS sim_ppm,
+      |      ROW_NUMBER() OVER (PARTITION BY yb.vid ORDER BY
+      |        round(list_cosine_similarity(yb.v, a.v), 5) DESC, a.vid)
+      |        AS rn
+      |    FROM (SELECT b.* FROM b JOIN ys ON ys.y = b.vid) yb, a)
+      |  WHERE rn <= 4),
+      |sy AS (SELECT qy AS y, CAST(SUM(sim_ppm) AS BIGINT) AS sum_y
+      |       FROM ta GROUP BY 1)
+      |SELECT tb.x, tb.y, tb.sim_ppm,
+      |  (tb.sim_ppm * 8000) // (sx.sum_x + sy.sum_y) AS margin_x1000
+      |FROM tb JOIN sx USING (x) JOIN sy USING (y)
+      |WHERE sx.sum_x + sy.sum_y > 0
+      |ORDER BY margin_x1000 DESC, x, y LIMIT 30""".stripMargin
+
+  // -------------------------------------------------------------------
   // q132 — Matryoshka progressive re-rank: coarse cosine on the first
   // 16 of 64 dims → shortlist 20 → exact full-dim re-rank to top-5
   // (Kusupati et al. 2022 precision layering). Same query set as q25.
@@ -1048,6 +1098,7 @@ object PipelineQueries {
     "q131_pq_adc" -> q131_pq_adc _,
     "q258_ivfpq_adc" -> q258_ivfpq_adc _,
     "q262_suffix_doubling" -> q262_suffix_doubling _,
+    "q263_margin_mining" -> q263_margin_mining _,
     "q132_prefix_rerank" -> q132_prefix_rerank _,
     "q20_dedup_exact" -> q20_dedup_exact _,
     "q21_text_stats" -> q21_text_stats _,
@@ -1073,6 +1124,7 @@ object PipelineQueries {
     "q131_pq_adc" -> q131_sql,
     "q258_ivfpq_adc" -> q258_sql,
     "q262_suffix_doubling" -> q262_sql,
+    "q263_margin_mining" -> q263_sql,
     "q132_prefix_rerank" -> q132_sql,
     "q20_dedup_exact" -> q20_sql,
     "q21_text_stats" -> q21_sql,

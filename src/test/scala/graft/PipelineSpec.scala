@@ -636,6 +636,29 @@ class PipelineSpec extends SparkSpec {
     assert(want.head._2 > 0, "no single-token duplicates in the corpus?")
   }
 
+  test("marginMining demotes hub vectors that raw cosine ranks first") {
+    // side A (even ids): 0,2,4 point near the hub direction (1,0);
+    // 6 is the genuine source at (0,1). side B (odd ids): 1 is a hub
+    // everything likes; 7 is the genuine match of 6; 3 is filler.
+    val vecs = Seq(
+      (0L, Seq(10f, 1f)), (2L, Seq(10f, -1f)), (4L, Seq(10f, 0.5f)),
+      (6L, Seq(0f, 10f)),
+      (1L, Seq(1f, 0f)), (3L, Seq(8f, 3f)), (7L, Seq(0.5f, 10f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(vecs, "vec_id", "embedding",
+        k = 2, queryMod = 2, limit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // raw cosine of every hub pair exceeds most sims, but the margin
+    // ranks the genuine pair (6,7) first: the hub's top-k neighborhood
+    // average is itself high, so its ratio margin collapses
+    assert(out.head._1 === 6L && out.head._2 === 7L)
+    val hubMargins = out.filter(_._2 == 1L).map(_._4)
+    assert(hubMargins.nonEmpty && hubMargins.max < out.head._4)
+    // output is sorted by margin desc
+    assert(out.map(_._4).toSeq === out.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("pqTopK ranks an exact duplicate first via ADC") {
     val r = new scala.util.Random(7)
     // 40 vectors of dim 16; vec 20 duplicates vec 0 exactly
