@@ -526,6 +526,85 @@ object MetricQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q264 — CUSUM changepoint monitor (Page 1954) over per-type daily
+  // event counts: the sequential-detection statistic S_t =
+  // max(0, S_{t-1} + (x_t − ref − slack)) computed via the running-min
+  // identity S_t = C_t − min(0, min_{i≤t} C_i), so the inherently
+  // sequential recurrence becomes one windowed cumsum plus one running
+  // min — both partitioned by event_type, never a global window. The
+  // reference level is the FIRST-HALF mean (a pinned baseline window,
+  // as q244's monitor pins its bounds) with 10% slack; alarm when S
+  // exceeds 5 days of baseline mean. Everything is scaled by
+  // 10·baseline_days so ref, slack, and threshold are exact integers
+  // on any engine: D_t = x_t·10B − SB·11, h = 50·SB.
+  //
+  // Scale shape: one groupBy to daily cells (types × days rows), one
+  // broadcast of baseline stats, per-type windows over day counts —
+  // state bounded by the calendar, not the event volume.
+  // ---------------------------------------------------------------------
+  def q264_cusum_changepoint(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(eager = true) // bounds + baseline + cum consumers
+    val bounds = d.agg(
+      expr("(min(day) + max(day)) div 2").as("mid"))
+    val base = d.crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("mid"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("b"), sum(col("x")).as("sb"))
+      .filter(col("sb") > 0)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val c = d.join(broadcast(base), Seq("event_type"))
+      .withColumn("cum",
+        sum(col("x") * 10 * col("b") - col("sb") * 11).over(wCum))
+      .withColumn("s",
+        col("cum") - least(min(col("cum")).over(wCum), lit(0L)))
+    c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("b")).as("b_days"),
+        sum(when(col("s") > col("sb") * 50, 1L).otherwise(0L))
+          .as("alarm_days"),
+        coalesce(min(when(col("s") > col("sb") * 50, col("day"))),
+          lit(-1L)).as("first_alarm_day"),
+        max(col("s")).as("s_max"))
+      .orderBy(col("event_type"))
+  }
+
+  val q264_sql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d),
+      |base AS (
+      |  SELECT event_type, COUNT(*) AS b, CAST(SUM(x) AS BIGINT) AS sb
+      |  FROM d, bounds WHERE day <= mid GROUP BY 1
+      |  HAVING SUM(x) > 0),
+      |c AS (
+      |  SELECT d.event_type, d.day, base.b, base.sb,
+      |    CAST(SUM(d.x * 10 * base.b - base.sb * 11) OVER (
+      |      PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cum
+      |  FROM d JOIN base USING (event_type)),
+      |s AS (
+      |  SELECT event_type, day, b, sb,
+      |    cum - LEAST(MIN(cum) OVER (
+      |      PARTITION BY event_type ORDER BY day), 0) AS s
+      |  FROM c)
+      |SELECT event_type, COUNT(*) AS n_days, MAX(b) AS b_days,
+      |  CAST(SUM(CASE WHEN s > sb * 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS alarm_days,
+      |  COALESCE(MIN(CASE WHEN s > sb * 50 THEN day END), -1)
+      |    AS first_alarm_day,
+      |  CAST(MAX(s) AS BIGINT) AS s_max
+      |FROM s GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q245 — funnel step latency: for the view→signup→purchase funnel
   // (q77's steps), the per-user time between FIRST occurrences of
   // consecutive steps, summarized as exact p50/p90/max seconds per
@@ -807,6 +886,7 @@ object MetricQueries {
     "q242_tv_drift" -> q242_tv_drift _,
     "q243_burstiness" -> q243_burstiness _,
     "q244_stream_tv_drift" -> q244_stream_tv_drift _,
+    "q264_cusum_changepoint" -> q264_cusum_changepoint _,
     "q245_funnel_latency" -> q245_funnel_latency _,
     "q247_leaderboard_churn" -> q247_leaderboard_churn _,
     "q249_session_lift" -> q249_session_lift _)
@@ -821,6 +901,7 @@ object MetricQueries {
     "q242_tv_drift" -> q242_sql,
     "q243_burstiness" -> q243_sql,
     "q244_stream_tv_drift" -> q242_sql,
+    "q264_cusum_changepoint" -> q264_sql,
     "q245_funnel_latency" -> q245_sql,
     "q247_leaderboard_churn" -> q247_sql,
     "q249_session_lift" -> q249_sql)

@@ -8,6 +8,38 @@ class MetricSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q264 CUSUM via running-min identity equals the sequential " +
+      "recurrence") {
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 86400000000000 as day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), x) => (t, d, x) }
+    val mid = (daily.map(_._2).min + daily.map(_._2).max) / 2
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val base = rows.filter(_._2 <= mid)
+      val b = base.length.toLong
+      val sb = base.map(_._3).sum
+      if (sb <= 0 || b == 0) None else {
+        // the SEQUENTIAL recurrence, scaled: S_t = max(0, S + D_t)
+        var s = 0L
+        val series = rows.sortBy(_._2).map { case (_, d, x) =>
+          s = math.max(0L, s + (x * 10 * b - sb * 11))
+          (d, s)
+        }
+        val alarms = series.filter(_._2 > sb * 50)
+        Some((t, rows.length.toLong, b, alarms.length.toLong,
+          alarms.headOption.map(_._1).getOrElse(-1L),
+          series.map(_._2).max))
+      }
+    }.sortBy(_._1)
+    val got = MetricQueries.q264_cusum_changepoint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+    assert(want.nonEmpty)
+  }
+
   test("q219 rolling WAU matches a naive window-count mirror") {
     val actives = Tables.events(spark, sf)
       .selectExpr("user_id", "ts div 86400000000000").collect()
