@@ -602,6 +602,82 @@ object CurationQueries {
       |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q265 — image RESIZE stage (the thumbnailing step between q161's
+  // decode and q205's feature hash): synthesize the q161 closed-form
+  // PNG per document on the executors, decode with the REAL codec,
+  // nearest-neighbor resize to ceil(w/2)×ceil(h/2) via resizeBmp,
+  // re-encode as PNG and decode AGAIN (proving the resized buffer is a
+  // valid image the codec round-trips losslessly), then emit resized
+  // dims + channel sums. The oracle recomputes the sums from the
+  // closed form at resizeBmp's exact source mapping
+  // (sx = x·w div tw) — so a green row proves decode → resize →
+  // re-encode → decode agreed with the declarative formula
+  // bit-for-bit. Embarrassingly parallel mapPartitions, one output
+  // row per document.
+  // -------------------------------------------------------------------
+  def q265_image_resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val d = (y * w + x) * 3
+            rgb(d) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+            rgb(d + 1) = ((id * 17 + x * 11 + y * 5) % 256).toByte
+            rgb(d + 2) = ((id * 23 + x * 3 + y * 19) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val png = MediaCodecs.encodePng(MediaCodecs.BmpImage(w, h, rgb))
+        val full = MediaCodecs.decodeImage(png).getOrElse(
+          sys.error(s"PNG decode failed for doc $id"))
+        val small = MediaCodecs.resizeBmp(full,
+          (full.width + 1) / 2, (full.height + 1) / 2)
+        val png2 = MediaCodecs.encodePng(small)
+        val img = MediaCodecs.decodeImage(png2).getOrElse(
+          sys.error(s"resized PNG round-trip failed for doc $id"))
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var i = 0
+        val n = img.width * img.height
+        while (i < n) {
+          rs += img.rgb(i * 3) & 0xff
+          gs += img.rgb(i * 3 + 1) & 0xff
+          bs += img.rgb(i * 3 + 2) & 0xff
+          i += 1
+        }
+        (id, img.width, img.height, rs, gs, bs)
+      }
+    }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val q265_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+      |    (8 + doc_id % 9 + 1) // 2 AS tw,
+      |    (8 + doc_id % 7 + 1) // 2 AS th
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, tw, th,
+      |    (xx.x * w) // tw AS x, (yy.y * h) // th AS y
+      |  FROM d,
+      |    unnest(generate_series(0, tw - 1)) AS xx(x),
+      |    unnest(generate_series(0, th - 1)) AS yy(y))
+      |SELECT doc_id, CAST(tw AS INT) AS width, CAST(th AS INT) AS height,
+      |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS r_sum,
+      |  CAST(SUM((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS g_sum,
+      |  CAST(SUM((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS b_sum
+      |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q238 — audio FEATURE EXTRACTION over the decoded PCM (the DSP step
   // after q164's decode): per document, frame the samples at 16/frame
   // and compute the features a speech-data pipeline filters on —
@@ -1920,6 +1996,7 @@ object CurationQueries {
     "q64_posting_lists" -> q64_posting_lists _,
     "q65_media_frames" -> q65_media_frames _,
     "q161_image_decode" -> q161_image_decode _,
+    "q265_image_resize" -> q265_image_resize _,
     "q164_audio_decode" -> q164_audio_decode _,
     "q238_audio_features" -> q238_audio_features _,
     "q255_avi_frames" -> q255_avi_frames _,
@@ -1958,6 +2035,7 @@ object CurationQueries {
     "q64_posting_lists" -> q64_sql,
     "q65_media_frames" -> q65_sql,
     "q161_image_decode" -> q161_sql,
+    "q265_image_resize" -> q265_sql,
     "q164_audio_decode" -> q164_sql,
     "q238_audio_features" -> q238_sql,
     "q255_avi_frames" -> q255_sql,

@@ -124,6 +124,30 @@ class MediaCodecsSpec extends SparkSpec {
       32.toByte, 34.toByte))
   }
 
+  test("q265 resize halves q161's decoded dims and keeps mapped pixels") {
+    val sf = "/root/testdata/sf0.001"
+    val full = graft.queries.CurationQueries
+      .q161_image_decode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val small = graft.queries.CurationQueries
+      .q265_image_resize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(small.nonEmpty && small.length === full.size)
+    small.foreach { case (id, w2, h2, rsum) =>
+      val (w, h) = full(id)
+      assert(w2 === (w + 1) / 2 && h2 === (h + 1) / 2)
+      // naive mirror of decode→resizeBmp on the synthesis closed form
+      val want = (0 until h2).flatMap { y =>
+        val sy = y.toLong * h / h2
+        (0 until w2).map { x =>
+          val sx = x.toLong * w / w2
+          (id * 31 + sx * 7 + sy * 13) % 256
+        }
+      }.sum
+      assert(rsum === want, s"r_sum mismatch for doc $id")
+    }
+  }
+
   test("BMP features: solid color → exact channel means") {
     val rgb = Array.fill[Byte](8 * 4 * 3)(0)
     for (i <- 0 until 8 * 4) { rgb(i * 3) = -1 } // R=255, G=0, B=0
