@@ -526,6 +526,112 @@ object MetricQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q266 — Bradley–Terry strength ratings (Zermelo 1929; Hunter 2004's
+  // MM updates) from implicit pairwise outcomes — the aggregation
+  // behind arena-style preference leaderboards: within each order,
+  // supplier i beats supplier j when i ships strictly earlier; eight
+  // unrolled MM rounds r_i ← W_i / Σ_j n_ij/(r_i + r_j) in integer ppm
+  // (per-pair floor division, both engines identical), ratings clamped
+  // to [10³, 10⁹] so undefeated entities cannot diverge. The numerator
+  // W·10¹⁸ and the denominator sum ride DECIMAL(38,0) ↔ HUGEINT (the
+  // q230/q237 promotion) — Σ_j n_ij·10¹² exceeds int64 past ~100
+  // opponents.
+  //
+  // Scale shape: pair extraction is an order-keyed self-join (per-order
+  // fan-out ≤ lineitems², bounded by order size); the rating state is
+  // one row per entity and each round is two broadcast-sized joins +
+  // one groupBy over the edge list.
+  // ---------------------------------------------------------------------
+  private val BtIters = 8
+
+  def q266_bradley_terry(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("l_shipdate").as("sd"))
+    val dirWins = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") &&
+          col("a.sk") =!= col("b.sk") && col("a.sd") < col("b.sd"))
+      .groupBy(col("a.sk").as("i"), col("b.sk").as("j"))
+      .agg(count(lit(1)).as("w"))
+    val both = dirWins
+      .unionByName(dirWins.select(col("j").as("i"), col("i").as("j"),
+        lit(0L).as("w")))
+      .groupBy(col("i"), col("j")).agg(sum(col("w")).as("w"))
+    val edges = both.as("x").join(both.as("y"),
+        col("x.i") === col("y.j") && col("x.j") === col("y.i"))
+      .select(col("x.i").as("s"), col("x.j").as("o"),
+        col("x.w").as("w_so"), (col("x.w") + col("y.w")).as("n"))
+      .localCheckpoint(eager = true) // per-iteration + W consumers
+    val wins = edges.groupBy(col("s"))
+      .agg(sum(col("w_so")).as("wins"), sum(col("n")).as("n_comparisons"))
+      .localCheckpoint(eager = true)
+    var rank = wins.select(col("s"), lit(1000000L).as("r"))
+    for (_ <- 1 to BtIters) {
+      val d = edges
+        .join(rank.select(col("s"), col("r").as("r_s")), Seq("s"))
+        .join(rank.select(col("s").as("o"), col("r").as("r_o")), Seq("o"))
+        .groupBy(col("s"))
+        .agg(sum(expr("cast((n * 1000000000000) div (r_s + r_o) " +
+          "as decimal(38,0))")).as("dsum"))
+      rank = wins.join(d, Seq("s"))
+        .select(col("s"),
+          least(greatest(expr("cast((cast(wins as decimal(38,0)) * " +
+            "1000000000000000000) div dsum as bigint)"), lit(1000L)),
+            lit(1000000000L)).as("r"))
+        .localCheckpoint(eager = true)
+    }
+    wins.join(rank, Seq("s"))
+      .select(col("s").as("suppkey"), col("wins"), col("n_comparisons"),
+        col("r").as("rating_ppm"))
+      .orderBy(col("rating_ppm").desc, col("suppkey"))
+      .limit(20)
+  }
+
+  val q266_sql: String = {
+    val steps = (1 to BtIters).map { k =>
+      s"""bt$k AS MATERIALIZED (
+         |  SELECT w.s,
+         |    LEAST(GREATEST(CAST((w.wins::HUGEINT *
+         |        1000000000000000000) // d.dsum AS BIGINT), 1000),
+         |      1000000000) AS r
+         |  FROM wins w JOIN (
+         |    SELECT e.s,
+         |      SUM((e.n * 1000000000000) // (rs.r + ro.r)) AS dsum
+         |    FROM edges e
+         |    JOIN bt${k - 1} rs ON rs.s = e.s
+         |    JOIN bt${k - 1} ro ON ro.s = e.o
+         |    GROUP BY e.s) d ON d.s = w.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dw AS (
+       |  SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey
+       |    AND b.l_suppkey <> a.l_suppkey
+       |    AND a.l_shipdate < b.l_shipdate
+       |  GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT i, j, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT i, j, w FROM dw
+       |    UNION ALL SELECT j AS i, i AS j, 0 AS w FROM dw)
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT x.i AS s, x.j AS o, x.w AS w_so, x.w + y.w AS n
+       |  FROM sym x JOIN sym y ON y.i = x.j AND y.j = x.i),
+       |wins AS MATERIALIZED (
+       |  SELECT s, CAST(SUM(w_so) AS BIGINT) AS wins,
+       |    CAST(SUM(n) AS BIGINT) AS n_comparisons
+       |  FROM edges GROUP BY 1),
+       |bt0 AS (SELECT s, CAST(1000000 AS BIGINT) AS r FROM wins),
+       |$steps
+       |SELECT w.s AS suppkey, w.wins, w.n_comparisons,
+       |  r.r AS rating_ppm
+       |FROM wins w JOIN bt$BtIters r ON r.s = w.s
+       |ORDER BY rating_ppm DESC, suppkey
+       |LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q264 — CUSUM changepoint monitor (Page 1954) over per-type daily
   // event counts: the sequential-detection statistic S_t =
   // max(0, S_{t-1} + (x_t − ref − slack)) computed via the running-min
@@ -887,6 +993,7 @@ object MetricQueries {
     "q243_burstiness" -> q243_burstiness _,
     "q244_stream_tv_drift" -> q244_stream_tv_drift _,
     "q264_cusum_changepoint" -> q264_cusum_changepoint _,
+    "q266_bradley_terry" -> q266_bradley_terry _,
     "q245_funnel_latency" -> q245_funnel_latency _,
     "q247_leaderboard_churn" -> q247_leaderboard_churn _,
     "q249_session_lift" -> q249_session_lift _)
@@ -902,6 +1009,7 @@ object MetricQueries {
     "q243_burstiness" -> q243_sql,
     "q244_stream_tv_drift" -> q242_sql,
     "q264_cusum_changepoint" -> q264_sql,
+    "q266_bradley_terry" -> q266_sql,
     "q245_funnel_latency" -> q245_sql,
     "q247_leaderboard_churn" -> q247_sql,
     "q249_session_lift" -> q249_sql)

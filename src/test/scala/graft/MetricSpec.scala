@@ -40,6 +40,45 @@ class MetricSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("q266 Bradley-Terry matches a naive quantized-MM mirror") {
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_suppkey",
+        "cast(l_shipdate as string) as sd") // ISO order ≡ chrono order
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val wins = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    rows.groupBy(_._1).values.foreach { os =>
+      for (a <- os; b <- os if a._2 != b._2 && a._3 < b._3)
+        wins((a._2, b._2)) = wins.getOrElse((a._2, b._2), 0L) + 1L
+    }
+    val sups = wins.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+    val n = sups.map(s => s -> sups.filter(_ != s).map(o =>
+      wins.getOrElse((s, o), 0L) + wins.getOrElse((o, s), 0L))
+      .sum).toMap
+    val w = sups.map(s => s -> sups.filter(_ != s)
+      .map(o => wins.getOrElse((s, o), 0L)).sum).toMap
+    var r = sups.map(s => s -> 1000000L).toMap
+    for (_ <- 1 to 8) {
+      r = sups.map { s =>
+        val d = sups.filter(o => o != s &&
+            wins.getOrElse((s, o), 0L) + wins.getOrElse((o, s), 0L) > 0)
+          .map { o =>
+            val nij = wins.getOrElse((s, o), 0L) + wins.getOrElse((o, s), 0L)
+            BigInt(nij) * BigInt("1000000000000") / (r(s) + r(o))
+          }.sum
+        val nr = (BigInt(w(s)) * BigInt("1000000000000000000") / d)
+          .min(BigInt(1000000000L)).max(BigInt(1000L))
+        s -> nr.toLong
+      }.toMap
+    }
+    val want = sups.map(s => (s, w(s), n(s), r(s)))
+      .sortBy { case (s, _, _, rt) => (-rt, s) }.take(20)
+    val got = MetricQueries.q266_bradley_terry(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(got.toSeq === want)
+    assert(want.nonEmpty)
+  }
+
   test("q219 rolling WAU matches a naive window-count mirror") {
     val actives = Tables.events(spark, sf)
       .selectExpr("user_id", "ts div 86400000000000").collect()
