@@ -77,6 +77,73 @@ object Clusters {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"): converges in O(log²) rounds INDEPENDENT of component
+    * diameter, where [[connectedComponentsDF]]'s min-label loop and
+    * GraphX Pregel both need diameter-many rounds — the difference
+    * between ~10 and ~20 000 shuffles on a chain-shaped graph, and the
+    * reason this is the production CC for web/citation graphs.
+    *
+    *   - large-star(u): every neighbor v > u re-points to
+    *     m = min(Γ(u) ∪ u);
+    *   - small-star(u): u and its neighbors v < u re-point to the
+    *     minimum among them.
+    *
+    * Each phase is one symmetrize + one min-groupBy + one join —
+    * hash-partitioned by node, no global structure. At the fixpoint
+    * the edge set is a star forest (every node points at its
+    * component's minimum id). Returns (node, cluster_id) for every
+    * non-isolated node; throws past `maxIter` (an unconverged edge
+    * set is not a labeling).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 30): DataFrame = {
+    var e = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(eager = true) // canonical u < v
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      it += 1
+      // large-star: neighbors above u hook onto u's minimum
+      val adjL = e.unionByName(
+        e.select(col("v").as("u"), col("u").as("v")))
+      val mL = adjL.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = adjL.join(mL, Seq("u"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v")) // m < u < v ⇒ canonical
+        .distinct().localCheckpoint(eager = true)
+      // small-star: u and its smaller neighbors hook onto their min
+      val adjS = large.unionByName(
+        large.select(col("v").as("u"), col("u").as("v")))
+      val below = adjS.filter(col("v") < col("u"))
+        .localCheckpoint(eager = true) // min + re-point consumers
+      val mS = below.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = below.join(mS, Seq("u"))
+        .select(col("v"), col("m"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v")) // m ≤ v < u ⇒ canonical
+        .unionByName(mS.select(col("m").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint(eager = true)
+      done = small.count() == e.count() &&
+        small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = small
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"star CC did not converge in $maxIter rounds")
+    e.select(col("v").as("node"), col("u").as("cluster_id"))
+      .unionByName(e.select(col("u").as("node"),
+        col("u").as("cluster_id")))
+      .distinct()
+  }
+
   /** Cluster summary: (cluster_id = min member = keeper, n_members),
     * from any (node, cluster_id) labeling. */
   def clusterSizes(labels: DataFrame): DataFrame =

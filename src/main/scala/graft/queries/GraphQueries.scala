@@ -883,7 +883,42 @@ object GraphQueries {
        |ORDER BY stress_paths DESC, v LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q267 — connected components on a HIGH-DIAMETER graph via
+  // large-star/small-star (Kiveris et al. 2014): the stride-17 chain
+  // k ↔ k−17 over part keys forms 17 path components whose diameter
+  // grows linearly with the corpus (~1 200 hops at sf0.1, ~12 000 at
+  // sf1) — the regime where min-label propagation and Pregel CC need
+  // diameter-many shuffles and the alternating-star algorithm needs
+  // O(log²). The components are known in closed form (the residue
+  // classes mod 17, labeled by their smallest key), which is exactly
+  // what the oracle computes — so a green row proves the star
+  // fixpoint found every component without a single long propagation.
+  // Output: per-component (cluster_id, n_members, max_member).
+  // ---------------------------------------------------------------------
+  def q267_star_components(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val edges = p.filter(col("p_partkey") >= 17)
+      .select(col("p_partkey").as("a"),
+        (col("p_partkey") - 17).as("b"))
+    val labels = graft.pipeline.Clusters
+      .connectedComponentsStar(edges, "a", "b")
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q267_sql: String =
+    """WITH n AS (SELECT p_partkey AS k FROM part),
+      |labeled AS (
+      |  SELECT k, MIN(k) OVER (PARTITION BY k % 17) AS cluster_id
+      |  FROM n)
+      |SELECT cluster_id, COUNT(*) AS n_members,
+      |  CAST(MAX(k) AS BIGINT) AS max_member
+      |FROM labeled GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_star_components" -> q267_star_components _,
     "q257_landmark_distance" -> q257_landmark_distance _,
     "q259_stress_centrality" -> q259_stress_centrality _,
     "q217_harmonic_centrality" -> q217_harmonic_centrality _,
@@ -906,6 +941,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q257_landmark_distance" -> q257_sql,
     "q259_stress_centrality" -> q259_sql,
+    "q267_star_components" -> q267_sql,
     "q217_harmonic_centrality" -> q217_sql,
     "q218_eccentricity" -> q218_sql,
     "q185_link_prediction" -> q185_sql,

@@ -120,6 +120,39 @@ class CurationSpec extends SparkSpec {
     assert(all === 3L)
   }
 
+  test("star CC agrees with GraphX and beats min-label on a long chain") {
+    // mixed shapes: chains, a triangle, a reversed pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 21L), (5L, 4L)).toDF("id_a", "id_b")
+    val star = Clusters.connectedComponentsStar(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = Clusters.connectedComponentsGraphX(spark, pairs, "id_a",
+        "id_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === gx)
+    // a 200-node chain: min-label needs ~200 rounds (the DF engine
+    // throws at maxIter 20), star converges within its default 30 —
+    // the whole point of the algorithm
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Clusters.connectedComponentsDF(chain, "id_a", "id_b", maxIter = 20)
+        .collect()
+    }
+    val labels = Clusters.connectedComponentsStar(chain, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.map(_._2).toSet === Set(1L))
+    assert(labels.map(_._1).toSet === (1L to 200L).toSet)
+    // random graph cross-check
+    val rnd = new scala.util.Random(13)
+    val rp = (1 to 150).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val s2 = Clusters.connectedComponentsStar(rp, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g2 = Clusters.connectedComponentsGraphX(spark, rp, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2 === g2)
+  }
+
   test("connectedComponentsDF refuses an unconverged labeling") {
     // a 12-node chain: min-label needs ~11 rounds to reach the far end
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
