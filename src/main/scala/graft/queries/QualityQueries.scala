@@ -1687,6 +1687,72 @@ object QualityQueries {
       |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin
 
   // -------------------------------------------------------------------
+  // q268 — multi-format source/sink round-trip audit: write the orders
+  // projection to CSV, JSON and ORC through the real DataSource
+  // writers, read each back through the matching reader (explicit
+  // schema where the format is schemaless), and aggregate — one row
+  // per format, identical by construction, hash-checked against the
+  // parquet originals by the oracle. This is the "every source format"
+  // completeness proof for the non-parquet paths a lakehouse actually
+  // mixes; doubles are quantized to integer cents BEFORE writing so
+  // text formats round-trip bit-exactly. The result is materialized
+  // eagerly and the temp files deleted before returning — no leaked
+  // state between runs.
+  // -------------------------------------------------------------------
+  def q268_format_roundtrip(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fmt_").toFile
+    try {
+      val perFormat = Seq("csv", "json", "orc").map { f =>
+        val path = new java.io.File(tmp, f).getAbsolutePath
+        val w = base.write.mode("overwrite")
+        (if (f == "csv") w.option("header", "true") else w)
+          .format(f).save(path)
+        val r = spark.read
+        val back = f match {
+          case "orc" => r.format(f).load(path)
+          case _ => r.schema(base.schema)
+            .option("header", "true").format(f).load(path)
+        }
+        back.agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("total_cents"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            countDistinct(col("o_orderstatus")).as("n_statuses"))
+          .select(lit(f).as("format"), col("n_rows"), col("total_cents"),
+            col("min_key"), col("max_key"), col("n_statuses"))
+      }
+      perFormat.reduce(_ unionByName _)
+        .orderBy(col("format"))
+        .localCheckpoint(eager = true) // materialize before cleanup
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  val q268_sql: String = {
+    val agg =
+      """SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS total_cents,
+        |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        |  FROM orders""".stripMargin
+    s"""WITH a AS ($agg)
+       |SELECT f.format, a.n_rows, a.total_cents, a.min_key, a.max_key,
+       |  a.n_statuses
+       |FROM (VALUES ('csv'), ('json'), ('orc')) f(format), a
+       |ORDER BY f.format""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q261 — Gopher REPETITION signals (Rae et al. 2021 §A1.1) — the
   // intra-document repetition filters q84's quality rules do not
   // cover: (a) top-2-gram character fraction (chars of the most
@@ -2463,6 +2529,7 @@ object QualityQueries {
     "q133_cms_estimate" -> q133_cms_estimate _,
     "q260_cms_join_size" -> q260_cms_join_size _,
     "q261_repetition_signals" -> q261_repetition_signals _,
+    "q268_format_roundtrip" -> q268_format_roundtrip _,
     "q127_max_run" -> q127_max_run _,
     "q125_line_filter" -> q125_line_filter _,
     "q124_vocab_growth" -> q124_vocab_growth _,
@@ -2512,6 +2579,7 @@ object QualityQueries {
     "q133_cms_estimate" -> q133_sql,
     "q260_cms_join_size" -> q260_sql,
     "q261_repetition_signals" -> q261_sql,
+    "q268_format_roundtrip" -> q268_sql,
     "q127_max_run" -> q127_sql,
     "q125_line_filter" -> q125_sql,
     "q124_vocab_growth" -> q124_sql,

@@ -7,6 +7,26 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("q268 every format round-trips the same aggregate and leaks " +
+      "no temp files") {
+    val sf = "/root/testdata/sf0.001"
+    val before = Option(new java.io.File("/tmp").listFiles())
+      .map(_.count(_.getName.startsWith("graft_fmt_"))).getOrElse(0)
+    val rows = graft.queries.QualityQueries
+      .q268_format_roundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === Seq("csv", "json", "orc"))
+    // all three formats reproduce the identical aggregate
+    assert(rows.map(t => (t._2, t._3, t._4, t._5, t._6)).distinct
+      .length === 1)
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.head._2 === n)
+    val after = Option(new java.io.File("/tmp").listFiles())
+      .map(_.count(_.getName.startsWith("graft_fmt_"))).getOrElse(0)
+    assert(after === before, "q268 leaked temp directories")
+  }
+
   test("q261 repetition signals match a naive per-doc mirror") {
     val sf = "/root/testdata/sf0.001"
     val want = Tables.documents(spark, sf)
