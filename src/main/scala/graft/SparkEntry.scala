@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.IntegrityQueries.queries ++
       graft.queries.TrainPrepQueries.queries ++
       graft.queries.MetricQueries.queries ++
-      graft.queries.LinkageQueries.queries
+      graft.queries.LinkageQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.IntegrityQueries.oracles ++
       graft.queries.TrainPrepQueries.oracles ++
       graft.queries.MetricQueries.oracles ++
-      graft.queries.LinkageQueries.oracles
+      graft.queries.LinkageQueries.oracles ++
+      graft.queries.ScaleQueries.oracles
 }

@@ -186,4 +186,93 @@ object Communities {
        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
        |$steps""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Maximal independent set — Luby's algorithm with FIXED priorities
+  // -------------------------------------------------------------------
+
+  /** Luby-style maximal independent set (Luby 1986) with FIXED,
+    * collision-free integer priorities: each round, every active node
+    * whose priority is a strict local minimum among its ACTIVE
+    * neighbours joins the MIS; winners and their neighbours deactivate.
+    * With priorities fixed across rounds this computes exactly the
+    * sequential greedy MIS in priority order, but in
+    * O(longest priority-descending path) ≈ O(log n) rounds — each round
+    * is two hash joins + two anti joins on the shrinking active set, so
+    * the algorithm is diameter-independent and survives 100 TB where a
+    * sequential greedy cannot.
+    *
+    * `nodes` must select (v, h) with h UNIQUE (the caller supplies a
+    * bijective hash — ties would make the round semantics ambiguous);
+    * `edges` must select (u, w) already SYMMETRIZED and irreflexive.
+    * Returns (node, round) — the MIS members and the round that
+    * selected them. Fails loudly if `maxRounds` is hit (never silently
+    * returns a non-maximal set).
+    */
+  def maximalIndependentSet(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    var act = nodes.select(col("v"), col("h")).localCheckpoint(true)
+    val ed = edges.select(col("u"), col("w")).localCheckpoint(true)
+    var out: DataFrame = null
+    var r = 0
+    var remaining = act.count()
+    while (remaining > 0) {
+      r += 1
+      require(r <= maxRounds,
+        s"MIS did not converge in $maxRounds rounds ($remaining active)")
+      // nodes having an active neighbour with a smaller priority
+      val losers = ed
+        .join(act.select(col("v").as("u"), col("h").as("hu")), "u")
+        .join(act.select(col("v").as("w"), col("h").as("hw")), "w")
+        .filter(col("hw") < col("hu"))
+        .select(col("u").as("v")).distinct()
+      val winners = act.join(losers, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      val removed = winners.select(col("v"))
+        .unionAll(ed.join(winners.select(col("v").as("u")), "u")
+          .select(col("w").as("v")))
+        .distinct()
+      act = act.join(removed, Seq("v"), "left_anti").localCheckpoint(true)
+      remaining = act.count()
+      val w = winners.select(col("v").as("node"), lit(r).as("round"))
+      out = if (out == null) w else out.unionAll(w)
+    }
+    if (out == null)
+      nodes.sparkSession.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0).as("round")).limit(0)
+    else out
+  }
+
+  /** DuckDB mirror of [[maximalIndependentSet]], emitted as UNROLLED
+    * round CTEs (recursive CTEs cannot self-join the working set, which
+    * the local-minimum test needs twice). `nodesSql` must select (v, h),
+    * `edgesSql` (u, w) symmetrized; the final CTE is `mis` with columns
+    * (node, round). `rounds` must upper-bound the true round count —
+    * extra rounds are no-ops on an empty active set, so over-providing
+    * is safe and under-providing only TRUNCATES (gate then mismatches
+    * the Spark side, which runs to convergence — a loud failure). */
+  def maximalIndependentSetSql(nodesSql: String, edgesSql: String,
+      rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""w$r AS (
+         |  SELECT a.v, a.h FROM act${r - 1} a WHERE NOT EXISTS (
+         |    SELECT 1 FROM misEd e JOIN act${r - 1} n ON n.v = e.w
+         |    WHERE e.u = a.v AND n.h < a.h)),
+         |act$r AS MATERIALIZED (
+         |  SELECT a.v, a.h FROM act${r - 1} a
+         |  WHERE NOT EXISTS (SELECT 1 FROM w$r WHERE w$r.v = a.v)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM misEd e JOIN w$r ON w$r.v = e.u
+         |      WHERE e.w = a.v))""".stripMargin
+    }.mkString(",\n")
+    val winners = (1 to rounds)
+      .map(r => s"SELECT v AS node, $r AS round FROM w$r")
+      .mkString("\n  UNION ALL ")
+    s"""misNodes AS ($nodesSql),
+       |misEd AS MATERIALIZED ($edgesSql),
+       |act0 AS (SELECT v, h FROM misNodes),
+       |$steps,
+       |mis AS (
+       |  $winners)""".stripMargin
+  }
 }

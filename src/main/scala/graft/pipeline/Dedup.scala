@@ -120,6 +120,70 @@ object Dedup {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** AllPairs/PPJoin-style prefix-filtered EXACT-threshold Jaccard join
+    * (Bayardo et al. 2007; Xiao et al. 2008): instead of the full
+    * inverted-list join of [[jaccardPairsFromRows]] — whose cost is
+    * Σ df² over EVERY token, dominated by stopwords at 100 TB — each
+    * document indexes only its PREFIX under a global rarest-first token
+    * order: p = |x| − ⌈t·|x|⌉ + 1 tokens. Two documents with
+    * Jaccard ≥ t must share a prefix token (pigeonhole on the overlap
+    * bound), so the candidate join touches only the RARE end of the
+    * vocabulary and the filter is LOSSLESS — the verified output equals
+    * the naive all-pairs result exactly, which is what the oracle
+    * checks. A length filter (1000·min ≥ t₁₀₀₀·max) prunes candidates
+    * before verification.
+    *
+    * `thresholdX1000` is the Jaccard threshold ×1000 (integer, so the
+    * keep test `1000·|∩| ≥ t₁₀₀₀·|∪|` is exact in any engine). Returns
+    * (id_a, id_b, intersection, size_a, size_b, jac_x1000) with
+    * jac_x1000 = ⌊1000·|∩|/|∪|⌋.
+    */
+  def prefixFilteredJaccardPairs(shAll: DataFrame, thresholdX1000: Long)
+      : DataFrame = {
+    val t = lit(thresholdX1000)
+    val sh = shAll.localCheckpoint(true) // prefix pass + doc-array pass
+    // one token-array row per doc: verification intersects ARRAYS
+    // map-side (O(|x|+|y|) per candidate) instead of re-exploding the
+    // token rows into a candidate×tokens shuffle
+    val docsArr = sh.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("shingle"))).as("tk"),
+        count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // global rarest-first total order (df, then token text); the window
+    // partitions by doc, so no single-reducer exchange
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("doc"))
+        .orderBy(col("df"), col("shingle"))))
+    // prefix length p = sz − ceil(t·sz) + 1, integer-exact
+    val pref = ranked
+      .join(docsArr.select(col("doc"), col("sz")), Seq("doc"))
+      .filter(col("rk") <=
+        col("sz") - expr(s"($thresholdX1000 * sz + 999) div 1000") + 1)
+      .select(col("doc"), col("shingle"), col("sz"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc")
+          && lit(1000) * least(col("a.sz"), col("b.sz")) >=
+             t * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    // exact verification: real intersection per candidate, map-side
+    cand
+      .join(docsArr.select(col("doc").as("id_a"), col("tk").as("ta"),
+        col("sz").as("size_a")), Seq("id_a"))
+      .join(docsArr.select(col("doc").as("id_b"), col("tk").as("tb"),
+        col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("intersection",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(lit(1000) * col("intersection") >=
+        t * (col("size_a") + col("size_b") - col("intersection")))
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("size_a"), col("size_b"),
+        expr("(1000 * intersection) div " +
+          "(size_a + size_b - intersection)").as("jac_x1000"))
+  }
+
   /** Drop shingles appearing in more than maxDf documents before joining —
     * the skew guard that keeps the shingle join linear at 100 TB.
     *

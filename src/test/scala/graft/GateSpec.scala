@@ -87,7 +87,8 @@ class GateSpec extends SparkSpec {
       graft.queries.IntegrityQueries.queries,
       graft.queries.TrainPrepQueries.queries,
       graft.queries.MetricQueries.queries,
-      graft.queries.LinkageQueries.queries)
+      graft.queries.LinkageQueries.queries,
+      graft.queries.ScaleQueries.queries)
     val all = parts.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names across registries: " +

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+import graft.queries.ScaleQueries
+
+/** Property tests for the round-8 scale-algorithm tier (ScaleQueries):
+  * the oracle gate pins exact outputs; these pin the ALGORITHMIC claims
+  * (losslessness, independence/maximality, combinatorial identities)
+  * that the output equality alone would not distinguish from luck.
+  */
+class ScaleAlgoSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ----------------------------------------------------------------
+  // q269 — prefix filter is LOSSLESS and actually prunes
+  // ----------------------------------------------------------------
+
+  test("prefix-filtered Jaccard join equals the naive all-pairs result") {
+    val sh = Dedup.shingleRows(Tables.documents(spark, sf),
+      "doc_id", "text", 1)
+    val fast = Dedup.prefixFilteredJaccardPairs(sh, 900L)
+      .select("id_a", "id_b", "intersection", "size_a", "size_b")
+    val naive = Dedup.jaccardPairsFromRows(sh, 0.9, Long.MaxValue)
+      .select("id_a", "id_b", "intersection", "size_a", "size_b")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("prefix filter generates strictly fewer token meetings than the " +
+      "full inverted-list join") {
+    val sh = Dedup.shingleRows(Tables.documents(spark, sf),
+        "doc_id", "text", 1)
+      .localCheckpoint(true)
+    def meetings(rows: org.apache.spark.sql.DataFrame): Long =
+      rows.as("a").join(rows.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc") < col("b.doc"))
+        .count()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))))
+      .join(sizes, Seq("doc"))
+      .filter(col("rk") <= col("sz") - expr("(900 * sz + 999) div 1000") + 1)
+      .select(col("doc"), col("shingle"))
+    val full = meetings(sh)
+    val pruned = meetings(pref)
+    assert(pruned < full / 2,
+      s"prefix meetings $pruned not < half of full $full")
+  }
+
+  // ----------------------------------------------------------------
+  // q271 — MIS is independent and maximal
+  // ----------------------------------------------------------------
+
+  test("Luby MIS is an independent set and is maximal") {
+    val mis = ScaleQueries.q271_luby_mis(spark, sf)
+      .select(col("node")).localCheckpoint(true)
+    val part = Tables.part(spark, sf)
+    val fwd = Seq(7, 17, 23).map { s =>
+      part.filter(col("p_partkey") >= s)
+        .select(col("p_partkey").as("u"), (col("p_partkey") - s).as("w"))
+    }.reduce(_ unionAll _)
+    val sym = fwd.unionAll(fwd.select(col("w").as("u"), col("u").as("w")))
+      .localCheckpoint(true)
+    // independence: no edge with both endpoints in the MIS
+    val internal = sym
+      .join(mis.select(col("node").as("u")), Seq("u"))
+      .join(mis.select(col("node").as("w")), Seq("w"))
+      .count()
+    assert(internal === 0L, s"$internal edges inside the MIS")
+    // maximality: every non-member has a member neighbour
+    val nodes = part.select(col("p_partkey").as("node"))
+    val nonMembers = nodes.join(mis, Seq("node"), "left_anti")
+    val covered = sym.join(mis.select(col("node").as("u")), Seq("u"))
+      .select(col("w").as("node")).distinct()
+    val uncovered = nonMembers.join(covered, Seq("node"), "left_anti")
+      .count()
+    assert(uncovered === 0L, s"$uncovered non-members with no MIS neighbour")
+  }
+
+  test("Luby MIS equals the sequential greedy MIS in priority order") {
+    val rows = Tables.part(spark, sf)
+      .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+    val h = rows.map(v => v -> ((v * 2654435761L) % 4294967296L)).toMap
+    val adj = rows.map { v =>
+      v -> Seq(7, 17, 23).flatMap(s => Seq(v - s, v + s))
+        .filter(h.contains)
+    }.toMap
+    val mis = scala.collection.mutable.Set.empty[Long]
+    val killed = scala.collection.mutable.Set.empty[Long]
+    rows.sortBy(h).foreach { v =>
+      if (!killed(v)) { mis += v; adj(v).foreach(killed += _) }
+    }
+    val got = ScaleQueries.q271_luby_mis(spark, sf)
+      .select(col("node")).collect().map(_.getLong(0)).toSet
+    assert(got === mis.toSet)
+  }
+
+  // ----------------------------------------------------------------
+  // q272 — butterfly identity: wedge-side total equals naive count
+  // ----------------------------------------------------------------
+
+  test("butterfly total equals the naive quadruple count") {
+    val e = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("p")), Seq("o_orderkey"))
+      .select(col("c"), col("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = e.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val parts = byPart.keys.toSeq.sorted
+    var naive = 0L
+    for (i <- parts.indices; j <- (i + 1) until parts.size) {
+      val k = byPart(parts(i)).intersect(byPart(parts(j))).size.toLong
+      naive += k * (k - 1) / 2
+    }
+    val got = ScaleQueries.q272_butterflies(spark, sf)
+      .select(col("total_bf")).head().getLong(0)
+    assert(got === naive)
+  }
+}
