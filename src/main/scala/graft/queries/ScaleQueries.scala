@@ -160,13 +160,192 @@ object ScaleQueries {
       |SELECT p1, p2, codeg, pair_bf, total_bf FROM pb CROSS JOIN t
       |ORDER BY codeg DESC, p1, p2 LIMIT 25""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q270 — sequential-pattern support (the subsequence semantics of
+  // PrefixSpan/SPAM, Pei 2001): support of pattern ⟨t1,t2⟩ = #users
+  // whose early activity contains t1 strictly before t2 (NOT
+  // necessarily adjacent — q192's contiguous trigrams are the other
+  // semantics). Mined over each user's FIRST 8 events so per-user
+  // state is O(1) and the mining survives unbounded history. The
+  // subsequence test never materializes subsequences: ⟨a,b⟩ holds iff
+  // first(a) < last(b), and ⟨a,b,c⟩ iff the EARLIEST completion of
+  // ⟨a,b⟩ (min pos of b after first(a) — the greedy-matching argument)
+  // precedes last(c). Patterns with support ≥ 25% of users are kept.
+  // -------------------------------------------------------------------
+  def q270_seq_patterns(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val p8 = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 8)
+      .select(col("user_id"), col("event_type"), col("pos"))
+      .localCheckpoint(eager = true) // type summaries + occurrence scan
+    val tp = p8.groupBy(col("user_id"), col("event_type").as("t"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+      .localCheckpoint(eager = true)
+    val nU = p8.agg(countDistinct(col("user_id")).as("n_users"))
+    val l2 = tp.as("a")
+      .join(tp.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.mn") < col("b.mx"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(count(lit(1)).as("support"))
+      .select(concat_ws(">", col("t1"), col("t2")).as("pattern"),
+        lit(2).as("plen"), col("support"))
+    val m2 = tp.select(col("user_id"), col("t").as("t1"), col("mn"))
+      .join(p8.select(col("user_id"), col("event_type").as("t2"),
+        col("pos")), Seq("user_id"))
+      .filter(col("pos") > col("mn"))
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(col("pos")).as("m2pos"))
+    val l3 = m2
+      .join(tp.select(col("user_id"), col("t").as("t3"), col("mx")),
+        Seq("user_id"))
+      .filter(col("m2pos") < col("mx"))
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("support"))
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3"))
+        .as("pattern"), lit(3).as("plen"), col("support"))
+    l2.unionAll(l3).crossJoin(broadcast(nU))
+      .filter(col("support") * 4 >= col("n_users"))
+      .select(col("pattern"), col("plen"), col("support"))
+      .orderBy(col("plen"), col("support").desc, col("pattern"))
+  }
+
+  val q270_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS pos
+      |  FROM events),
+      |p8 AS (SELECT * FROM e WHERE pos <= 8),
+      |tp AS (
+      |  SELECT user_id, event_type AS t, MIN(pos) AS mn, MAX(pos) AS mx
+      |  FROM p8 GROUP BY 1, 2),
+      |u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM p8),
+      |l2 AS (
+      |  SELECT a.t || '>' || b.t AS pattern, 2 AS plen,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM tp a JOIN tp b
+      |    ON a.user_id = b.user_id AND a.mn < b.mx
+      |  GROUP BY 1, 2),
+      |m2 AS (
+      |  SELECT a.user_id, a.t AS t1, o.event_type AS t2,
+      |    MIN(o.pos) AS m2pos
+      |  FROM tp a JOIN p8 o
+      |    ON o.user_id = a.user_id AND o.pos > a.mn
+      |  GROUP BY 1, 2, 3),
+      |l3 AS (
+      |  SELECT m.t1 || '>' || m.t2 || '>' || c.t AS pattern, 3 AS plen,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM m2 m JOIN tp c
+      |    ON c.user_id = m.user_id AND m.m2pos < c.mx
+      |  GROUP BY 1, 2)
+      |SELECT pattern, plen, support
+      |FROM (SELECT * FROM l2 UNION ALL SELECT * FROM l3) p, u
+      |WHERE support * 4 >= n_users
+      |ORDER BY plen, support DESC, pattern""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q273 — k-truss decomposition (Cohen 2008) by iterative support
+  // peeling: repeatedly drop edges in < k−2 triangles until fixpoint.
+  // Each round is one wedge join (edge ⋈ symmetric-adjacency ⋈
+  // symmetric-adjacency) + one aggregation — O(Σd²) per round, no
+  // vertex-centric state — so a round is the same shuffle shape at
+  // 100 TB. The graph is a hash-thinned union of three stride paths
+  // over part keys (keep ⟺ h(a,s) mod 10 < 7): density is constant
+  // per node, so the truss grows linearly with the corpus and the
+  // peeling depth stays FLAT (~4 rounds at every measured scale, see
+  // SCALING.md). Both engines run the same fixed 10 rounds (a
+  // converged fixpoint is idempotent under extra rounds) and emit a
+  // `converged` audit column that the spec asserts = 1; k = 4
+  // (every surviving edge in ≥ 2 triangles).
+  // -------------------------------------------------------------------
+  private val TrussRounds = 10
+  private val TrussMinSup = 2 // k − 2 for k = 4
+
+  def q273_ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val mx = part.agg(max(col("p_partkey")).as("mxk"))
+    val cand = Seq(1, 2, 3).map { s =>
+      part.select(col("p_partkey").as("a"),
+        (col("p_partkey") + s).as("b"), lit(s).as("s"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(mx)).filter(col("b") <= col("mxk"))
+      .filter(expr(
+        "((a * 31 + s * 131) * 2654435761) % 4294967296 % 10 < 7"))
+      .select(col("a"), col("b"))
+    def support(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      e.as("e")
+        .join(sym.as("s1"), col("s1.u") === col("e.a"))
+        .join(sym.as("s2"), col("s2.u") === col("e.b") &&
+          col("s2.w") === col("s1.w"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
+    }
+    var e = cand.localCheckpoint(eager = true)
+    var prevCount = e.count()
+    var lastCount = prevCount
+    for (_ <- 1 to TrussRounds) {
+      prevCount = lastCount
+      e = support(e).filter(col("sup") >= TrussMinSup)
+        .select(col("a"), col("b")).localCheckpoint(eager = true)
+      lastCount = e.count()
+    }
+    support(e)
+      .withColumn("converged", lit(if (lastCount == prevCount) 1 else 0))
+      .select(col("a"), col("b"), col("sup"), col("converged"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q273_sql: String = {
+    val rounds = (1 to TrussRounds).map { r =>
+      s"""sym${r - 1} AS MATERIALIZED (
+         |  SELECT a AS u, b AS w FROM e${r - 1}
+         |  UNION ALL SELECT b, a FROM e${r - 1}),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN sym${r - 1} s1 ON s1.u = e.a
+         |  JOIN sym${r - 1} s2 ON s2.u = e.b AND s2.w = s1.w
+         |  GROUP BY e.a, e.b
+         |  HAVING COUNT(*) >= $TrussMinSup)""".stripMargin
+    }.mkString(",\n")
+    val R = TrussRounds
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT p_partkey AS a, p_partkey + s AS b
+       |  FROM part, (VALUES (1), (2), (3)) st(s)
+       |  WHERE p_partkey + s <= (SELECT MAX(p_partkey) FROM part)
+       |    AND ((p_partkey * 31 + s * 131) * 2654435761)
+       |        % 4294967296 % 10 < 7),
+       |$rounds,
+       |symf AS (
+       |  SELECT a AS u, b AS w FROM e$R
+       |  UNION ALL SELECT b, a FROM e$R)
+       |SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup,
+       |  (SELECT CASE WHEN (SELECT COUNT(*) FROM e$R) =
+       |     (SELECT COUNT(*) FROM e${R - 1}) THEN 1 ELSE 0 END)
+       |    AS converged
+       |FROM e$R e
+       |JOIN symf s1 ON s1.u = e.a
+       |JOIN symf s2 ON s2.u = e.b AND s2.w = s1.w
+       |GROUP BY e.a, e.b
+       |ORDER BY e.a, e.b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q269_prefix_filter_join" -> q269_prefix_filter_join _,
+    "q270_seq_patterns" -> q270_seq_patterns _,
     "q271_luby_mis" -> q271_luby_mis _,
-    "q272_butterflies" -> q272_butterflies _)
+    "q272_butterflies" -> q272_butterflies _,
+    "q273_ktruss" -> q273_ktruss _)
 
   val oracles: Map[String, String] = Map(
     "q269_prefix_filter_join" -> q269_sql,
+    "q270_seq_patterns" -> q270_sql,
     "q271_luby_mis" -> q271_sql,
-    "q272_butterflies" -> q272_sql)
+    "q272_butterflies" -> q272_sql,
+    "q273_ktruss" -> q273_sql)
 }

@@ -101,6 +101,74 @@ class ScaleAlgoSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  // q270 — subsequence supports equal brute-force enumeration
+  // ----------------------------------------------------------------
+
+  test("sequential-pattern supports equal brute-force subsequence " +
+      "matching over the first-8 prefixes") {
+    val seqs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._3, r._4)).take(8).map(_._2).toSeq
+      }
+    def isSubseq(pat: Seq[String], s: Seq[String]): Boolean = {
+      var i = 0
+      s.foreach(t => if (i < pat.size && t == pat(i)) i += 1)
+      i == pat.size
+    }
+    val types = seqs.values.flatten.toSet.toSeq.sorted
+    val nUsers = seqs.size
+    val pats2 = for (a <- types; b <- types) yield Seq(a, b)
+    val pats3 = for (a <- types; b <- types; c <- types) yield Seq(a, b, c)
+    val naive = (pats2 ++ pats3).map { p =>
+      (p.mkString(">"), p.size,
+        seqs.values.count(s => isSubseq(p, s)).toLong)
+    }.filter { case (_, _, sup) => sup * 4 >= nUsers }.toSet
+    val got = graft.queries.ScaleQueries.q270_seq_patterns(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got === naive)
+  }
+
+  // ----------------------------------------------------------------
+  // q273 — k-truss fixpoint equals sequential peeling, and converged
+  // ----------------------------------------------------------------
+
+  test("k-truss output equals sequential peeling to fixpoint and " +
+      "reports convergence") {
+    val out = graft.queries.ScaleQueries.q273_ktruss(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(out.forall(_._4 == 1), "truss did not converge in the cap")
+    // sequential reference peeling on the same fixture graph
+    val n = Tables.part(spark, sf)
+      .agg(max(col("p_partkey"))).head().getLong(0)
+    var edges = (for {
+      a <- 0L to n; s <- 1 to 3; if a + s <= n
+      h = ((a * 31 + s * 131) * 2654435761L) % 4294967296L
+      if h % 10 < 7
+    } yield (a, a + s)).toSet
+    var changed = true
+    while (changed) {
+      val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val keep = edges.filter { case (a, b) =>
+        adj(a).intersect(adj(b)).size >= 2 }
+      changed = keep != edges
+      edges = keep
+    }
+    val adjF = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = edges.map { case (a, b) =>
+      (a, b, adjF(a).intersect(adjF(b)).size.toLong, 1) }
+    assert(out.toSet === expected)
+  }
+
+  // ----------------------------------------------------------------
   // q272 — butterfly identity: wedge-side total equals naive count
   // ----------------------------------------------------------------
 
