@@ -169,6 +169,50 @@ class ScaleAlgoSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  // q274 — Hilbert transform is a continuous bijection on the grid
+  // ----------------------------------------------------------------
+
+  test("Hilbert xy2d is a bijection and consecutive indexes are " +
+      "grid-adjacent") {
+    import spark.implicits._
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x, y))
+      .toDF("x", "y")
+    val d2xy = graft.ops.Hilbert.withIndex(grid, n)
+      .select(col("d"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    assert(d2xy.size === n * n)
+    assert(d2xy.keys.min === 0L && d2xy.keys.max === (n * n - 1).toLong)
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump between d=$d ($x1,$y1) and d+1 ($x2,$y2)")
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // q275 — Fellegi–Sunter weights carry positive agreement evidence
+  // ----------------------------------------------------------------
+
+  test("FS agreement weights exceed disagreement weights and true " +
+      "matches win the ranking") {
+    val rows = graft.queries.ScaleQueries.q275_fellegi_sunter(spark, sf)
+      .collect()
+    // full agreement must outrank every other observed pattern
+    val byPattern = rows.groupBy(_.getString(2))
+      .view.mapValues(_.map(r => BigInt(r.getString(3))).max).toMap
+    assert(byPattern.contains("111"))
+    byPattern.foreach { case (p, s) =>
+      if (p != "111") assert(byPattern("111") > s, s"pattern $p >= 111")
+    }
+    // the top block of the ranking is dominated by true matches
+    val top = rows.take(10)
+    assert(top.count(_.getInt(4) == 1) >= 8,
+      "fewer than 8 of top-10 scored pairs are true matches")
+  }
+
+  // ----------------------------------------------------------------
   // q272 — butterfly identity: wedge-side total equals naive count
   // ----------------------------------------------------------------
 
