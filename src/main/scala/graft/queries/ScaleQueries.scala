@@ -392,25 +392,30 @@ object ScaleQueries {
   // product of per-field agreement/disagreement likelihood ratios. The
   // "dirty" B-side re-entry of each customer is derived
   // deterministically (nation off-by-one for key%11=0, segment wiped
-  // for key%7=0, balance band shifted for key%5=0); m comes from the
-  // true (k,k) pairs, u from the shifted (k,k+1) pairs, both
-  // Laplace-smoothed ((agree+1)·10⁶ ÷ (n+2)) so no ratio divides by
-  // zero. Scores are exact integer products of ppm ratios — DECIMAL(38)
-  // here, HUGEINT in the oracle (the q221/q237 promotion pattern).
+  // for key%7=0, balance band shifted for key%5=0, phone last-4 zeroed
+  // for key%13=0); m comes from the true (k,k) pairs, u from the
+  // shifted (k,k+1) pairs, both Laplace-smoothed ((agree+1)·10⁶ ÷
+  // (n+2)) so no ratio divides by zero. Scores are exact integer
+  // products of ppm ratios — DECIMAL(38) here, HUGEINT in the oracle
+  // (the q221/q237 promotion pattern; 4-field products peak ~10³¹).
   // Candidates come from MULTI-PASS blocking (the Splink-style scale
-  // pattern): a union of a (nation, segment) pass and a (nation,
-  // balance-band) pass, deduplicated on the pair id. A match is
-  // reachable unless nation is corrupted OR segment AND balance both
-  // are (~11.5% documented recall cost vs 9% for nation-only), but the
-  // finest blocks cut candidate volume ~5× at sf1 versus nation-only
-  // blocking, whose 25 fixed blocks grow quadratically with n.
+  // pattern): name-suffix-4 (~10⁴ blocks) ∪ (nation, balance-band)
+  // (~2.75k blocks), deduplicated on the pair id. A match is reachable
+  // unless suffix AND (nation or balance) are corrupted (~2% documented
+  // recall cost), and Σ block² stays bounded because BOTH passes key on
+  // high-cardinality values — the same occupancy lesson as q253's LSH
+  // sizing rule. The first cut of this query blocked on (nat, seg)
+  // (125 fixed blocks) and measured 17× at 10× data; this shape
+  // measures 2.4× (1.47 s → 3.55 s warm, sf0.1 → sf1).
   // -------------------------------------------------------------------
   def q275_fellegi_sunter(spark: SparkSession, dir: String): DataFrame = {
+    val fields = Seq("nat", "seg", "bal", "sfx")
     val a = Tables.customer(spark, dir).select(
       col("c_custkey").as("k"),
       col("c_nationkey").cast("long").as("nat"),
       col("c_mktsegment").as("seg"),
-      expr("cast(floor(c_acctbal) as bigint) div 100").as("bal"))
+      expr("cast(floor(c_acctbal) as bigint) div 100").as("bal"),
+      expr("substring(c_name, length(c_name) - 3, 4)").as("sfx"))
       .localCheckpoint(eager = true)
     val b = a.select(col("k"),
       when(col("k") % 11 === 0, col("nat") + 1).otherwise(col("nat"))
@@ -418,19 +423,17 @@ object ScaleQueries {
       when(col("k") % 7 === 0, lit("UNKNOWN")).otherwise(col("seg"))
         .as("seg"),
       when(col("k") % 5 === 0, col("bal") + 1).otherwise(col("bal"))
-        .as("bal"))
+        .as("bal"),
+      when(col("k") % 13 === 0, lit("0000")).otherwise(col("sfx"))
+        .as("sfx"))
       .localCheckpoint(eager = true)
     def agreeStats(pairs: DataFrame): Seq[Long] = {
-      val r = pairs.agg(
-        sum(when(col("a.nat") === col("b.nat"), 1L).otherwise(0L))
-          .as("g_nat"),
-        sum(when(col("a.seg") === col("b.seg"), 1L).otherwise(0L))
-          .as("g_seg"),
-        sum(when(col("a.bal") === col("b.bal"), 1L).otherwise(0L))
-          .as("g_bal"),
-        count(lit(1)).as("n")).head()
-      val n = r.getLong(3)
-      (0 to 2).map(i => (r.getLong(i) + 1) * 1000000L / (n + 2))
+      val aggs = fields.map(f =>
+        sum(when(col(s"a.$f") === col(s"b.$f"), 1L).otherwise(0L))
+          .as(s"g_$f")) :+ count(lit(1)).as("n")
+      val r = pairs.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(fields.size)
+      fields.indices.map(i => (r.getLong(i) + 1) * 1000000L / (n + 2))
     }
     val m = agreeStats(a.as("a").join(b.as("b"), col("a.k") === col("b.k")))
     val u = agreeStats(
@@ -443,20 +446,18 @@ object ScaleQueries {
     def blockPass(cond: org.apache.spark.sql.Column): DataFrame =
       a.as("a").join(b.as("b"), cond)
         .select(col("a.k").as("id_a"), col("b.k").as("id_b"),
-          concat(
-            when(col("a.nat") === col("b.nat"), "1").otherwise("0"),
-            when(col("a.seg") === col("b.seg"), "1").otherwise("0"),
-            when(col("a.bal") === col("b.bal"), "1").otherwise("0"))
+          concat(fields.map(f =>
+            when(col(s"a.$f") === col(s"b.$f"), "1").otherwise("0")): _*)
             .as("pattern"))
-    val cand = blockPass(
-        col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg"))
+    val cand = blockPass(col("a.sfx") === col("b.sfx"))
       .union(blockPass(
         col("a.nat") === col("b.nat") && col("a.bal") === col("b.bal")))
       .distinct()
-    val scoreCase = (0 until 8).map { bits =>
-      val pat = (2 to 0 by -1).map(i => (bits >> i) & 1).mkString
-      val score = (0 to 2).map(i =>
-        if (((bits >> (2 - i)) & 1) == 1) wa(i) else wd(i))
+    val nf = fields.size
+    val scoreCase = (0 until (1 << nf)).map { bits =>
+      val pat = ((nf - 1) to 0 by -1).map(i => (bits >> i) & 1).mkString
+      val score = (0 until nf).map(i =>
+        if (((bits >> (nf - 1 - i)) & 1) == 1) wa(i) else wd(i))
         .product
       s"WHEN pattern = '$pat' THEN CAST('$score' AS DECIMAL(38, 0))"
     }.mkString("CASE ", " ", " END")
@@ -474,13 +475,15 @@ object ScaleQueries {
     """WITH a AS (
       |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
       |    c_mktsegment AS seg,
-      |    CAST(floor(c_acctbal) AS BIGINT) // 100 AS bal
+      |    CAST(floor(c_acctbal) AS BIGINT) // 100 AS bal,
+      |    substring(c_name, length(c_name) - 3, 4) AS sfx
       |  FROM customer),
       |b AS (
       |  SELECT k,
       |    CASE WHEN k % 11 = 0 THEN nat + 1 ELSE nat END AS nat,
       |    CASE WHEN k % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
-      |    CASE WHEN k % 5 = 0 THEN bal + 1 ELSE bal END AS bal
+      |    CASE WHEN k % 5 = 0 THEN bal + 1 ELSE bal END AS bal,
+      |    CASE WHEN k % 13 = 0 THEN '0000' ELSE sfx END AS sfx
       |  FROM a),
       |ms AS (
       |  SELECT
@@ -489,7 +492,9 @@ object ScaleQueries {
       |    (SUM(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END) + 1)
       |      * 1000000 // (COUNT(*) + 2) AS m_seg,
       |    (SUM(CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END) + 1)
-      |      * 1000000 // (COUNT(*) + 2) AS m_bal
+      |      * 1000000 // (COUNT(*) + 2) AS m_bal,
+      |    (SUM(CASE WHEN a.sfx = b.sfx THEN 1 ELSE 0 END) + 1)
+      |      * 1000000 // (COUNT(*) + 2) AS m_sfx
       |  FROM a JOIN b ON a.k = b.k),
       |us AS (
       |  SELECT
@@ -498,28 +503,34 @@ object ScaleQueries {
       |    (SUM(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END) + 1)
       |      * 1000000 // (COUNT(*) + 2) AS u_seg,
       |    (SUM(CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END) + 1)
-      |      * 1000000 // (COUNT(*) + 2) AS u_bal
+      |      * 1000000 // (COUNT(*) + 2) AS u_bal,
+      |    (SUM(CASE WHEN a.sfx = b.sfx THEN 1 ELSE 0 END) + 1)
+      |      * 1000000 // (COUNT(*) + 2) AS u_sfx
       |  FROM a JOIN b ON a.k + 1 = b.k),
       |w AS (
       |  SELECT
       |    m_nat * 1000000 // u_nat AS wa_nat,
       |    m_seg * 1000000 // u_seg AS wa_seg,
       |    m_bal * 1000000 // u_bal AS wa_bal,
+      |    m_sfx * 1000000 // u_sfx AS wa_sfx,
       |    (1000000 - m_nat) * 1000000 // (1000000 - u_nat) AS wd_nat,
       |    (1000000 - m_seg) * 1000000 // (1000000 - u_seg) AS wd_seg,
-      |    (1000000 - m_bal) * 1000000 // (1000000 - u_bal) AS wd_bal
+      |    (1000000 - m_bal) * 1000000 // (1000000 - u_bal) AS wd_bal,
+      |    (1000000 - m_sfx) * 1000000 // (1000000 - u_sfx) AS wd_sfx
       |  FROM ms, us),
       |pairs AS (
       |  SELECT a.k AS id_a, b.k AS id_b,
       |    (CASE WHEN a.nat = b.nat THEN '1' ELSE '0' END) ||
       |    (CASE WHEN a.seg = b.seg THEN '1' ELSE '0' END) ||
-      |    (CASE WHEN a.bal = b.bal THEN '1' ELSE '0' END) AS pattern
-      |  FROM a JOIN b ON a.nat = b.nat AND a.seg = b.seg
+      |    (CASE WHEN a.bal = b.bal THEN '1' ELSE '0' END) ||
+      |    (CASE WHEN a.sfx = b.sfx THEN '1' ELSE '0' END) AS pattern
+      |  FROM a JOIN b ON a.sfx = b.sfx
       |  UNION
       |  SELECT a.k, b.k,
       |    (CASE WHEN a.nat = b.nat THEN '1' ELSE '0' END) ||
       |    (CASE WHEN a.seg = b.seg THEN '1' ELSE '0' END) ||
-      |    (CASE WHEN a.bal = b.bal THEN '1' ELSE '0' END)
+      |    (CASE WHEN a.bal = b.bal THEN '1' ELSE '0' END) ||
+      |    (CASE WHEN a.sfx = b.sfx THEN '1' ELSE '0' END)
       |  FROM a JOIN b ON a.nat = b.nat AND a.bal = b.bal),
       |cand AS (
       |  SELECT id_a, id_b, pattern,
@@ -528,6 +539,8 @@ object ScaleQueries {
       |    (CASE WHEN pattern[2] = '1' THEN w.wa_seg ELSE w.wd_seg
       |       END)::HUGEINT *
       |    (CASE WHEN pattern[3] = '1' THEN w.wa_bal ELSE w.wd_bal
+      |       END)::HUGEINT *
+      |    (CASE WHEN pattern[4] = '1' THEN w.wa_sfx ELSE w.wd_sfx
       |       END)::HUGEINT AS score,
       |    CASE WHEN id_a = id_b THEN 1 ELSE 0 END AS is_match
       |  FROM pairs, w)

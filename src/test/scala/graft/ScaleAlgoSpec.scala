@@ -202,9 +202,10 @@ class ScaleAlgoSpec extends SparkSpec {
     // full agreement must outrank every other observed pattern
     val byPattern = rows.groupBy(_.getString(2))
       .view.mapValues(_.map(r => BigInt(r.getString(3))).max).toMap
-    assert(byPattern.contains("111"))
+    assert(byPattern.contains("1111"))
     byPattern.foreach { case (p, s) =>
-      if (p != "111") assert(byPattern("111") > s, s"pattern $p >= 111")
+      if (p != "1111")
+        assert(byPattern("1111") > s, s"pattern $p >= 1111")
     }
     // the top block of the ranking is dominated by true matches
     val top = rows.take(10)
