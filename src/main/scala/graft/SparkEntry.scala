@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.TrainPrepQueries.queries ++
       graft.queries.MetricQueries.queries ++
       graft.queries.LinkageQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.SelectQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.TrainPrepQueries.oracles ++
       graft.queries.MetricQueries.oracles ++
       graft.queries.LinkageQueries.oracles ++
-      graft.queries.ScaleQueries.oracles
+      graft.queries.ScaleQueries.oracles ++
+      graft.queries.SelectQueries.oracles
 }

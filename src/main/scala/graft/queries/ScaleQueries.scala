@@ -408,8 +408,14 @@ object ScaleQueries {
   // (125 fixed blocks) and measured 17× at 10× data; this shape
   // measures 2.4× (1.47 s → 3.55 s warm, sf0.1 → sf1).
   // -------------------------------------------------------------------
-  def q275_fellegi_sunter(spark: SparkSession, dir: String): DataFrame = {
-    val fields = Seq("nat", "seg", "bal", "sfx")
+  /** The linkage fixture shared by q275 and q277: the clean customer
+    * side (k, nat, seg, bal, sfx) and its deterministically-corrupted
+    * re-entry (nation off-by-one for k%11=0, segment wiped for k%7=0,
+    * balance band shifted for k%5=0, name suffix zeroed for k%13=0).
+    * Both sides are materialized (each feeds several plan branches).
+    */
+  private[queries] def dirtyCustomerSides(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val a = Tables.customer(spark, dir).select(
       col("c_custkey").as("k"),
       col("c_nationkey").cast("long").as("nat"),
@@ -427,6 +433,28 @@ object ScaleQueries {
       when(col("k") % 13 === 0, lit("0000")).otherwise(col("sfx"))
         .as("sfx"))
       .localCheckpoint(eager = true)
+    (a, b)
+  }
+
+  /** The SQL mirror of [[dirtyCustomerSides]] as two CTE bodies. */
+  private[queries] val dirtyCustomerCtes: String =
+    """a AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+      |    c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal) AS BIGINT) // 100 AS bal,
+      |    substring(c_name, length(c_name) - 3, 4) AS sfx
+      |  FROM customer),
+      |b AS (
+      |  SELECT k,
+      |    CASE WHEN k % 11 = 0 THEN nat + 1 ELSE nat END AS nat,
+      |    CASE WHEN k % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+      |    CASE WHEN k % 5 = 0 THEN bal + 1 ELSE bal END AS bal,
+      |    CASE WHEN k % 13 = 0 THEN '0000' ELSE sfx END AS sfx
+      |  FROM a)""".stripMargin
+
+  def q275_fellegi_sunter(spark: SparkSession, dir: String): DataFrame = {
+    val fields = Seq("nat", "seg", "bal", "sfx")
+    val (a, b) = dirtyCustomerSides(spark, dir)
     def agreeStats(pairs: DataFrame): Seq[Long] = {
       val aggs = fields.map(f =>
         sum(when(col(s"a.$f") === col(s"b.$f"), 1L).otherwise(0L))
@@ -472,20 +500,9 @@ object ScaleQueries {
   }
 
   val q275_sql: String =
-    """WITH a AS (
-      |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
-      |    c_mktsegment AS seg,
-      |    CAST(floor(c_acctbal) AS BIGINT) // 100 AS bal,
-      |    substring(c_name, length(c_name) - 3, 4) AS sfx
-      |  FROM customer),
-      |b AS (
-      |  SELECT k,
-      |    CASE WHEN k % 11 = 0 THEN nat + 1 ELSE nat END AS nat,
-      |    CASE WHEN k % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
-      |    CASE WHEN k % 5 = 0 THEN bal + 1 ELSE bal END AS bal,
-      |    CASE WHEN k % 13 = 0 THEN '0000' ELSE sfx END AS sfx
-      |  FROM a),
-      |ms AS (
+    s"""WITH $dirtyCustomerCtes,
+      |ms AS (""".stripMargin +
+    """
       |  SELECT
       |    (SUM(CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END) + 1)
       |      * 1000000 // (COUNT(*) + 2) AS m_nat,

@@ -1,0 +1,632 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{MultiPattern, TextAnalysis}
+
+/** Round-8 retrieval-and-selection tier — the operations that stand
+  * between a 100 TB raw corpus and a training set: dictionary sweeps,
+  * candidate blocking, bounded-access top-k, rank fusion, coverage
+  * selection, and index-size accounting. The reference exposes the
+  * single-pattern / single-list forms of these (one CONTAINS scan, one
+  * ranked search in `pkg/query/lsp.go`); this tier is each one's
+  * multi-pattern / multi-list distributed formulation.
+  *
+  * Determinism contract (house rules): integer-exact outputs (counts,
+  * ppm, fixed-point), ties broken by a total order, DuckDB aggregates
+  * CAST to BIGINT.
+  */
+object SelectQueries {
+
+  // -------------------------------------------------------------------
+  // q276 — Aho–Corasick dictionary sweep (Aho & Corasick 1975): the
+  // decontamination primitive — sweep a benchmark's n-grams over the
+  // corpus. The dictionary is data-derived but BOUNDED (top-32 word
+  // trigrams by document frequency, ties by shingle) — collected to
+  // the driver, compiled into one automaton, broadcast, and swept over
+  // every document in a single pass: O(len + matches) per doc
+  // regardless of |dictionary|, vs the |dictionary| full-corpus
+  // CONTAINS scans of the naive plan. The oracle IS that naive plan
+  // (strpos + replace-count per pattern), so a green row proves the
+  // automaton found exactly the same first positions and
+  // non-overlapping occurrence counts.
+  // -------------------------------------------------------------------
+  private val DictSize = 32
+
+  def q276_aho_corasick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pats = graft.pipeline.Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("shingle")).limit(DictSize)
+      .select(col("shingle")).as[String].collect().toSeq
+    MultiPattern.matchStats(docs, "doc_id", "text", pats)
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_occ")).as("total_occ"),
+        sum(col("first_pos")).as("sum_first_pos"))
+      .orderBy(col("pattern"))
+  }
+
+  val q276_sql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |            FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+       |  FROM t0 WHERE len(t) >= 3),
+       |pats AS (
+       |  SELECT shingle AS pattern FROM sh
+       |  GROUP BY shingle ORDER BY COUNT(*) DESC, shingle
+       |  LIMIT $DictSize),
+       |hits AS (
+       |  SELECT d.doc_id, p.pattern,
+       |    strpos(d.text, p.pattern) AS first_pos,
+       |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+       |      // length(p.pattern) AS n_occ
+       |  FROM documents d CROSS JOIN pats p
+       |  WHERE strpos(d.text, p.pattern) > 0)
+       |SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_occ) AS BIGINT) AS total_occ,
+       |  CAST(SUM(first_pos) AS BIGINT) AS sum_first_pos
+       |FROM hits GROUP BY pattern ORDER BY pattern""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q281 — postings-list delta+varint compression audit: the size of
+  // the inverted index IS a planning input at 100 TB (can the postings
+  // for this term list fit in memory? is the index worth shipping?).
+  // Terms are word bigrams (a phrase index — the corpus's unigram
+  // vocabulary is too small to spread document frequencies). For every
+  // term with df ≥ 2: sort its postings by doc id, store the first id
+  // absolute and every subsequent id as a delta gap, and charge each
+  // value its LEB128 varint width (1 byte per started 7-bit group) —
+  // the Lucene/inverted-index storage model, as pure integer CASE
+  // arithmetic (codegen'd, no UDF). Rolled up to 16 deterministic term
+  // buckets: raw (8 B/posting) vs varint bytes and the ×1000 savings
+  // ratio. The per-term window partitions by term — exactly how
+  // distributed index builders shard postings.
+  // -------------------------------------------------------------------
+  private val VarintCase: String =
+    "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 " +
+      "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 " +
+      "WHEN gap < 34359738368 THEN 5 WHEN gap < 4398046511104 THEN 6 " +
+      "ELSE 7 END"
+
+  def q281_postings_varint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.pipeline.Dedup
+      .shingleRows(Tables.documents(spark, dir), "doc_id", "text", 2)
+      .toDF("doc_id", "tok")
+    val posted = toks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+      .filter(col("df") >= 2)
+      .withColumn("prev", lag(col("doc_id"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+          .orderBy(col("doc_id"))))
+      .withColumn("gap",
+        coalesce(col("doc_id") - col("prev"), col("doc_id")))
+      .withColumn("vbytes", expr(VarintCase))
+    posted
+      .withColumn("bucket",
+        pmod(length(col("tok")) * 31 + ascii(col("tok")), lit(16))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        (count(lit(1)) * 8).as("raw_bytes"),
+        sum(col("vbytes")).as("varint_bytes"))
+      .withColumn("savings_x1000",
+        expr("raw_bytes * 1000 div varint_bytes"))
+      .orderBy(col("bucket"))
+  }
+
+  val q281_sql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([t[i] || ' ' || t[i + 1]
+       |            FOR i IN generate_series(1, len(t) - 1)]) AS tok
+       |  FROM t0 WHERE len(t) >= 2),
+       |posted AS (
+       |  SELECT tok, doc_id,
+       |    COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY tok
+       |      ORDER BY doc_id), doc_id) AS gap,
+       |    COUNT(*) OVER (PARTITION BY tok) AS df
+       |  FROM toks),
+       |v AS (
+       |  SELECT tok, $VarintCase AS vbytes
+       |  FROM posted WHERE df >= 2)
+       |SELECT (length(tok) * 31 + ascii(tok)) % 16 AS bucket,
+       |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms,
+       |  CAST(COUNT(*) AS BIGINT) AS n_postings,
+       |  CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+       |  CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+       |  CAST(COUNT(*) * 8 * 1000 // SUM(vbytes) AS BIGINT)
+       |    AS savings_x1000
+       |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q277 — sorted-neighborhood blocking (Hernández & Stolfo 1995
+  // merge/purge): the OTHER classic linkage candidate generator next to
+  // q275's key blocking. Sort all records (clean ∪ dirty re-entry,
+  // rec_id = 2k / 2k+1) by (name-suffix, rec_id) and compare only
+  // records within a window of w = 5 sort positions. The global rank is
+  // range-partition + local sort + zipWithIndex (the q262 discipline —
+  // a distributed sort, never a single-task window), and the window
+  // pairs are 4 narrow rank equi-joins (rn = rn + d, d ∈ 1..4) — at
+  // 100 TB each is a co-partitioned hash join on a dense bigint.
+  // Pairs agreeing on ≥ 3 of 4 fields survive; is_match audits which
+  // survivors are the true (k, k) re-entries.
+  // -------------------------------------------------------------------
+  private val SnWindow = 5
+
+  def q277_sorted_neighborhood(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val (a, b) = ScaleQueries.dirtyCustomerSides(spark, dir)
+    val u = a.select((col("k") * 2).as("rec_id"), col("nat"),
+        col("seg"), col("bal"), col("sfx"))
+      .unionAll(b.select((col("k") * 2 + 1).as("rec_id"), col("nat"),
+        col("seg"), col("bal"), col("sfx")))
+    val ranked = {
+      val d = u.repartitionByRange(32, col("sfx"), col("rec_id"))
+        .sortWithinPartitions(col("sfx"), col("rec_id"))
+      spark.createDataFrame(
+          d.as[(Long, Long, String, Long, String)].rdd.zipWithIndex()
+            .map { case ((id, nat, seg, bal, sfx), i) =>
+              (id, nat, seg, bal, sfx, i + 1L)
+            })
+        .toDF("rec_id", "nat", "seg", "bal", "sfx", "rn")
+        .localCheckpoint(eager = true) // feeds w-1 self-joins
+    }
+    val pairs = (1 until SnWindow).map { g =>
+      ranked.as("x").join(ranked.as("y"),
+          col("y.rn") === col("x.rn") + g)
+        .select(col("x.rec_id").as("id_a"), col("y.rec_id").as("id_b"),
+          lit(g.toLong).as("gap"),
+          ((col("x.nat") === col("y.nat")).cast("int") +
+            (col("x.seg") === col("y.seg")).cast("int") +
+            (col("x.bal") === col("y.bal")).cast("int") +
+            (col("x.sfx") === col("y.sfx")).cast("int")).cast("long")
+            .as("score"))
+    }.reduce(_ unionAll _)
+    pairs.filter(col("score") >= 3)
+      .withColumn("is_match",
+        when(expr("id_a div 2 = id_b div 2"), 1L).otherwise(0L))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q277_sql: String =
+    s"""WITH ${ScaleQueries.dirtyCustomerCtes},
+       |u AS (
+       |  SELECT k * 2 AS rec_id, nat, seg, bal, sfx FROM a
+       |  UNION ALL
+       |  SELECT k * 2 + 1, nat, seg, bal, sfx FROM b),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY sfx, rec_id) AS rn
+       |  FROM u),
+       |p AS (
+       |  SELECT x.rec_id AS id_a, y.rec_id AS id_b,
+       |    CAST(y.rn - x.rn AS BIGINT) AS gap,
+       |    CAST((CASE WHEN x.nat = y.nat THEN 1 ELSE 0 END) +
+       |         (CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END) +
+       |         (CASE WHEN x.bal = y.bal THEN 1 ELSE 0 END) +
+       |         (CASE WHEN x.sfx = y.sfx THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS score
+       |  FROM r x JOIN r y ON y.rn - x.rn BETWEEN 1 AND ${SnWindow - 1})
+       |SELECT id_a, id_b, gap, score,
+       |  CAST(CASE WHEN id_a // 2 = id_b // 2 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_match
+       |FROM p WHERE score >= 3 ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q279 — reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009):
+  // the standard hybrid-retrieval combiner. Two retrievers rank the
+  // corpus for each query (full-dim cosine, and the 16-dim Matryoshka
+  // prefix — the cheap retriever from q132); each contributes
+  // ⌊10⁹/(60+rank)⌋ for its top-20 list, and the fused top-5 is
+  // reported with both source ranks (0 = not retrieved). RRF only ever
+  // touches the top-m lists, so at scale it composes with any bounded
+  // retriever (IVF q38, LSH q29) — the corpus-sized work is the
+  // retrieval, not the fusion. Integer contributions make the fused
+  // score exact across engines.
+  // -------------------------------------------------------------------
+  private val RrfK = 60
+  private val RrfDepth = 20
+
+  def q279_rrf_fusion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_full",
+        round(Similarity.cosineFast(col("qv"), col("cv")), 5))
+      .withColumn("sim_pre",
+        round(Similarity.cosineFast(expr("slice(qv, 1, 16)"),
+          expr("slice(cv, 1, 16)")), 5))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim_full").desc, col("neighbor_id"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim_pre").desc, col("neighbor_id"))
+    val lists = scored
+      .withColumn("r_full", row_number().over(wF))
+      .withColumn("r_pre", row_number().over(wP))
+      .filter(col("r_full") <= RrfDepth || col("r_pre") <= RrfDepth)
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("r_full") <= RrfDepth, col("r_full")).otherwise(0)
+          .cast("long").as("rank_full"),
+        when(col("r_pre") <= RrfDepth, col("r_pre")).otherwise(0)
+          .cast("long").as("rank_pre"))
+      .withColumn("rrf_score",
+        when(col("rank_full") > 0,
+            expr(s"1000000000 div ($RrfK + rank_full)")).otherwise(0L) +
+          when(col("rank_pre") > 0,
+            expr(s"1000000000 div ($RrfK + rank_pre)")).otherwise(0L))
+    val wRrf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    lists.withColumn("frank", row_number().over(wRrf).cast("long"))
+      .filter(col("frank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rrf_score"),
+        col("rank_full"), col("rank_pre"), col("frank"))
+      .orderBy(col("query_id"), col("frank"))
+  }
+
+  val q279_sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(qv, cv), 5) AS sim_full,
+       |    round(list_cosine_similarity(qv[1:16], cv[1:16]), 5)
+       |      AS sim_pre
+       |  FROM q, c WHERE neighbor_id <> query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim_full DESC, neighbor_id) AS r_full,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim_pre DESC, neighbor_id) AS r_pre
+       |  FROM s),
+       |l AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(CASE WHEN r_full <= $RrfDepth THEN r_full ELSE 0 END
+       |      AS BIGINT) AS rank_full,
+       |    CAST(CASE WHEN r_pre <= $RrfDepth THEN r_pre ELSE 0 END
+       |      AS BIGINT) AS rank_pre,
+       |    CAST((CASE WHEN r_full <= $RrfDepth
+       |        THEN 1000000000 // ($RrfK + r_full) ELSE 0 END) +
+       |      (CASE WHEN r_pre <= $RrfDepth
+       |        THEN 1000000000 // ($RrfK + r_pre) ELSE 0 END)
+       |      AS BIGINT) AS rrf_score
+       |  FROM r WHERE r_full <= $RrfDepth OR r_pre <= $RrfDepth),
+       |f AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, neighbor_id) AS frank
+       |  FROM l)
+       |SELECT query_id, neighbor_id, rrf_score, rank_full, rank_pre,
+       |  CAST(frank AS BIGINT) AS frank
+       |FROM f WHERE frank <= 5 ORDER BY query_id, frank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q278 — Fagin's Threshold Algorithm audit (Fagin, Lotem & Naor
+  // 2001): bounded-sorted-access top-k over three attribute lists
+  // (price cents, size×1000, key hash) with score = v1+v2+v3. For each
+  // probe depth d ∈ {16,64,256,1024}: τ(d) = sum of the d-th value of
+  // each list, seen(d) = union of the lists' top-d, and TA may STOP as
+  // soon as the k-th best exact score among seen ≥ τ(d) — the stop is
+  // provably exact (no unseen object can beat τ). Every row carries
+  // the true global k-th score, so a green row shows the guarantee
+  // held at every depth where stopped=1. Spark shape: sorted access IS
+  // a bounded top-d — each list is a two-phase top-1024
+  // (Ranks.twoPhaseKMin, never a global single-task sort), and all
+  // downstream state is ≤ 3·1024 rows. At 100 TB, TA is the case for
+  // per-attribute index pruning: three O(n→1024) cuts replace a full
+  // scan-and-sort of the combined score.
+  // -------------------------------------------------------------------
+  private val TaDepths = Seq(16L, 64L, 256L, 1024L)
+  private val TaK = 10
+
+  private def taParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey").as("pk"),
+      expr("cast(floor(p_retailprice * 100) as bigint)").as("v1"),
+      (col("p_size").cast("long") * 1000).as("v2"),
+      expr("(p_partkey * 2654435761) % 4294967296 % 100000").as("v3"))
+      .withColumn("score", col("v1") + col("v2") + col("v3"))
+
+  def q278_threshold_topk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Ranks
+    val p = taParts(spark, dir).localCheckpoint(eager = true)
+    val n = p.count()
+    def topList(vcol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("side")).orderBy(col("neg"), col("pk"))
+      Ranks.twoPhaseKMin(
+          p.select(col("pk"), col(vcol).as("v"))
+            .withColumn("neg", -col("v")).withColumn("side", lit(1)),
+          "side", "neg", "pk", TaDepths.max.toInt, buckets = 16)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("pk"), col("v"), col("rk"))
+        .localCheckpoint(eager = true) // feeds tau AND seen
+    }
+    val (l1, l2, l3) = (topList("v1"), topList("v2"), topList("v3"))
+    val depths = spark.createDataFrame(TaDepths.map(Tuple1(_)))
+      .toDF("d").withColumn("dcap", least(col("d"), lit(n)))
+    def tauSide(l: DataFrame, nm: String): DataFrame =
+      depths.join(l, col("rk") === col("dcap"))
+        .select(col("d"), col("v").as(nm))
+    val tau = tauSide(l1, "t1").join(tauSide(l2, "t2"), Seq("d"))
+      .join(tauSide(l3, "t3"), Seq("d"))
+      .select(col("d"), (col("t1") + col("t2") + col("t3")).as("tau"))
+    val seenAgg = l1.select(col("pk"), col("rk"))
+      .unionAll(l2.select(col("pk"), col("rk")))
+      .unionAll(l3.select(col("pk"), col("rk")))
+      .groupBy(col("pk")).agg(min(col("rk")).as("minrk"))
+    val seenD = seenAgg.crossJoin(broadcast(depths))
+      .filter(col("minrk") <= col("dcap"))
+      .join(p.select(col("pk"), col("score")), Seq("pk"))
+      .localCheckpoint(eager = true) // n_seen AND kth-best consumers
+    val nSeen = seenD.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_seen"))
+    val wSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d")).orderBy(col("score").desc, col("pk"))
+    val kth = seenD.withColumn("sr", row_number().over(wSeen))
+      .filter(col("sr") === TaK)
+      .select(col("d"), col("score").as("kth_best_seen"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("side")).orderBy(col("negs"), col("pk"))
+    val globalKth = Ranks.twoPhaseKMin(
+        p.select(col("pk"), col("score"))
+          .withColumn("negs", -col("score")).withColumn("side", lit(1)),
+        "side", "negs", "pk", TaK, buckets = 16)
+      .withColumn("gr", row_number().over(wG))
+      .filter(col("gr") === TaK)
+      .select(col("score").as("global_kth"))
+    depths.join(tau, Seq("d")).join(nSeen, Seq("d")).join(kth, Seq("d"))
+      .crossJoin(broadcast(globalKth))
+      .select(col("d"), col("tau"), col("n_seen"),
+        col("kth_best_seen"), col("global_kth"),
+        when(col("kth_best_seen") >= col("tau"), 1L).otherwise(0L)
+          .as("stopped"))
+      .orderBy(col("d"))
+  }
+
+  val q278_sql: String = {
+    val depthVals = TaDepths.map(d => s"($d)").mkString(", ")
+    s"""WITH ps AS (
+       |  SELECT p_partkey AS pk,
+       |    CAST(floor(p_retailprice * 100) AS BIGINT) AS v1,
+       |    CAST(p_size AS BIGINT) * 1000 AS v2,
+       |    (p_partkey * 2654435761) % 4294967296 % 100000 AS v3,
+       |    CAST(floor(p_retailprice * 100) AS BIGINT)
+       |      + CAST(p_size AS BIGINT) * 1000
+       |      + (p_partkey * 2654435761) % 4294967296 % 100000 AS score
+       |  FROM part),
+       |r1 AS (SELECT pk, v1 AS v,
+       |  ROW_NUMBER() OVER (ORDER BY v1 DESC, pk) AS rk FROM ps),
+       |r2 AS (SELECT pk, v2 AS v,
+       |  ROW_NUMBER() OVER (ORDER BY v2 DESC, pk) AS rk FROM ps),
+       |r3 AS (SELECT pk, v3 AS v,
+       |  ROW_NUMBER() OVER (ORDER BY v3 DESC, pk) AS rk FROM ps),
+       |dc AS (
+       |  SELECT CAST(d AS BIGINT) AS d,
+       |    LEAST(CAST(d AS BIGINT), (SELECT COUNT(*) FROM ps)) AS dcap
+       |  FROM (VALUES $depthVals) t(d)),
+       |tau AS (
+       |  SELECT dc.d,
+       |    (SELECT v FROM r1 WHERE rk = dc.dcap)
+       |      + (SELECT v FROM r2 WHERE rk = dc.dcap)
+       |      + (SELECT v FROM r3 WHERE rk = dc.dcap) AS tau
+       |  FROM dc),
+       |seen AS (
+       |  SELECT pk, MIN(rk) AS minrk FROM (
+       |    SELECT pk, rk FROM r1 UNION ALL
+       |    SELECT pk, rk FROM r2 UNION ALL
+       |    SELECT pk, rk FROM r3) GROUP BY pk),
+       |sd AS (
+       |  SELECT dc.d, s.pk, ps.score
+       |  FROM dc JOIN seen s ON s.minrk <= dc.dcap
+       |  JOIN ps ON ps.pk = s.pk),
+       |kth AS (
+       |  SELECT d, score AS kth_best_seen FROM (
+       |    SELECT d, score, ROW_NUMBER() OVER (PARTITION BY d
+       |      ORDER BY score DESC, pk) AS sr FROM sd)
+       |  WHERE sr = $TaK),
+       |cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_seen
+       |  FROM sd GROUP BY d),
+       |gk AS (
+       |  SELECT score AS global_kth FROM (
+       |    SELECT score, ROW_NUMBER() OVER (ORDER BY score DESC, pk)
+       |      AS gr FROM ps)
+       |  WHERE gr = $TaK)
+       |SELECT dc.d, tau.tau, cnt.n_seen, kth.kth_best_seen,
+       |  gk.global_kth,
+       |  CAST(CASE WHEN kth.kth_best_seen >= tau.tau THEN 1 ELSE 0 END
+       |    AS BIGINT) AS stopped
+       |FROM dc JOIN tau ON tau.d = dc.d JOIN cnt ON cnt.d = dc.d
+       |JOIN kth ON kth.d = dc.d CROSS JOIN gk
+       |ORDER BY dc.d""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q280 — greedy weighted set cover for coverage-driven data
+  // selection (Chvátal 1979 analysis; the "pick the doc that adds the
+  // most unseen n-gram features" curation heuristic): 8 greedy rounds
+  // over the word-trigram feature space, each ONE anti-join (uncovered
+  // features) + one aggregation + a 1-row argmax — per-round cost is a
+  // corpus scan regardless of rounds, and the greedy guarantee
+  // (1−1/e of optimal coverage) comes free. Ties broken by doc_id;
+  // the oracle unrolls the same 8 rounds as materialized CTEs, so a
+  // green row pins every pick, its marginal gain, and the cumulative
+  // covered-feature count.
+  // -------------------------------------------------------------------
+  private val CoverRounds = 8
+
+  def q280_greedy_set_cover(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val toks = graft.pipeline.Dedup
+      .shingleRows(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .toDF("doc_id", "tok")
+      .localCheckpoint(eager = true) // feeds every round
+    var covered = toks.select(col("tok")).limit(0)
+      .localCheckpoint(eager = true)
+    val picks =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to CoverRounds if !exhausted) {
+      val pick = toks.join(covered, Seq("tok"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect() // driver-bounded: exactly one row
+      if (pick.isEmpty) exhausted = true
+      else {
+        val (doc, gain) = (pick(0).getLong(0), pick(0).getLong(1))
+        covered = covered
+          .unionAll(toks.filter(col("doc_id") === doc).select(col("tok")))
+          .distinct().localCheckpoint(eager = true)
+        picks += ((r, doc, gain, covered.count()))
+      }
+    }
+    spark.createDataFrame(picks.toSeq)
+      .toDF("round", "doc_id", "gain", "cum_covered")
+      .orderBy(col("round"))
+  }
+
+  val q280_sql: String = {
+    val rounds = (1 to CoverRounds).map { r =>
+      val prevCov =
+        if (r == 1) ""
+        else
+          s"""  WHERE NOT EXISTS (
+             |    SELECT 1 FROM c${r - 1} c WHERE c.tok = t.tok)
+             |""".stripMargin
+      val covUnion =
+        if (r == 1) ""
+        else s"SELECT tok FROM c${r - 1} UNION "
+      s"""p$r AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS gain FROM toks t
+         |$prevCov  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  ${covUnion}SELECT DISTINCT tok FROM toks
+         |  WHERE doc_id = (SELECT doc_id FROM p$r))""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to CoverRounds).map { r =>
+      s"SELECT $r AS round, doc_id, CAST(gain AS BIGINT) AS gain, " +
+        s"CAST((SELECT COUNT(*) FROM c$r) AS BIGINT) AS cum_covered " +
+        s"FROM p$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |toks AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |            FOR i IN generate_series(1, len(t) - 2)]) AS tok
+       |  FROM t0 WHERE len(t) >= 3),
+       |$rounds
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q282 — skyline (Pareto frontier) with grid pruning (Börzsönyi,
+  // Kossmann & Stocker 2001): the multi-criteria selection frontier
+  // (minimize price, maximize size, maximize key-hash "quality").
+  // Scale shape: bucket each dim into 16 → ≤ 4096 cells; a cell whose
+  // BEST corner is strictly beaten in every dim by another cell's
+  // WORST corner cannot hold a skyline point (and, by induction over
+  // the cell partial order, every pruned point is dominated by a
+  // SURVIVOR — so the exact verify needs only survivors). The cell
+  // table is broadcast-sized; the final exact dominance anti-join runs
+  // over the near-frontier band only. Equality with the naive
+  // NOT-EXISTS skyline is property-tested in SelectSpec.
+  // -------------------------------------------------------------------
+  def q282_skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = taParts(spark, dir)
+      .select(col("pk"), col("v1").as("pc"),
+        (col("v2") / 1000).cast("long").as("sz"), col("v3").as("hv"))
+    val mx = pts.agg(max(col("pc")).as("mxc"), max(col("sz")).as("mxs"),
+      max(col("hv")).as("mxh"))
+    val cells = pts.crossJoin(broadcast(mx))
+      .withColumn("cx", expr("pc * 16 div (mxc + 1)"))
+      .withColumn("cy", expr("sz * 16 div (mxs + 1)"))
+      .withColumn("cz", expr("hv * 16 div (mxh + 1)"))
+      .select(col("pk"), col("pc"), col("sz"), col("hv"),
+        col("cx"), col("cy"), col("cz"))
+      .localCheckpoint(eager = true) // cell stats AND point prune
+    val cellStats = cells.groupBy(col("cx"), col("cy"), col("cz"))
+      .agg(min(col("pc")).as("min_pc"), max(col("pc")).as("max_pc"),
+        min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"),
+        min(col("hv")).as("min_hv"), max(col("hv")).as("max_hv"))
+      .localCheckpoint(eager = true) // ≤ 4096 rows, two consumers
+    val dominatedCells = cellStats.as("t")
+      .join(broadcast(cellStats.as("s")),
+        col("s.max_pc") < col("t.min_pc") &&
+          col("s.min_sz") > col("t.max_sz") &&
+          col("s.min_hv") > col("t.max_hv"),
+        "left_semi")
+      .select(col("cx"), col("cy"), col("cz"))
+    val survivors = cells
+      .join(broadcast(dominatedCells), Seq("cx", "cy", "cz"),
+        "left_anti")
+      .select(col("pk"), col("pc"), col("sz"), col("hv"))
+      .localCheckpoint(eager = true) // both sides of the exact verify
+    survivors.as("p").join(broadcast(survivors.as("q")),
+        col("q.pc") <= col("p.pc") && col("q.sz") >= col("p.sz") &&
+          col("q.hv") >= col("p.hv") &&
+          (col("q.pc") < col("p.pc") || col("q.sz") > col("p.sz") ||
+            col("q.hv") > col("p.hv")),
+        "left_anti")
+      .select(col("pk"), col("pc"), col("sz"), col("hv"))
+      .orderBy(col("pk"))
+  }
+
+  val q282_sql: String =
+    """WITH v AS (
+      |  SELECT p_partkey AS pk,
+      |    CAST(floor(p_retailprice * 100) AS BIGINT) AS pc,
+      |    CAST(p_size AS BIGINT) AS sz,
+      |    (p_partkey * 2654435761) % 4294967296 % 100000 AS hv
+      |  FROM part)
+      |SELECT pk, pc, sz, hv FROM v p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM v q
+      |  WHERE q.pc <= p.pc AND q.sz >= p.sz AND q.hv >= p.hv
+      |    AND (q.pc < p.pc OR q.sz > p.sz OR q.hv > p.hv))
+      |ORDER BY pk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_aho_corasick" -> q276_aho_corasick _,
+    "q277_sorted_neighborhood" -> q277_sorted_neighborhood _,
+    "q278_threshold_topk" -> q278_threshold_topk _,
+    "q279_rrf_fusion" -> q279_rrf_fusion _,
+    "q280_greedy_set_cover" -> q280_greedy_set_cover _,
+    "q281_postings_varint" -> q281_postings_varint _,
+    "q282_skyline" -> q282_skyline _)
+
+  val oracles: Map[String, String] = Map(
+    "q276_aho_corasick" -> q276_sql,
+    "q277_sorted_neighborhood" -> q277_sql,
+    "q278_threshold_topk" -> q278_sql,
+    "q279_rrf_fusion" -> q279_sql,
+    "q280_greedy_set_cover" -> q280_sql,
+    "q281_postings_varint" -> q281_sql,
+    "q282_skyline" -> q282_sql)
+}
