@@ -481,27 +481,33 @@ object SelectQueries {
 
   def q280_greedy_set_cover(spark: SparkSession, dir: String)
       : DataFrame = {
+    import spark.implicits._
     val toks = graft.pipeline.Dedup
       .shingleRows(Tables.documents(spark, dir), "doc_id", "text", 3)
       .toDF("doc_id", "tok")
       .localCheckpoint(eager = true) // feeds every round
-    var covered = toks.select(col("tok")).limit(0)
-      .localCheckpoint(eager = true)
+    // The covered set is driver-bounded BY CONSTRUCTION: ≤ rounds ×
+    // (one document's shingle count), i.e. 8 docs' worth of features —
+    // so it lives on the driver and each round is ONE broadcast
+    // anti-join + aggregation over the corpus (no shuffled state
+    // between rounds; the first cut kept `covered` distributed and
+    // paid 3 shuffle jobs/round — 20 s vs ~4 s warm at sf0.1).
+    val covered = scala.collection.mutable.HashSet.empty[String]
     val picks =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     var exhausted = false
     for (r <- 1 to CoverRounds if !exhausted) {
-      val pick = toks.join(covered, Seq("tok"), "left_anti")
+      val coveredDf = broadcast(covered.toSeq.toDF("tok"))
+      val pick = toks.join(coveredDf, Seq("tok"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id")).limit(1)
         .collect() // driver-bounded: exactly one row
       if (pick.isEmpty) exhausted = true
       else {
         val (doc, gain) = (pick(0).getLong(0), pick(0).getLong(1))
-        covered = covered
-          .unionAll(toks.filter(col("doc_id") === doc).select(col("tok")))
-          .distinct().localCheckpoint(eager = true)
-        picks += ((r, doc, gain, covered.count()))
+        covered ++= toks.filter(col("doc_id") === doc)
+          .select(col("tok")).as[String].collect() // one doc's shingles
+        picks += ((r, doc, gain, covered.size.toLong))
       }
     }
     spark.createDataFrame(picks.toSeq)
