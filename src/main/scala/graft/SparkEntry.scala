@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.MetricQueries.queries ++
       graft.queries.LinkageQueries.queries ++
       graft.queries.ScaleQueries.queries ++
-      graft.queries.SelectQueries.queries
+      graft.queries.SelectQueries.queries ++
+      graft.queries.PlannerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.MetricQueries.oracles ++
       graft.queries.LinkageQueries.oracles ++
       graft.queries.ScaleQueries.oracles ++
-      graft.queries.SelectQueries.oracles
+      graft.queries.SelectQueries.oracles ++
+      graft.queries.PlannerQueries.oracles
 }

@@ -1,0 +1,452 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.Sampling
+
+/** Round-8 planner/placement/storage-audit tier — the introspection
+  * operators an engine needs ABOUT ITSELF at 100 TB: how a survey
+  * sample should be allocated (q283), where data should live and what
+  * moves when topology changes (q284), how selective a predicate is
+  * before running it (q285), which join order to pick (q286), and what
+  * an id bitmap costs on disk (q287). The reference delegates all of
+  * this to Neo4j's internals (`SURVEY.md §4.1`); here each one is a
+  * first-class oracle-gated query.
+  *
+  * Determinism contract as elsewhere: integer-exact outputs, total-
+  * order tie-breaks, BIGINT casts on the DuckDB side. Square roots are
+  * EXACT integer isqrt (floating sqrt + a two-sided integer adjust —
+  * double sqrt is within ±1 of isqrt for inputs ≤ 2^52, and the
+  * adjust removes even that).
+  */
+object PlannerQueries {
+
+  // -------------------------------------------------------------------
+  // q283 — Neyman-allocation stratified sampling (Neyman 1934): a
+  // fixed budget of n=100 rows split across strata proportionally to
+  // N_h·S_h (size × standard deviation) — the minimum-variance
+  // allocation for estimating the population mean, and the right way
+  // to sample a skewed corpus for eval. Variances are computed exactly
+  // in DECIMAL(38)/HUGEINT (N·Σx² − (Σx)², the q221/q237 promotion
+  // pattern), S_h is the exact integer sqrt, and the sample itself is
+  // the per-stratum hash-rank prefix (Sampling.hash60 — deterministic,
+  // engine-portable). Output: one row per stratum with its population,
+  // spread, allocation, and the sampled-id checksum that pins the
+  // exact sample membership.
+  // -------------------------------------------------------------------
+  private val NeymanBudget = 100
+
+  /** Exact integer sqrt as a SQL expression over a BIGINT column
+    * expression `v` (both engines): floor(sqrt(double)) then a
+    * two-sided adjust. */
+  private[graft] def isqrtSql(v: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)"
+    val s1 = s"(CASE WHEN ($s0 + 1) * ($s0 + 1) <= ($v) " +
+      s"THEN $s0 + 1 ELSE $s0 END)"
+    s"(CASE WHEN $s1 * $s1 > ($v) THEN $s1 - 1 ELSE $s1 END)"
+  }
+
+  def q283_neyman_allocation(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val rows = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("stratum"), col("c_custkey").as("id"),
+      expr("cast(floor(c_acctbal * 100) as bigint)").as("x"))
+      .localCheckpoint(eager = true) // stats AND sampling consumers
+    val stats = rows.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("sx"),
+        // x² sums overflow int64 two decades up — promote at the sum
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("varx", expr(
+        "cast((cast(nh as decimal(38,0)) * cast(sxx as decimal(38,0))" +
+          " - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))" +
+          " div cast(nh * (nh - 1) as decimal(38,0)) as bigint)"))
+      .withColumn("sd", expr(isqrtSql("varx")))
+      .withColumn("wh", col("nh") * col("sd"))
+    val tot = stats.agg(sum(col("wh")).as("wtot"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        expr(s"$NeymanBudget * wh div wtot"))
+      .select(col("stratum"), col("nh"), col("sd"), col("alloc"))
+      .localCheckpoint(eager = true) // join key for the rank filter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(Sampling.hash60("neyman", col("id")), col("id"))
+    rows.withColumn("rk", row_number().over(w))
+      .join(broadcast(alloc), Seq("stratum"))
+      .filter(col("rk") <= col("alloc"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("id")).as("id_sum"))
+      .join(broadcast(alloc), Seq("stratum"))
+      .select(col("stratum"), col("nh"), col("sd"), col("alloc"),
+        col("n_sampled"), col("id_sum"))
+      .orderBy(col("stratum"))
+  }
+
+  val q283_sql: String = {
+    val h = Sampling.hash60Sql("neyman", "id")
+    s"""WITH s AS (
+       |  SELECT c_mktsegment AS stratum, c_custkey AS id,
+       |    CAST(floor(c_acctbal * 100) AS BIGINT) AS x
+       |  FROM customer),
+       |st AS (
+       |  SELECT stratum, COUNT(*) AS nh, SUM(x) AS sx,
+       |    SUM(x * x) AS sxx
+       |  FROM s GROUP BY 1),
+       |v AS (
+       |  SELECT stratum, nh,
+       |    CAST((nh * sxx - sx * sx) // (nh * (nh - 1)) AS BIGINT)
+       |      AS varx
+       |  FROM st),
+       |sd AS (
+       |  SELECT stratum, nh, ${isqrtSql("varx")} AS sd FROM v),
+       |al AS (
+       |  SELECT stratum, nh, sd,
+       |    CAST($NeymanBudget * (nh * sd)
+       |      // (SELECT SUM(nh * sd) FROM sd) AS BIGINT) AS alloc
+       |  FROM sd),
+       |rk AS (
+       |  SELECT stratum, id,
+       |    ROW_NUMBER() OVER (PARTITION BY stratum
+       |      ORDER BY $h, id) AS rk
+       |  FROM s),
+       |sm AS (
+       |  SELECT rk.stratum, COUNT(*) AS n_sampled, SUM(id) AS id_sum
+       |  FROM rk JOIN al ON rk.stratum = al.stratum
+       |  WHERE rk.rk <= al.alloc
+       |  GROUP BY 1)
+       |SELECT al.stratum, CAST(al.nh AS BIGINT) AS nh, al.sd,
+       |  al.alloc, CAST(sm.n_sampled AS BIGINT) AS n_sampled,
+       |  CAST(sm.id_sum AS BIGINT) AS id_sum
+       |FROM al JOIN sm ON al.stratum = sm.stratum
+       |ORDER BY al.stratum""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q284 — rendezvous (highest-random-weight) hashing placement audit
+  // (Thaler & Ravishankar 1998): each doc goes to the shard with the
+  // max hash(doc, shard) over 16 shards — the stateless consistent-
+  // placement scheme behind cache rings and shard routers. The audit
+  // measures (a) balance and (b) the HRW minimal-movement guarantee:
+  // remove shard 7 and ONLY its documents move (each to its runner-up
+  // shard) — at 100 TB this is the difference between re-shuffling
+  // 1/16th of the corpus and all of it. Per-doc work is a 16-row
+  // argmax (doc-keyed window), scan shape.
+  // -------------------------------------------------------------------
+  private val HrwShards = 16
+  private val HrwRemoved = 7
+
+  def q284_rendezvous_hashing(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("s",
+        explode(sequence(lit(0L), lit(HrwShards - 1L))))
+      .withColumn("w",
+        Sampling.hash60("hrw", col("doc_id") * HrwShards + col("s")))
+      .localCheckpoint(eager = true) // before AND after argmax
+    def argmax(df: DataFrame): DataFrame = {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("w").desc, col("s").desc)
+      df.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("s").as("shard"))
+    }
+    val bef = argmax(w).localCheckpoint(eager = true)
+    val aft = argmax(w.filter(col("s") =!= HrwRemoved))
+      .localCheckpoint(eager = true)
+    val shards = spark.range(HrwShards).select(col("id").as("shard"))
+    val nb = bef.groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+    val na = aft.groupBy(col("shard")).agg(count(lit(1)).as("n_after"))
+    val mv = bef.filter(col("shard") === HrwRemoved)
+      .select(col("doc_id"))
+      .join(aft, Seq("doc_id"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("moved_in"))
+    shards.join(nb, Seq("shard"), "left_outer")
+      .join(na, Seq("shard"), "left_outer")
+      .join(mv, Seq("shard"), "left_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+      .orderBy(col("shard"))
+  }
+
+  val q284_sql: String = {
+    val h = Sampling.hash60Sql("hrw", s"doc_id * $HrwShards + s")
+    s"""WITH g AS (
+       |  SELECT doc_id, s, $h AS w
+       |  FROM documents, generate_series(0, ${HrwShards - 1}) t(s)),
+       |bef AS (
+       |  SELECT doc_id, s AS shard FROM (
+       |    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY w DESC, s DESC) AS rn FROM g)
+       |  WHERE rn = 1),
+       |aft AS (
+       |  SELECT doc_id, s AS shard FROM (
+       |    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY w DESC, s DESC) AS rn FROM g
+       |    WHERE s <> $HrwRemoved)
+       |  WHERE rn = 1),
+       |sh AS (SELECT CAST(s AS BIGINT) AS shard
+       |  FROM generate_series(0, ${HrwShards - 1}) t(s)),
+       |nb AS (SELECT shard, COUNT(*) AS n_docs FROM bef GROUP BY 1),
+       |na AS (SELECT shard, COUNT(*) AS n_after FROM aft GROUP BY 1),
+       |mv AS (
+       |  SELECT a.shard, COUNT(*) AS moved_in
+       |  FROM bef b JOIN aft a ON b.doc_id = a.doc_id
+       |  WHERE b.shard = $HrwRemoved GROUP BY 1)
+       |SELECT sh.shard,
+       |  CAST(COALESCE(nb.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(na.n_after, 0) AS BIGINT) AS n_after,
+       |  CAST(COALESCE(mv.moved_in, 0) AS BIGINT) AS moved_in
+       |FROM sh LEFT JOIN nb ON sh.shard = nb.shard
+       |LEFT JOIN na ON sh.shard = na.shard
+       |LEFT JOIN mv ON sh.shard = mv.shard
+       |ORDER BY sh.shard""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q285 — equi-width histogram selectivity audit (Selinger et al.
+  // 1979; the System R estimate every cost-based planner still makes):
+  // build a 16-bucket histogram on line price cents, then for nine
+  // range predicates (x < max·j/10) compare the histogram's
+  // interpolated row estimate against the true count — err in ppm.
+  // The estimate is full-buckets + an integer linear interpolation in
+  // the boundary bucket, computed with identical integer arithmetic in
+  // both engines, so the AUDIT itself is exact even though the
+  // estimate is approximate. max(x) is a one-row driver scalar (the
+  // q278 count discipline); the histogram and the nine actuals are
+  // each ONE scan-shaped aggregation.
+  // -------------------------------------------------------------------
+  private val HistBuckets = 16
+  private val HistCuts = 9
+
+  def q285_histogram_selectivity(spark: SparkSession, dir: String)
+      : DataFrame = {
+    // deterministic 1-column projection: three pushdown scans beat
+    // materializing the corpus-sized column (checkpoint write cost
+    // showed up as warm > cold at sf1)
+    val xs = Tables.lineitem(spark, dir)
+      .select(expr("cast(floor(l_extendedprice * 100) as bigint)")
+        .as("x"))
+    val mx = xs.agg(max(col("x"))).head().getLong(0)
+    val hist = xs
+      .withColumn("b", expr(s"x * $HistBuckets div (${mx + 1})"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true) // ≤ 16 rows, 9 consumers
+    val cuts = spark.range(1, HistCuts + 1)
+      .select(col("id").as("j"),
+        expr(s"(${mx + 1}) * id div 10").as("thr"))
+    val est = cuts.crossJoin(hist) // 9 × ≤16 rows
+      .withColumn("bt", expr(s"thr * $HistBuckets div (${mx + 1})"))
+      .withColumn("lo", expr(s"bt * (${mx + 1}) div $HistBuckets"))
+      .withColumn("hi",
+        expr(s"(bt + 1) * (${mx + 1}) div $HistBuckets"))
+      .withColumn("contrib",
+        when(col("b") < col("bt"), col("cnt"))
+          .when(col("b") === col("bt"),
+            expr("(thr - lo) * cnt div (hi - lo)"))
+          .otherwise(0L))
+      .groupBy(col("j"), col("thr"))
+      .agg(sum(col("contrib")).as("est_rows"))
+    val actAggs = (1 to HistCuts).map(j =>
+      sum(when(col("x") < expr(s"(${mx + 1}) * $j div 10"), 1L)
+        .otherwise(0L)).as(s"a$j"))
+    val actRow = xs.agg(actAggs.head, actAggs.tail: _*).head()
+    val act = spark.createDataFrame(
+        (1 to HistCuts).map(j => (j.toLong, actRow.getLong(j - 1))))
+      .toDF("j", "actual_rows")
+    est.join(act, Seq("j"))
+      .withColumn("err_ppm", expr(
+        "abs(est_rows - actual_rows) * 1000000" +
+          " div greatest(actual_rows, 1L)"))
+      .select(col("j"), col("thr"), col("est_rows"),
+        col("actual_rows"), col("err_ppm"))
+      .orderBy(col("j"))
+  }
+
+  val q285_sql: String =
+    s"""WITH xs AS (
+       |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+       |  FROM lineitem),
+       |m AS (SELECT MAX(x) + 1 AS mx1 FROM xs),
+       |hist AS (
+       |  SELECT x * $HistBuckets // mx1 AS b, COUNT(*) AS cnt
+       |  FROM xs, m GROUP BY 1),
+       |cuts AS (
+       |  SELECT CAST(j AS BIGINT) AS j, mx1 * j // 10 AS thr
+       |  FROM generate_series(1, $HistCuts) t(j), m),
+       |est AS (
+       |  SELECT j, thr, CAST(SUM(
+       |    CASE WHEN b < thr * $HistBuckets // mx1 THEN cnt
+       |         WHEN b = thr * $HistBuckets // mx1 THEN
+       |           (thr - (thr * $HistBuckets // mx1) * mx1
+       |             // $HistBuckets) * cnt
+       |           // (((thr * $HistBuckets // mx1) + 1) * mx1
+       |             // $HistBuckets
+       |             - (thr * $HistBuckets // mx1) * mx1 // $HistBuckets)
+       |         ELSE 0 END) AS BIGINT) AS est_rows
+       |  FROM cuts, hist, m GROUP BY 1, 2),
+       |act AS (
+       |  SELECT j, thr,
+       |    CAST(COUNT(*) FILTER (WHERE x < thr) AS BIGINT)
+       |      AS actual_rows
+       |  FROM cuts, xs GROUP BY 1, 2)
+       |SELECT est.j, est.thr, est.est_rows, act.actual_rows,
+       |  CAST(abs(est.est_rows - act.actual_rows) * 1000000
+       |    // greatest(act.actual_rows, 1) AS BIGINT) AS err_ppm
+       |FROM est JOIN act ON est.j = act.j
+       |ORDER BY est.j""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q286 — join-order cardinality audit: the question a cost-based
+  // optimizer answers before every multi-way join, made visible. For
+  // the filtered star customer('BUILDING') ⋈ orders ⋈
+  // lineitem(qty>25), both join orders produce the same final rows but
+  // very different intermediates; each row reports the System R
+  // uniform-FK ESTIMATE of the intermediate (|O|·|C_f|/|C| resp.
+  // |L_f|·|O|/|O|) next to its ACTUAL size. The audit is the planning
+  // rule: join the most selective side first. All six counts are
+  // scan-shaped aggregates; at 100 TB this is exactly the statistics
+  // pass AQE runs on shuffle files.
+  // -------------------------------------------------------------------
+  def q286_join_order_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val cf = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).localCheckpoint(eager = true)
+    val lf = l.filter(col("l_quantity") > 25)
+      .select(col("l_orderkey")).localCheckpoint(eager = true)
+    val ok = o.select(col("o_orderkey"), col("o_custkey"))
+      .localCheckpoint(eager = true)
+    val (nC, nO) = (c.count(), ok.count())
+    val (nCf, nLf) = (cf.count(), lf.count())
+    val co = ok.join(broadcast(cf),
+      col("o_custkey") === col("c_custkey"))
+    val coCnt = co.count()
+    val olCnt = ok.join(lf, col("o_orderkey") === col("l_orderkey"))
+      .count()
+    val finalCnt = co.join(lf, col("o_orderkey") === col("l_orderkey"))
+      .count()
+    spark.createDataFrame(Seq(
+        ("co_then_l", nO * nCf / nC, coCnt, finalCnt),
+        ("ol_then_c", nLf * nO / nO, olCnt, finalCnt)))
+      .toDF("plan", "inter_est", "inter_actual", "final_rows")
+      .orderBy(col("plan"))
+  }
+
+  val q286_sql: String =
+    """WITH cf AS (SELECT c_custkey FROM customer
+      |  WHERE c_mktsegment = 'BUILDING'),
+      |lf AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 25),
+      |co AS (SELECT o_orderkey FROM orders
+      |  JOIN cf ON o_custkey = c_custkey),
+      |n AS (
+      |  SELECT (SELECT COUNT(*) FROM customer) AS nc,
+      |    (SELECT COUNT(*) FROM orders) AS no,
+      |    (SELECT COUNT(*) FROM cf) AS ncf,
+      |    (SELECT COUNT(*) FROM lf) AS nlf,
+      |    (SELECT COUNT(*) FROM co) AS nco,
+      |    (SELECT COUNT(*) FROM orders JOIN lf
+      |       ON o_orderkey = l_orderkey) AS nol,
+      |    (SELECT COUNT(*) FROM co JOIN lf
+      |       ON co.o_orderkey = lf.l_orderkey) AS nfin)
+      |SELECT 'co_then_l' AS plan,
+      |  CAST(no * ncf // nc AS BIGINT) AS inter_est,
+      |  CAST(nco AS BIGINT) AS inter_actual,
+      |  CAST(nfin AS BIGINT) AS final_rows FROM n
+      |UNION ALL
+      |SELECT 'ol_then_c',
+      |  CAST(nlf * no // no AS BIGINT),
+      |  CAST(nol AS BIGINT), CAST(nfin AS BIGINT) FROM n
+      |ORDER BY plan""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q287 — Roaring-style bitmap container audit (Chambi, Lemire et al.
+  // 2016), q281's sibling for the BITMAP index representation: chunk
+  // each term's doc-id postings into fixed-width containers (width 256
+  // for this id space — production Roaring uses 2^16; the DECISION
+  // RULE is the point), store a container as an id array when sparse
+  // (≤ 32 ids ⇒ card bytes) and as a fixed bitmap when dense
+  // (32 bytes), and roll up per term bucket: container mix, roaring
+  // bytes vs raw 8 B/posting. One groupBy(term, chunk) + one rollup —
+  // the same shard-by-term shape as q281.
+  // -------------------------------------------------------------------
+  private val RoarWidth = 256
+  private val RoarArrayMax = 32
+
+  def q287_roaring_audit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.pipeline.Dedup
+      .shingleRows(Tables.documents(spark, dir), "doc_id", "text", 2)
+      .toDF("doc_id", "tok")
+    val cont = toks
+      .withColumn("chunk", expr(s"doc_id div $RoarWidth"))
+      .groupBy(col("tok"), col("chunk"))
+      .agg(count(lit(1)).as("card"))
+      .withColumn("is_bitmap",
+        when(col("card") > RoarArrayMax, 1L).otherwise(0L))
+      .withColumn("cbytes",
+        when(col("card") > RoarArrayMax, lit(RoarWidth / 8).cast("long"))
+          .otherwise(col("card")))
+    cont
+      .withColumn("bucket",
+        pmod(length(col("tok")) * 31 + ascii(col("tok")), lit(16))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_containers"),
+        sum(lit(1L) - col("is_bitmap")).as("n_array"),
+        sum(col("is_bitmap")).as("n_bitmap"),
+        sum(col("cbytes")).as("roaring_bytes"),
+        (sum(col("card")) * 8).as("raw_bytes"))
+      .withColumn("savings_x1000",
+        expr("raw_bytes * 1000 div roaring_bytes"))
+      .orderBy(col("bucket"))
+  }
+
+  val q287_sql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([t[i] || ' ' || t[i + 1]
+       |            FOR i IN generate_series(1, len(t) - 1)]) AS tok
+       |  FROM t0 WHERE len(t) >= 2),
+       |cont AS (
+       |  SELECT tok, doc_id // $RoarWidth AS chunk, COUNT(*) AS card
+       |  FROM toks GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT tok,
+       |    CASE WHEN card > $RoarArrayMax THEN 1 ELSE 0 END AS is_bitmap,
+       |    CASE WHEN card > $RoarArrayMax THEN ${RoarWidth / 8}
+       |         ELSE card END AS cbytes,
+       |    card
+       |  FROM cont)
+       |SELECT (length(tok) * 31 + ascii(tok)) % 16 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_containers,
+       |  CAST(SUM(1 - is_bitmap) AS BIGINT) AS n_array,
+       |  CAST(SUM(is_bitmap) AS BIGINT) AS n_bitmap,
+       |  CAST(SUM(cbytes) AS BIGINT) AS roaring_bytes,
+       |  CAST(SUM(card) * 8 AS BIGINT) AS raw_bytes,
+       |  CAST(SUM(card) * 8 * 1000 // SUM(cbytes) AS BIGINT)
+       |    AS savings_x1000
+       |FROM cb GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_neyman_allocation" -> q283_neyman_allocation _,
+    "q284_rendezvous_hashing" -> q284_rendezvous_hashing _,
+    "q285_histogram_selectivity" -> q285_histogram_selectivity _,
+    "q286_join_order_audit" -> q286_join_order_audit _,
+    "q287_roaring_audit" -> q287_roaring_audit _)
+
+  val oracles: Map[String, String] = Map(
+    "q283_neyman_allocation" -> q283_sql,
+    "q284_rendezvous_hashing" -> q284_sql,
+    "q285_histogram_selectivity" -> q285_sql,
+    "q286_join_order_audit" -> q286_sql,
+    "q287_roaring_audit" -> q287_sql)
+}
