@@ -436,7 +436,128 @@ object PlannerQueries {
        |    AS savings_x1000
        |FROM cb GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q289 — sequence-packing audit (the GPT-2/T5 concatenate-then-chunk
+  // training layout): the token stream, in doc_id order, is cut into
+  // fixed 512-token context windows; every window is full by
+  // construction, and the cost is documents straddling window
+  // boundaries (truncated attention). The global token prefix-sum is
+  // DISTRIBUTED: coarse doc_id buckets → per-bucket totals → tiny
+  // triangular offset join (Ranks.prefixOffsets, the q76/q114 CDF
+  // shape) → within-bucket running sums — never a single-task global
+  // window (the oracle, single-node by nature, uses the naive window).
+  // Output per 64-window group: docs starting there, boundary
+  // crossers, worst span, token mass.
+  // -------------------------------------------------------------------
+  private val PackCapacity = 512L
+  private val PackBucketWidth = 1000L
+  private val PackGroupBins = 64L
+
+  def q289_sequence_packing(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.pipeline.{Ranks, TextAnalysis}
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr(s"doc_id div $PackBucketWidth"))
+      .localCheckpoint(eager = true) // totals AND running sums
+    val offs = Ranks.prefixOffsets(
+      tk.groupBy(col("bucket")).agg(sum(col("n")).as("tot")),
+      "bucket", Seq("tot" -> "off"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = tk.withColumn("within", sum(col("n")).over(wB))
+      .join(broadcast(offs), Seq("bucket"))
+      .withColumn("cum", col("off") + col("within"))
+      .withColumn("first_bin", expr(s"(cum - n) div $PackCapacity"))
+      .withColumn("last_bin", expr(s"(cum - 1) div $PackCapacity"))
+    cum.withColumn("g", expr(s"first_bin div $PackGroupBins"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("last_bin") > col("first_bin"), 1L).otherwise(0L))
+          .as("n_crossing"),
+        max(col("last_bin") - col("first_bin")).as("max_span"),
+        sum(col("n")).as("tok_sum"))
+      .orderBy(col("g"))
+  }
+
+  val q289_sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       |      AS BIGINT) AS n
+       |  FROM documents WHERE trim(text) <> ''),
+       |cum AS (
+       |  SELECT doc_id, n,
+       |    SUM(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM tk),
+       |bins AS (
+       |  SELECT n, (cum - n) // $PackCapacity AS first_bin,
+       |    (cum - 1) // $PackCapacity AS last_bin
+       |  FROM cum)
+       |SELECT CAST(first_bin // $PackGroupBins AS BIGINT) AS g,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_crossing,
+       |  CAST(MAX(last_bin - first_bin) AS BIGINT) AS max_span,
+       |  CAST(SUM(n) AS BIGINT) AS tok_sum
+       |FROM bins GROUP BY 1 ORDER BY g""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q290 — AQE-style skew-split plan audit: given the key histogram of
+  // a shuffle (events by event_type — genuinely skewed: the top type
+  // holds ~20% of rows), compute the salt plan a skew-aware planner
+  // would emit: target slice T = ⌈total/32⌉ (32 = the session's
+  // shuffle parallelism), salt factor ⌈cnt/T⌉ per hot key, and the
+  // post-split worst slice ⌈cnt/salt⌉ — the number that decides
+  // whether the straggler is gone. One hash agg over the corpus; the
+  // plan itself is vocabulary-sized.
+  // -------------------------------------------------------------------
+  private val SkewSlices = 32L
+
+  def q290_skew_split_plan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val cnts = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    cnts.crossJoin(broadcast(tot))
+      .withColumn("t_target",
+        expr(s"(total + $SkewSlices - 1) div $SkewSlices"))
+      .withColumn("salt_factor",
+        expr("(cnt + t_target - 1) div t_target"))
+      .withColumn("max_slice",
+        expr("(cnt + salt_factor - 1) div salt_factor"))
+      .withColumn("is_split",
+        when(col("salt_factor") > 1, 1L).otherwise(0L))
+      .select(col("event_type"), col("cnt"), col("t_target"),
+        col("salt_factor"), col("max_slice"), col("is_split"))
+      .orderBy(col("event_type"))
+  }
+
+  val q290_sql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+       |t AS (
+       |  SELECT (SUM(cnt) + $SkewSlices - 1) // $SkewSlices
+       |    AS t_target FROM c)
+       |SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(t_target AS BIGINT) AS t_target,
+       |  CAST((cnt + t_target - 1) // t_target AS BIGINT)
+       |    AS salt_factor,
+       |  CAST((cnt + ((cnt + t_target - 1) // t_target) - 1)
+       |    // ((cnt + t_target - 1) // t_target) AS BIGINT)
+       |    AS max_slice,
+       |  CAST(CASE WHEN (cnt + t_target - 1) // t_target > 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_split
+       |FROM c, t ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_sequence_packing" -> q289_sequence_packing _,
+    "q290_skew_split_plan" -> q290_skew_split_plan _,
     "q283_neyman_allocation" -> q283_neyman_allocation _,
     "q284_rendezvous_hashing" -> q284_rendezvous_hashing _,
     "q285_histogram_selectivity" -> q285_histogram_selectivity _,
@@ -444,6 +565,8 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q289_sequence_packing" -> q289_sql,
+    "q290_skew_split_plan" -> q290_sql,
     "q283_neyman_allocation" -> q283_sql,
     "q284_rendezvous_hashing" -> q284_sql,
     "q285_histogram_selectivity" -> q285_sql,

