@@ -82,6 +82,43 @@ object MediaCodecs {
     buf.array()
   }
 
+  // G.711 μ-law (ITU-T G.711, the telephony companding codec; the
+  // formulas below are the public reference algorithm, e.g. Sun's
+  // historical ulaw.c): 16-bit PCM ↔ 8-bit logarithmic code. This is
+  // the repo's REAL compressed-audio path — lossy, 2:1, with a
+  // per-segment quantization step of 2^(exp+3).
+  private val MuBias = 132 // 0x84
+  private val MuClip = 32635
+
+  /** μ-law encode one 16-bit sample to its 8-bit code (as Int 0..255).
+    * Pure integer arithmetic — executor-safe, engine-portable. */
+  def muLawEncodeSample(v: Int): Int = {
+    val sign = if (v < 0) 0x80 else 0
+    var t = math.min(math.abs(v), MuClip) + MuBias
+    var exp = 7
+    var probe = 0x4000
+    while (exp > 0 && (t & probe) == 0) { exp -= 1; probe >>= 1 }
+    val man = (t >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | man) & 0xff
+  }
+
+  /** μ-law decode an 8-bit code back to its 16-bit sample. */
+  def muLawDecodeSample(b: Int): Int = {
+    val u = ~b & 0xff
+    val exp = (u >> 4) & 7
+    val man = u & 0x0f
+    val mag = (((man << 3) + MuBias) << exp) - MuBias
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Encode a PCM buffer to μ-law bytes (1 byte per sample). */
+  def encodeMuLaw(samples: Array[Short]): Array[Byte] =
+    samples.map(s => muLawEncodeSample(s.toInt).toByte)
+
+  /** Decode μ-law bytes back to PCM samples. */
+  def decodeMuLaw(bytes: Array[Byte]): Array[Short] =
+    bytes.map(b => muLawDecodeSample(b.toInt & 0xff).toShort)
+
   /** 8-dim audio features: RMS energy of 8 equal time segments,
     * normalized to [0, 1] (full-scale square wave → 1.0). */
   def wavFeatures(meta: WavMeta, samples: Array[Short]): Array[Float] = {

@@ -877,6 +877,73 @@ object CurationQueries {
       |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q294 — G.711 μ-law COMPRESSED-audio round trip (ITU-T G.711 — the
+  // telephony companding codec; 2:1 lossy, per-segment quantization
+  // step 2^(exp+3)). This closes the "compressed audio decode" slice
+  // with a real standardized codec in pure integer arithmetic
+  // (MediaCodecs.encodeMuLaw/decodeMuLaw): synthesize closed-form PCM
+  // per doc on the EXECUTORS (q164's shape), push it through the real
+  // encoder+decoder, and emit decoded stats plus the max quantization
+  // error. The oracle recomputes the companding law itself
+  // (segment/mantissa integer formula) — a green row proves the byte-
+  // level codec implements exactly the published transfer function.
+  // -------------------------------------------------------------------
+  def q294_mulaw_roundtrip(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          (((id * 31 + i * 7) % 65536) - 32768).toShort)
+        val dec = MediaCodecs.decodeMuLaw(MediaCodecs.encodeMuLaw(samples))
+        var (s, mn, mx, me) = (0L, Int.MaxValue, Int.MinValue, 0L)
+        var i = 0
+        while (i < dec.length) {
+          val v = dec(i).toInt
+          s += v; if (v < mn) mn = v; if (v > mx) mx = v
+          val e = math.abs(v - samples(i).toInt).toLong
+          if (e > me) me = e
+          i += 1
+        }
+        (id, dec.length.toLong, s, mn.toLong, mx.toLong, me)
+      }
+    }.toDF("doc_id", "n_samples", "sum_dec", "min_dec", "max_dec",
+        "max_abs_err")
+      .orderBy(col("doc_id"))
+  }
+
+  val q294_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, (doc_id * 31 + ii.i * 7) % 65536 - 32768 AS v
+      |  FROM d, unnest(generate_series(0, n - 1)) AS ii(i)),
+      |g AS (
+      |  SELECT doc_id, n, v, t,
+      |    CASE WHEN t < 256 THEN 0 WHEN t < 512 THEN 1
+      |         WHEN t < 1024 THEN 2 WHEN t < 2048 THEN 3
+      |         WHEN t < 4096 THEN 4 WHEN t < 8192 THEN 5
+      |         WHEN t < 16384 THEN 6 ELSE 7 END AS e
+      |  FROM (SELECT doc_id, n, v,
+      |          LEAST(abs(v), 32635) + 132 AS t FROM s)),
+      |dd AS (
+      |  SELECT doc_id, n, v,
+      |    CASE WHEN v < 0 THEN -mag ELSE mag END AS dec
+      |  FROM (SELECT doc_id, n, v,
+      |          ((((t >> (e + 3)) & 15) * 8 + 132) * (1 << e)) - 132
+      |            AS mag
+      |        FROM g))
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(SUM(dec) AS BIGINT) AS sum_dec,
+      |  CAST(MIN(dec) AS BIGINT) AS min_dec,
+      |  CAST(MAX(dec) AS BIGINT) AS max_dec,
+      |  CAST(MAX(abs(dec - v)) AS BIGINT) AS max_abs_err
+      |FROM dd GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q66 — BM25 document ranking, integer-exact: the full Okapi shape
   // (tf saturation k1=1.2, length normalization b=0.75) cleared of
   // floats by multiplying through by 10·DLS (DLS = total corpus token
@@ -1998,6 +2065,7 @@ object CurationQueries {
     "q161_image_decode" -> q161_image_decode _,
     "q265_image_resize" -> q265_image_resize _,
     "q164_audio_decode" -> q164_audio_decode _,
+    "q294_mulaw_roundtrip" -> q294_mulaw_roundtrip _,
     "q238_audio_features" -> q238_audio_features _,
     "q255_avi_frames" -> q255_avi_frames _,
     "q250_curation_v2" -> q250_curation_v2 _)
@@ -2037,6 +2105,7 @@ object CurationQueries {
     "q161_image_decode" -> q161_sql,
     "q265_image_resize" -> q265_sql,
     "q164_audio_decode" -> q164_sql,
+    "q294_mulaw_roundtrip" -> q294_sql,
     "q238_audio_features" -> q238_sql,
     "q255_avi_frames" -> q255_sql,
     "q250_curation_v2" -> q250_sql)

@@ -204,13 +204,111 @@ object IntegrityQueries {
        |ORDER BY bucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q293 — CDC log apply (the lakehouse MERGE INTO / change-data-
+  // capture semantics: latest op per key wins): a base snapshot (even
+  // customer keys) plus a derived change log — inserts for the odd
+  // keys (seq 1), balance updates for base keys divisible by 3
+  // (seq 2), deletes for base keys divisible by 5 (seq 3, so a key
+  // hit by both U and D resolves to D by the seq order) — applied in
+  // ONE pass: reduce the log to max-seq per key (a hash agg), then a
+  // single full-outer join against the base. No per-op scans, no
+  // driver loop — the shape Delta/Iceberg MERGE compiles to. Output:
+  // per-segment row counts for every op class plus the final table's
+  // row count and balance checksum, which pin the exact merge result.
+  // -------------------------------------------------------------------
+  def q293_cdc_apply(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      expr("cast(floor(c_acctbal * 100) as bigint)").as("bal"))
+      .localCheckpoint(eager = true) // base AND log derivation
+    val base = cust.filter(col("k") % 2 === 0)
+    val logDf = cust.filter(col("k") % 2 === 1)
+      .select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+        col("seg"), col("bal"))
+      .unionAll(cust.filter(col("k") % 2 === 0 && col("k") % 3 === 0)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          col("seg"), (col("bal") + 1000L).as("bal")))
+      .unionAll(cust.filter(col("k") % 2 === 0 && col("k") % 5 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          col("seg"), lit(0L).as("bal")))
+    val latest = logDf
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("seg"), col("bal")))
+        .as("m"))
+      .select(col("k"), col("m.op").as("op"), col("m.seg").as("lseg"),
+        col("m.bal").as("lbal"))
+    val merged = base.join(latest, Seq("k"), "full_outer")
+      .select(
+        coalesce(col("seg"), col("lseg")).as("seg"),
+        col("op"),
+        when(col("op") === "U", col("lbal"))
+          .when(col("op") === "I", col("lbal"))
+          .otherwise(col("bal")).as("fbal"),
+        col("bal").isNotNull.as("in_base"))
+      .localCheckpoint(eager = true) // op counts AND final stats
+    merged.groupBy(col("seg"))
+      .agg(sum(when(col("in_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_upd"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("op").isNull || col("op") =!= "D", 1L)
+          .otherwise(0L)).as("n_final"),
+        sum(when(col("op").isNull || col("op") =!= "D", col("fbal"))
+          .otherwise(0L)).as("bal_sum"))
+      .orderBy(col("seg"))
+  }
+
+  val q293_sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |base AS (SELECT * FROM cust WHERE k % 2 = 0),
+      |lg AS (
+      |  SELECT k, 1 AS seq, 'I' AS op, seg, bal FROM cust
+      |  WHERE k % 2 = 1
+      |  UNION ALL
+      |  SELECT k, 2, 'U', seg, bal + 1000 FROM cust
+      |  WHERE k % 2 = 0 AND k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'D', seg, 0 FROM cust
+      |  WHERE k % 2 = 0 AND k % 5 = 0),
+      |latest AS (
+      |  SELECT k, op, seg AS lseg, bal AS lbal FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+      |      ORDER BY seq DESC) AS rn FROM lg)
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT COALESCE(b.seg, l.lseg) AS seg, l.op,
+      |    CASE WHEN l.op IN ('U', 'I') THEN l.lbal ELSE b.bal END
+      |      AS fbal,
+      |    b.bal IS NOT NULL AS in_base
+      |  FROM base b FULL OUTER JOIN latest l ON b.k = l.k)
+      |SELECT seg,
+      |  CAST(SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_base,
+      |  CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ins,
+      |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_upd,
+      |  CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_del,
+      |  CAST(SUM(CASE WHEN op IS NULL OR op <> 'D' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_final,
+      |  CAST(SUM(CASE WHEN op IS NULL OR op <> 'D' THEN fbal
+      |    ELSE 0 END) AS BIGINT) AS bal_sum
+      |FROM merged GROUP BY seg ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_behavior_fingerprint" -> q211_behavior_fingerprint _,
     "q212_feature_hashing" -> q212_feature_hashing _,
-    "q213_merkle_diff" -> q213_merkle_diff _)
+    "q213_merkle_diff" -> q213_merkle_diff _,
+    "q293_cdc_apply" -> q293_cdc_apply _)
 
   val oracles: Map[String, String] = Map(
     "q211_behavior_fingerprint" -> q211_sql,
     "q212_feature_hashing" -> q212_sql,
-    "q213_merkle_diff" -> q213_sql)
+    "q213_merkle_diff" -> q213_sql,
+    "q293_cdc_apply" -> q293_sql)
 }

@@ -615,7 +615,435 @@ object StatQueries {
       |FROM ests CROSS JOIN exact
       |ORDER BY b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q292 — AMS second-moment (F2) sketch (Alon, Matias & Szegedy
+  // 1996): estimate Σ f_i² — the self-join size, the quantity a
+  // planner needs to cost a key-equality join — from 16 constant-space
+  // estimators Z_j = (Σ_i s_j(i)·f_i)² with ±1 four-wise-style hash
+  // signs, combined by the (lower) median. Each estimator is one
+  // map-side-combinable weighted sum, so the sketch costs one hash agg
+  // at any scale; the output carries every estimator next to the true
+  // F2 and the median's error in ppm — the audit of the estimator, not
+  // just its answer. Signs come from the engine-portable
+  // Sampling.hash60 over (key·16 + j).
+  // -------------------------------------------------------------------
+  private val AmsEstimators = 16
+
+  def q292_ams_f2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val f = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("fi"))
+      .localCheckpoint(eager = true) // estimators AND true F2
+    val est = f
+      .withColumn("j",
+        explode(sequence(lit(0L), lit(AmsEstimators - 1L))))
+      .withColumn("sgn",
+        lit(1L) - lit(2L) *
+          pmod(Sampling.hash60("ams",
+            col("l_partkey") * AmsEstimators + col("j")), lit(2L)))
+      .groupBy(col("j")).agg(sum(col("sgn") * col("fi")).as("z"))
+      .withColumn("est", col("z") * col("z"))
+      .localCheckpoint(eager = true) // 16 rows, median + output
+    val wM = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est"), col("j")) // 16 bounded rows — safe window
+    val med = est.withColumn("mrk", row_number().over(wM))
+      .filter(col("mrk") === AmsEstimators / 2)
+      .select(col("est").as("median_est"))
+    val tf2 = f.agg(sum(col("fi") * col("fi")).as("true_f2"))
+    est.select(col("j"), col("est"))
+      .crossJoin(broadcast(med)).crossJoin(broadcast(tf2))
+      .withColumn("err_ppm", expr(
+        "abs(median_est - true_f2) * 1000000 div true_f2"))
+      .select(col("j"), col("est"), col("median_est"), col("true_f2"),
+        col("err_ppm"))
+      .orderBy(col("j"))
+  }
+
+  val q292_sql: String = {
+    val h = graft.pipeline.Sampling
+      .hash60Sql("ams", s"l_partkey * $AmsEstimators + j")
+    s"""WITH f AS (
+       |  SELECT l_partkey, COUNT(*) AS fi FROM lineitem GROUP BY 1),
+       |est AS (
+       |  SELECT CAST(j AS BIGINT) AS j,
+       |    CAST(SUM((1 - 2 * ($h % 2)) * fi) AS BIGINT) AS z
+       |  FROM f, generate_series(0, ${AmsEstimators - 1}) t(j)
+       |  GROUP BY 1),
+       |e2 AS (SELECT j, z * z AS est FROM est),
+       |med AS (
+       |  SELECT est AS median_est FROM (
+       |    SELECT est, ROW_NUMBER() OVER (ORDER BY est, j) AS mrk
+       |    FROM e2)
+       |  WHERE mrk = ${AmsEstimators / 2}),
+       |tf2 AS (
+       |  SELECT CAST(SUM(fi * fi) AS BIGINT) AS true_f2 FROM f)
+       |SELECT j, CAST(est AS BIGINT) AS est,
+       |  CAST(median_est AS BIGINT) AS median_est, true_f2,
+       |  CAST(abs(median_est - true_f2) * 1000000 // true_f2
+       |    AS BIGINT) AS err_ppm
+       |FROM e2 CROSS JOIN med CROSS JOIN tf2
+       |ORDER BY j""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q295 — KMV set-operation estimates (Beyer et al. 2007, "On
+  // synopses for distinct-value estimation under multiset operations"):
+  // the property that makes KMV the sketch of choice for SEGMENTED
+  // distinct counts at 100 TB is that two sketches combine into a
+  // sketch of the UNION (k smallest of the merged value sets), and the
+  // fraction of the combined k-minimum that appears in BOTH input
+  // sketches estimates the intersection — so union/intersection/Jaccard
+  // across any pair of partitions costs O(k), no rescan. Sets here:
+  // distinct part keys per return flag. Estimates are exact integer
+  // arithmetic ((k−1)·2^60 div h_k in DECIMAL(38)/HUGEINT), reported
+  // next to the exact union/intersection and the union error in ppm.
+  // Scale shape: per-flag top-k runs as WindowGroupLimit (k rows per
+  // partition pre-shuffle, the q47 discipline); everything downstream
+  // is sketch-sized (≤ 2k rows per pair).
+  // -------------------------------------------------------------------
+  private val KmvSetK = 256
+
+  def q295_kmv_setops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("f"), col("l_partkey").as("k"))
+      .distinct()
+      .withColumn("h", Sampling.hash60("kmvset", col("k")))
+      .localCheckpoint(eager = true) // sketch AND exact consumers
+    val wF = Window.partitionBy(col("f")).orderBy(col("h"), col("k"))
+    val sk = d.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= KmvSetK).select(col("f"), col("h"))
+      .localCheckpoint(eager = true) // ≤ 3·k rows; joined twice
+    val flags = sk.select(col("f")).distinct()
+    val pairs = flags.as("x").join(flags.as("y"),
+        col("x.f") < col("y.f"))
+      .select(col("x.f").as("f1"), col("y.f").as("f2"))
+    val tagged = broadcast(pairs)
+      .join(sk, col("f") === col("f1") || col("f") === col("f2"))
+      .groupBy(col("f1"), col("f2"), col("h"))
+      .agg(max(when(col("f") === col("f1"), 1L).otherwise(0L)).as("ia"),
+        max(when(col("f") === col("f2"), 1L).otherwise(0L)).as("ib"))
+    val wP = Window.partitionBy(col("f1"), col("f2")).orderBy(col("h"))
+    val est = tagged.withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= KmvSetK)
+      .groupBy(col("f1"), col("f2"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"),
+        sum(col("ia") * col("ib")).as("c_both"))
+      .withColumn("est_union",
+        when(col("cnt") < KmvSetK, col("cnt")).otherwise(expr(
+          s"cast(cast(${KmvSetK - 1} as decimal(38,0)) * " +
+            "1152921504606846976 div kth as bigint)")))
+      .withColumn("est_inter",
+        expr("c_both * est_union div cnt"))
+    val exact = broadcast(pairs)
+      .join(d, col("f") === col("f1") || col("f") === col("f2"))
+      .groupBy(col("f1"), col("f2"), col("k"))
+      .agg(max(when(col("f") === col("f1"), 1L).otherwise(0L)).as("ia"),
+        max(when(col("f") === col("f2"), 1L).otherwise(0L)).as("ib"))
+      .groupBy(col("f1"), col("f2"))
+      .agg(count(lit(1)).as("true_union"),
+        sum(col("ia") * col("ib")).as("true_inter"))
+    est.join(exact, Seq("f1", "f2"))
+      .withColumn("err_union_ppm", expr(
+        "abs(est_union - true_union) * 1000000 div true_union"))
+      .select(col("f1"), col("f2"), col("est_union"), col("est_inter"),
+        col("true_union"), col("true_inter"), col("err_union_ppm"))
+      .orderBy(col("f1"), col("f2"))
+  }
+
+  val q295_sql: String = {
+    import graft.pipeline.Sampling
+    val h = Sampling.hash60Sql("kmvset", "k")
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_returnflag AS f, l_partkey AS k
+       |  FROM lineitem),
+       |dh AS (SELECT f, k, $h AS h FROM d),
+       |sk AS (
+       |  SELECT f, h FROM (
+       |    SELECT f, h, ROW_NUMBER() OVER (PARTITION BY f
+       |      ORDER BY h, k) AS rn FROM dh)
+       |  WHERE rn <= $KmvSetK),
+       |fl AS (SELECT DISTINCT f FROM sk),
+       |pairs AS (
+       |  SELECT x.f AS f1, y.f AS f2 FROM fl x JOIN fl y
+       |  ON x.f < y.f),
+       |tagged AS (
+       |  SELECT p.f1, p.f2, s.h,
+       |    MAX(CASE WHEN s.f = p.f1 THEN 1 ELSE 0 END) AS ia,
+       |    MAX(CASE WHEN s.f = p.f2 THEN 1 ELSE 0 END) AS ib
+       |  FROM pairs p JOIN sk s ON s.f = p.f1 OR s.f = p.f2
+       |  GROUP BY 1, 2, 3),
+       |topu AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY f1, f2
+       |      ORDER BY h) AS rn FROM tagged)
+       |  WHERE rn <= $KmvSetK),
+       |est AS (
+       |  SELECT f1, f2, COUNT(*) AS cnt, MAX(h) AS kth,
+       |    SUM(ia * ib) AS c_both
+       |  FROM topu GROUP BY 1, 2),
+       |est2 AS (
+       |  SELECT f1, f2, cnt, c_both,
+       |    CASE WHEN cnt < $KmvSetK THEN cnt
+       |         ELSE CAST(CAST(${KmvSetK - 1} AS HUGEINT) *
+       |           1152921504606846976 // kth AS BIGINT) END AS est_union
+       |  FROM est),
+       |ex AS (
+       |  SELECT f1, f2, COUNT(*) AS true_union,
+       |    SUM(ia * ib) AS true_inter
+       |  FROM (
+       |    SELECT p.f1, p.f2, d.k,
+       |      MAX(CASE WHEN d.f = p.f1 THEN 1 ELSE 0 END) AS ia,
+       |      MAX(CASE WHEN d.f = p.f2 THEN 1 ELSE 0 END) AS ib
+       |    FROM pairs p JOIN d ON d.f = p.f1 OR d.f = p.f2
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2)
+       |SELECT e.f1, e.f2, e.est_union,
+       |  CAST(e.c_both * e.est_union // e.cnt AS BIGINT) AS est_inter,
+       |  CAST(x.true_union AS BIGINT) AS true_union,
+       |  CAST(x.true_inter AS BIGINT) AS true_inter,
+       |  CAST(abs(e.est_union - x.true_union) * 1000000
+       |    // x.true_union AS BIGINT) AS err_union_ppm
+       |FROM est2 e JOIN ex x ON e.f1 = x.f1 AND e.f2 = x.f2
+       |ORDER BY e.f1, e.f2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q298 — OLS simple linear regression by exact normal equations
+  // (slope = (NΣxy − ΣxΣy)/(NΣx² − (Σx)²)), per return-flag group,
+  // regressing extended price (whole dollars) on quantity — the
+  // one-pass closed-form fit that needs only five mergeable sums, i.e.
+  // the regression that actually runs at 100 TB (one map-side-
+  // combinable hash agg; no gradient loop, no per-row state). All
+  // moments are exact in DECIMAL(38)/HUGEINT; slope/intercept/R² are
+  // reported in ppm with documented floor semantics: R²_ppm is
+  // (|num|·10³ div dx)·(|num|·10³ div dy) — two floors both engines
+  // replay, keeping every product inside 38 digits at any corpus size
+  // (num² alone would overflow three decades up). Signs are applied
+  // via sign(num)·(|num| div d) so the floor is magnitude-based in
+  // both engines (Spark div truncates, DuckDB // floors — they differ
+  // on negatives).
+  // -------------------------------------------------------------------
+  def q298_ols_regression(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("x"),
+      expr("cast(floor(l_extendedprice) as bigint)").as("y"))
+    rows.groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("dx", expr("n * sxx - sx * sx"))
+      .withColumn("dy", expr("n * syy - sy * sy"))
+      .withColumn("inum", expr("sy * sxx - sx * sxy"))
+      .withColumn("slope_ppm", expr(
+        "cast(sign(num) * (abs(num) * 1000000 div dx) as bigint)"))
+      .withColumn("intercept_ppm", expr(
+        "cast(sign(inum) * (abs(inum) * 1000000 div dx) as bigint)"))
+      .withColumn("r2_ppm", expr(
+        "cast((abs(num) * 1000 div dx) * (abs(num) * 1000 div dy)" +
+          " as bigint)"))
+      .select(col("g"), col("n").cast("long").as("n_rows"),
+        col("slope_ppm"), col("intercept_ppm"), col("r2_ppm"))
+      .orderBy(col("g"))
+  }
+
+  val q298_sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+      |    CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS HUGEINT)
+      |      AS sy,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) *
+      |      CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT) *
+      |      CAST(floor(l_extendedprice) AS BIGINT)) AS HUGEINT) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) *
+      |      CAST(floor(l_extendedprice) AS BIGINT)) AS HUGEINT) AS sxy
+      |  FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT g, n, n * sxy - sx * sy AS num,
+      |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+      |    sy * sxx - sx * sxy AS inum
+      |  FROM m)
+      |SELECT g, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(sign(num) * (abs(num) * 1000000 // dx) AS BIGINT)
+      |    AS slope_ppm,
+      |  CAST(sign(inum) * (abs(inum) * 1000000 // dx) AS BIGINT)
+      |    AS intercept_ppm,
+      |  CAST((abs(num) * 1000 // dx) * (abs(num) * 1000 // dy)
+      |    AS BIGINT) AS r2_ppm
+      |FROM t ORDER BY g""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q299 — Mann–Whitney U (1947), the exact rank-sum two-sample test:
+  // compare the account-balance distribution of the AUTOMOBILE segment
+  // against every other segment without ranking individual rows —
+  // 2U_A = Σ_v nA(v)·(2·cumB(<v) + nB(v)) needs only per-VALUE counts
+  // and a prefix sum over the value domain, which is cents-bounded
+  // (~1.1M) and Zipf-collapsed, not corpus-sized. The prefix sum is
+  // distributed (value-bucket totals → triangular offset join →
+  // within-bucket windows, the q76/q289 CDF shape) — never a global
+  // single-task window. The tie term nB(v)/2 is kept exact by working
+  // in 2U. Output per opposing segment: group sizes, 2U, and the
+  // common-language effect size P(A>B)+½P(A=B) in ppm.
+  // -------------------------------------------------------------------
+  private val MwuBucketWidth = 4096L
+
+  def q299_mann_whitney(spark: SparkSession, dir: String): DataFrame = {
+    // shift cents by +100000 so the bucket floor-div never sees a
+    // negative (Spark div truncates, DuckDB // floors)
+    val v = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("seg"),
+      expr("cast(floor(c_acctbal * 100) as bigint) + 100000").as("vs"))
+    val cnts = v.groupBy(col("seg"), col("vs"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // A-side AND B-side consumers
+    val aCnt = cnts.filter(col("seg") === "AUTOMOBILE")
+      .select(col("vs"), col("c").as("ac"))
+    val bCnt = cnts.filter(col("seg") =!= "AUTOMOBILE")
+      .select(col("seg").as("bseg"), col("vs"), col("c").as("bc"))
+    val bsegs = bCnt.select(col("bseg")).distinct()
+    val pr = aCnt.crossJoin(broadcast(bsegs))
+      .join(bCnt, Seq("bseg", "vs"), "full_outer")
+      .na.fill(0L, Seq("ac", "bc"))
+      .withColumn("bucket", expr(s"vs div $MwuBucketWidth"))
+      .localCheckpoint(eager = true) // bucket totals AND running sums
+    val btot = pr.groupBy(col("bseg"), col("bucket"))
+      .agg(sum(col("bc")).as("tot"))
+    val offs = btot.as("g")
+      .join(btot.as("h"), col("h.bseg") === col("g.bseg") &&
+        col("h.bucket") < col("g.bucket"), "left_outer")
+      .groupBy(col("g.bseg").as("bseg"), col("g.bucket").as("bucket"))
+      .agg(coalesce(sum(col("h.tot")), lit(0L)).as("off"))
+    val wB = Window.partitionBy(col("bseg"), col("bucket"))
+      .orderBy(col("vs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pr.withColumn("cb_in", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .join(broadcast(offs), Seq("bseg", "bucket"))
+      .withColumn("cumb", col("off") + col("cb_in"))
+      .groupBy(col("bseg"))
+      .agg(sum(col("ac")).as("n_a"), sum(col("bc")).as("n_b"),
+        sum(col("ac") * (lit(2L) * col("cumb") + col("bc")))
+          .as("two_u"))
+      .withColumn("cles_ppm", expr(
+        "cast(cast(two_u as decimal(38,0)) * 1000000 div " +
+          "(2 * cast(n_a as decimal(38,0)) * n_b) as bigint)"))
+      .select(col("bseg"), col("n_a"), col("n_b"), col("two_u"),
+        col("cles_ppm"))
+      .orderBy(col("bseg"))
+  }
+
+  val q299_sql: String =
+    """WITH v AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) + 100000 AS vs
+      |  FROM customer),
+      |cnts AS (SELECT seg, vs, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |ac AS (SELECT vs, c AS ac FROM cnts WHERE seg = 'AUTOMOBILE'),
+      |bc AS (SELECT seg AS bseg, vs, c AS bc FROM cnts
+      |       WHERE seg <> 'AUTOMOBILE'),
+      |bs AS (SELECT DISTINCT bseg FROM bc),
+      |ar AS (SELECT bs.bseg, ac.vs, ac.ac FROM ac CROSS JOIN bs),
+      |pr AS (
+      |  SELECT COALESCE(ar.bseg, bc.bseg) AS bseg,
+      |    COALESCE(ar.vs, bc.vs) AS vs,
+      |    COALESCE(ar.ac, 0) AS ac, COALESCE(bc.bc, 0) AS bc
+      |  FROM ar FULL OUTER JOIN bc
+      |  ON ar.bseg = bc.bseg AND ar.vs = bc.vs),
+      |cum AS (
+      |  SELECT bseg, ac, bc,
+      |    COALESCE(SUM(bc) OVER (PARTITION BY bseg ORDER BY vs
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cumb
+      |  FROM pr),
+      |u AS (
+      |  SELECT bseg, SUM(ac) AS n_a, SUM(bc) AS n_b,
+      |    SUM(ac * (2 * cumb + bc)) AS two_u
+      |  FROM cum GROUP BY 1)
+      |SELECT bseg, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(two_u AS BIGINT) AS two_u,
+      |  CAST(CAST(two_u AS HUGEINT) * 1000000
+      |    // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS cles_ppm
+      |FROM u ORDER BY bseg""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q300 — Benford first-digit audit (Newcomb 1881, Benford 1938), the
+  // classic fraud/integrity screen over a financial column: the first
+  // significant digit of order totals vs the log-law expectation
+  // P(d) = log10(1+1/d), with a chi-square distance. Expected
+  // probabilities are pinned FIXED ppm integer constants (log10 is
+  // irrational — both engines use the same table, so the statistic is
+  // exact). chi2_ppm_d = (10⁶·O_d − N·p_d)² div (N·p_d) — exactly
+  // 10⁶·(O−E)²/E in DECIMAL(38)/HUGEINT. First digit is extracted
+  // lexically (substr of the integer string — engine-portable, no
+  // log10/pow in the data path). One hash agg to 9 rows; the audit is
+  // digit-sized at any corpus scale.
+  // -------------------------------------------------------------------
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+    5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  def q300_benford_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exp = BenfordPpm.toDF("d", "exp_ppm")
+    val obs = Tables.orders(spark, dir)
+      .select(expr("cast(floor(o_totalprice * 100) as bigint)").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("d",
+        substring(col("c").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n_total"))
+    obs.join(broadcast(exp), Seq("d")).crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("n_obs * 1000000 div n_total"))
+      .withColumn("chi2_ppm", expr(
+        "cast((cast(n_obs as decimal(38,0)) * 1000000 - " +
+          "cast(n_total as decimal(38,0)) * exp_ppm) * " +
+          "(cast(n_obs as decimal(38,0)) * 1000000 - " +
+          "cast(n_total as decimal(38,0)) * exp_ppm) div " +
+          "(cast(n_total as decimal(38,0)) * exp_ppm) as bigint)"))
+      .select(col("d").cast("long").as("d"), col("n_obs"),
+        col("exp_ppm"), col("obs_ppm"), col("chi2_ppm"))
+      .orderBy(col("d"))
+  }
+
+  val q300_sql: String = {
+    val expVals = BenfordPpm
+      .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH exp AS (
+       |  SELECT * FROM (VALUES $expVals) AS t(d, exp_ppm)),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d,
+       |    COUNT(*) AS n_obs
+       |  FROM (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+       |        FROM orders) WHERE c > 0 GROUP BY 1),
+       |tot AS (SELECT SUM(n_obs) AS n_total FROM obs)
+       |SELECT CAST(obs.d AS BIGINT) AS d,
+       |  CAST(n_obs AS BIGINT) AS n_obs,
+       |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST(n_obs * 1000000 // n_total AS BIGINT) AS obs_ppm,
+       |  CAST((CAST(n_obs AS HUGEINT) * 1000000 -
+       |      CAST(n_total AS HUGEINT) * exp_ppm) *
+       |    (CAST(n_obs AS HUGEINT) * 1000000 -
+       |      CAST(n_total AS HUGEINT) * exp_ppm) //
+       |    (CAST(n_total AS HUGEINT) * exp_ppm) AS BIGINT)
+       |    AS chi2_ppm
+       |FROM obs JOIN exp ON obs.d = exp.d CROSS JOIN tot
+       |ORDER BY d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_kmv_setops" -> q295_kmv_setops _,
+    "q298_ols_regression" -> q298_ols_regression _,
+    "q299_mann_whitney" -> q299_mann_whitney _,
+    "q300_benford_audit" -> q300_benford_audit _,
+    "q292_ams_f2" -> q292_ams_f2 _,
     "q252_histogram_quantiles" -> q252_histogram_quantiles _,
     "q251_rolling_hll_wau" -> q251_rolling_hll_wau _,
     "q208_hll_registers" -> q208_hll_registers _,
@@ -625,6 +1053,11 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q295_kmv_setops" -> q295_sql,
+    "q298_ols_regression" -> q298_sql,
+    "q299_mann_whitney" -> q299_sql,
+    "q300_benford_audit" -> q300_sql,
+    "q292_ams_f2" -> q292_sql,
     "q252_histogram_quantiles" -> q252_sql,
     "q251_rolling_hll_wau" -> q251_sql,
     "q208_hll_registers" -> q208_sql,

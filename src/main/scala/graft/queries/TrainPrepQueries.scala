@@ -211,13 +211,112 @@ object TrainPrepQueries {
       |    // (n_pos::HUGEINT * n_neg) AS BIGINT) AS auc_ppm
       |FROM s""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q291 — WordPiece greedy tokenization (Wu et al. 2016 §4.1 — the
+  // BERT inference rule): derive a bounded subword vocabulary from the
+  // corpus (every single character, plus the top-48 weighted character
+  // 2–4-grams), then tokenize every distinct word by greedy longest
+  // match and report the corpus-weighted piece usage — the exact
+  // "what will the model see" count that q147's BPE-ish regex only
+  // estimates. Scale shape: tokenize the DISTINCT-word table (Zipf —
+  // types ≪ tokens) with the vocabulary broadcast; corpus weights
+  // re-attach by one join. The oracle unrolls the same greedy walk as
+  // 12 materialized CTE steps (words are capped at 12 chars on both
+  // sides), picking the longest matching piece per (word, position) —
+  // no window in the recursive position, no ties (equal-length match
+  // ⇒ identical string).
+  // -------------------------------------------------------------------
+  private val WpMaxWordLen = 12
+  private val WpMaxPieceLen = 4
+  private val WpMultiVocab = 48
+
+  def q291_wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wd = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) <= WpMaxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .localCheckpoint(eager = true) // vocab derivation AND weights
+    val subs = wd
+      .withColumn("i",
+        explode(sequence(lit(1), length(col("word")))))
+      .withColumn("l",
+        explode(sequence(lit(1), lit(WpMaxPieceLen))))
+      .filter(col("i") + col("l") - 1 <= length(col("word")))
+      .select(expr("substring(word, i, l)").as("piece"), col("wcount"))
+      .groupBy(col("piece")).agg(sum(col("wcount")).as("w"))
+      .localCheckpoint(eager = true) // singles AND multis consumers
+    val singles = subs.filter(length(col("piece")) === 1)
+      .select(col("piece")).as[String].collect() // alphabet-bounded
+    val multis = subs.filter(length(col("piece")) >= 2)
+      .orderBy(col("w").desc, col("piece")).limit(WpMultiVocab)
+      .select(col("piece")).as[String].collect() // 48 rows
+    graft.pipeline.WordPiece
+      .tokenizePieces(wd, "word", (singles ++ multis).toSeq,
+        WpMaxPieceLen)
+      .join(wd, Seq("word"))
+      .groupBy(col("piece"))
+      .agg(sum(col("n_uses") * col("wcount")).as("n_uses"),
+        count(lit(1)).as("n_words"))
+      .withColumn("piece_len", length(col("piece")).cast("long"))
+      .orderBy(col("n_uses").desc, col("piece"))
+  }
+
+  val q291_sql: String = {
+    val steps = (1 to WpMaxWordLen).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT word, pos + plen AS pos, piece FROM (
+         |    SELECT w.word, w.pos, v.piece,
+         |      CAST(length(v.piece) AS BIGINT) AS plen,
+         |      ROW_NUMBER() OVER (PARTITION BY w.word, w.pos
+         |        ORDER BY length(v.piece) DESC) AS rn
+         |    FROM s${r - 1} w JOIN vocab v
+         |      ON w.pos <= length(w.word)
+         |     AND substr(w.word, CAST(w.pos AS INTEGER),
+         |           length(v.piece)) = v.piece)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val stepUnion = (1 to WpMaxWordLen)
+      .map(r => s"SELECT word, piece FROM s$r").mkString(" UNION ALL ")
+    s"""WITH wd AS MATERIALIZED (
+       |  SELECT tok AS word, COUNT(*) AS wcount FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+       |      AS tok
+       |    FROM documents WHERE trim(text) <> '')
+       |  WHERE length(tok) <= $WpMaxWordLen GROUP BY 1),
+       |subs AS (
+       |  SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))
+       |    AS piece, SUM(wcount) AS w
+       |  FROM wd,
+       |    unnest(generate_series(1, length(word))) s(i),
+       |    unnest(generate_series(1, $WpMaxPieceLen)) u(l)
+       |  WHERE i + l - 1 <= length(word) GROUP BY 1),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece FROM subs WHERE length(piece) = 1
+       |  UNION
+       |  SELECT piece FROM (
+       |    SELECT piece FROM subs WHERE length(piece) >= 2
+       |    ORDER BY w DESC, piece LIMIT $WpMultiVocab)),
+       |s0 AS (SELECT word, CAST(1 AS BIGINT) AS pos, '' AS piece
+       |  FROM wd),
+       |$steps,
+       |steps AS ($stepUnion)
+       |SELECT piece, CAST(SUM(wcount) AS BIGINT) AS n_uses,
+       |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       |  CAST(length(piece) AS BIGINT) AS piece_len
+       |FROM steps JOIN wd USING (word)
+       |GROUP BY piece ORDER BY n_uses DESC, piece""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_length_batching" -> q214_length_batching _,
     "q215_time_weighted_avg" -> q215_time_weighted_avg _,
-    "q216_auc_mannwhitney" -> q216_auc_mannwhitney _)
+    "q216_auc_mannwhitney" -> q216_auc_mannwhitney _,
+    "q291_wordpiece" -> q291_wordpiece _)
 
   val oracles: Map[String, String] = Map(
     "q214_length_batching" -> q214_sql,
     "q215_time_weighted_avg" -> q215_sql,
-    "q216_auc_mannwhitney" -> q216_sql)
+    "q216_auc_mannwhitney" -> q216_sql,
+    "q291_wordpiece" -> q291_sql)
 }
