@@ -29,6 +29,16 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), lit(":"),
       id.cast("string"))), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side JVM mirror of [[hash60]] — for building DATA-
+    * INDEPENDENT broadcast literals (e.g. a consistent-hash ring's
+    * vnode positions) that both engines re-derive identically. */
+  def hash60Jvm(salt: String, id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$id".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB mirror of [[hash60]] — kept NEXT to the Scala formula so
     * the two sides cannot drift (every oracle that samples/hashes
     * interpolates this one string). */

@@ -555,7 +555,191 @@ object PlannerQueries {
        |    THEN 1 ELSE 0 END AS BIGINT) AS is_split
        |FROM c, t ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q296 — range-partitioner balance audit (the sample-sort /
+  // RangePartitioner shape, TeraSort's core): draw a BOUNDED
+  // deterministic sample (the 1024 hash-smallest order keys — fixed
+  // size at any corpus scale, so the planner state never grows), read
+  // 31 cut points off the sorted sample at positions i·m/32, then
+  // measure what those cuts actually produce: per-bucket row counts
+  // and the signed deviation from the ideal total/32 slice in ppm —
+  // the number that says whether the sampled splits would stragglers
+  // a 32-way range shuffle. Bucket assignment is a scan-speed
+  // expression over the collected cut array (31 values, driver-bounded
+  // by construction — the q280 discipline); no join, no shuffle until
+  // the 32-row rollup.
+  // -------------------------------------------------------------------
+  private val RpBuckets = 32
+  private val RpSample = 1024
+
+  def q296_range_partition_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val keys = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("id"),
+      expr("cast(floor(o_totalprice * 100) as bigint)").as("key"))
+      .localCheckpoint(eager = true) // sample AND full-count consumers
+    val wH = org.apache.spark.sql.expressions.Window
+      .orderBy(Sampling.hash60("rpsamp", col("id")), col("id"))
+    val samp = keys.withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= RpSample).select(col("key"), col("id"))
+      .localCheckpoint(eager = true) // count AND rank consumers
+    val m = samp.count()
+    val cutPos = (1 until RpBuckets).map(i => i * m / RpBuckets).toSet
+    val wK = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key"), col("id"))
+    val cuts = samp.withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk").isin(cutPos.toSeq: _*))
+      .select(col("key")).collect().map(_.getLong(0)).sorted
+    val cutArr = array(cuts.map(lit(_)): _*)
+    val bucketed = keys
+      .withColumn("bucket",
+        size(filter(cutArr, c => c <= col("key"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("key")).as("lo"),
+        max(col("key")).as("hi"))
+    val tot = keys.agg(count(lit(1)).as("total"))
+    bucketed.crossJoin(broadcast(tot))
+      .withColumn("dev_ppm", expr(
+        s"n_rows * 1000000 * $RpBuckets div total - 1000000"))
+      .select(col("bucket"), col("n_rows"), col("lo"), col("hi"),
+        col("dev_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val q296_sql: String = {
+    val h = Sampling.hash60Sql("rpsamp", "id")
+    s"""WITH k AS (
+       |  SELECT o_orderkey AS id,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS key
+       |  FROM orders),
+       |samp AS (
+       |  SELECT key, id FROM (
+       |    SELECT key, id, ROW_NUMBER() OVER (ORDER BY $h, id) AS rn
+       |    FROM k)
+       |  WHERE rn <= $RpSample),
+       |m AS (SELECT COUNT(*) AS m FROM samp),
+       |rk AS (
+       |  SELECT key, ROW_NUMBER() OVER (ORDER BY key, id) AS rnk
+       |  FROM samp),
+       |cuts AS (
+       |  SELECT rk.key AS cut FROM rk
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM generate_series(1, ${RpBuckets - 1}) t(i), m
+       |    WHERE rk.rnk = (i * m.m) // $RpBuckets)),
+       |b AS (
+       |  SELECT k.id, k.key, COUNT(cuts.cut) AS bucket
+       |  FROM k LEFT JOIN cuts ON cuts.cut <= k.key
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT COUNT(*) AS total FROM k)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(key) AS BIGINT) AS lo, CAST(MAX(key) AS BIGINT) AS hi,
+       |  CAST(COUNT(*) * 1000000 * $RpBuckets // total - 1000000
+       |    AS BIGINT) AS dev_ppm
+       |FROM b, tot GROUP BY bucket, total ORDER BY bucket""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q297 — consistent-hash ring with virtual nodes (Karger et al.
+  // 1997, the memcached/Dynamo placement scheme) and its minimal-
+  // movement guarantee MEASURED: 16 shards × 8 vnodes hash onto a
+  // 60-bit ring; every doc is owned by its clockwise successor vnode.
+  // Remove shard 7 and re-derive: only docs whose successor was a
+  // shard-7 vnode may move (each slides to the next surviving vnode),
+  // which the output pins as moved_out = 0 for every other shard.
+  // Complements q284's rendezvous hashing — same guarantee, opposite
+  // mechanism (ring successor vs per-shard max). The ring is DATA-
+  // INDEPENDENT (hash60Jvm on the driver = hash60Sql in the oracle),
+  // so ownership is a scan-speed expression over a 128-entry sorted
+  // array literal — no join, no shuffle until the 16-row rollups.
+  // -------------------------------------------------------------------
+  private val RingShards = 16
+  private val RingVnodes = 8
+
+  def q297_consistent_hash_ring(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Column
+    def ringArr(excludeShard: Int): Column = array(
+      (for {
+        s <- 0 until RingShards if s != excludeShard
+        v <- 0 until RingVnodes
+      } yield (Sampling.hash60Jvm("ring", s * 100L + v), s.toLong))
+        .sortBy(_._1)
+        .map { case (h, s) =>
+          struct(lit(h).as("h"), lit(s).as("s"))
+        }: _*)
+    def owner(ring: Column): Column = coalesce(
+      get(filter(ring, r => r.getField("h") > col("p")), lit(0)),
+      get(ring, lit(0))).getField("s")
+    val assign = Tables.documents(spark, dir)
+      .select(col("doc_id"), Sampling.hash60("cring", col("doc_id"))
+        .as("p"))
+      .withColumn("s_old", owner(ringArr(-1)))
+      .withColumn("s_new", owner(ringArr(7)))
+      .localCheckpoint(eager = true) // before- AND after-side rollups
+    val before = assign.groupBy(col("s_old").as("shard"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("s_new") =!= col("s_old"), 1L).otherwise(0L))
+          .as("moved_out"))
+    val after = assign.groupBy(col("s_new").as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("s_new") =!= col("s_old"), 1L).otherwise(0L))
+          .as("moved_in"))
+    before.join(after, Seq("shard"), "full_outer")
+      .na.fill(0L, Seq("n_before", "moved_out", "n_after", "moved_in"))
+      .select(col("shard"), col("n_before"), col("n_after"),
+        col("moved_in"), col("moved_out"))
+      .orderBy(col("shard"))
+  }
+
+  val q297_sql: String = {
+    val hr = Sampling.hash60Sql("ring", s"s * 100 + v")
+    val hd = Sampling.hash60Sql("cring", "doc_id")
+    s"""WITH pts AS (
+       |  SELECT a.s, b.v, $hr AS h
+       |  FROM generate_series(0, ${RingShards - 1}) a(s),
+       |       generate_series(0, ${RingVnodes - 1}) b(v)),
+       |docs AS (SELECT doc_id, $hd AS p FROM documents),
+       |o1 AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(MIN(CASE WHEN pt.h > d.p THEN pt.h END),
+       |      (SELECT MIN(h) FROM pts)) AS ch
+       |  FROM docs d CROSS JOIN pts pt GROUP BY d.doc_id, d.p),
+       |a1 AS (
+       |  SELECT o1.doc_id, pts.s AS s_old FROM o1
+       |  JOIN pts ON pts.h = o1.ch),
+       |o2 AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(MIN(CASE WHEN pt.h > d.p THEN pt.h END),
+       |      (SELECT MIN(h) FROM pts WHERE s <> 7)) AS ch
+       |  FROM docs d CROSS JOIN (SELECT * FROM pts WHERE s <> 7) pt
+       |  GROUP BY d.doc_id, d.p),
+       |a2 AS (
+       |  SELECT o2.doc_id, pts.s AS s_new FROM o2
+       |  JOIN pts ON pts.h = o2.ch),
+       |asg AS (
+       |  SELECT a1.doc_id, a1.s_old, a2.s_new FROM a1
+       |  JOIN a2 ON a1.doc_id = a2.doc_id),
+       |bf AS (
+       |  SELECT s_old AS shard, COUNT(*) AS n_before,
+       |    SUM(CASE WHEN s_new <> s_old THEN 1 ELSE 0 END) AS moved_out
+       |  FROM asg GROUP BY 1),
+       |af AS (
+       |  SELECT s_new AS shard, COUNT(*) AS n_after,
+       |    SUM(CASE WHEN s_new <> s_old THEN 1 ELSE 0 END) AS moved_in
+       |  FROM asg GROUP BY 1)
+       |SELECT COALESCE(bf.shard, af.shard) AS shard,
+       |  CAST(COALESCE(bf.n_before, 0) AS BIGINT) AS n_before,
+       |  CAST(COALESCE(af.n_after, 0) AS BIGINT) AS n_after,
+       |  CAST(COALESCE(af.moved_in, 0) AS BIGINT) AS moved_in,
+       |  CAST(COALESCE(bf.moved_out, 0) AS BIGINT) AS moved_out
+       |FROM bf FULL OUTER JOIN af ON bf.shard = af.shard
+       |ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_range_partition_audit" -> q296_range_partition_audit _,
+    "q297_consistent_hash_ring" -> q297_consistent_hash_ring _,
     "q289_sequence_packing" -> q289_sequence_packing _,
     "q290_skew_split_plan" -> q290_skew_split_plan _,
     "q283_neyman_allocation" -> q283_neyman_allocation _,
@@ -565,6 +749,8 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q296_range_partition_audit" -> q296_sql,
+    "q297_consistent_hash_ring" -> q297_sql,
     "q289_sequence_packing" -> q289_sql,
     "q290_skew_split_plan" -> q290_sql,
     "q283_neyman_allocation" -> q283_sql,

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Sampling
+import graft.queries.{PlannerQueries, StatQueries}
+
+/** Property tests for the round-8 statistics/planner additions:
+  * q295 KMV set ops, q296 range-partitioner balance, q297 consistent-
+  * hash ring, q298 OLS, q299 Mann–Whitney, q300 Benford.
+  */
+class Round8BSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hash60Jvm matches the hash60 Column formula") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 42L, 999999L, 1507L)
+    val got = ids.toDF("id")
+      .select(Sampling.hash60("ring", col("id"))).as[Long].collect()
+    val want = ids.map(Sampling.hash60Jvm("ring", _))
+    assert(got.toSeq === want)
+  }
+
+  test("q295 KMV union estimate is within 3-sigma of exact and the " +
+      "intersection estimate is bounded by the union") {
+    val rows = StatQueries.q295_kmv_setops(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (estU, estI) = (r.getLong(2), r.getLong(3))
+      val (truU, errPpm) = (r.getLong(4), r.getLong(6))
+      assert(estU > 0 && truU > 0)
+      assert(estI >= 0 && estI <= estU)
+      // k=256 => sigma ~ 1/sqrt(254) ~ 6.3%; 3 sigma ~ 19%
+      assert(errPpm < 250000L, s"union err $errPpm ppm vs exact $truU")
+    }
+  }
+
+  test("q296 buckets exhaust the table, stay ordered, and no bucket " +
+      "deviates grossly from the ideal slice") {
+    val rows = PlannerQueries.q296_range_partition_audit(spark, sf)
+      .collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    assert(rows.map(_.getLong(0)).toSeq ===
+      rows.map(_.getLong(0)).sorted.toSeq)
+    // hi of bucket b strictly below lo of the next non-empty bucket
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+      case _ =>
+    }
+    // 1024-point sample at 32 buckets: every slice within +/-50%
+    rows.foreach(r => assert(math.abs(r.getLong(4)) < 500000L,
+      s"bucket ${r.getLong(0)} dev ${r.getLong(4)} ppm"))
+  }
+
+  test("q297 removing shard 7 moves exactly its docs and nothing else") {
+    val rows = PlannerQueries.q297_consistent_hash_ring(spark, sf)
+      .collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    assert(rows.map(_.getLong(2)).sum === nDocs)
+    val s7 = rows.find(_.getLong(0) == 7L).get
+    assert(s7.getLong(2) === 0L, "shard 7 must own nothing after removal")
+    assert(s7.getLong(4) === s7.getLong(1),
+      "every doc of shard 7 must move out")
+    rows.filter(_.getLong(0) != 7L)
+      .foreach(r => assert(r.getLong(4) === 0L,
+        s"shard ${r.getLong(0)} lost docs on an unrelated removal"))
+    assert(rows.map(_.getLong(3)).sum === s7.getLong(1),
+      "moved_in must sum to shard 7's displaced docs")
+  }
+
+  test("q298 integer OLS agrees with double-precision OLS to ppm scale") {
+    import spark.implicits._
+    val rows = StatQueries.q298_ols_regression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        floor(col("l_extendedprice")).cast("double"))
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val xs = data(r.getString(0))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxx = xs.map(v => v._2 * v._2).sum
+      val sxy = xs.map(v => v._2 * v._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getLong(2) / 1e6 - slope) < 1e-3,
+        s"slope ${r.getLong(2)} ppm vs $slope")
+      val r2 = r.getLong(4)
+      assert(r2 >= 0L && r2 <= 1000001L)
+    }
+  }
+
+  test("q299 2U matches the brute-force pair count and the U_A+U_B " +
+      "identity") {
+    import spark.implicits._
+    val rows = StatQueries.q299_mann_whitney(spark, sf).collect()
+    val vals = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"),
+        expr("cast(floor(c_acctbal * 100) as bigint)"))
+      .as[(String, Long)].collect()
+    val a = vals.filter(_._1 == "AUTOMOBILE").map(_._2)
+    rows.foreach { r =>
+      val b = vals.filter(_._1 == r.getString(0)).map(_._2)
+      var twoU = 0L
+      for (x <- a; y <- b)
+        twoU += (if (x > y) 2L else if (x == y) 1L else 0L)
+      assert(r.getLong(1) === a.length.toLong)
+      assert(r.getLong(2) === b.length.toLong)
+      assert(r.getLong(3) === twoU,
+        s"2U mismatch for ${r.getString(0)}")
+      // U_A + U_B = nA*nB exactly (in 2U units: 2U_A + 2U_B = 2 nA nB)
+      var twoUb = 0L
+      for (y <- b; x <- a)
+        twoUb += (if (y > x) 2L else if (y == x) 1L else 0L)
+      assert(twoU + twoUb === 2L * a.length * b.length)
+    }
+  }
+
+  test("q300 digit counts exhaust the orders and the law constants " +
+      "sum to one") {
+    val rows = StatQueries.q300_benford_audit(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 9L))
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.orders(spark, sf).count())
+    assert(rows.map(_.getLong(2)).sum === 1000000L)
+    rows.foreach(r => assert(r.getLong(4) >= 0L))
+  }
+}
