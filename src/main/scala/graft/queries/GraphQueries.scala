@@ -269,6 +269,100 @@ object GraphQueries {
        |LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q302 — modularity of the q166 label-propagation communities (Newman
+  // & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²], evaluated on the
+  // symmetrized edge set S (|S| = 2m, within-community directed pairs
+  // E_c = 2e_c, degree mass D_c), so Q·10⁶ = Σ_c (S·E_c − D_c²)·10⁶ /
+  // S² — pure integers in DECIMAL(38)/HUGEINT, signs handled by
+  // sign·(abs div) since per-community contributions CAN be negative
+  // (Spark div truncates, DuckDB // floors). This is the quality gate
+  // for any community detector at scale: three hash aggs + two
+  // label-lookup joins after the (already oracle-gated) LPA labels.
+  // Output: top-25 communities by size with their contribution, plus
+  // the global Q as a constant column.
+  // ---------------------------------------------------------------------
+  def q302_modularity(spark: SparkSession, dir: String): DataFrame = {
+    val raw = lpEdges(spark, dir)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val sym = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true) // degrees, e_in, |S| consumers
+    val lab = graft.graph.Communities
+      .labelPropagation(lpEdges(spark, dir), LpIters)
+      .localCheckpoint(eager = true) // two endpoint joins + sizes
+    val ein = sym
+      .join(lab.select(col("id").as("src"), col("label").as("sl")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("dl")),
+        Seq("dst"))
+      .filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("label")).agg(count(lit(1)).as("e2"))
+    val dsum = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+      .join(lab, Seq("id"))
+      .groupBy(col("label")).agg(sum(col("d")).as("dc"))
+    val mem = lab.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val s = sym.agg(count(lit(1)).as("s"))
+    val per = mem.join(dsum, Seq("label"))
+      .join(ein, Seq("label"), "left_outer")
+      .na.fill(0L, Seq("e2"))
+      .crossJoin(broadcast(s))
+      .withColumn("num", expr(
+        "cast(s as decimal(38,0)) * e2 - cast(dc as decimal(38,0)) * dc"))
+      .withColumn("q_ppm", expr(
+        "cast(sign(num) * (abs(num) * 1000000 div " +
+          "(cast(s as decimal(38,0)) * s)) as bigint)"))
+      .localCheckpoint(eager = true) // total AND top-25 consumers
+    val tot = per.agg(sum(col("num")).as("tnum"),
+        max(col("s")).as("s"))
+      .withColumn("q_total_ppm", expr(
+        "cast(sign(tnum) * (abs(tnum) * 1000000 div " +
+          "(cast(s as decimal(38,0)) * s)) as bigint)"))
+      .select(col("q_total_ppm"))
+    per.crossJoin(broadcast(tot))
+      .select(col("label").as("community"), col("n_members"),
+        col("e2").as("e_in2"), col("dc").as("d_sum"), col("q_ppm"),
+        col("q_total_ppm"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(25)
+  }
+
+  val q302_sql: String =
+    s"""WITH ${graft.graph.Communities
+          .labelPropagationSql(lpEdgesSql, LpIters)},
+       |lab AS (SELECT id, label FROM l$LpIters),
+       |ein AS (
+       |  SELECT a.label, COUNT(*) AS e2
+       |  FROM sym JOIN lab a ON a.id = sym.src
+       |  JOIN lab b ON b.id = sym.dst
+       |  WHERE a.label = b.label GROUP BY 1),
+       |dsum AS (
+       |  SELECT l.label, SUM(d.d) AS dc FROM (
+       |    SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1) d
+       |  JOIN lab l ON l.id = d.id GROUP BY 1),
+       |mem AS (SELECT label, COUNT(*) AS n_members FROM lab GROUP BY 1),
+       |sz AS (SELECT CAST(COUNT(*) AS HUGEINT) AS s FROM sym),
+       |per AS (
+       |  SELECT m.label, m.n_members, COALESCE(e.e2, 0) AS e2, d.dc,
+       |    sz.s, sz.s * COALESCE(e.e2, 0) -
+       |      CAST(d.dc AS HUGEINT) * d.dc AS num
+       |  FROM mem m JOIN dsum d ON d.label = m.label
+       |  LEFT JOIN ein e ON e.label = m.label CROSS JOIN sz),
+       |tot AS (
+       |  SELECT CAST(sign(SUM(num)) * (abs(SUM(num)) * 1000000
+       |    // (MAX(s) * MAX(s))) AS BIGINT) AS q_total_ppm
+       |  FROM per)
+       |SELECT label AS community, CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(e2 AS BIGINT) AS e_in2, CAST(dc AS BIGINT) AS d_sum,
+       |  CAST(sign(num) * (abs(num) * 1000000 // (s * s)) AS BIGINT)
+       |    AS q_ppm,
+       |  (SELECT q_total_ppm FROM tot) AS q_total_ppm
+       |FROM per
+       |ORDER BY n_members DESC, community
+       |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169 — ANF neighborhood function over the same block graph: per
   // depth 1..3, how many nodes the average t-hop ball reaches, via KMV
   // sketch propagation (Communities.neighborhoodFunction — k=8
@@ -936,9 +1030,11 @@ object GraphQueries {
     "q154_sssp" -> q154_sssp _,
     "q166_label_propagation" -> q166_label_propagation _,
     "q169_neighborhood_function" -> q169_neighborhood_function _,
-    "q170_random_walks" -> q170_random_walks _)
+    "q170_random_walks" -> q170_random_walks _,
+    "q302_modularity" -> q302_modularity _)
 
   val oracles: Map[String, String] = Map(
+    "q302_modularity" -> q302_sql,
     "q257_landmark_distance" -> q257_sql,
     "q259_stress_centrality" -> q259_sql,
     "q267_star_components" -> q267_sql,

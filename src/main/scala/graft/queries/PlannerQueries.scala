@@ -737,7 +737,229 @@ object PlannerQueries {
        |ORDER BY shard""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q301 — columnar encoding audit: RLE vs bit-packing vs plain-dict
+  // for the three low-cardinality lineitem columns in storage order —
+  // the decision Parquet/ORC writers make per page, costed EXACTLY:
+  // true run boundaries (not an approximation) via the distributed
+  // run-id assignment — per-bucket change flags, cross-bucket boundary
+  // stitch (last value of the PREVIOUS existing bucket), triangular
+  // offset join + within-bucket running sums (the q289 prefix-sum
+  // shape) — then per-run LEB128 length bytes (the q281 width table).
+  // bit-packed width is ceil(log2(card)) read lexically off bin(card−1)
+  // so both engines agree with no log(). Output per column: run count,
+  // exact RLE bytes (1-byte dict id + varint run length), bit-packed
+  // bytes, plain 1-byte-dict bytes, and the winner.
+  // -------------------------------------------------------------------
+  private val RleBucketWidth = 4096L
+  private val RleVarintCase: String =
+    "CASE WHEN len < 128 THEN 1 WHEN len < 16384 THEN 2 " +
+      "WHEN len < 2097152 THEN 3 ELSE 4 END"
+
+  def q301_encoding_audit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val melt = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        explode(array(
+          struct(lit("l_linestatus").as("c"), col("l_linestatus").as("v")),
+          struct(lit("l_returnflag").as("c"), col("l_returnflag").as("v")),
+          struct(lit("l_tax_pct").as("c"),
+            expr("cast(cast(floor(l_tax * 100) as bigint) as string)")
+              .as("v"))))
+          .as("x"))
+      .select(col("ok"), col("ln"), col("x.c").as("c"), col("x.v").as("v"))
+      .withColumn("bucket", expr(s"ok div $RleBucketWidth"))
+      .localCheckpoint(eager = true) // flags, boundaries, stats
+    // last value of each (column, bucket), then the previous EXISTING
+    // bucket's last value (buckets may be sparse in orderkey space)
+    val lasts = melt.groupBy(col("c"), col("bucket"))
+      .agg(max(struct(col("ok"), col("ln"), col("v")))
+        .getField("v").as("last_v"))
+      .withColumn("prev_last", lag(col("last_v"), 1).over(
+        Window.partitionBy(col("c")).orderBy(col("bucket"))))
+    val wB = Window.partitionBy(col("c"), col("bucket"))
+      .orderBy(col("ok"), col("ln"), col("v"))
+    val flagged = melt
+      .withColumn("pv", lag(col("v"), 1).over(wB))
+      .join(lasts.select(col("c"), col("bucket"), col("prev_last")),
+        Seq("c", "bucket"))
+      .withColumn("s", when(col("pv").isNotNull,
+          when(col("v") =!= col("pv"), 1L).otherwise(0L))
+        .otherwise(when(col("prev_last").isNull ||
+          col("v") =!= col("prev_last"), 1L).otherwise(0L)))
+    val btot = flagged.groupBy(col("c"), col("bucket"))
+      .agg(sum(col("s")).as("tot"))
+    val offs = btot.as("g")
+      .join(btot.as("h"), col("h.c") === col("g.c") &&
+        col("h.bucket") < col("g.bucket"), "left_outer")
+      .groupBy(col("g.c").as("c"), col("g.bucket").as("bucket"))
+      .agg(coalesce(sum(col("h.tot")), lit(0L)).as("off"))
+    val wR = Window.partitionBy(col("c"), col("bucket"))
+      .orderBy(col("ok"), col("ln"), col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = flagged
+      .withColumn("s_in", sum(col("s")).over(wR))
+      .join(broadcast(offs), Seq("c", "bucket"))
+      .withColumn("run_id", col("off") + col("s_in"))
+      .groupBy(col("c"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+    val rle = runs.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(expr(s"1 + $RleVarintCase")).as("rle_bytes"))
+    val stats = melt.groupBy(col("c"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("card"))
+    stats.join(rle, Seq("c"))
+      .withColumn("bitpack_bytes",
+        expr("(n * length(bin(card - 1)) + 7) div 8"))
+      .withColumn("plain_bytes", col("n"))
+      .withColumn("best", when(
+          col("rle_bytes") <= col("bitpack_bytes") &&
+            col("rle_bytes") <= col("plain_bytes"), "rle")
+        .when(col("bitpack_bytes") <= col("plain_bytes"), "bitpack")
+        .otherwise("plain"))
+      .select(col("c"), col("n"), col("card"), col("n_runs"),
+        col("rle_bytes"), col("bitpack_bytes"), col("plain_bytes"),
+        col("best"))
+      .orderBy(col("c"))
+  }
+
+  val q301_sql: String =
+    s"""WITH base AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |    l_returnflag, l_linestatus, l_tax
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT ok, ln, 'l_returnflag' AS c, l_returnflag AS v FROM base
+       |  UNION ALL
+       |  SELECT ok, ln, 'l_linestatus', l_linestatus FROM base
+       |  UNION ALL
+       |  SELECT ok, ln, 'l_tax_pct',
+       |    CAST(CAST(floor(l_tax * 100) AS BIGINT) AS VARCHAR)
+       |  FROM base),
+       |f AS (
+       |  SELECT c, v, CASE WHEN LAG(v) OVER w IS NULL
+       |      OR v <> LAG(v) OVER w THEN 1 ELSE 0 END AS s,
+       |    ok, ln
+       |  FROM m WINDOW w AS (PARTITION BY c ORDER BY ok, ln, v)),
+       |ri AS (
+       |  SELECT c, SUM(s) OVER (PARTITION BY c ORDER BY ok, ln, v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM f),
+       |runs AS (
+       |  SELECT c, run_id, COUNT(*) AS len FROM ri GROUP BY 1, 2),
+       |rle AS (
+       |  SELECT c, COUNT(*) AS n_runs,
+       |    SUM(1 + $RleVarintCase) AS rle_bytes
+       |  FROM runs GROUP BY 1),
+       |st AS (
+       |  SELECT c, COUNT(*) AS n, COUNT(DISTINCT v) AS card
+       |  FROM m GROUP BY 1)
+       |SELECT st.c, CAST(n AS BIGINT) AS n, CAST(card AS BIGINT) AS card,
+       |  CAST(n_runs AS BIGINT) AS n_runs,
+       |  CAST(rle_bytes AS BIGINT) AS rle_bytes,
+       |  CAST((n * length(bin(card - 1)) + 7) // 8 AS BIGINT)
+       |    AS bitpack_bytes,
+       |  CAST(n AS BIGINT) AS plain_bytes,
+       |  CASE WHEN rle_bytes <= (n * length(bin(card - 1)) + 7) // 8
+       |         AND rle_bytes <= n THEN 'rle'
+       |       WHEN (n * length(bin(card - 1)) + 7) // 8 <= n
+       |         THEN 'bitpack'
+       |       ELSE 'plain' END AS best
+       |FROM st JOIN rle ON st.c = rle.c
+       |ORDER BY st.c""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q303 — Bloom-filter join pruning audit (Bloom 1970; the runtime
+  // filter every modern engine pushes into the probe side of a
+  // selective join, incl. Spark's own InjectRuntimeFilter): build a
+  // 65536-bit / 4-hash filter over the build side's join keys
+  // (customers in debt), probe the fact side with FOUR BROADCAST
+  // equi-joins against the set-bit table (one per hash — zero
+  // shuffles, scan speed), and measure what the planner actually
+  // bought: true matches, false positives that leak through, rows
+  // pruned, and the realized FP rate in ppm next to the filter's
+  // set-bit occupancy. Exact and engine-portable: bit positions are
+  // hash60 mod m, the pass condition is all-4-bits-set.
+  // -------------------------------------------------------------------
+  private val BloomM = 65536L
+  private val BloomK = 4
+
+  def q303_bloom_join_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Column
+    def pos(j: Int, k: Column): Column =
+      pmod(Sampling.hash60("bloom", k * BloomK + j), lit(BloomM))
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("k")).distinct()
+      .localCheckpoint(eager = true) // bit-build AND truth consumers
+    val bits = dim.select(explode(array(
+        (0 until BloomK).map(j => pos(j, col("k"))): _*)).as("pos"))
+      .distinct()
+      .localCheckpoint(eager = true) // ≤ 65536 rows; 4 joins + count
+    val nBits = bits.agg(count(lit(1)).as("bits_set"))
+    var fact = Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"), col("o_orderpriority").as("grp"))
+    for (j <- 0 until BloomK) {
+      fact = fact.withColumn(s"p$j", pos(j, col("k")))
+        .join(broadcast(bits.withColumnRenamed("pos", s"b$j")),
+          col(s"p$j") === col(s"b$j"), "left_outer")
+    }
+    val probed = fact.withColumn("pass",
+        (0 until BloomK).map(j => col(s"b$j").isNotNull)
+          .reduce(_ && _).cast("long"))
+      .join(dim.withColumn("t", lit(1L)), Seq("k"), "left_outer")
+    probed.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_fact"),
+        sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(col("pass")).as("n_pass"))
+      .withColumn("n_fp", col("n_pass") - col("n_true"))
+      .withColumn("fp_ppm",
+        expr("n_fp * 1000000 div (n_fact - n_true)"))
+      .crossJoin(broadcast(nBits))
+      .select(col("grp"), col("n_fact"), col("n_true"), col("n_pass"),
+        col("n_fp"), col("fp_ppm"), col("bits_set"))
+      .orderBy(col("grp"))
+  }
+
+  val q303_sql: String = {
+    val posSql = (0 until BloomK).map(j =>
+      s"(${Sampling.hash60Sql("bloom", s"k * $BloomK + $j")}) % $BloomM")
+    s"""WITH dim AS (
+       |  SELECT DISTINCT c_custkey AS k FROM customer
+       |  WHERE c_acctbal < 0),
+       |bits AS (
+       |  SELECT DISTINCT pos FROM (
+       |    ${(0 until BloomK).map(j =>
+             s"SELECT ${posSql(j)} AS pos FROM dim")
+             .mkString("\n    UNION ALL\n    ")}
+       |  )),
+       |nb AS (SELECT COUNT(*) AS bits_set FROM bits),
+       |fact AS (
+       |  SELECT o_custkey AS k, o_orderpriority AS grp,
+       |    ${posSql.zipWithIndex.map { case (p, j) => s"$p AS p$j" }
+             .mkString(", ")}
+       |  FROM orders),
+       |probed AS (
+       |  SELECT f.grp,
+       |    CASE WHEN ${(0 until BloomK).map(j =>
+             s"p$j IN (SELECT pos FROM bits)").mkString(" AND ")}
+       |      THEN 1 ELSE 0 END AS pass,
+       |    CASE WHEN f.k IN (SELECT k FROM dim) THEN 1 ELSE 0 END AS t
+       |  FROM fact f)
+       |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_fact,
+       |  CAST(SUM(t) AS BIGINT) AS n_true,
+       |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+       |  CAST(SUM(pass) - SUM(t) AS BIGINT) AS n_fp,
+       |  CAST((SUM(pass) - SUM(t)) * 1000000
+       |    // (COUNT(*) - SUM(t)) AS BIGINT) AS fp_ppm,
+       |  CAST((SELECT bits_set FROM nb) AS BIGINT) AS bits_set
+       |FROM probed GROUP BY grp ORDER BY grp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_encoding_audit" -> q301_encoding_audit _,
+    "q303_bloom_join_audit" -> q303_bloom_join_audit _,
     "q296_range_partition_audit" -> q296_range_partition_audit _,
     "q297_consistent_hash_ring" -> q297_consistent_hash_ring _,
     "q289_sequence_packing" -> q289_sequence_packing _,
@@ -749,6 +971,8 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q301_encoding_audit" -> q301_sql,
+    "q303_bloom_join_audit" -> q303_sql,
     "q296_range_partition_audit" -> q296_sql,
     "q297_consistent_hash_ring" -> q297_sql,
     "q289_sequence_packing" -> q289_sql,

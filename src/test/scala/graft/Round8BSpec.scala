@@ -128,4 +128,87 @@ class Round8BSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === 1000000L)
     rows.foreach(r => assert(r.getLong(4) >= 0L))
   }
+
+  test("q301 run counts match a brute-force single-threaded scan") {
+    import spark.implicits._
+    val rows = PlannerQueries.q301_encoding_audit(spark, sf).collect()
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        expr("cast(cast(floor(l_tax * 100) as bigint) as string)"))
+      .as[(Long, Long, String, String, String)].collect()
+    def runsOf(pick: ((Long, Long, String, String, String)) => String)
+        : Long = {
+      val vs = base.map(r => ((r._1, r._2, pick(r)), pick(r)))
+        .sortBy(_._1).map(_._2)
+      1L + vs.sliding(2).count {
+        case Array(a, b) => a != b
+        case _ => false
+      }
+    }
+    val want = Map("l_returnflag" -> runsOf(_._3),
+      "l_linestatus" -> runsOf(_._4), "l_tax_pct" -> runsOf(_._5))
+    rows.foreach { r =>
+      assert(r.getLong(3) === want(r.getString(0)),
+        s"run count for ${r.getString(0)}")
+      // bitpack = n * ceil(log2(card)) bits
+      val w = 64 - java.lang.Long.numberOfLeadingZeros(r.getLong(2) - 1)
+      assert(r.getLong(5) === (r.getLong(1) * w + 7) / 8)
+    }
+  }
+
+  test("q302 global modularity matches a BigInt recomputation from " +
+      "labels and edges") {
+    import spark.implicits._
+    val rows = graft.queries.GraphQueries.q302_modularity(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val qTot = rows.head.getLong(5)
+    assert(rows.forall(_.getLong(5) == qTot))
+    // recompute from scratch: same graph, same LPA labels
+    val p = Tables.part(spark, sf).select(col("p_partkey")).as[Long]
+      .collect()
+    val raw = p.filter(_ % 50 != 0).map(k => (k, k - k % 50)) ++
+      p.filter(_ >= 2).map(k => (k, k - 1))
+    val sym = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+    val lab = graft.graph.Communities
+      .labelPropagation(raw.toSeq.toDF("src", "dst"), 4)
+      .as[(Long, Long)].collect().toMap
+    val s = BigInt(sym.length)
+    val eIn = sym.count(e => lab(e._1) == lab(e._2))
+    val dSum = sym.groupBy(_._1).view.mapValues(_.length)
+      .toMap.groupBy(kv => lab(kv._1)).view
+      .mapValues(m => BigInt(m.values.sum)).toMap
+    val num = s * eIn - dSum.values.map(d => d * d).sum
+    val want = (num.sign * ((num.abs * 1000000) / (s * s))).toLong
+    assert(qTot === want)
+  }
+
+  test("q303 Bloom pass counts match a JVM filter replay") {
+    import spark.implicits._
+    val rows = PlannerQueries.q303_bloom_join_audit(spark, sf).collect()
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey")).as[Long]
+      .collect().toSet
+    val bits = dim.flatMap(k =>
+      (0 until 4).map(j => Sampling.hash60Jvm("bloom", k * 4 + j) % 65536))
+    val facts = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority")).as[(Long, String)]
+      .collect()
+    val byGrp = facts.groupBy(_._2)
+    rows.foreach { r =>
+      val fs = byGrp(r.getString(0))
+      val nPass = fs.count { case (k, _) =>
+        (0 until 4).forall(j =>
+          bits.contains(Sampling.hash60Jvm("bloom", k * 4 + j) % 65536))
+      }
+      val nTrue = fs.count(f => dim.contains(f._1))
+      assert(r.getLong(1) === fs.length.toLong)
+      assert(r.getLong(2) === nTrue.toLong)
+      assert(r.getLong(3) === nPass.toLong)
+      assert(r.getLong(4) === (nPass - nTrue).toLong)
+      assert(r.getLong(6) === bits.size.toLong)
+    }
+  }
 }
