@@ -982,7 +982,86 @@ object MetricQueries {
       |CROSS JOIN total
       |ORDER BY type_a, type_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q306 — autocorrelation function (Box & Jenkins 1970) of per-type
+  // daily event counts at lags 1..7 — the seasonality detector that
+  // decides whether a metric needs weekly deseasonalization before
+  // the q264 changepoint monitor makes sense. The estimator
+  // r_k = Σ(x_t−μ)(x_{t+k}−μ)/Σ(x_t−μ)² is computed EXACTLY by
+  // clearing the rational mean: with S = Σx over the n observed days,
+  // N_k = Σ(n·x_t − S)(n·x_{t+k} − S) over calendar-matched day pairs
+  // and D = Σ(n·x_t − S)², r_k ppm = sign·(|N_k|·10⁶ div D) in
+  // DECIMAL(38). Scale shape: one groupBy to daily cells, then 7
+  // narrow self-joins on (type, day+k) over the calendar-bounded
+  // series — state is types × days, never event volume.
+  // ---------------------------------------------------------------------
+  private val AcfMaxLag = 7
+
+  def q306_autocorrelation(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(eager = true) // stats AND both join sides
+    val st = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val c = d.join(broadcast(st), Seq("event_type"))
+      .withColumn("cx", col("n") * col("x") - col("s"))
+      .localCheckpoint(eager = true) // denominator AND 7 lag joins
+    val den = c.groupBy(col("event_type"))
+      .agg(sum((col("cx") * col("cx")).cast("decimal(38,0)")).as("d"),
+        max(col("n")).as("n_days"))
+    val lags = c.withColumn("k",
+        explode(sequence(lit(1L), lit(AcfMaxLag.toLong))))
+      .select(col("event_type"), col("k"),
+        (col("day") + col("k")).as("day"), col("cx").as("cx_a"))
+      .join(c.select(col("event_type"), col("day"), col("cx")),
+        Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum((col("cx_a") * col("cx")).cast("decimal(38,0)"))
+        .as("num"), count(lit(1)).as("n_pairs"))
+    lags.join(broadcast(den), Seq("event_type"))
+      .withColumn("acf_ppm", expr(
+        "cast(sign(num) * (abs(num) * 1000000 div d) as bigint)"))
+      .select(col("event_type"), col("k"), col("n_days"),
+        col("n_pairs"), col("acf_ppm"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
+  val q306_sql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+       |  FROM d GROUP BY 1),
+       |c AS (
+       |  SELECT d.event_type, d.day, st.n,
+       |    CAST(st.n * d.x - st.s AS HUGEINT) AS cx
+       |  FROM d JOIN st USING (event_type)),
+       |den AS (
+       |  SELECT event_type, SUM(cx * cx) AS dd, MAX(n) AS n_days
+       |  FROM c GROUP BY 1),
+       |lags AS (
+       |  SELECT a.event_type, t.k, SUM(a.cx * b.cx) AS num,
+       |    COUNT(*) AS n_pairs
+       |  FROM c a
+       |  JOIN generate_series(1, $AcfMaxLag) t(k) ON TRUE
+       |  JOIN c b ON b.event_type = a.event_type
+       |    AND b.day = a.day + t.k
+       |  GROUP BY 1, 2)
+       |SELECT l.event_type, CAST(l.k AS BIGINT) AS k,
+       |  CAST(den.n_days AS BIGINT) AS n_days,
+       |  CAST(l.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(sign(num) * (abs(num) * 1000000 // dd) AS BIGINT)
+       |    AS acf_ppm
+       |FROM lags l JOIN den USING (event_type)
+       |ORDER BY l.event_type, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_autocorrelation" -> q306_autocorrelation _,
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
     "q221_cohens_kappa" -> q221_cohens_kappa _,
@@ -999,6 +1078,7 @@ object MetricQueries {
     "q249_session_lift" -> q249_session_lift _)
 
   val oracles: Map[String, String] = Map(
+    "q306_autocorrelation" -> q306_sql,
     "q219_rolling_wau" -> q219_sql,
     "q220_decayed_popularity" -> q220_sql,
     "q221_cohens_kappa" -> q221_sql,

@@ -308,13 +308,209 @@ object TrainPrepQueries {
        |GROUP BY piece ORDER BY n_uses DESC, piece""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q304 — CART split finder by exact weighted Gini (Breiman et al.
+  // 1984), the inner loop of every distributed decision-tree/GBDT
+  // learner (Spark MLlib, XGBoost hist mode): candidate thresholds are
+  // the $20k price-band boundaries, per-side class counts come from
+  // ONE hash agg to the ~25-band histogram plus a band-ordered prefix
+  // sum (vocabulary-sized — the calendar/domain-bounded window
+  // discipline), and the split impurity is exact integer ppm:
+  // G(t)·10⁶ = Σ_side (n_s² − pos_s² − neg_s²)·10⁶ div (n·n_s) in
+  // DECIMAL(38)/HUGEINT, with the parent impurity and the gain
+  // alongside. Target = order status 'F', feature = total price.
+  // Histogram-mode split finding is exactly what scales to 100 TB:
+  // the corpus is touched once, candidates are domain-sized.
+  // ---------------------------------------------------------------------
+  private val GiniBand = 2000000L // $20k in cents
+
+  def q304_gini_split(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir).select(
+      expr(s"cast(floor(o_totalprice * 100) as bigint) div $GiniBand")
+        .as("b"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val hist = rows.groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("posb"))
+    val wP = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("nb")).as("n"), sum(col("posb")).as("pos"))
+    hist
+      .withColumn("n_left", coalesce(sum(col("nb")).over(wP), lit(0L)))
+      .withColumn("pos_left",
+        coalesce(sum(col("posb")).over(wP), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_left") > 0 && col("n_left") < col("n"))
+      .withColumn("threshold", col("b") * GiniBand)
+      .withColumn("n_right", col("n") - col("n_left"))
+      .withColumn("pos_right", col("pos") - col("pos_left"))
+      .withColumn("split_gini_ppm", expr(
+        "cast((cast(n_left as decimal(38,0)) * n_left - " +
+          "cast(pos_left as decimal(38,0)) * pos_left - " +
+          "cast(n_left - pos_left as decimal(38,0)) * (n_left - pos_left)" +
+          ") * 1000000 div (cast(n as decimal(38,0)) * n_left) as bigint)" +
+          " + cast((cast(n_right as decimal(38,0)) * n_right - " +
+          "cast(pos_right as decimal(38,0)) * pos_right - " +
+          "cast(n_right - pos_right as decimal(38,0)) * " +
+          "(n_right - pos_right)) * 1000000 div " +
+          "(cast(n as decimal(38,0)) * n_right) as bigint)"))
+      .withColumn("parent_gini_ppm", expr(
+        "cast((cast(n as decimal(38,0)) * n - " +
+          "cast(pos as decimal(38,0)) * pos - " +
+          "cast(n - pos as decimal(38,0)) * (n - pos)) * 1000000 div " +
+          "(cast(n as decimal(38,0)) * n) as bigint)"))
+      .withColumn("gain_ppm",
+        col("parent_gini_ppm") - col("split_gini_ppm"))
+      .select(col("threshold"), col("n_left"), col("pos_left"),
+        col("split_gini_ppm"), col("parent_gini_ppm"), col("gain_ppm"))
+      .orderBy(col("threshold"))
+  }
+
+  val q304_sql: String =
+    s"""WITH r AS (
+       |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // $GiniBand
+       |      AS b,
+       |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+       |  FROM orders),
+       |hist AS (
+       |  SELECT b, COUNT(*) AS nb, SUM(y) AS posb FROM r GROUP BY 1),
+       |tot AS (SELECT SUM(nb) AS n, SUM(posb) AS pos FROM hist),
+       |pre AS (
+       |  SELECT b,
+       |    COALESCE(SUM(nb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND 1 PRECEDING), 0) AS n_left,
+       |    COALESCE(SUM(posb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND 1 PRECEDING), 0) AS pos_left
+       |  FROM hist),
+       |c AS (
+       |  SELECT b * $GiniBand AS threshold,
+       |    CAST(n_left AS HUGEINT) AS nl, CAST(pos_left AS HUGEINT)
+       |      AS pl,
+       |    CAST(n - n_left AS HUGEINT) AS nr,
+       |    CAST(pos - pos_left AS HUGEINT) AS pr,
+       |    CAST(n AS HUGEINT) AS n, CAST(pos AS HUGEINT) AS pos
+       |  FROM pre, tot WHERE n_left > 0 AND n_left < n)
+       |SELECT CAST(threshold AS BIGINT) AS threshold,
+       |  CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+       |  CAST((nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000
+       |      // (n * nl)
+       |    + (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1000000
+       |      // (n * nr) AS BIGINT) AS split_gini_ppm,
+       |  CAST((n * n - pos * pos - (n - pos) * (n - pos)) * 1000000
+       |    // (n * n) AS BIGINT) AS parent_gini_ppm,
+       |  CAST((n * n - pos * pos - (n - pos) * (n - pos)) * 1000000
+       |      // (n * n)
+       |    - ((nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000
+       |      // (n * nl)
+       |    + (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1000000
+       |      // (n * nr)) AS BIGINT) AS gain_ppm
+       |FROM c ORDER BY threshold""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q305 — Johnson–Lindenstrauss random-projection distortion audit
+  // (Achlioptas 2003's ±1 database-friendly projection): project the
+  // 64-dim embeddings (quantized to exact integers, floor(x·1000))
+  // onto 4 dims with a data-independent ±1 sign matrix (hash60 of
+  // (t,i) — 64 entries, identical in both engines), and measure the
+  // realized distortion d_proj²/(4·d_orig²) in ppm over the
+  // consecutive-id pair sample. E[d_proj²] = 4·d_orig² for ±1
+  // entries, so the histogram should center on 10⁶ — the audit that
+  // says whether a cheap projected pre-filter is safe for the ANN
+  // tier. Scan shape: per-row array fold for the projection, one
+  // narrow self-join on vec_id+1, 13-bucket rollup.
+  // ---------------------------------------------------------------------
+  private val JlDims = 64
+  private val JlTarget = 4
+
+  def q305_jl_distortion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val signs: IndexedSeq[IndexedSeq[Long]] =
+      (0 until JlTarget).map(t => (0 until JlDims).map(i =>
+        1L - 2L * (Sampling.hash60Jvm("jl", t.toLong * JlDims + i) % 2)))
+    val q = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000.0).cast("long")).as("q"))
+    val proj = q.select(
+      col("vec_id") +: col("q") +:
+        (0 until JlTarget).map { t =>
+          val sArr = array(signs(t).map(lit(_)): _*)
+          aggregate(zip_with(col("q"), sArr, (x, s) => x * s),
+            lit(0L), (acc, v) => acc + v).as(s"p$t")
+        }: _*)
+      .localCheckpoint(eager = true) // both sides of the pair join
+    val right = proj.select(
+      (col("vec_id") - 1).as("vec_id") +: col("q").as("q2") +:
+        (0 until JlTarget).map(t => col(s"p$t").as(s"r$t")): _*)
+    proj.join(right, Seq("vec_id"))
+      .withColumn("d_orig2",
+        aggregate(zip_with(col("q"), col("q2"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+      .withColumn("d_proj2",
+        (0 until JlTarget).map(t =>
+          (col(s"p$t") - col(s"r$t")) * (col(s"p$t") - col(s"r$t")))
+          .reduce(_ + _))
+      .filter(col("d_orig2") > 0)
+      .withColumn("dist_ppm",
+        expr(s"d_proj2 * 1000000 div ($JlTarget * d_orig2)"))
+      .withColumn("bucket",
+        least(expr("dist_ppm div 250000"), lit(12L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("dist_ppm")).as("lo"),
+        max(col("dist_ppm")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val q305_sql: String = {
+    import graft.pipeline.Sampling
+    val h = Sampling.hash60Sql("jl", s"t * $JlDims + (i - 1)")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS q,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id, t,
+       |    SUM((1 - 2 * (($h) % 2)) * q) AS p
+       |  FROM e, generate_series(0, ${JlTarget - 1}) s(t)
+       |  GROUP BY 1, 2),
+       |pw AS (
+       |  SELECT vec_id,
+       |    ${(0 until JlTarget).map(t =>
+             s"SUM(CASE WHEN t = $t THEN p END) AS p$t")
+             .mkString(", ")}
+       |  FROM p GROUP BY 1),
+       |od AS (
+       |  SELECT a.vec_id, SUM((a.q - b.q) * (a.q - b.q)) AS d_orig2
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+       |  GROUP BY 1),
+       |pd AS (
+       |  SELECT a.vec_id,
+       |    ${(0 until JlTarget).map(t =>
+             s"(a.p$t - b.p$t) * (a.p$t - b.p$t)").mkString(" + ")}
+       |      AS d_proj2
+       |  FROM pw a JOIN pw b ON b.vec_id = a.vec_id + 1),
+       |d AS (
+       |  SELECT od.vec_id,
+       |    d_proj2 * 1000000 // ($JlTarget * d_orig2) AS dist_ppm
+       |  FROM od JOIN pd ON od.vec_id = pd.vec_id
+       |  WHERE d_orig2 > 0)
+       |SELECT CAST(LEAST(dist_ppm // 250000, 12) AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(MIN(dist_ppm) AS BIGINT) AS lo,
+       |  CAST(MAX(dist_ppm) AS BIGINT) AS hi
+       |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_gini_split" -> q304_gini_split _,
+    "q305_jl_distortion" -> q305_jl_distortion _,
     "q214_length_batching" -> q214_length_batching _,
     "q215_time_weighted_avg" -> q215_time_weighted_avg _,
     "q216_auc_mannwhitney" -> q216_auc_mannwhitney _,
     "q291_wordpiece" -> q291_wordpiece _)
 
   val oracles: Map[String, String] = Map(
+    "q304_gini_split" -> q304_sql,
+    "q305_jl_distortion" -> q305_sql,
     "q214_length_batching" -> q214_sql,
     "q215_time_weighted_avg" -> q215_sql,
     "q216_auc_mannwhitney" -> q216_sql,

@@ -211,4 +211,80 @@ class Round8BSpec extends SparkSpec {
       assert(r.getLong(6) === bits.size.toLong)
     }
   }
+
+  test("q304 split gini matches a BigInt recomputation and the best " +
+      "gain is at a genuine impurity minimum") {
+    import spark.implicits._
+    val rows = graft.queries.TrainPrepQueries.q304_gini_split(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val data = Tables.orders(spark, sf)
+      .select(expr("cast(floor(o_totalprice * 100) as bigint)"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .as[(Long, Long)].collect()
+    val n = BigInt(data.length); val pos = BigInt(data.map(_._2).sum)
+    def gini(nl: BigInt, pl: BigInt): BigInt = {
+      val (nr, pr) = (n - nl, pos - pl)
+      (nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000 / (n * nl) +
+        (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1000000 / (n * nr)
+    }
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val nl = BigInt(data.count(_._1 / 2000000 < t / 2000000))
+      val pl = BigInt(data.filter(_._1 / 2000000 < t / 2000000)
+        .map(_._2).sum)
+      assert(r.getLong(1) === nl.toLong)
+      assert(r.getLong(3) === gini(nl, pl).toLong,
+        s"split gini at threshold $t")
+    }
+    val parent = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == parent))
+    assert(rows.forall(r =>
+      r.getLong(5) == parent - r.getLong(3)))
+  }
+
+  test("q305 distortion pairs exhaust the consecutive-id sample and " +
+      "cluster around the JL expectation") {
+    val rows = graft.queries.TrainPrepQueries
+      .q305_jl_distortion(spark, sf).collect()
+    val nPairs = rows.map(_.getLong(1)).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(nPairs === nVecs - 1,
+      "every consecutive pair with d>0 must appear")
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(2) >= b * 250000L)
+      if (b < 12) assert(r.getLong(3) < (b + 1) * 250000L)
+    }
+    // E[d_proj^2] = 4 d_orig^2: the central half of mass within 4x
+    val central = rows.filter(r =>
+      r.getLong(0) >= 1 && r.getLong(0) <= 7).map(_.getLong(1)).sum
+    assert(central * 2 > nPairs,
+      s"distortion mass not centered: $central of $nPairs in [0.25,2)x")
+  }
+
+  test("q306 lag-1 autocorrelation matches a double-precision " +
+      "recomputation per type") {
+    import spark.implicits._
+    val rows = graft.queries.MetricQueries
+      .q306_autocorrelation(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).distinct.sorted.toSeq === (1L to 7L))
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 86400000000000"))
+      .groupBy("event_type", "(ts div 86400000000000)")
+      .count().as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3.toDouble).toMap).toMap
+    rows.filter(_.getLong(1) == 1L).foreach { r =>
+      val xs = daily(r.getString(0))
+      val mu = xs.values.sum / xs.size
+      val den = xs.values.map(v => (v - mu) * (v - mu)).sum
+      val num = xs.collect {
+        case (d, v) if xs.contains(d + 1) => (v - mu) * (xs(d + 1) - mu)
+      }.sum
+      val want = num / den * 1e6
+      assert(math.abs(r.getLong(4) - want) < 2000.0,
+        s"acf(1) for ${r.getString(0)}: got ${r.getLong(4)} want $want")
+    }
+  }
 }
