@@ -769,7 +769,10 @@ object PlannerQueries {
           .as("x"))
       .select(col("ok"), col("ln"), col("x.c").as("c"), col("x.v").as("v"))
       .withColumn("bucket", expr(s"ok div $RleBucketWidth"))
-      .localCheckpoint(eager = true) // flags, boundaries, stats
+    // NOT checkpointed: the melt is a corpus×3 projection whose
+    // materialization costs more than its three cheap rescans (the
+    // q285 lesson — measured 39.9 s warm WITH the checkpoint vs
+    // 6.0 s without at sf1)
     // last value of each (column, bucket), then the previous EXISTING
     // bucket's last value (buckets may be sparse in orderkey space)
     val lasts = melt.groupBy(col("c"), col("bucket"))
