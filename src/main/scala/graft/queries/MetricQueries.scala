@@ -1060,7 +1060,277 @@ object MetricQueries {
        |FROM lags l JOIN den USING (event_type)
        |ORDER BY l.event_type, k""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q307 — Haar wavelet synopsis (Matias, Vitter & Wang 1998, the
+  // classic histogram/synopsis decomposition) of per-type daily event
+  // counts: unnormalized Haar (pairwise sums & differences — pure
+  // integers, no √2) over the 32-slot padded calendar, five unrolled
+  // levels. Output per (type, level): coefficient count, energy
+  // Σd² (DECIMAL-promoted), max |coeff| and its position — the
+  // top-coefficient synopsis a planner keeps instead of the series.
+  // Level 0 row carries the final scaling coefficient (the series
+  // total). The spec checks Parseval exactly in BigInt:
+  // 2^L·Σx² = Σ_l energy_l·2^(L−l) + a². Calendar-bounded state;
+  // fails loudly if the span outgrows the padded length.
+  // ---------------------------------------------------------------------
+  private val HaarLevels = 5
+  private val HaarLen = 1 << HaarLevels // 32 days
+
+  def q307_haar_synopsis(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val mn = raw.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spanned = raw.crossJoin(broadcast(mn))
+      .withColumn("k", col("day") - col("d0"))
+    // pad to the fixed dyadic length; a span beyond it is a data
+    // contract violation, not something to silently truncate
+    val types = raw.select(col("event_type")).distinct()
+    val grid = types
+      .crossJoin(spark.range(HaarLen).select(col("id").as("k")))
+      .join(spanned.select(col("event_type"), col("k"),
+        when(col("k") >= HaarLen,
+          raise_error(lit(s"q307: day span exceeds $HaarLen")))
+          .otherwise(col("x")).as("x")),
+        Seq("event_type", "k"), "left_outer")
+      .na.fill(0L, Seq("x"))
+    var cur = grid.select(col("event_type"), col("k"), col("x").as("s"))
+    var out: DataFrame = null
+    for (l <- 1 to HaarLevels) {
+      val nxt = cur
+        .groupBy(col("event_type"), expr("k div 2").as("k"))
+        .agg(sum(when(pmod(col("k"), lit(2)) === 0, col("s"))
+            .otherwise(0L)).as("e"),
+          sum(when(pmod(col("k"), lit(2)) === 1, col("s"))
+            .otherwise(0L)).as("o"))
+      val coeffs = nxt.select(col("event_type"), lit(l.toLong).as("level"),
+        col("k"), (col("e") - col("o")).as("c"))
+      out = if (out == null) coeffs else out.unionByName(coeffs)
+      cur = nxt.select(col("event_type"), col("k"),
+        (col("e") + col("o")).as("s"))
+    }
+    val approx = cur.select(col("event_type"), lit(0L).as("level"),
+      col("k"), col("s").as("c"))
+    out.unionByName(approx)
+      .groupBy(col("event_type"), col("level"))
+      .agg(count(lit(1)).as("n_coeffs"),
+        sum((col("c") * col("c")).cast("decimal(38,0)"))
+          .cast("long").as("energy"),
+        max(abs(col("c"))).as("max_abs"),
+        max(struct(abs(col("c")), (-col("k")).as("nk")))
+          .getField("nk").as("neg_pos"))
+      .withColumn("max_pos", -col("neg_pos"))
+      .select(col("event_type"), col("level"), col("n_coeffs"),
+        col("energy"), col("max_abs"), col("max_pos"))
+      .orderBy(col("event_type"), col("level"))
+  }
+
+  val q307_sql: String = {
+    val levels = (1 to HaarLevels).map { l =>
+      s"""lv$l AS (
+         |  SELECT event_type, k // 2 AS k,
+         |    SUM(CASE WHEN k % 2 = 0 THEN s ELSE 0 END) AS e,
+         |    SUM(CASE WHEN k % 2 = 1 THEN s ELSE 0 END) AS o
+         |  FROM s${l - 1} GROUP BY 1, 2),
+         |s$l AS (SELECT event_type, k, e + o AS s FROM lv$l),
+         |c$l AS (SELECT event_type, ${l} AS level, k, e - o AS c
+         |        FROM lv$l)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to HaarLevels).map(l => s"SELECT * FROM c$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH raw AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |mn AS (SELECT MIN(day) AS d0 FROM raw),
+       |grid AS (
+       |  SELECT t.event_type, g.k, COALESCE(r.x, 0) AS x
+       |  FROM (SELECT DISTINCT event_type FROM raw) t
+       |  CROSS JOIN generate_series(0, ${HaarLen - 1}) g(k)
+       |  LEFT JOIN (SELECT event_type, day - d0 AS k, x
+       |             FROM raw, mn) r
+       |  ON r.event_type = t.event_type AND r.k = g.k),
+       |s0 AS (SELECT event_type, k, x AS s FROM grid),
+       |$levels,
+       |allc AS (
+       |  $unions
+       |  UNION ALL
+       |  SELECT event_type, 0 AS level, k, s AS c FROM s$HaarLevels)
+       |SELECT event_type, CAST(level AS BIGINT) AS level,
+       |  CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+       |  CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS energy,
+       |  CAST(MAX(abs(c)) AS BIGINT) AS max_abs,
+       |  CAST(-MAX(struct_pack(a := abs(c), nk := -k)).nk AS BIGINT)
+       |    AS max_pos
+       |FROM allc GROUP BY 1, 2
+       |ORDER BY event_type, level""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q308 — Theil–Sen robust trend (Theil 1950, Sen 1968): the median
+  // of all pairwise day-slopes of the per-type daily counts — the
+  // outlier-immune alternative to q298's OLS for "is this metric
+  // drifting". Slopes are exact sign-magnitude ppm integers; the
+  // median is the lower median with a (slope, pair) total-order
+  // tie-break. Pair volume is calendar-bounded (days², ~500 per
+  // type), so the O(n²) estimator that cannot run on raw events runs
+  // free on the daily rollup — the aggregate-first discipline.
+  // ---------------------------------------------------------------------
+  def q308_theil_sen(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(eager = true) // both sides of the pair join
+    val pairs = d.as("a")
+      .join(d.as("b"), col("a.event_type") === col("b.event_type") &&
+        col("b.day") > col("a.day"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.day").as("d1"), col("b.day").as("d2"),
+        (col("b.x") - col("a.x")).as("dx"),
+        (col("b.day") - col("a.day")).as("dd"))
+      .withColumn("slope_ppm", expr(
+        "cast(sign(dx) * (abs(dx) * 1000000 div dd) as bigint)"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_ppm"), col("d1"), col("d2"))
+    val wp = Window.partitionBy(col("event_type"))
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(wp))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        max(when(col("rn") === expr("(np + 1) div 2"),
+          col("slope_ppm"))).as("median_slope_ppm"),
+        min(col("slope_ppm")).as("min_slope_ppm"),
+        max(col("slope_ppm")).as("max_slope_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q308_sql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+      |    CAST(sign(b.x - a.x) * (abs(b.x - a.x) * 1000000
+      |      // (b.day - a.day)) AS BIGINT) AS slope_ppm
+      |  FROM d a JOIN d b ON b.event_type = a.event_type
+      |    AND b.day > a.day),
+      |r AS (
+      |  SELECT event_type, slope_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY slope_ppm, d1, d2) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS np
+      |  FROM p)
+      |SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+      |  CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
+      |    AS BIGINT) AS median_slope_ppm,
+      |  CAST(MIN(slope_ppm) AS BIGINT) AS min_slope_ppm,
+      |  CAST(MAX(slope_ppm) AS BIGINT) AS max_slope_ppm
+      |FROM r GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q309 — CUPED variance-reduced experiment readout (Deng, Xu,
+  // Kohavi & Walker 2013): users split by id parity into variants;
+  // metric y = second-half event count, covariate x = first-half
+  // count; θ = cov(x,y)/var(x) POOLED (the CUPED estimator), and
+  // each variant's adjusted mean ŷ = ȳ − θ·(x̄_v − x̄). All in exact
+  // sign-magnitude ppm with DECIMAL(38) moment sums — the A/B
+  // readout shape that needs only six mergeable sums per variant at
+  // any corpus size. r²(x,y) rides along as the realized variance-
+  // reduction factor.
+  // ---------------------------------------------------------------------
+  def q309_cuped_readout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val um = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+      .localCheckpoint(eager = true) // pooled AND per-variant moments
+    val pooled = um.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("dx", expr("n * sxx - sx * sx"))
+      .withColumn("dy", expr("n * syy - sy * sy"))
+      .withColumn("theta_ppm", expr(
+        "cast(sign(num) * (abs(num) * 1000000 div dx) as bigint)"))
+      .withColumn("r2_ppm", expr(
+        "cast((abs(num) * 1000 div dx) * (abs(num) * 1000 div dy)" +
+          " as bigint)"))
+      .withColumn("pool_x_ppm", expr(
+        "cast(sx * 1000000 div n as bigint)"))
+      .select(col("theta_ppm"), col("r2_ppm"), col("pool_x_ppm"))
+    um.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+        sum(col("x")).as("sx"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("mean_y_ppm", expr("sy * 1000000 div n_users"))
+      .withColumn("dxv",
+        expr("sx * 1000000 div n_users - pool_x_ppm"))
+      .withColumn("adj_mean_y_ppm", expr(
+        "cast(mean_y_ppm - sign(theta_ppm) * sign(dxv) * " +
+          "(abs(theta_ppm) * abs(dxv) div 1000000) as bigint)"))
+      .select(col("variant").cast("long").as("variant"), col("n_users"),
+        col("mean_y_ppm"), col("adj_mean_y_ppm"), col("theta_ppm"),
+        col("r2_ppm"))
+      .orderBy(col("variant"))
+  }
+
+  val q309_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev),
+      |um AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    SUM(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS x,
+      |    SUM(CASE WHEN day > mid THEN 1 ELSE 0 END) AS y
+      |  FROM ev, mid GROUP BY 1, 2),
+      |pooled AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(y * y) AS HUGEINT) AS syy,
+      |    CAST(SUM(x * y) AS HUGEINT) AS sxy
+      |  FROM um),
+      |pp AS (
+      |  SELECT
+      |    CAST(sign(n * sxy - sx * sy) * (abs(n * sxy - sx * sy)
+      |      * 1000000 // (n * sxx - sx * sx)) AS BIGINT) AS theta_ppm,
+      |    CAST((abs(n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+      |      * (abs(n * sxy - sx * sy) * 1000 // (n * syy - sy * sy))
+      |      AS BIGINT) AS r2_ppm,
+      |    CAST(sx * 1000000 // n AS BIGINT) AS pool_x_ppm
+      |  FROM pooled),
+      |v AS (
+      |  SELECT variant, COUNT(*) AS n_users, SUM(y) AS sy,
+      |    SUM(x) AS sx
+      |  FROM um GROUP BY 1)
+      |SELECT CAST(variant AS BIGINT) AS variant,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(sy * 1000000 // n_users AS BIGINT) AS mean_y_ppm,
+      |  CAST(sy * 1000000 // n_users
+      |    - sign(theta_ppm) * sign(sx * 1000000 // n_users - pool_x_ppm)
+      |    * (abs(theta_ppm) * abs(sx * 1000000 // n_users - pool_x_ppm)
+      |       // 1000000) AS BIGINT) AS adj_mean_y_ppm,
+      |  theta_ppm, r2_ppm
+      |FROM v CROSS JOIN pp
+      |ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_haar_synopsis" -> q307_haar_synopsis _,
+    "q308_theil_sen" -> q308_theil_sen _,
+    "q309_cuped_readout" -> q309_cuped_readout _,
     "q306_autocorrelation" -> q306_autocorrelation _,
     "q219_rolling_wau" -> q219_rolling_wau _,
     "q220_decayed_popularity" -> q220_decayed_popularity _,
@@ -1078,6 +1348,9 @@ object MetricQueries {
     "q249_session_lift" -> q249_session_lift _)
 
   val oracles: Map[String, String] = Map(
+    "q307_haar_synopsis" -> q307_sql,
+    "q308_theil_sen" -> q308_sql,
+    "q309_cuped_readout" -> q309_sql,
     "q306_autocorrelation" -> q306_sql,
     "q219_rolling_wau" -> q219_sql,
     "q220_decayed_popularity" -> q220_sql,

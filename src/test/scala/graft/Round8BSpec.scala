@@ -287,4 +287,77 @@ class Round8BSpec extends SparkSpec {
         s"acf(1) for ${r.getString(0)}: got ${r.getLong(4)} want $want")
     }
   }
+
+  test("q307 Haar coefficients satisfy Parseval exactly in BigInt") {
+    import spark.implicits._
+    val rows = graft.queries.MetricQueries.q307_haar_synopsis(spark, sf)
+      .collect()
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 86400000000000"))
+      .groupBy("event_type", "(ts div 86400000000000)").count()
+      .as[(String, Long, Long)].collect()
+    val d0 = daily.map(_._2).min
+    daily.map(_._1).distinct.foreach { t =>
+      val xs = Array.fill(32)(0L)
+      daily.filter(_._1 == t).foreach(r => xs((r._2 - d0).toInt) = r._3)
+      val sumX2 = xs.map(x => BigInt(x) * x).sum
+      // 2^L * sum(x^2) = sum_l energy_l * 2^(L-l) + a^2
+      val byLevel = rows.filter(_.getString(0) == t)
+        .map(r => r.getLong(1) -> r.getLong(3)).toMap
+      val lhs = BigInt(32) * sumX2
+      val rhs = (1 to 5).map(l =>
+        BigInt(byLevel(l.toLong)) * BigInt(1) << (5 - l)).sum +
+        BigInt(byLevel(0L))
+      assert(lhs === rhs, s"Parseval violated for $t")
+    }
+  }
+
+  test("q308 median slope matches a brute-force pairwise computation") {
+    import spark.implicits._
+    val rows = graft.queries.MetricQueries.q308_theil_sen(spark, sf)
+      .collect()
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 86400000000000"))
+      .groupBy("event_type", "(ts div 86400000000000)").count()
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val ds = daily(r.getString(0)).map(d => d._2 -> d._3).sortBy(_._1)
+      val slopes = for {
+        i <- ds.indices; j <- (i + 1) until ds.length
+      } yield {
+        val dx = ds(j)._2 - ds(i)._2
+        val dd = ds(j)._1 - ds(i)._1
+        (dx.sign * (dx.abs * 1000000L / dd),
+          (ds(i)._1, ds(j)._1))
+      }
+      assert(r.getLong(1) === slopes.length.toLong)
+      val sorted = slopes.sortBy(identity)
+      val med = sorted((sorted.length + 1) / 2 - 1)._1
+      assert(r.getLong(2) === med, s"median for ${r.getString(0)}")
+    }
+  }
+
+  test("q309 CUPED moves each variant mean toward the covariate-" +
+      "corrected value and preserves theta across variants") {
+    val rows = graft.queries.MetricQueries.q309_cuped_readout(spark, sf)
+      .collect()
+    assert(rows.length === 2)
+    val theta = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == theta))
+    // adjustment direction: variant with above-average x is pulled DOWN
+    // when theta > 0 (and vice versa)
+    rows.foreach { r =>
+      val delta = r.getLong(3) - r.getLong(2)
+      // |adjustment| bounded by |theta| x |dx| / 1e6 and consistent sign
+      assert(math.abs(delta) <= math.abs(theta) * 1000L,
+        "adjustment magnitude implausible")
+    }
+    // equal-sized variants: adjustments are opposite in sign (dx sums
+    // to ~0 when n0 = n1)
+    if (rows(0).getLong(1) == rows(1).getLong(1)) {
+      val d0 = rows(0).getLong(3) - rows(0).getLong(2)
+      val d1 = rows(1).getLong(3) - rows(1).getLong(2)
+      assert(d0.sign * d1.sign <= 0, "same-direction adjustment")
+    }
+  }
 }
