@@ -2030,7 +2030,265 @@ object CurationQueries {
       |FROM d, unnest(generate_series(0, CAST(k AS BIGINT) - 1)) AS u(f)
       |ORDER BY media_id, frame_index""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q310 — RAKE keyword extraction (Rose et al. 2010): candidate
+  // phrases are maximal stopword-free token runs (gaps-and-islands
+  // per doc: phrase id = running stopword count, a doc-bounded
+  // window); word score = deg/freq in ppm where deg counts phrase-
+  // length co-occurrence mass; phrase score = Σ member word scores.
+  // Corpus-level rollup: distinct phrase strings with occurrence
+  // counts, top-20 by (score, phrase). Scale shape: per-doc windows +
+  // vocabulary-sized word-score join + TakeOrdered — the unsupervised
+  // keyphrase pass a curation pipeline runs at scan speed.
+  // -------------------------------------------------------------------
+  private val RakeStop = TextAnalysis.defaultStopwords
+
+  def q310_rake_keywords(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(RakeStop.map(lit(_)): _*)
+    val tk = Tables.documents(spark, dir)
+      .filter(expr("trim(text) <> ''"))
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .withColumn("is_stop", array_contains(stopArr, col("w")))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phr = tk
+      .withColumn("pid",
+        sum(col("is_stop").cast("long")).over(wD))
+      .filter(!col("is_stop"))
+      .localCheckpoint(eager = true) // word stats AND phrase strings
+    // collect_list order: guarantee by sorting the struct array
+    val pstatOrd = phr.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w"))).as("phrase"))
+    val wstat = phr
+      .join(pstatOrd.select(col("doc_id"), col("pid"), col("plen")),
+        Seq("doc_id", "pid"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore_ppm", expr("deg * 1000000 div freq"))
+    val scored = phr
+      .join(broadcast(wstat.select(col("w"), col("wscore_ppm"))),
+        Seq("w"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(sum(col("wscore_ppm")).as("pscore_ppm"))
+    pstatOrd.join(scored, Seq("doc_id", "pid"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("pscore_ppm"))
+        .as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(20)
+  }
+
+  val q310_sql: String = {
+    val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |tk AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS pos,
+       |    unnest(t) AS w, unnest(t) IN ($stopList) AS is_stop
+       |  FROM t0),
+       |ph AS (
+       |  SELECT doc_id, pos, w,
+       |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos) AS pid
+       |  FROM tk
+       |  QUALIFY NOT is_stop),
+       |pstat AS (
+       |  SELECT doc_id, pid, COUNT(*) AS plen,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase
+       |  FROM ph GROUP BY 1, 2),
+       |wstat AS (
+       |  SELECT w, COUNT(*) AS freq, SUM(plen) AS deg,
+       |    SUM(plen) * 1000000 // COUNT(*) AS wscore_ppm
+       |  FROM ph JOIN pstat USING (doc_id, pid)
+       |  GROUP BY w),
+       |scored AS (
+       |  SELECT doc_id, pid, SUM(wscore_ppm) AS pscore_ppm
+       |  FROM ph JOIN wstat USING (w) GROUP BY 1, 2)
+       |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  CAST(MAX(pscore_ppm) AS BIGINT) AS score_ppm
+       |FROM pstat JOIN scored USING (doc_id, pid)
+       |GROUP BY phrase
+       |ORDER BY score_ppm DESC, phrase
+       |LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q311 — TextRank keywords (Mihalcea & Tarau 2004): PageRank over
+  // the word co-occurrence graph (consecutive non-stopword tokens,
+  // symmetrized), run on the SAME integer-ppm PageRank engine as q69
+  // (Centrality.pageRankInteger — 150000/850000 damping, unrolled
+  // DuckDB CTEs emitted from one module so the engines cannot drift).
+  // Word ids come from a deterministic vocabulary rank (vocabulary-
+  // sized window). Output: top-20 words by rank.
+  // -------------------------------------------------------------------
+  private val TrIters = 5
+
+  def q311_textrank(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(RakeStop.map(lit(_)): _*)
+    val tk = Tables.documents(spark, dir)
+      .filter(expr("trim(text) <> ''"))
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .filter(!array_contains(stopArr, col("w")))
+      .localCheckpoint(eager = true) // vocab AND both pair sides
+    val vocab = tk.select(col("w")).distinct()
+      .withColumn("wid", row_number().over(
+        Window.orderBy(col("w"))).cast("long"))
+      .localCheckpoint(eager = true) // id map + readback join
+    val pairs = tk.as("a")
+      .join(tk.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+      .join(broadcast(vocab.select(col("w").as("w1"),
+        col("wid").as("src"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("w").as("w2"),
+        col("wid").as("dst"))), Seq("w2"))
+      .select(col("src"), col("dst"))
+    graft.graph.Centrality.pageRankInteger(edges, TrIters)
+      .join(broadcast(vocab.select(col("wid").as("id"), col("w"))),
+        Seq("id"))
+      .select(col("w").as("word"), col("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("word"))
+      .limit(20)
+  }
+
+  val q311_sql: String = {
+    val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
+    val t0 = "SELECT doc_id, regexp_split_to_array(trim(text), " +
+      "'\\s+') AS t FROM documents WHERE trim(text) <> ''"
+    val tk = s"SELECT * FROM (SELECT doc_id, generate_subscripts(t, 1)" +
+      s" AS pos, unnest(t) AS w FROM ($t0) t0) u " +
+      s"WHERE w NOT IN ($stopList)"
+    val vocab = s"SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS wid " +
+      s"FROM (SELECT DISTINCT w FROM ($tk) x) d"
+    val pairs = s"SELECT a.w AS w1, b.w AS w2 FROM ($tk) a " +
+      "JOIN ($TK) b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+      "WHERE a.w <> b.w"
+    val pairsSql = pairs.replace("($TK)", s"($tk)")
+    val edgesSql =
+      s"""SELECT v1.wid AS src, v2.wid AS dst FROM (
+         |  SELECT w1, w2 FROM ($pairsSql) p
+         |  UNION ALL SELECT w2, w1 FROM ($pairsSql) q) e
+         |JOIN ($vocab) v1 ON v1.w = e.w1
+         |JOIN ($vocab) v2 ON v2.w = e.w2""".stripMargin
+    s"""WITH ${graft.graph.Centrality
+          .pageRankIntegerSql(edgesSql, TrIters)},
+       |voc AS ($vocab)
+       |SELECT voc.w AS word, CAST(r.rank_ppm AS BIGINT) AS rank_ppm
+       |FROM r$TrIters r JOIN voc ON voc.wid = r.id
+       |ORDER BY rank_ppm DESC, word
+       |LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q312 — content-defined chunking (Muthitacharoen et al. 2001, the
+  // LBFS/rsync dedup layout): a rolling polynomial hash over a
+  // 4-token window cuts each doc at content-determined boundaries
+  // (H % 16 == 0 → expected 16-token chunks), so shared substrings
+  // land in IDENTICAL chunks regardless of their offset — the
+  // property fixed-width chunking lacks and the reason every storage
+  // dedup system uses CDC. Chunk signatures are md5 of the ordered
+  // token run; per-source rollup reports chunk counts, distinct
+  // signatures, and the realized dedup ratio in ppm. Per-doc windows
+  // only — scan shape.
+  // -------------------------------------------------------------------
+  private val CdcWindow = 4
+  private val CdcBase = 33L
+  private val CdcMask = 15L // H % 16 == 0 → boundary
+
+  def q312_cdc_chunking(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .filter(expr("trim(text) <> ''"))
+      .select(col("doc_id"), col("source"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .withColumn("h", pmod(Sampling.hash60("cdc", col("w")
+        .cast("string")), lit(1048576L)))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val rolled = tk
+      .withColumn("roll",
+        (0 until CdcWindow).map(j =>
+          coalesce(lag(col("h"), j).over(wD), lit(0L)) *
+            lit(Seq.fill(j)(CdcBase).product))
+          .reduce(_ + _) % lit(1048583L))
+      .withColumn("boundary",
+        (pmod(col("roll"), lit(CdcMask + 1)) === 0).cast("long"))
+    val wC = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = rolled
+      .withColumn("chunk", coalesce(sum(col("boundary")).over(wC),
+        lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(count(lit(1)).as("clen"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")))).as("sig"))
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("sig")).as("n_distinct"),
+        sum(col("clen")).as("n_tokens"),
+        max(col("clen")).as("max_len"))
+      .withColumn("dup_ppm", expr(
+        "(n_chunks - n_distinct) * 1000000 div n_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        col("n_tokens"), col("max_len"), col("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q312_sql: String = {
+    val h = Sampling.hash60Sql("cdc", "w")
+    val powers = (0 until CdcWindow)
+      .map(j => Seq.fill(j)(CdcBase).product)
+    val rollTerms = (0 until CdcWindow).map(j =>
+      s"COALESCE(LAG(h, $j) OVER (PARTITION BY doc_id ORDER BY pos)," +
+        s" 0) * ${powers(j)}").mkString(" + ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, source,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |tk AS (
+       |  SELECT doc_id, source, pos, w, ($h) % 1048576 AS h
+       |  FROM (SELECT doc_id, source, generate_subscripts(t, 1) AS pos,
+       |        unnest(t) AS w FROM t0) u),
+       |rolled AS (
+       |  SELECT doc_id, source, pos, w,
+       |    ($rollTerms) % 1048583 AS roll
+       |  FROM tk),
+       |b AS (
+       |  SELECT doc_id, source, pos, w,
+       |    CASE WHEN roll % ${CdcMask + 1} = 0 THEN 1 ELSE 0 END
+       |      AS boundary
+       |  FROM rolled),
+       |ch AS (
+       |  SELECT doc_id, source, pos, w,
+       |    COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, source, chunk, COUNT(*) AS clen,
+       |    md5(string_agg(w, ' ' ORDER BY pos)) AS sig
+       |  FROM ch GROUP BY 1, 2, 3)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(clen) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(clen) AS BIGINT) AS max_len,
+       |  CAST((COUNT(*) - COUNT(DISTINCT sig)) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS dup_ppm
+       |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_rake_keywords" -> q310_rake_keywords _,
+    "q311_textrank" -> q311_textrank _,
+    "q312_cdc_chunking" -> q312_cdc_chunking _,
     "q126_leakfree_split" -> q126_leakfree_split _,
     "q130_shard_manifest" -> q130_shard_manifest _,
     "q109_chunk_dedup" -> q109_chunk_dedup _,
@@ -2071,6 +2329,9 @@ object CurationQueries {
     "q250_curation_v2" -> q250_curation_v2 _)
 
   val oracles: Map[String, String] = Map(
+    "q310_rake_keywords" -> q310_sql,
+    "q311_textrank" -> q311_sql,
+    "q312_cdc_chunking" -> q312_sql,
     "q126_leakfree_split" -> q126_sql,
     "q130_shard_manifest" -> q130_sql,
     "q109_chunk_dedup" -> q109_sql,

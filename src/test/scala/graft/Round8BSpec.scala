@@ -360,4 +360,92 @@ class Round8BSpec extends SparkSpec {
       assert(d0.sign * d1.sign <= 0, "same-direction adjustment")
     }
   }
+
+  test("q310 phrases are stopword-free and scores are sums of member " +
+      "word scores") {
+    import spark.implicits._
+    val rows = graft.queries.CurationQueries.q310_rake_keywords(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val stop = graft.pipeline.TextAnalysis.defaultStopwords.toSet
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.forall(w => !stop.contains(w)),
+        s"stopword inside phrase '${r.getString(0)}'")
+      assert(r.getLong(1) >= 1L && r.getLong(2) > 0L)
+    }
+    // brute-force word scores on the raw text, then re-score the top
+    // phrase
+    val docs = Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+      .filter(_.trim.nonEmpty)
+    val phrases = docs.flatMap { t =>
+      val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      t.trim.split("\\s+").foreach { w =>
+        if (stop.contains(w)) { if (cur.nonEmpty) out += cur.reverse
+          cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out
+    }
+    val freq = phrases.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val top = rows.head
+    val want = top.getString(0).split(" ")
+      .map(w => deg(w) * 1000000L / freq(w)).sum
+    assert(top.getLong(2) === want, "top phrase score mismatch")
+  }
+
+  test("q311 ranks conserve PageRank mass and every rank respects the " +
+      "damping floor") {
+    val rows = graft.queries.CurationQueries.q311_textrank(spark, sf)
+      .collect()
+    assert(rows.length === 20)
+    rows.foreach(r => assert(r.getLong(1) >= 150000L))
+    assert(rows.map(_.getLong(1)).toSeq ===
+      rows.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
+
+  test("q312 chunks exhaust every token and match a JVM rolling-hash " +
+      "replay") {
+    import spark.implicits._
+    val rows = graft.queries.CurationQueries.q312_cdc_chunking(spark, sf)
+      .collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .filter(_._2.trim.nonEmpty)
+    val wantTok = docs.groupBy(_._1).view
+      .mapValues(_.map(_._2.trim.split("\\s+").length.toLong).sum).toMap
+    def hashWord(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cdc:$w".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1048576L
+    }
+    val wantChunks = docs.groupBy(_._1).view.mapValues(_.map {
+      case (_, t) =>
+        val hs = t.trim.split("\\s+").map(hashWord)
+        var n = 0L
+        hs.indices.dropRight(1).foreach { i =>
+          val roll = (0 until 4).map { j =>
+            val h = if (i - j >= 0) hs(i - j) else 0L
+            h * Seq.fill(j)(33L).product
+          }.sum % 1048583L
+          if (roll % 16L == 0L) n += 1L
+        }
+        n + 1L
+    }.sum).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) === wantTok(r.getString(0)),
+        s"token coverage for ${r.getString(0)}")
+      assert(r.getLong(1) === wantChunks(r.getString(0)),
+        s"chunk count for ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(5) >= 0L && r.getLong(5) < 1000000L)
+    }
+  }
 }
