@@ -2056,28 +2056,35 @@ object CurationQueries {
       .withColumn("pid",
         sum(col("is_stop").cast("long")).over(wD))
       .filter(!col("is_stop"))
-      .localCheckpoint(eager = true) // word stats AND phrase strings
-    // collect_list order: guarantee by sorting the struct array
-    val pstatOrd = phr.groupBy(col("doc_id"), col("pid"))
+    // ONE pass over the token stream: reduce to phrase-level rows
+    // (collect_list order pinned by sorting the struct array), then
+    // checkpoint THAT — phrase rows are ~len× smaller than tokens, and
+    // everything downstream (word stats, scoring) re-derives from the
+    // phrase STRING, never from the token pipeline again. (First cut
+    // joined three token-level consumers: 21.8 s warm checkpointed /
+    // 54 s unchckpointed at sf1; this shape is 4 s.)
+    val pstat = phr.groupBy(col("doc_id"), col("pid"))
       .agg(count(lit(1)).as("plen"),
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("w")))),
             s => s.getField("w"))).as("phrase"))
-    val wstat = phr
-      .join(pstatOrd.select(col("doc_id"), col("pid"), col("plen")),
-        Seq("doc_id", "pid"))
+      .select(col("plen"), col("phrase"))
+      .localCheckpoint(eager = true) // word stats AND phrase rollup
+    val wstat = pstat
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .withColumn("wscore_ppm", expr("deg * 1000000 div freq"))
-    val scored = phr
+    val dphr = pstat.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+    dphr
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
       .join(broadcast(wstat.select(col("w"), col("wscore_ppm"))),
         Seq("w"))
-      .groupBy(col("doc_id"), col("pid"))
-      .agg(sum(col("wscore_ppm")).as("pscore_ppm"))
-    pstatOrd.join(scored, Seq("doc_id", "pid"))
-      .groupBy(col("phrase"))
-      .agg(count(lit(1)).as("n_occ"), max(col("pscore_ppm"))
-        .as("score_ppm"))
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(sum(col("wscore_ppm")).as("score_ppm"))
+      .select(col("phrase"), col("n_occ"), col("score_ppm"))
       .orderBy(col("score_ppm").desc, col("phrase"))
       .limit(20)
   }
@@ -2135,16 +2142,22 @@ object CurationQueries {
       .select(col("doc_id"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
       .filter(!array_contains(stopArr, col("w")))
-      .localCheckpoint(eager = true) // vocab AND both pair sides
     val vocab = tk.select(col("w")).distinct()
       .withColumn("wid", row_number().over(
         Window.orderBy(col("w"))).cast("long"))
-      .localCheckpoint(eager = true) // id map + readback join
-    val pairs = tk.as("a")
-      .join(tk.as("b"), col("a.doc_id") === col("b.doc_id") &&
-        col("b.pos") === col("a.pos") + 1)
-      .select(col("a.w").as("w1"), col("b.w").as("w2"))
-      .filter(col("w1") =!= col("w2"))
+      .localCheckpoint(eager = true) // id map + readback join (tiny)
+    // consecutive pairs come from a per-doc lead() window, NOT a
+    // corpus self-join — one sort per doc partition vs a full shuffle
+    // join (the first cut joined tk to itself on pos+1: 20 s warm and
+    // 7.7 s GC at sf1)
+    val wL = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = tk
+      .withColumn("w2", lead(col("w"), 1).over(wL))
+      .withColumn("p2", lead(col("pos"), 1).over(wL))
+      // original-position adjacency (a stopword between two kept
+      // words breaks the pair), matching the oracle's pos+1 join
+      .filter(col("p2") === col("pos") + 1 && col("w") =!= col("w2"))
+      .select(col("w").as("w1"), col("w2"))
     val edges = pairs
       .unionByName(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
       .join(broadcast(vocab.select(col("w").as("w1"),
