@@ -2298,7 +2298,82 @@ object CurationQueries {
        |FROM chunks GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q313 — Walsh–Hadamard spectrum (the integer-exact "FFT" — WHT
+  // needs only ± butterflies, so unlike the Fourier transform its
+  // coefficients are EXACT integers any engine reproduces): per doc,
+  // synthesize the q164/q294 closed-form 64-sample signal on the
+  // executors, run the 6-level in-place butterfly in the JVM
+  // (O(n log n), per-doc local — embarrassingly parallel), and emit
+  // the DC coefficient plus 4 sequency-band energies and the total.
+  // The oracle replays the identical butterfly as 6 unrolled CTE
+  // levels with partner index i XOR len — a green row proves the
+  // transform level-by-level. Spec checks Parseval (Σc² = n·Σx²).
+  // -------------------------------------------------------------------
+  private val WhtN = 64
+
+  def q313_wht_spectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val x = Array.tabulate[Long](WhtN)(i =>
+          (id * 31 + i * 7) % 65536 - 32768)
+        var len = 1
+        while (len < WhtN) {
+          var i = 0
+          while (i < WhtN) {
+            var j = i
+            while (j < i + len) {
+              val a = x(j); val b = x(j + len)
+              x(j) = a + b; x(j + len) = a - b
+              j += 1
+            }
+            i += 2 * len
+          }
+          len <<= 1
+        }
+        def band(b: Int): Long =
+          (b * 16 until (b + 1) * 16).map(k => x(k) * x(k)).sum
+        (id, x(0), band(0), band(1), band(2), band(3),
+          band(0) + band(1) + band(2) + band(3))
+      }
+    }.toDF("doc_id", "dc", "band0", "band1", "band2", "band3", "energy")
+      .orderBy(col("doc_id"))
+  }
+
+  val q313_sql: String = {
+    val levels = (0 until 6).map { l =>
+      val len = 1 << l
+      s"""l${l + 1} AS (
+         |  SELECT a.doc_id, a.i,
+         |    CASE WHEN (a.i & $len) = 0 THEN a.v + b.v
+         |         ELSE b.v - a.v END AS v
+         |  FROM l$l a JOIN l$l b
+         |  ON b.doc_id = a.doc_id AND b.i = xor(a.i, $len))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l0 AS (
+       |  SELECT doc_id, g.i,
+       |    (doc_id * 31 + g.i * 7) % 65536 - 32768 AS v
+       |  FROM documents, generate_series(0, ${WhtN - 1}) g(i)),
+       |$levels
+       |SELECT doc_id,
+       |  CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS dc,
+       |  CAST(SUM(CASE WHEN i < 16 THEN v * v ELSE 0 END) AS BIGINT)
+       |    AS band0,
+       |  CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN v * v ELSE 0 END)
+       |    AS BIGINT) AS band1,
+       |  CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN v * v ELSE 0 END)
+       |    AS BIGINT) AS band2,
+       |  CAST(SUM(CASE WHEN i >= 48 THEN v * v ELSE 0 END) AS BIGINT)
+       |    AS band3,
+       |  CAST(SUM(v * v) AS BIGINT) AS energy
+       |FROM l6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_wht_spectrum" -> q313_wht_spectrum _,
     "q310_rake_keywords" -> q310_rake_keywords _,
     "q311_textrank" -> q311_textrank _,
     "q312_cdc_chunking" -> q312_cdc_chunking _,
@@ -2342,6 +2417,7 @@ object CurationQueries {
     "q250_curation_v2" -> q250_curation_v2 _)
 
   val oracles: Map[String, String] = Map(
+    "q313_wht_spectrum" -> q313_sql,
     "q310_rake_keywords" -> q310_sql,
     "q311_textrank" -> q311_sql,
     "q312_cdc_chunking" -> q312_sql,

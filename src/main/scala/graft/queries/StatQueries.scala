@@ -1038,7 +1038,192 @@ object StatQueries {
        |ORDER BY d""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q314 — PCSA / Flajolet–Martin distinct sketch (Flajolet & Martin
+  // 1985 — the ORIGINAL probabilistic counter, predating HLL q208 and
+  // KMV q47; its registers keep a BITMAP of observed ρ values rather
+  // than a max, which is what makes deletions-by-resketch and
+  // register-wise audits possible): 64 registers per return flag,
+  // bit ρ = trailing-zero count of the hash remainder, register-wise
+  // bit_or merge (mergeable at any fan-in — the 100 TB reduce
+  // property), R_j = lowest unset bit. The estimator m/φ·2^(S/m) is
+  // reported in its integer-floor form (2^(S div m), φ as the pinned
+  // 773510 ppm constant) next to the exact count — deliberately the
+  // coarse rung of the estimator ladder; the audit value is the
+  // register table itself. ρ and R are derived lexically from bin()
+  // (no log2), bit extraction via x & -x — portable to both engines.
+  // -------------------------------------------------------------------
+  private val PcsaM = 64L
+  private val PcsaCap = 50
+
+  def q314_pcsa_sketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("f"), col("l_partkey").as("k"))
+      .distinct()
+      .withColumn("h", Sampling.hash60("pcsa", col("k")))
+      .localCheckpoint(eager = true) // sketch AND exact consumers
+    val bits = d
+      .withColumn("reg", pmod(col("h"), lit(PcsaM)))
+      .withColumn("rest", expr(s"h div $PcsaM"))
+      .withColumn("rho", expr(
+        s"case when rest = 0 then $PcsaCap " +
+          s"else least(length(bin(rest & -rest)) - 1, $PcsaCap) end"))
+      .withColumn("bit", expr("shiftleft(1L, cast(rho as int))"))
+      .groupBy(col("f"), col("reg"))
+      .agg(expr("bit_or(bit)").as("bm"))
+    val flags = d.select(col("f")).distinct()
+    val grid = flags.crossJoin(
+      spark.range(PcsaM).select(col("id").as("reg")))
+    val regs = grid.join(bits, Seq("f", "reg"), "left_outer")
+      .na.fill(0L, Seq("bm"))
+      .withColumn("r", expr(
+        "length(bin((~bm) & (bm + 1))) - 1"))
+    val s = regs.groupBy(col("f")).agg(sum(col("r")).as("s_sum"))
+    val exact = d.groupBy(col("f"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    s.join(exact, Seq("f"))
+      .withColumn("est", expr(
+        s"$PcsaM * 1000000 div 773510 * shiftleft(1, " +
+          s"cast(s_sum div $PcsaM as int))"))
+      .withColumn("err_ppm", expr(
+        "abs(est - exact_distinct) * 1000000 div exact_distinct"))
+      .select(col("f"), col("s_sum"), col("est"),
+        col("exact_distinct"), col("err_ppm"))
+      .orderBy(col("f"))
+  }
+
+  val q314_sql: String = {
+    import graft.pipeline.Sampling
+    val h = Sampling.hash60Sql("pcsa", "k")
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_returnflag AS f, l_partkey AS k
+       |  FROM lineitem),
+       |hh AS (SELECT f, k, $h AS h FROM d),
+       |b AS (
+       |  SELECT f, h % $PcsaM AS reg,
+       |    CASE WHEN h // $PcsaM = 0 THEN $PcsaCap
+       |         ELSE LEAST(length(bin((h // $PcsaM) & -(h // $PcsaM)))
+       |           - 1, $PcsaCap) END AS rho
+       |  FROM hh),
+       |bm AS (
+       |  SELECT f, reg, bit_or(1::BIGINT << rho) AS bm
+       |  FROM b GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT fl.f, g.reg FROM (SELECT DISTINCT f FROM d) fl,
+       |    generate_series(0, ${PcsaM - 1}) g(reg)),
+       |regs AS (
+       |  SELECT grid.f,
+       |    length(bin((~COALESCE(bm.bm, 0)) & (COALESCE(bm.bm, 0) + 1)))
+       |      - 1 AS r
+       |  FROM grid LEFT JOIN bm ON bm.f = grid.f AND bm.reg = grid.reg),
+       |s AS (SELECT f, SUM(r) AS s_sum FROM regs GROUP BY 1),
+       |ex AS (SELECT f, COUNT(*) AS exact_distinct FROM d GROUP BY 1)
+       |SELECT s.f, CAST(s_sum AS BIGINT) AS s_sum,
+       |  CAST($PcsaM * 1000000 // 773510
+       |    * (1::BIGINT << CAST(s_sum // $PcsaM AS INT))
+       |    AS BIGINT) AS est,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs($PcsaM * 1000000 // 773510
+       |      * (1::BIGINT << CAST(s_sum // $PcsaM AS INT))
+       |      - exact_distinct) * 1000000 // exact_distinct AS BIGINT)
+       |    AS err_ppm
+       |FROM s JOIN ex ON s.f = ex.f
+       |ORDER BY s.f""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q315 — Poisson-bootstrap confidence interval (Chamandy et al.
+  // 2012, the at-scale bootstrap: instead of resampling n rows B
+  // times — impossible on 100 TB — each row gets B independent
+  // Poisson(1) weights, so all B replicas ride ONE pass with map-side
+  // combine). Weights are deterministic: hash60(event·B+j) mod 10⁶
+  // against the pinned Poisson(1) CDF ppm thresholds (367879/735759/
+  // 919699/981012, cap 4). Per event type: the point mean and the
+  // [3rd, 62nd]-of-64 replica-mean band (≈90% CI) in exact cents.
+  // Replica state is types×64 rows; the window that ranks replicas is
+  // 64 rows per partition.
+  // -------------------------------------------------------------------
+  private val BootReps = 64L
+
+  def q315_poisson_bootstrap(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.pipeline.Sampling
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("x"))
+      .localCheckpoint(eager = true) // point mean AND replicas
+    val reps = ev
+      .withColumn("j", explode(sequence(lit(0L), lit(BootReps - 1L))))
+      .withColumn("u", pmod(Sampling.hash60("boot",
+        col("event_id") * BootReps + col("j")), lit(1000000L)))
+      .withColumn("w", when(col("u") < 367879L, 0L)
+        .when(col("u") < 735759L, 1L)
+        .when(col("u") < 919699L, 2L)
+        .when(col("u") < 981012L, 3L).otherwise(4L))
+      .groupBy(col("event_type"), col("j"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("rep_mean", expr("swx div sw"))
+    val wR = Window.partitionBy(col("event_type"))
+      .orderBy(col("rep_mean"), col("j"))
+    val band = reps.withColumn("rn", row_number().over(wR))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("rn") === 3, col("rep_mean"))).as("boot_lo"),
+        max(when(col("rn") === 62, col("rep_mean"))).as("boot_hi"))
+    val point = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("sum(x) div count(1)").as("mean_cents"))
+    point.join(band, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("mean_cents"),
+        col("n_reps"), col("boot_lo"), col("boot_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val q315_sql: String = {
+    import graft.pipeline.Sampling
+    val h = Sampling.hash60Sql("boot", s"event_id * $BootReps + j")
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+       |  FROM events),
+       |reps AS (
+       |  SELECT event_type, j,
+       |    CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+       |      AS rep_mean
+       |  FROM (
+       |    SELECT event_type, x, t.j,
+       |      CASE WHEN ($h) % 1000000 < 367879 THEN 0
+       |           WHEN ($h) % 1000000 < 735759 THEN 1
+       |           WHEN ($h) % 1000000 < 919699 THEN 2
+       |           WHEN ($h) % 1000000 < 981012 THEN 3
+       |           ELSE 4 END AS w
+       |    FROM ev, generate_series(0, ${BootReps - 1}) t(j))
+       |  GROUP BY 1, 2 HAVING SUM(w) > 0),
+       |band AS (
+       |  SELECT event_type, COUNT(*) AS n_reps,
+       |    MAX(CASE WHEN rn = 3 THEN rep_mean END) AS boot_lo,
+       |    MAX(CASE WHEN rn = 62 THEN rep_mean END) AS boot_hi
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |          ORDER BY rep_mean, j) AS rn FROM reps)
+       |  GROUP BY 1),
+       |pt AS (
+       |  SELECT event_type, COUNT(*) AS n_events,
+       |    CAST(SUM(x) AS BIGINT) // COUNT(*) AS mean_cents
+       |  FROM ev GROUP BY 1)
+       |SELECT pt.event_type, CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(mean_cents AS BIGINT) AS mean_cents,
+       |  CAST(n_reps AS BIGINT) AS n_reps,
+       |  CAST(boot_lo AS BIGINT) AS boot_lo,
+       |  CAST(boot_hi AS BIGINT) AS boot_hi
+       |FROM pt JOIN band USING (event_type)
+       |ORDER BY pt.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_pcsa_sketch" -> q314_pcsa_sketch _,
+    "q315_poisson_bootstrap" -> q315_poisson_bootstrap _,
     "q295_kmv_setops" -> q295_kmv_setops _,
     "q298_ols_regression" -> q298_ols_regression _,
     "q299_mann_whitney" -> q299_mann_whitney _,
@@ -1053,6 +1238,8 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q314_pcsa_sketch" -> q314_sql,
+    "q315_poisson_bootstrap" -> q315_sql,
     "q295_kmv_setops" -> q295_sql,
     "q298_ols_regression" -> q298_sql,
     "q299_mann_whitney" -> q299_sql,

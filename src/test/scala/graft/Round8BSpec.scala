@@ -448,4 +448,58 @@ class Round8BSpec extends SparkSpec {
       assert(r.getLong(5) >= 0L && r.getLong(5) < 1000000L)
     }
   }
+
+  test("q313 WHT satisfies Parseval (sum c^2 = n sum x^2) and dc is " +
+      "the sample sum") {
+    val rows = graft.queries.CurationQueries.q313_wht_spectrum(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val x = Array.tabulate[Long](64)(i =>
+        (id * 31 + i * 7) % 65536 - 32768)
+      assert(r.getLong(1) === x.sum, s"dc for doc $id")
+      assert(r.getLong(6) === 64L * x.map(v => v * v).sum,
+        s"Parseval for doc $id")
+    }
+  }
+
+  test("q314 register sum matches a JVM sketch replay and the " +
+      "log2-floor estimator stays within its coarse band") {
+    import spark.implicits._
+    val rows = StatQueries.q314_pcsa_sketch(spark, sf).collect()
+    val keys = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .as[(String, Long)].collect()
+    rows.foreach { r =>
+      val hs = keys.filter(_._1 == r.getString(0))
+        .map(k => Sampling.hash60Jvm("pcsa", k._2))
+      val bm = Array.fill(64)(0L)
+      hs.foreach { h =>
+        val reg = (h % 64).toInt; val rest = h / 64
+        val rho = if (rest == 0) 50
+          else math.min(java.lang.Long.numberOfTrailingZeros(rest), 50)
+        bm(reg) |= 1L << rho
+      }
+      val sSum = bm.map { b =>
+        var i = 0; while ((b & (1L << i)) != 0) i += 1; i.toLong
+      }.sum
+      assert(r.getLong(1) === sSum, s"S for ${r.getString(0)}")
+      // floor-of-exponent estimator: within [exact/2.6, 2.6x exact]
+      val (est, exact) = (r.getLong(2), r.getLong(3))
+      assert(est > 0 && est < exact * 3 && exact < est * 3,
+        s"estimator out of coarse band: est=$est exact=$exact")
+    }
+  }
+
+  test("q315 bootstrap band brackets the point mean with 64 replicas") {
+    val rows = StatQueries.q315_poisson_bootstrap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) === 64L, "replica count")
+      assert(r.getLong(4) <= r.getLong(5), "band inverted")
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(2) <= r.getLong(5),
+        s"point mean outside the 90% band for ${r.getString(0)}")
+    }
+  }
 }
