@@ -1327,7 +1327,97 @@ object MetricQueries {
       |FROM v CROSS JOIN pp
       |ORDER BY variant""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q318 — Kaplan–Meier survival curve (1958) of user lifetimes: a
+  // user is "born" on their first event day, "dies" on their last
+  // (users still active on the global last day are right-censored,
+  // the definitional KM distinction). The product-limit estimator
+  // S(t) = Π(1 − d_i/n_i) is inherently sequential, but its INPUT
+  // reduces to one calendar-bounded day table (births/ends per day +
+  // two running sums), so the recurrence runs on ≤ a few hundred
+  // driver rows (loudly guarded) with integer-ppm flooring that the
+  // oracle's RECURSIVE CTE replays step for step. The corpus-sized
+  // work is exactly two hash aggs.
+  // ---------------------------------------------------------------------
+  private val KmMaxDays = 512
+
+  def q318_kaplan_meier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      .localCheckpoint(eager = true) // births, ends, censor boundary
+    val mx = spans.agg(max(col("ld")).as("mxd"))
+    val births = spans.groupBy(col("fd").as("day"))
+      .agg(count(lit(1)).as("b"))
+    val ends = spans.crossJoin(broadcast(mx))
+      .groupBy(col("ld").as("day"))
+      .agg(count(lit(1)).as("e"),
+        sum(when(col("ld") < col("mxd"), 1L).otherwise(0L)).as("d"))
+    val cells = births.join(ends, Seq("day"), "full_outer")
+      .na.fill(0L, Seq("b", "e", "d"))
+      .orderBy(col("day"))
+      .collect()
+    require(cells.length <= KmMaxDays,
+      s"q318: ${cells.length} day cells exceed the $KmMaxDays driver " +
+        "bound — the KM recurrence input must stay calendar-sized")
+    var (alive, s) = (0L, 1000000L)
+    val rows = cells.map { r =>
+      val (day, b, e, d) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      alive += b // at-risk set entering the day includes today's births
+      val nRisk = alive
+      if (nRisk > 0) s = s * (nRisk - d) / nRisk
+      alive -= e
+      (day, nRisk, d, s)
+    }.toSeq
+    rows.toDF("day", "n_risk", "n_deaths", "s_ppm")
+      .orderBy(col("day"))
+  }
+
+  val q318_sql: String =
+    """WITH RECURSIVE spans AS (
+      |  SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS fd,
+      |    MAX(epoch_ns(ts) // 86400000000000) AS ld
+      |  FROM events GROUP BY 1),
+      |mx AS (SELECT MAX(ld) AS mxd FROM spans),
+      |births AS (SELECT fd AS day, COUNT(*) AS b FROM spans GROUP BY 1),
+      |ends AS (
+      |  SELECT ld AS day, COUNT(*) AS e,
+      |    SUM(CASE WHEN ld < mxd THEN 1 ELSE 0 END) AS d
+      |  FROM spans, mx GROUP BY 1),
+      |cells AS (
+      |  SELECT COALESCE(births.day, ends.day) AS day,
+      |    COALESCE(b, 0) AS b, COALESCE(e, 0) AS e, COALESCE(d, 0) AS d,
+      |    ROW_NUMBER() OVER (ORDER BY COALESCE(births.day, ends.day))
+      |      AS rn
+      |  FROM births FULL OUTER JOIN ends ON births.day = ends.day),
+      |cum AS (
+      |  SELECT day, d, rn,
+      |    SUM(b) OVER (ORDER BY rn) -
+      |      COALESCE(SUM(e) OVER (ORDER BY rn
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_risk
+      |  FROM cells),
+      |km AS (
+      |  SELECT rn, day, n_risk, d,
+      |    CASE WHEN n_risk > 0
+      |      THEN (n_risk - d) * 1000000 // n_risk
+      |      ELSE 1000000 END AS s
+      |  FROM cum WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.rn, c.day, c.n_risk, c.d,
+      |    CASE WHEN c.n_risk > 0
+      |      THEN km.s * (c.n_risk - c.d) // c.n_risk
+      |      ELSE km.s END
+      |  FROM km JOIN cum c ON c.rn = km.rn + 1)
+      |SELECT day, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS n_deaths, CAST(s AS BIGINT) AS s_ppm
+      |FROM km ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_kaplan_meier" -> q318_kaplan_meier _,
     "q307_haar_synopsis" -> q307_haar_synopsis _,
     "q308_theil_sen" -> q308_theil_sen _,
     "q309_cuped_readout" -> q309_cuped_readout _,
@@ -1348,6 +1438,7 @@ object MetricQueries {
     "q249_session_lift" -> q249_session_lift _)
 
   val oracles: Map[String, String] = Map(
+    "q318_kaplan_meier" -> q318_sql,
     "q307_haar_synopsis" -> q307_sql,
     "q308_theil_sen" -> q308_sql,
     "q309_cuped_readout" -> q309_sql,

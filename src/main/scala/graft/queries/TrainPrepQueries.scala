@@ -500,7 +500,171 @@ object TrainPrepQueries {
        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q316 — exact dimension covariance/correlation of the embedding
+  // space (the PCA-prep pass): over the 16-dim MRL prefix (q132's
+  // discipline — prefixes are valid embeddings), quantized to exact
+  // integers, every (i≤j) pair's raw second moment rides ONE
+  // map-side-combinable hash agg of 136 cells — the Gram-matrix shape
+  // that scales to any corpus because state is dims², never rows.
+  // Correlation in ppm uses the exact integer isqrt (q283) on the
+  // centered second moments: r = num/(√dx·√dy), sign-magnitude floors.
+  // Output: all 136 pairs with covariance numerator sign and corr_ppm.
+  // ---------------------------------------------------------------------
+  private val CovDims = 16
+
+  def q316_dim_covariance(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).select(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000.0).cast("long")).as("q"))
+    val cells = q.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${CovDims - 1}), i ->
+         |  transform(sequence(i, ${CovDims - 1}), j ->
+         |    struct(i, j, q[i] as qi, q[j] as qj))))""".stripMargin))
+      .as("c"))
+      .select(col("c.i"), col("c.j"), col("c.qi"), col("c.qj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+        sum(col("qj")).as("sj"),
+        sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("sij"))
+    val diag = cells.filter(col("i") === col("j"))
+      .select(col("i").as("d"),
+        expr("cast(n as decimal(38,0)) * sij - " +
+          "cast(si as decimal(38,0)) * si").as("dvar"))
+    val isq = PlannerQueries.isqrtSql("cast(dvar as bigint)")
+    val sd = diag.withColumn("sd", expr(isq)).select(col("d"), col("sd"))
+    cells
+      .join(broadcast(sd.select(col("d").as("i"), col("sd").as("sdi"))),
+        Seq("i"))
+      .join(broadcast(sd.select(col("d").as("j"), col("sd").as("sdj"))),
+        Seq("j"))
+      .withColumn("num", expr(
+        "cast(n as decimal(38,0)) * sij - " +
+          "cast(si as decimal(38,0)) * sj"))
+      .withColumn("corr_ppm", expr(
+        "case when i = j then cast(1000000 as bigint) else " +
+          "cast(sign(num) * (abs(num) * 1000000 div " +
+          "(cast(sdi as decimal(38,0)) * sdj)) as bigint) end"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long")
+        .as("j"), col("n"), col("corr_ppm"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val q316_sql: String = {
+    val isq = PlannerQueries.isqrtSql("CAST(dvar AS BIGINT)")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS q,
+       |    generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings),
+       |p AS (SELECT * FROM e WHERE i < $CovDims),
+       |cells AS (
+       |  SELECT a.i, b.i AS j, COUNT(*) AS n,
+       |    SUM(a.q) AS si, SUM(b.q) AS sj,
+       |    CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS sij
+       |  FROM p a JOIN p b ON b.vec_id = a.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2),
+       |diag AS (
+       |  SELECT i AS d,
+       |    CAST(n AS HUGEINT) * sij - CAST(si AS HUGEINT) * si AS dvar
+       |  FROM cells WHERE i = j),
+       |sd AS (SELECT d, $isq AS sd FROM diag)
+       |SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
+       |  CAST(n AS BIGINT) AS n,
+       |  CASE WHEN c.i = c.j THEN 1000000 ELSE
+       |    CAST(sign(CAST(n AS HUGEINT) * sij
+       |        - CAST(si AS HUGEINT) * sj)
+       |      * (abs(CAST(n AS HUGEINT) * sij - CAST(si AS HUGEINT) * sj)
+       |         * 1000000
+       |         // (CAST(s1.sd AS HUGEINT) * s2.sd)) AS BIGINT) END
+       |    AS corr_ppm
+       |FROM cells c
+       |JOIN sd s1 ON s1.d = c.i
+       |JOIN sd s2 ON s2.d = c.j
+       |ORDER BY i, j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q317 — top principal direction by integer power iteration (the
+  // q136 HITS fixed-point discipline applied to the q316 covariance):
+  // 8 synchronized matvec rounds over the 16×16 centered second-
+  // moment matrix, max-normalized to ppm each round so every engine
+  // reproduces the fixed point bit-for-bit (no float norm). The
+  // matrix is dims² — matvec is a 256-row join however big the
+  // corpus. Output: dimension, eigenvector component in ppm (signed),
+  // after 8 rounds.
+  // ---------------------------------------------------------------------
+  private val PowIters = 8
+
+  def q317_power_iteration(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).select(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000.0).cast("long")).as("q"))
+    val cells = q.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${CovDims - 1}), i ->
+         |  transform(sequence(0, ${CovDims - 1}), j ->
+         |    struct(i, j, q[i] as qi, q[j] as qj))))""".stripMargin))
+      .as("c"))
+      .select(col("c.i"), col("c.j"), col("c.qi"), col("c.qj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+        sum(col("qj")).as("sj"),
+        sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("sij"))
+      .withColumn("m", expr(
+        "cast(n as decimal(38,0)) * sij - " +
+          "cast(si as decimal(38,0)) * sj"))
+      .select(col("i"), col("j"), col("m"))
+      .localCheckpoint(eager = true) // 256 rows, 8 matvec rounds
+    var v = spark.range(CovDims).select(col("id").cast("int").as("i"),
+      lit(1000000L).as("v"))
+    for (_ <- 1 to PowIters) {
+      val mv = cells.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr("m * v")).as("w"))
+      val mx = mv.agg(max(abs(col("w"))).as("mx"))
+      v = mv.crossJoin(broadcast(mx))
+        .withColumn("v", expr(
+          "cast(sign(w) * (abs(w) * 1000000 div mx) as bigint)"))
+        .select(col("i"), col("v"))
+    }
+    v.select(col("i").cast("long").as("dim"), col("v").as("eig_ppm"))
+      .orderBy(col("dim"))
+  }
+
+  val q317_sql: String = {
+    val steps = (1 to PowIters).map { k =>
+      s"""mv$k AS MATERIALIZED (
+         |  SELECT c.i, SUM(c.m * v.v) AS w
+         |  FROM cells c JOIN v${k - 1} v ON v.i = c.j
+         |  GROUP BY 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CAST(sign(w) * (abs(w) * 1000000
+         |    // (SELECT MAX(abs(w)) FROM mv$k)) AS BIGINT) AS v
+         |  FROM mv$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS q,
+       |    generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings),
+       |p AS (SELECT * FROM e WHERE i < $CovDims),
+       |cells AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(a.q AS HUGEINT) * b.q)
+       |      - CAST(SUM(a.q) AS HUGEINT) * SUM(b.q) AS m
+       |  FROM p a JOIN p b ON b.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS (
+       |  SELECT g.i, CAST(1000000 AS HUGEINT) AS v
+       |  FROM generate_series(0, ${CovDims - 1}) g(i)),
+       |$steps
+       |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS eig_ppm
+       |FROM v$PowIters ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_dim_covariance" -> q316_dim_covariance _,
+    "q317_power_iteration" -> q317_power_iteration _,
     "q304_gini_split" -> q304_gini_split _,
     "q305_jl_distortion" -> q305_jl_distortion _,
     "q214_length_batching" -> q214_length_batching _,
@@ -509,6 +673,8 @@ object TrainPrepQueries {
     "q291_wordpiece" -> q291_wordpiece _)
 
   val oracles: Map[String, String] = Map(
+    "q316_dim_covariance" -> q316_sql,
+    "q317_power_iteration" -> q317_sql,
     "q304_gini_split" -> q304_sql,
     "q305_jl_distortion" -> q305_sql,
     "q214_length_batching" -> q214_sql,

@@ -502,4 +502,79 @@ class Round8BSpec extends SparkSpec {
         s"point mean outside the 90% band for ${r.getString(0)}")
     }
   }
+
+  test("q316 correlations: unit diagonal, bounded magnitude, and one " +
+      "pair cross-checked in doubles") {
+    import spark.implicits._
+    val rows = graft.queries.TrainPrepQueries.q316_dim_covariance(spark, sf)
+      .collect()
+    assert(rows.length === 16 * 17 / 2)
+    rows.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getLong(3) === 1000000L))
+    rows.foreach(r => assert(math.abs(r.getLong(3)) <= 1000001L))
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding"))
+      .as[Seq[Float]].collect()
+      .map(_.take(16).map(x => math.floor(x * 1000.0)).toArray)
+    val (i, j) = (0, 1)
+    val n = vecs.length.toDouble
+    val (xi, xj) = (vecs.map(_(i)), vecs.map(_(j)))
+    val num = n * xi.zip(xj).map { case (a, b) => a * b }.sum -
+      xi.sum * xj.sum
+    val dx = n * xi.map(a => a * a).sum - xi.sum * xi.sum
+    val dy = n * xj.map(a => a * a).sum - xj.sum * xj.sum
+    val want = num / math.sqrt(dx * dy) * 1e6
+    val got = rows.find(r => r.getLong(0) == i && r.getLong(1) == j)
+      .get.getLong(3)
+    assert(math.abs(got - want) < 2000.0, s"corr(0,1): got $got want $want")
+  }
+
+  test("q317 the 8-round vector is an eigendirection of the covariance " +
+      "matrix (cosine to M*v above 0.999)") {
+    import spark.implicits._
+    val v = graft.queries.TrainPrepQueries.q317_power_iteration(spark, sf)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toDouble)
+      .sortBy(_._1).map(_._2)
+    assert(v.length === 16)
+    assert(v.map(math.abs).max === 1000000.0)
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding"))
+      .as[Seq[Float]].collect()
+      .map(_.take(16).map(x => math.floor(x * 1000.0)).toArray)
+    val n = vecs.length.toDouble
+    val m = Array.tabulate(16, 16) { (i, j) =>
+      n * vecs.map(r => r(i) * r(j)).sum -
+        vecs.map(_(i)).sum * vecs.map(_(j)).sum
+    }
+    val mv = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val cos = mv.zip(v).map { case (a, b) => a * b }.sum /
+      (math.sqrt(mv.map(a => a * a).sum) *
+        math.sqrt(v.map(a => a * a).sum))
+    assert(cos > 0.999, s"not an eigendirection: cos=$cos")
+  }
+
+  test("q318 survival is non-increasing and matches the BigInt " +
+      "product-limit replay") {
+    import spark.implicits._
+    val rows = graft.queries.MetricQueries.q318_kaplan_meier(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sliding(2).forall {
+      case Array(a, b) => b <= a
+      case _ => true
+    })
+    val spans = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 86400000000000"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).min, v.map(_._2).max)).toMap
+    val mxd = spans.values.map(_._2).max
+    var s = 1000000L
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val nRisk = spans.values.count { case (f, l) => f <= day && l >= day }
+      val d = spans.values.count { case (_, l) => l == day && l < mxd }
+      assert(r.getLong(1) === nRisk.toLong, s"n_risk at $day")
+      assert(r.getLong(2) === d.toLong, s"deaths at $day")
+      if (nRisk > 0) s = s * (nRisk - d) / nRisk
+      assert(r.getLong(3) === s, s"S at $day")
+    }
+  }
 }
