@@ -300,13 +300,65 @@ object IntegrityQueries {
       |    ELSE 0 END) AS BIGINT) AS bal_sum
       |FROM merged GROUP BY seg ORDER BY seg""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q320 — XOR-parity (RAID-5) recovery audit: every doc's content
+  // hash splits into four 32-bit data blocks (hex substrings of
+  // md5(text) — engine-portable); parity = b0⊕b1⊕b2⊕b3, and the
+  // recovery identity parity⊕b0⊕b1⊕b3 = b2 is MEASURED per doc, not
+  // assumed — n_recover_ok must equal n_docs, which pins the whole
+  // xor pipeline bit-for-bit across engines. The per-source rollup
+  // carries the parity checksum (the value a scrub job compares
+  // across replicas). Pure scan shape: per-row bit arithmetic + one
+  // hash agg.
+  // -------------------------------------------------------------------
+  def q320_xor_parity_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val blocks = Tables.documents(spark, dir).select(
+      col("source"), md5(col("text")).as("h"))
+    val withB = (0 until 4).foldLeft(blocks) { (df, j) =>
+      df.withColumn(s"b$j",
+        conv(substring(col("h"), j * 8 + 1, 8), 16, 10).cast("long"))
+    }
+    withB
+      .withColumn("parity", expr("b0 ^ b1 ^ b2 ^ b3"))
+      .withColumn("rec2", expr("parity ^ b0 ^ b1 ^ b3"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("parity")).as("parity_sum"),
+        sum(when(col("rec2") === col("b2"), 1L).otherwise(0L))
+          .as("n_recover_ok"))
+      .orderBy(col("source"))
+  }
+
+  val q320_sql: String = {
+    def b(j: Int): String =
+      s"CAST(('0x' || substr(md5(text), ${j * 8 + 1}, 8)) AS BIGINT)"
+    s"""WITH blk AS (
+       |  SELECT source, ${b(0)} AS b0, ${b(1)} AS b1, ${b(2)} AS b2,
+       |    ${b(3)} AS b3
+       |  FROM documents),
+       |p AS (
+       |  SELECT source, b2,
+       |    xor(xor(xor(b0, b1), b2), b3) AS parity,
+       |    xor(xor(xor(xor(xor(xor(b0, b1), b2), b3), b0), b1), b3)
+       |      AS rec2
+       |  FROM blk)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(parity) AS BIGINT) AS parity_sum,
+       |  CAST(SUM(CASE WHEN rec2 = b2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_recover_ok
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_xor_parity_audit" -> q320_xor_parity_audit _,
     "q211_behavior_fingerprint" -> q211_behavior_fingerprint _,
     "q212_feature_hashing" -> q212_feature_hashing _,
     "q213_merkle_diff" -> q213_merkle_diff _,
     "q293_cdc_apply" -> q293_cdc_apply _)
 
   val oracles: Map[String, String] = Map(
+    "q320_xor_parity_audit" -> q320_sql,
     "q211_behavior_fingerprint" -> q211_sql,
     "q212_feature_hashing" -> q212_sql,
     "q213_merkle_diff" -> q213_sql,

@@ -960,7 +960,84 @@ object PlannerQueries {
        |FROM probed GROUP BY grp ORDER BY grp""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q321 — equi-depth histogram audit (Piatetsky-Shapiro & Connell
+  // 1984 — the histogram planners actually keep, vs q285's equi-width
+  // strawman): exact 16-quantile boundaries from the distributed CDF
+  // (value-bucket totals → triangular offsets → within-bucket running
+  // sums, the q76/q289 shape — never a global single-task window),
+  // boundary_i = smallest value whose cumulative count reaches
+  // ⌈i·N/16⌉. Then the audit: assign every row against the 15
+  // collected boundaries (driver-bounded by construction) and measure
+  // the realized per-bucket deviation from N/16 in ppm — with heavy
+  // ties the buckets CANNOT be even, and that deviation is exactly
+  // what a planner needs to know about its own histogram.
+  // -------------------------------------------------------------------
+  private val EqdBuckets = 16L
+  private val EqdGrpWidth = 4096L
+
+  def q321_equidepth_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.orders(spark, dir).select(
+      expr("cast(floor(o_totalprice * 100) as bigint)").as("v"))
+      .localCheckpoint(eager = true) // CDF AND assignment consumers
+    val cnts = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("grp", expr(s"v div $EqdGrpWidth"))
+    val offs = graft.pipeline.Ranks.prefixOffsets(
+      cnts.groupBy(col("grp")).agg(sum(col("c")).as("gc")),
+      "grp", Seq("gc" -> "off"))
+    val wB = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cnts.withColumn("win", sum(col("c")).over(wB))
+      .join(broadcast(offs), Seq("grp"))
+      .withColumn("cum", col("off") + col("win"))
+    val tot = vals.count()
+    val bounds = cum
+      .crossJoin(broadcast(spark.range(1, EqdBuckets)
+        .select(col("id").as("i"))))
+      .filter(col("cum") >= expr(s"(i * $tot + ${EqdBuckets - 1}) " +
+        s"div $EqdBuckets"))
+      .groupBy(col("i")).agg(min(col("v")).as("b"))
+      .orderBy(col("i")).collect().map(_.getLong(1))
+    val bArr = array(bounds.map(lit(_)): _*)
+    vals
+      .withColumn("bucket",
+        size(filter(bArr, x => x < col("v"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .withColumn("dev_ppm", expr(
+        s"n_rows * 1000000 * $EqdBuckets div $tot - 1000000"))
+      .orderBy(col("bucket"))
+  }
+
+  val q321_sql: String =
+    s"""WITH vals AS (
+       |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders),
+       |tot AS (SELECT COUNT(*) AS n FROM vals),
+       |cum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+       |    SELECT v, COUNT(*) AS c FROM vals GROUP BY 1)),
+       |bounds AS (
+       |  SELECT i, MIN(v) AS b
+       |  FROM cum, generate_series(1, ${EqdBuckets - 1}) g(i), tot
+       |  WHERE cum >= (i * n + ${EqdBuckets - 1}) // $EqdBuckets
+       |  GROUP BY 1),
+       |assigned AS (
+       |  SELECT vals.v,
+       |    (SELECT COUNT(*) FROM bounds WHERE b < vals.v) AS bucket
+       |  FROM vals)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi,
+       |  CAST(COUNT(*) * 1000000 * $EqdBuckets // (SELECT n FROM tot)
+       |    - 1000000 AS BIGINT) AS dev_ppm
+       |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_equidepth_audit" -> q321_equidepth_audit _,
     "q301_encoding_audit" -> q301_encoding_audit _,
     "q303_bloom_join_audit" -> q303_bloom_join_audit _,
     "q296_range_partition_audit" -> q296_range_partition_audit _,
@@ -974,6 +1051,7 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q321_equidepth_audit" -> q321_sql,
     "q301_encoding_audit" -> q301_sql,
     "q303_bloom_join_audit" -> q303_sql,
     "q296_range_partition_audit" -> q296_sql,

@@ -722,7 +722,117 @@ object SelectQueries {
        |JOIN q ON q.q_id = cand.q_id
        |GROUP BY 1, 2, 3 ORDER BY q.q_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q319 — LSH S-curve planner audit (the banding-parameter choice
+  // behind every MinHash pipeline, Leskovec–Rajaraman–Ullman ch.3):
+  // measure the corpus's OBSERVED pair-similarity histogram (exact
+  // 2-shingle Jaccard over the consecutive-id pair sample, 16 ppm
+  // buckets), then integrate the candidate probability
+  // P(s) = 1 − (1 − s^r)^b against it for four (bands, rows) configs.
+  // The curve values are pinned integer constants computed ONCE in
+  // Scala by repeated floor-multiplication in ppm and interpolated
+  // into BOTH engines (the BenfordPpm discipline) — so the audit is
+  // exact, and the output says what each config would actually cost
+  // (expected candidates) and miss (expected true pairs above the 0.5
+  // threshold that banding fails to surface).
+  // -------------------------------------------------------------------
+  private val LshConfigs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** P(candidate | s) in ppm for banding (b, r) at similarity s ppm:
+    * 1e6 − (1e6 − s^r)^b, every power a repeated (x·y) div 1e6. */
+  private[graft] def sCurvePpm(b: Int, r: Int, sPpm: Long): Long = {
+    def powPpm(x: Long, e: Int): Long =
+      (1 to e).foldLeft(1000000L)((acc, _) => acc * x / 1000000L)
+    1000000L - powPpm(1000000L - powPpm(sPpm, r), b)
+  }
+
+  def q319_lsh_scurve_planner(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.pipeline.Dedup
+    val sh = Dedup
+      .shingleRows(Tables.documents(spark, dir), "doc_id", "text", 2)
+      .distinct()
+      .localCheckpoint(eager = true) // both sides of the pair join
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = sh
+      .join(sh.select((col("doc") - 1).as("doc"), col("shingle")),
+        Seq("doc", "shingle"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("i"))
+    val hist = sizes
+      .join(sizes.select((col("doc") - 1).as("doc"), col("n").as("nb")),
+        Seq("doc"))
+      .join(inter, Seq("doc"), "left_outer")
+      .na.fill(0L, Seq("i"))
+      .withColumn("j_ppm", expr("i * 1000000 div (n + nb - i)"))
+      .withColumn("bucket", least(expr("j_ppm div 62500"), lit(15L)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val curve = LshConfigs.flatMap { case (b, r) =>
+      (0 until 16).map { k =>
+        (b.toLong, r.toLong, k.toLong, sCurvePpm(b, r, k * 62500L + 31250L))
+      }
+    }
+    import spark.implicits._
+    val curveDf = curve.toDF("bands", "rows_per_band", "bucket", "p_ppm")
+    hist.join(broadcast(curveDf), Seq("bucket"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(sum(expr("n_pairs * p_ppm div 1000000")).as("exp_cand"),
+        sum(when(col("bucket") >= 8, col("n_pairs")).otherwise(0L))
+          .as("n_above"),
+        sum(when(col("bucket") >= 8,
+          expr("n_pairs * p_ppm div 1000000")).otherwise(0L))
+          .as("exp_tp"))
+      .withColumn("exp_miss", col("n_above") - col("exp_tp"))
+      .orderBy(col("bands"), col("rows_per_band"))
+  }
+
+  val q319_sql: String = {
+    val curveVals = LshConfigs.flatMap { case (b, r) =>
+      (0 until 16).map { k =>
+        s"($b, $r, $k, ${sCurvePpm(b, r, k * 62500L + 31250L)})"
+      }
+    }.mkString(", ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id AS doc,
+       |    unnest([t[i] || ' ' || t[i + 1]
+       |            FOR i IN generate_series(1, len(t) - 1)]) AS shingle
+       |  FROM t0 WHERE len(t) >= 2),
+       |sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON b.doc = a.doc + 1
+       |    AND b.shingle = a.shingle
+       |  GROUP BY 1),
+       |hist AS (
+       |  SELECT LEAST((COALESCE(i.i, 0) * 1000000
+       |      // (a.n + b.n - COALESCE(i.i, 0))) // 62500, 15) AS bucket,
+       |    COUNT(*) AS n_pairs
+       |  FROM sizes a JOIN sizes b ON b.doc = a.doc + 1
+       |  LEFT JOIN inter i ON i.doc = a.doc
+       |  GROUP BY 1),
+       |curve AS (
+       |  SELECT * FROM (VALUES $curveVals)
+       |    AS t(bands, rows_per_band, bucket, p_ppm))
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  CAST(SUM(n_pairs * p_ppm // 1000000) AS BIGINT) AS exp_cand,
+       |  CAST(SUM(CASE WHEN curve.bucket >= 8 THEN n_pairs ELSE 0 END)
+       |    AS BIGINT) AS n_above,
+       |  CAST(SUM(CASE WHEN curve.bucket >= 8
+       |    THEN n_pairs * p_ppm // 1000000 ELSE 0 END) AS BIGINT)
+       |    AS exp_tp,
+       |  CAST(SUM(CASE WHEN curve.bucket >= 8 THEN n_pairs ELSE 0 END)
+       |    - SUM(CASE WHEN curve.bucket >= 8
+       |      THEN n_pairs * p_ppm // 1000000 ELSE 0 END) AS BIGINT)
+       |    AS exp_miss
+       |FROM hist JOIN curve ON curve.bucket = hist.bucket
+       |GROUP BY 1, 2 ORDER BY bands, rows_per_band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_lsh_scurve_planner" -> q319_lsh_scurve_planner _,
     "q276_aho_corasick" -> q276_aho_corasick _,
     "q288_maxscore_audit" -> q288_maxscore_audit _,
     "q277_sorted_neighborhood" -> q277_sorted_neighborhood _,
@@ -733,6 +843,7 @@ object SelectQueries {
     "q282_skyline" -> q282_skyline _)
 
   val oracles: Map[String, String] = Map(
+    "q319_lsh_scurve_planner" -> q319_sql,
     "q276_aho_corasick" -> q276_sql,
     "q288_maxscore_audit" -> q288_sql,
     "q277_sorted_neighborhood" -> q277_sql,

@@ -577,4 +577,53 @@ class Round8BSpec extends SparkSpec {
       assert(r.getLong(3) === s, s"S at $day")
     }
   }
+
+  test("q319 S-curve: more bands always means more expected candidates " +
+      "and tp is bounded by the above-threshold mass") {
+    val rows = graft.queries.SelectQueries
+      .q319_lsh_scurve_planner(spark, sf).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "exp_tp > n_above")
+      assert(r.getLong(2) >= r.getLong(4), "exp_cand < exp_tp")
+      assert(r.getLong(5) === r.getLong(3) - r.getLong(4))
+    }
+    val byBands = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byBands(16L) >= byBands(8L) && byBands(8L) >= byBands(4L) &&
+      byBands(4L) >= byBands(2L),
+      "candidate volume must grow with band count")
+    // the curve constants themselves: monotone in s for every config
+    Seq((2, 8), (4, 4), (8, 2), (16, 1)).foreach { case (b, r) =>
+      val vals = (0 until 16).map(k =>
+        graft.queries.SelectQueries.sCurvePpm(b, r, k * 62500L + 31250L))
+      assert(vals.sliding(2).forall { case Seq(x, y) => y >= x },
+        s"S-curve not monotone for ($b,$r)")
+    }
+  }
+
+  test("q320 the XOR recovery identity holds for every document") {
+    val rows = graft.queries.IntegrityQueries
+      .q320_xor_parity_audit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getLong(3) === r.getLong(1),
+      s"recovery failed for some docs in ${r.getString(0)}"))
+  }
+
+  test("q321 equi-depth buckets exhaust the table and stay near the " +
+      "ideal depth") {
+    val rows = graft.queries.PlannerQueries.q321_equidepth_audit(spark, sf)
+      .collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    assert(rows.map(_.getLong(0)).toSeq ===
+      rows.map(_.getLong(0)).sorted.toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(2))
+      case _ =>
+    }
+    // near-continuous values: every bucket within 20% of N/16
+    rows.foreach(r => assert(math.abs(r.getLong(4)) < 200000L,
+      s"bucket ${r.getLong(0)} dev ${r.getLong(4)} ppm"))
+  }
 }
