@@ -831,7 +831,115 @@ object SelectQueries {
        |GROUP BY 1, 2 ORDER BY bands, rows_per_band""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q323 — Rice/Golomb postings-compression planner (Rice 1971; the
+  // gap coder Lucene/PISA reach for when varint's byte granularity
+  // wastes bits): for every phrase term's delta-gap stream, charge
+  // Rice(k) = Σ((gap−1)>>k) + n·(k+1) bits for k ∈ 0..15 and keep the
+  // cheapest k — the per-list parameter choice real index writers
+  // make. Complements q281 (which fixed the codec at LEB128): here
+  // the PLANNER picks the codec parameter, and the roll-up by chosen
+  // k shows the dial's distribution plus the bits saved vs varint and
+  // raw 64-bit postings. Scale shape: the 16× k-explode rides the
+  // postings table (the q292 discipline), the per-term argmin is a
+  // 16-row window partition, and every stage is one shuffle on the
+  // term key — exactly how a distributed index builder shards.
+  // -------------------------------------------------------------------
+  private val RiceMaxK = 15
+
+  def q323_rice_postings_planner(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = graft.pipeline.Dedup
+      .shingleRows(Tables.documents(spark, dir), "doc_id", "text", 2)
+      .toDF("doc_id", "tok")
+    // one shuffle on the term key serves both windows AND the term
+    // aggregation below (same partitioning — Catalyst reuses it); the
+    // 16 candidate parameters ride as 16 sum columns in ONE map-side-
+    // combinable hash agg instead of a 16× row explode (first cut:
+    // explode + per-term rank window + a checkpointed join, 13.5× at
+    // 10× data; this shape is ~linear)
+    val posted = toks
+      .withColumn("prev", lag(col("doc_id"), 1).over(
+        w.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      // first posting charged as id+1 so every coded value is ≥ 1
+      .withColumn("gap",
+        coalesce(col("doc_id") - col("prev"), col("doc_id") + 1))
+      .withColumn("vbytes", expr(VarintCase))
+    val kBits = (0 to RiceMaxK).map(k =>
+      sum(expr(s"shiftright(gap - 1, $k) + $k + 1")).as(s"b$k"))
+    val aggs = Seq(count(lit(1)).as("n_postings"),
+      sum(col("vbytes")).as("vbytes")) ++ kBits
+    val perTerm = posted.groupBy(col("tok"))
+      .agg(aggs.head, aggs.tail: _*)
+      // df ≥ 2 applied AFTER the agg — saves the df-count window; a
+      // df=1 term's gap is computed and discarded, which is cheaper
+      // than a second full-partition window pass
+      .filter(col("n_postings") >= 2)
+      .withColumn("rice_bits",
+        least((0 to RiceMaxK).map(k => col(s"b$k")): _*))
+      // first b_k hitting the min ⇔ smallest k among ties
+      .withColumn("k", expr((0 to RiceMaxK).map(k =>
+        s"WHEN b$k = rice_bits THEN ${k}L").mkString(
+        "CASE ", " ", " END")))
+    perTerm
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("n_postings")).as("n_postings"),
+        sum(col("rice_bits")).as("rice_bits"),
+        (sum(col("vbytes")) * 8).as("varint_bits"),
+        (sum(col("n_postings")) * 64).as("raw_bits"))
+      .withColumn("savings_x1000",
+        expr("raw_bits * 1000 div rice_bits"))
+      .orderBy(col("k"))
+  }
+
+  val q323_sql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([t[i] || ' ' || t[i + 1]
+       |            FOR i IN generate_series(1, len(t) - 1)]) AS tok
+       |  FROM t0 WHERE len(t) >= 2),
+       |posted0 AS (
+       |  SELECT tok, doc_id,
+       |    COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY tok
+       |      ORDER BY doc_id), doc_id + 1) AS gap,
+       |    COUNT(*) OVER (PARTITION BY tok) AS df
+       |  FROM toks),
+       |posted AS (
+       |  SELECT tok, gap, $VarintCase AS vbytes
+       |  FROM posted0 WHERE df >= 2),
+       |per_term AS (
+       |  SELECT tok, COUNT(*) AS n_postings, SUM(vbytes) AS vbytes
+       |  FROM posted GROUP BY 1),
+       |costs AS (
+       |  SELECT tok, k.k, SUM(((gap - 1) >> k.k) + k.k + 1)
+       |    AS rice_bits
+       |  FROM posted CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 15)) AS k) k
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT tok, k, rice_bits,
+       |    ROW_NUMBER() OVER (PARTITION BY tok
+       |      ORDER BY rice_bits, k) AS rk
+       |  FROM costs)
+       |SELECT CAST(best.k AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  CAST(SUM(pt.n_postings) AS BIGINT) AS n_postings,
+       |  CAST(SUM(best.rice_bits) AS BIGINT) AS rice_bits,
+       |  CAST(SUM(pt.vbytes) * 8 AS BIGINT) AS varint_bits,
+       |  CAST(SUM(pt.n_postings) * 64 AS BIGINT) AS raw_bits,
+       |  CAST(SUM(pt.n_postings) * 64 * 1000 // SUM(best.rice_bits)
+       |    AS BIGINT) AS savings_x1000
+       |FROM best JOIN per_term pt USING (tok)
+       |WHERE best.rk = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_rice_postings_planner" -> q323_rice_postings_planner _,
     "q319_lsh_scurve_planner" -> q319_lsh_scurve_planner _,
     "q276_aho_corasick" -> q276_aho_corasick _,
     "q288_maxscore_audit" -> q288_maxscore_audit _,
@@ -843,6 +951,7 @@ object SelectQueries {
     "q282_skyline" -> q282_skyline _)
 
   val oracles: Map[String, String] = Map(
+    "q323_rice_postings_planner" -> q323_sql,
     "q319_lsh_scurve_planner" -> q319_sql,
     "q276_aho_corasick" -> q276_sql,
     "q288_maxscore_audit" -> q288_sql,

@@ -1221,7 +1221,89 @@ object StatQueries {
        |ORDER BY pt.event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q322 — isotonic calibration via PAVA (Ayer et al. 1955; the
+  // calibration layer under every production ranking/quality score):
+  // observed purchase rate per value bucket, replaced by the closest
+  // NON-DECREASING rate curve. The corpus-sized work is ONE hash agg
+  // to ≤ 32 (bucket, n, n_pos) cells; the fit itself uses the minimax
+  // characterization fitted(i) = max_{j≤i} min_{k≥i} mean(j..k) —
+  // O(B³) on the loudly-guarded driver rows, which the oracle replays
+  // as two bounded joins (no sequential pool-merging to mirror).
+  // Because floor() commutes with min/max selection, running the
+  // minimax over ppm-FLOORED pooled means yields exactly
+  // floor(true_isotonic_fit · 10⁶) — integer-identical in both
+  // engines and still provably monotone.
+  // ---------------------------------------------------------------------
+  private val IsoBuckets = 32
+  private val IsoWidthCents = 1600L // value ∈ [0, 512) dollars
+
+  def q322_isotonic_calibration(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select(
+        least(lit(IsoBuckets - 1L),
+          expr(s"cast(floor(value * 100) as bigint) div $IsoWidthCents"))
+          .as("bucket"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .orderBy(col("bucket"))
+      .collect()
+    require(cells.length <= 2 * IsoBuckets,
+      s"q322: ${cells.length} cells exceed the bucket-bounded driver " +
+        "input — the PAVA recurrence input must stay histogram-sized")
+    val b = cells.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = b.length
+    // prefix sums → pooled ppm mean of any bucket segment [j, k]
+    val pn = b.scanLeft(0L)(_ + _._2)
+    val pp = b.scanLeft(0L)(_ + _._3)
+    def mean(j: Int, k: Int): Long =
+      (pp(k + 1) - pp(j)) * 1000000L / (pn(k + 1) - pn(j))
+    val rows = (0 until m).map { i =>
+      val fitted = (0 to i).map { j =>
+        (i until m).map(k => mean(j, k)).min
+      }.max
+      val (bucket, n, nPos) = b(i)
+      (bucket, n, nPos, nPos * 1000000L / n, fitted)
+    }
+    rows.toDF("bucket", "n", "n_pos", "raw_ppm", "fitted_ppm")
+      .orderBy(col("bucket"))
+  }
+
+  val q322_sql: String =
+    s"""WITH b AS (
+       |  SELECT LEAST(${IsoBuckets - 1},
+       |      CAST(floor(value * 100) AS BIGINT) // $IsoWidthCents)
+       |      AS bucket,
+       |    COUNT(*) AS n,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS pos
+       |  FROM events GROUP BY 1),
+       |seg AS (
+       |  SELECT j.bucket AS jb, k.bucket AS kb,
+       |    SUM(x.n) AS sn, SUM(x.pos) AS sp
+       |  FROM b j JOIN b k ON j.bucket <= k.bucket
+       |  JOIN b x ON x.bucket BETWEEN j.bucket AND k.bucket
+       |  GROUP BY 1, 2),
+       |m AS (SELECT jb, kb, sp * 1000000 // sn AS m_ppm FROM seg),
+       |mm AS (
+       |  SELECT m.jb, i.bucket AS ib, MIN(m_ppm) AS lo
+       |  FROM m JOIN b i ON m.jb <= i.bucket AND i.bucket <= m.kb
+       |  GROUP BY 1, 2),
+       |fit AS (SELECT ib AS bucket, MAX(lo) AS fitted_ppm
+       |  FROM mm GROUP BY 1)
+       |SELECT b.bucket, CAST(n AS BIGINT) AS n,
+       |  CAST(pos AS BIGINT) AS n_pos,
+       |  CAST(pos * 1000000 // n AS BIGINT) AS raw_ppm,
+       |  CAST(fitted_ppm AS BIGINT) AS fitted_ppm
+       |FROM b JOIN fit USING (bucket)
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_isotonic_calibration" -> q322_isotonic_calibration _,
     "q314_pcsa_sketch" -> q314_pcsa_sketch _,
     "q315_poisson_bootstrap" -> q315_poisson_bootstrap _,
     "q295_kmv_setops" -> q295_kmv_setops _,
@@ -1238,6 +1320,7 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q322_isotonic_calibration" -> q322_sql,
     "q314_pcsa_sketch" -> q314_sql,
     "q315_poisson_bootstrap" -> q315_sql,
     "q295_kmv_setops" -> q295_sql,

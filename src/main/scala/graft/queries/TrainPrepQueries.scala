@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.TextAnalysis
+import graft.pipeline.{Sampling, TextAnalysis}
 
 /** Training-prep and evaluation operators: length-bucketed batch
   * packing (padding-waste audit), exposure/time-weighted averages,
@@ -662,7 +662,94 @@ object TrainPrepQueries {
        |FROM v$PowIters ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q324 — epoch-reshuffle decorrelation audit: every training run
+  // re-orders the corpus per epoch by a salted hash (the distributed
+  // stand-in for Fisher–Yates — sort by hash60("epochE", id) IS a
+  // uniform permutation), and this audit measures whether consecutive
+  // epochs actually decorrelate: (a) adjacency retention — how many
+  // docs keep the SAME successor across two epochs (expect ~0; stuck
+  // adjacency means repeated co-occurrence bias in every batch), and
+  // (b) mean rank displacement vs the n²/3 random-permutation
+  // expectation (disp_ratio_ppm ≈ 10⁶ when well mixed). Global ranks
+  // are range-partition + partition-local sort + zipWithIndex (the
+  // suffix-array discipline — a distributed sort, never a one-task
+  // window); successors come from an equi-join on rank+1. The |Δrank|
+  // sum is promoted to DECIMAL(38) before the ×3·10⁶ scale — at 10⁹
+  // docs the product overflows int64 two decades before the sum does.
+  // ---------------------------------------------------------------------
+  def q324_epoch_shuffle_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def ranks(e: Int): DataFrame = {
+      val sorted = docs
+        .withColumn("h", Sampling.hash60(s"epoch$e", col("doc_id")))
+        .repartitionByRange(32, col("h"), col("doc_id"))
+        .sortWithinPartitions(col("h"), col("doc_id"))
+        .select(col("doc_id"))
+      spark.createDataFrame(sorted.as[Long].rdd.zipWithIndex()
+          .map { case (d, i) => (d, i + 1L) })
+        .toDF("doc_id", "r")
+        .localCheckpoint(eager = true) // rank join + successor join
+    }
+    def succ(r: DataFrame): DataFrame =
+      r.join(r.select((col("r") - 1).as("r"),
+          col("doc_id").as("succ_doc")), Seq("r"))
+        .select(col("doc_id"), col("succ_doc"))
+    val rs = (1 to 3).map(ranks)
+    val ss = rs.map(succ)
+    val pairs = Seq((0, 1), (1, 2), (0, 2))
+    pairs.map { case (a, bIdx) =>
+      val disp = rs(a).join(
+          rs(bIdx).select(col("doc_id"), col("r").as("r2")),
+          Seq("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("r") - col("r2")).cast("decimal(38,0)"))
+            .as("sd"))
+      val adj = ss(a).join(
+          ss(bIdx).select(col("doc_id"),
+            col("succ_doc").as("succ2")), Seq("doc_id"))
+        .agg(sum(when(col("succ_doc") === col("succ2"), 1L)
+          .otherwise(0L)).as("adj_retained"))
+      disp.crossJoin(adj)
+        .select(lit(s"epoch${a + 1}->epoch${bIdx + 1}").as("pair"),
+          col("n"),
+          coalesce(col("adj_retained"), lit(0L)).as("adj_retained"),
+          expr("cast(sd * 3000000 div (cast(n as decimal(38,0)) * n)" +
+            " as bigint)").as("disp_ratio_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("pair"))
+  }
+
+  val q324_sql: String = {
+    def h(e: Int) = Sampling.hash60Sql(s"epoch$e", "doc_id")
+    val epochs = (1 to 3).map { e =>
+      s"""r$e AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY ${h(e)}, doc_id) AS r
+         |  FROM documents),
+         |s$e AS (
+         |  SELECT a.doc_id, b.doc_id AS succ_doc
+         |  FROM r$e a JOIN r$e b ON b.r = a.r + 1)""".stripMargin
+    }.mkString(",\n")
+    val pairs = Seq((1, 2), (2, 3), (1, 3)).map { case (a, b) =>
+      s"""SELECT 'epoch$a->epoch$b' AS pair,
+         |  CAST((SELECT COUNT(*) FROM r$a) AS BIGINT) AS n,
+         |  CAST(COALESCE((SELECT COUNT(*) FROM s$a JOIN s$b
+         |    ON s$a.doc_id = s$b.doc_id
+         |    AND s$a.succ_doc = s$b.succ_doc), 0) AS BIGINT)
+         |    AS adj_retained,
+         |  CAST((SELECT CAST(SUM(ABS(x.r - y.r)) AS HUGEINT) * 3000000
+         |      // (CAST(COUNT(*) AS HUGEINT) * COUNT(*))
+         |    FROM r$a x JOIN r$b y ON x.doc_id = y.doc_id) AS BIGINT)
+         |    AS disp_ratio_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $epochs\n$pairs\nORDER BY pair"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_epoch_shuffle_audit" -> q324_epoch_shuffle_audit _,
     "q316_dim_covariance" -> q316_dim_covariance _,
     "q317_power_iteration" -> q317_power_iteration _,
     "q304_gini_split" -> q304_gini_split _,
@@ -673,6 +760,7 @@ object TrainPrepQueries {
     "q291_wordpiece" -> q291_wordpiece _)
 
   val oracles: Map[String, String] = Map(
+    "q324_epoch_shuffle_audit" -> q324_sql,
     "q316_dim_covariance" -> q316_sql,
     "q317_power_iteration" -> q317_sql,
     "q304_gini_split" -> q304_sql,
