@@ -2516,7 +2516,143 @@ object QualityQueries {
       |FROM r
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q326 — stupid-backoff trigram LM scoring (Brants et al. 2007,
+  // "Large Language Models in Machine Translation" — the LM that
+  // drops Kneser–Ney's normalization precisely so it can be computed
+  // with counts alone at web scale): an 80/20 hash split holds out
+  // eval docs, the trigram/bigram/unigram count tables come from the
+  // TRAIN side only (three hash aggs — the whole "training"), and
+  // each eval trigram position scores
+  //   S = c₃/c₁₂  →  0.4·c₂₃/c₂  →  0.16·c₁/N  →  0 (OOV),
+  // all in single-floor integer ppm (0.4 = ×400000, 0.16 = ×160000 —
+  // the pinned-rational discipline; no log, no float). Held-out
+  // scoring is what makes backoff REAL — scored against its own
+  // training corpus every trigram is a hit. Count tables are
+  // independent scan+explode+agg pipelines over per-doc n-gram
+  // arrays (never a materialized token-level table); scoring is five
+  // equi-joins on count keys, the distributed-LM-scoring shape.
+  // Output per eval doc: positions scored, hits per backoff level,
+  // and the floor-exact mean score.
+  // ---------------------------------------------------------------------
+  def q326_stupid_backoff(spark: SparkSession, dir: String)
+      : DataFrame = {
+    // n-grams WITH multiplicity as per-doc array transforms — four
+    // independent scan+explode+agg pipelines instead of one
+    // checkpointed token-level window table (first cut lead()-window
+    // + localCheckpoint: 42 s warm at sf1, the q310 token-level-
+    // materialization trap; parquet rescans are cheaper)
+    def grams(tk: org.apache.spark.sql.Column, n: Int)
+        : org.apache.spark.sql.Column =
+      when(size(tk) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .withColumn("is_train",
+        pmod(Sampling.hash60("lm", col("doc_id")), lit(100L)) < 80)
+    val train = docs.filter(col("is_train"))
+    val uni = train.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = train.select(explode(grams(col("tk"), 2)).as("g2"))
+      .groupBy(col("g2")).agg(count(lit(1)).as("c12"))
+    val tri = train.select(explode(grams(col("tk"), 3)).as("g3"))
+      .groupBy(col("g3")).agg(count(lit(1)).as("c3"))
+    val n = uni.agg(sum(col("c1")).as("n_train"))
+    val scored = docs.filter(!col("is_train"))
+      .select(col("doc_id"), explode(grams(col("tk"), 3)).as("g3"))
+      .withColumn("p", split(col("g3"), " "))
+      .select(col("doc_id"), col("g3"),
+        concat_ws(" ", col("p").getItem(0), col("p").getItem(1))
+          .as("g2a"),
+        concat_ws(" ", col("p").getItem(1), col("p").getItem(2))
+          .as("g2b"),
+        col("p").getItem(1).as("w2k"), col("p").getItem(2).as("w3k"))
+      .join(tri, Seq("g3"), "left_outer")
+      .join(bi.select(col("g2").as("g2a"), col("c12")),
+        Seq("g2a"), "left_outer")
+      .join(bi.select(col("g2").as("g2b"), col("c12").as("c23")),
+        Seq("g2b"), "left_outer")
+      .join(uni.select(col("w").as("w2k"), col("c1").as("c2")),
+        Seq("w2k"), "left_outer")
+      .join(uni.select(col("w").as("w3k"), col("c1").as("c3u")),
+        Seq("w3k"), "left_outer")
+      .crossJoin(broadcast(n))
+      .withColumn("s", expr(
+        """CASE WHEN c3 IS NOT NULL THEN c3 * 1000000 div c12
+          |  WHEN c23 IS NOT NULL THEN c23 * 400000 div c2
+          |  WHEN c3u IS NOT NULL THEN c3u * 160000 div n_train
+          |  ELSE 0 END""".stripMargin))
+      .withColumn("lvl", expr(
+        """CASE WHEN c3 IS NOT NULL THEN 3
+          |  WHEN c23 IS NOT NULL THEN 2
+          |  WHEN c3u IS NOT NULL THEN 1 ELSE 0 END""".stripMargin))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        expr("sum(s) div count(1)").as("mean_s_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q326_sql: String = {
+    val h = Sampling.hash60Sql("lm", "doc_id")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+       |    ($h % 100) < 80 AS is_train
+       |  FROM documents WHERE trim(text) <> ''),
+       |p0 AS (
+       |  SELECT doc_id, is_train, tk,
+       |    unnest(generate_series(1, len(tk))) AS i
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, is_train, tk[i] AS w1,
+       |    CASE WHEN i + 1 <= len(tk) THEN tk[i + 1] END AS w2,
+       |    CASE WHEN i + 2 <= len(tk) THEN tk[i + 2] END AS w3
+       |  FROM p0),
+       |uni AS (SELECT w1 AS w, COUNT(*) AS c1 FROM g
+       |  WHERE is_train GROUP BY 1),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM g
+       |  WHERE is_train AND w2 IS NOT NULL GROUP BY 1, 2),
+       |tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM g
+       |  WHERE is_train AND w3 IS NOT NULL GROUP BY 1, 2, 3),
+       |n AS (SELECT COUNT(*) AS n_train FROM g WHERE is_train),
+       |scored AS (
+       |  SELECT g.doc_id,
+       |    CASE WHEN tri.c3 IS NOT NULL
+       |        THEN tri.c3 * 1000000 // bi.c12
+       |      WHEN b23.c12 IS NOT NULL
+       |        THEN b23.c12 * 400000 // u2.c1
+       |      WHEN u3.c1 IS NOT NULL
+       |        THEN u3.c1 * 160000 // n.n_train
+       |      ELSE 0 END AS s,
+       |    CASE WHEN tri.c3 IS NOT NULL THEN 3
+       |      WHEN b23.c12 IS NOT NULL THEN 2
+       |      WHEN u3.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+       |  FROM g
+       |  LEFT JOIN tri ON tri.w1 = g.w1 AND tri.w2 = g.w2
+       |    AND tri.w3 = g.w3
+       |  LEFT JOIN bi ON bi.w1 = g.w1 AND bi.w2 = g.w2
+       |  LEFT JOIN bi b23 ON b23.w1 = g.w2 AND b23.w2 = g.w3
+       |  LEFT JOIN uni u2 ON u2.w = g.w2
+       |  LEFT JOIN uni u3 ON u3.w = g.w3
+       |  CROSS JOIN n
+       |  WHERE NOT g.is_train AND g.w3 IS NOT NULL)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tri,
+       |  CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bi,
+       |  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_uni,
+       |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_s_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_stupid_backoff" -> q326_stupid_backoff _,
     "q239_filter_bias_audit" -> q239_filter_bias_audit _,
     "q153_zorder_layout" -> q153_zorder_layout _,
     "q182_pareto_skyline" -> q182_pareto_skyline _,
@@ -2567,6 +2703,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q326_stupid_backoff" -> q326_sql,
     "q239_filter_bias_audit" -> q239_sql,
     "q153_zorder_layout" -> q153_sql,
     "q182_pareto_skyline" -> q182_sql,

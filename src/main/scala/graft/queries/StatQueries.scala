@@ -1302,7 +1302,90 @@ object StatQueries {
        |FROM b JOIN fit USING (bucket)
        |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q327 — Spearman rank correlation by source (Spearman 1904): does
+  // raw length track lexical richness per feed? ρ = 1 − 6Σd²/(n³−n)
+  // over TOTAL-ORDER ranks ((metric, doc_id) — deterministic integer
+  // ranks; with continuous-ish metrics this is standard ρ, and the
+  // tie-break rule is pinned rather than left to engine sort
+  // whims). Scale shape: ranks are NOT a per-source global window
+  // (4 sources ⇒ 4 tasks at 100 TB) — each metric's rank is the
+  // value-domain CDF offset (a running sum over the per-(source,
+  // value) totals — a bounded table) plus a within-(source, value)
+  // row_number, the q76/q114 distributed-CDF discipline. Σd² is
+  // promoted to DECIMAL(38)/HUGEINT before the ×6·10⁶ scale.
+  // ---------------------------------------------------------------------
+  def q327_spearman_by_source(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").as("x"),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .cast("long").as("y"))
+      .localCheckpoint(eager = true) // two rank pipelines
+    def rankBy(c: String, out: String): DataFrame = {
+      val tot = base.groupBy(col("source"), col(c))
+        .agg(count(lit(1)).as("n"))
+      // running sum over the VALUE-DOMAIN table — rows per source are
+      // bounded by the metric's distinct values, never by the corpus,
+      // so the per-source window is bounded serial work (the
+      // triangular-join alternative is |domain|² row touches — 8 s vs
+      // sub-second at sf1 here)
+      val off = tot.withColumn("off",
+        coalesce(sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col(c))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        .drop("n")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col(c)).orderBy(col("doc_id"))
+      base.select(col("source"), col("doc_id"), col(c))
+        .withColumn("rn", row_number().over(w))
+        .join(off, Seq("source", c))
+        .select(col("source"), col("doc_id"),
+          (col("off") + col("rn")).as(out))
+    }
+    rankBy("x", "rx").join(rankBy("y", "ry"), Seq("source", "doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast("decimal(38,0)")).as("sd2"))
+      .filter(col("n") >= 2)
+      .select(col("source"), col("n"),
+        col("sd2").cast("long").as("sum_d2"),
+        expr("cast(1000000 - sd2 * 6000000 div" +
+          " (cast(n as decimal(38,0)) * n * n - n) as bigint)")
+          .as("rho_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q327_sql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id, n_chars AS x,
+      |    CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct(
+      |      regexp_split_to_array(trim(text), '\s+'))) END AS y
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY x, doc_id) AS rx,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY y, doc_id) AS ry
+      |  FROM base),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM((rx - ry) * (rx - ry)) AS HUGEINT) AS sd2
+      |  FROM r GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  CAST(sd2 AS BIGINT) AS sum_d2,
+      |  CAST(1000000 - sd2 * 6000000
+      |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_ppm
+      |FROM agg WHERE n >= 2
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_spearman_by_source" -> q327_spearman_by_source _,
     "q322_isotonic_calibration" -> q322_isotonic_calibration _,
     "q314_pcsa_sketch" -> q314_pcsa_sketch _,
     "q315_poisson_bootstrap" -> q315_poisson_bootstrap _,
@@ -1320,6 +1403,7 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q327_spearman_by_source" -> q327_sql,
     "q322_isotonic_calibration" -> q322_sql,
     "q314_pcsa_sketch" -> q314_sql,
     "q315_poisson_bootstrap" -> q315_sql,

@@ -748,7 +748,95 @@ object TrainPrepQueries {
     s"WITH $epochs\n$pairs\nORDER BY pair"
   }
 
+  // ---------------------------------------------------------------------
+  // q325 — group-aware k-fold split + leakage audit: the split
+  // discipline behind every honest eval — near-identical documents
+  // must land in the SAME fold, or the held-out fold is contaminated
+  // by train-fold twins. Clusters are leading-8-token fingerprints
+  // (the template/boilerplate grouping from the dup-source matrix);
+  // the group split folds by hash60 of the CLUSTER key, the naive
+  // counterfactual folds by doc id. Per fold: docs, clusters, and the
+  // number of multi-doc clusters that SPAN folds under each policy —
+  // measured, not asserted, for both (group ≡ 0 by construction; the
+  // naive column is the leak you ship if you split by row). Scale
+  // shape: one fingerprint groupBy + two ≤(clusters × folds) aggs —
+  // nothing all-pairs.
+  // ---------------------------------------------------------------------
+  private val KFolds = 5L
+
+  def q325_group_kfold_leakage(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(
+          TextAnalysis.tokens(lower(col("text"))), 1, 8))).as("fp"))
+      .withColumn("fold_g",
+        pmod(Sampling.hash60("fold", col("fp")), lit(KFolds)))
+      .withColumn("fold_d",
+        pmod(Sampling.hash60("fold", col("doc_id")), lit(KFolds)))
+      .localCheckpoint(eager = true) // fold sizes + both leak audits
+    val sizes = docs.groupBy(col("fold_g").as("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_clusters"))
+    // a cluster leaks under a policy iff it spans ≥ 2 folds; charge it
+    // to EVERY fold it touches (each fold's eval set is contaminated)
+    def leaks(foldCol: String, out: String): DataFrame = {
+      val perCl = docs.groupBy(col("fp"))
+        .agg(countDistinct(col(foldCol)).as("nf"))
+      docs.select(col("fp"), col(foldCol).as("fold")).distinct()
+        .join(perCl.filter(col("nf") >= 2), Seq("fp"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as(out))
+    }
+    sizes
+      .join(leaks("fold_g", "leak_group"), Seq("fold"), "left_outer")
+      .join(leaks("fold_d", "leak_naive"), Seq("fold"), "left_outer")
+      .na.fill(0L, Seq("leak_group", "leak_naive"))
+      .orderBy(col("fold"))
+  }
+
+  val q325_sql: String = {
+    val hFp = Sampling.hash60Sql("fold", "fp")
+    val hId = Sampling.hash60Sql("fold", "doc_id")
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(array_to_string(
+       |    (regexp_split_to_array(trim(lower(text)), '\\s+'))[1:8],
+       |    ' ')) AS fp
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, fp,
+       |    ((${hFp} % $KFolds) + $KFolds) % $KFolds AS fold_g,
+       |    ((${hId} % $KFolds) + $KFolds) % $KFolds AS fold_d
+       |  FROM d),
+       |sizes AS (
+       |  SELECT fold_g AS fold, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT fp) AS n_clusters
+       |  FROM f GROUP BY 1),
+       |lg AS (
+       |  SELECT fold, COUNT(*) AS leak_group FROM (
+       |    SELECT DISTINCT fp, fold_g AS fold FROM f
+       |    WHERE fp IN (SELECT fp FROM f GROUP BY fp
+       |      HAVING COUNT(DISTINCT fold_g) >= 2))
+       |  GROUP BY 1),
+       |ld AS (
+       |  SELECT fold, COUNT(*) AS leak_naive FROM (
+       |    SELECT DISTINCT fp, fold_d AS fold FROM f
+       |    WHERE fp IN (SELECT fp FROM f GROUP BY fp
+       |      HAVING COUNT(DISTINCT fold_d) >= 2))
+       |  GROUP BY 1)
+       |SELECT CAST(sizes.fold AS BIGINT) AS fold,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(COALESCE(leak_group, 0) AS BIGINT) AS leak_group,
+       |  CAST(COALESCE(leak_naive, 0) AS BIGINT) AS leak_naive
+       |FROM sizes
+       |LEFT JOIN lg ON lg.fold = sizes.fold
+       |LEFT JOIN ld ON ld.fold = sizes.fold
+       |ORDER BY fold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_group_kfold_leakage" -> q325_group_kfold_leakage _,
     "q324_epoch_shuffle_audit" -> q324_epoch_shuffle_audit _,
     "q316_dim_covariance" -> q316_dim_covariance _,
     "q317_power_iteration" -> q317_power_iteration _,
@@ -760,6 +848,7 @@ object TrainPrepQueries {
     "q291_wordpiece" -> q291_wordpiece _)
 
   val oracles: Map[String, String] = Map(
+    "q325_group_kfold_leakage" -> q325_sql,
     "q324_epoch_shuffle_audit" -> q324_sql,
     "q316_dim_covariance" -> q316_sql,
     "q317_power_iteration" -> q317_sql,

@@ -123,4 +123,114 @@ class Round8CSpec extends SparkSpec {
     val gotPair = got.find(_._1 == "epoch1->epoch2").get
     assert(gotPair._4 === wantDisp.toLong)
   }
+
+  test("q325 group split never leaks; naive split mirror matches") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def hash60s(salt: String, s: String): Long =
+      java.lang.Long.parseLong(
+        md5hex(s"$salt:$s").substring(0, 15), 16)
+    val rows = docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).take(8)
+      val fp = md5hex(toks.mkString(" "))
+      (id, fp, hash60s("fold", fp) % 5,
+        hash60s("fold", id.toString) % 5)
+    }
+    val byFp = rows.groupBy(_._2)
+    def leaksBy(sel: ((Long, String, Long, Long)) => Long)
+        : Map[Long, Long] =
+      byFp.values.filter(g => g.map(sel).distinct.length >= 2)
+        .flatMap(g => g.map(sel).distinct).groupBy(identity)
+        .map { case (f, g) => f -> g.size.toLong }
+    val want = rows.groupBy(_._3).map { case (f, g) =>
+      (f, g.length.toLong, g.map(_._2).distinct.length.toLong,
+        leaksBy(_._3).getOrElse(f, 0L), leaksBy(_._4).getOrElse(f, 0L))
+    }.toSeq.sortBy(_._1)
+    val got = TrainPrepQueries.q325_group_kfold_leakage(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    got.foreach { case (_, _, _, leakG, _) => assert(leakG === 0L) }
+    // the counterfactual must actually demonstrate leakage somewhere
+    assert(got.map(_._5).sum > 0L)
+  }
+
+  test("q326 stupid backoff matches a naive held-out mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        (id, t.trim.split("\\s+").filter(_.nonEmpty).toSeq) }
+      .filter(_._2.nonEmpty)
+    def hash60(salt: String, id: Long): Long =
+      graft.pipeline.Sampling.hash60Jvm(salt, id)
+    val (train, eval0) = docs.partition {
+      case (id, _) => hash60("lm", id) % 100 < 80 }
+    val uni = train.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val bi = train.flatMap(_._2.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val tri = train.flatMap(_._2.sliding(3).filter(_.length == 3))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val nTrain = train.map(_._2.length.toLong).sum
+    val want = eval0.filter(_._2.length >= 3).map { case (id, tk) =>
+      val scores = tk.sliding(3).filter(_.length == 3).map { t =>
+        val (w1, w2, w3) = (t(0), t(1), t(2))
+        tri.get(Seq(w1, w2, w3)) match {
+          case Some(c3) => (c3 * 1000000L / bi(Seq(w1, w2)), 3)
+          case None => bi.get(Seq(w2, w3)) match {
+            case Some(c23) => (c23 * 400000L / uni(w2), 2)
+            case None => uni.get(w3) match {
+              case Some(c1) => (c1 * 160000L / nTrain, 1)
+              case None => (0L, 0)
+            }
+          }
+        }
+      }.toSeq
+      (id, scores.length.toLong,
+        scores.count(_._2 == 3).toLong, scores.count(_._2 == 2).toLong,
+        scores.count(_._2 == 1).toLong,
+        scores.map(_._1).sum / scores.length)
+    }.sortBy(_._1)
+    val got = graft.queries.QualityQueries
+      .q326_stupid_backoff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+    // held-out scoring must actually exercise backoff levels
+    assert(got.map(_._4).sum + got.map(_._5).sum > 0L,
+      "no backoff ever fired — scoring is not held-out")
+  }
+
+  test("q327 Spearman matches a naive ranked mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).trim.split("\\s+").filter(_.nonEmpty)
+          .distinct.length.toLong))
+    val want = docs.groupBy(_._1).map { case (src, g) =>
+      val rx = g.sortBy(d => (d._3, d._2)).zipWithIndex
+        .map { case (d, i) => d._2 -> (i + 1L) }.toMap
+      val ry = g.sortBy(d => (d._4, d._2)).zipWithIndex
+        .map { case (d, i) => d._2 -> (i + 1L) }.toMap
+      val n = g.length.toLong
+      val sd2 = g.map(d => {
+        val dd = rx(d._2) - ry(d._2); dd * dd }).sum
+      (src, n, sd2,
+        (BigInt(1000000) - BigInt(sd2) * 6000000 /
+          (BigInt(n) * n * n - n)).toLong)
+    }.toSeq.filter(_._2 >= 2).sortBy(_._1)
+    val got = StatQueries.q327_spearman_by_source(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === want)
+  }
 }
