@@ -350,7 +350,148 @@ object IntegrityQueries {
        |FROM p GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q329 — Reed–Solomon RAID-6 double-erasure audit (the GF(256)
+  // P+Q scheme behind every erasure-coded object store — Plank 1997,
+  // Anvin "The mathematics of RAID-6"): each doc's md5 splits into
+  // four data blocks of four bytes; P is the XOR parity (q320's
+  // code) and Q = Σ gⁱ⊗Dᵢ over GF(256) with poly 0x11d, generator 2.
+  // The audit ERASES D₁ and D₃ and recovers both from (P, Q) via the
+  // standard algebra — D₃ = (0x0A)⁻¹⊗(B ⊕ 2⊗A), D₁ = A ⊕ D₃ —
+  // measured per doc (n_ok_double ≡ n_docs pins the whole field
+  // pipeline bit-for-bit). GF multiplies are by CONSTANTS only, so
+  // each is ONE lookup in a pinned 256-entry product table computed
+  // once in Scala and emitted into BOTH engines as array literals
+  // riding a broadcast one-row frame (the q297 array-expression
+  // discipline — no UDF, stays in codegen). Pure scan shape: per-row
+  // byte arithmetic + one hash agg per source.
+  // -------------------------------------------------------------------
+  private def gfMul(a: Int, b: Int): Int = {
+    var (x, y, r) = (a, b, 0)
+    while (y > 0) {
+      if ((y & 1) != 0) r ^= x
+      x <<= 1
+      if ((x & 0x100) != 0) x ^= 0x11d
+      y >>= 1
+    }
+    r
+  }
+  private val GfInv0A: Int =
+    (1 until 256).find(v => gfMul(0x0a, v) == 1).get
+  private def gfTable(c: Int): String =
+    (0 until 256).map(gfMul(c, _)).mkString(",")
+
+  def q329_rs_erasure_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val gf = spark.range(1).select(
+      expr(s"array(${gfTable(2)})").as("m2"),
+      expr(s"array(${gfTable(4)})").as("m4"),
+      expr(s"array(${gfTable(8)})").as("m8"),
+      expr(s"array(${gfTable(GfInv0A)})").as("mia"))
+    def mul(t: String, x: String): String =
+      s"element_at($t, ($x) + 1)"
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"))
+      .crossJoin(broadcast(gf))
+    val withPos = (0 until 4).foldLeft(base) { (df0, bp) =>
+      val df1 = (0 until 4).foldLeft(df0) { (d, i) =>
+        d.withColumn(s"d${i}_$bp", expr(
+          s"cast(conv(substr(h, ${(4 * i + bp) * 2 + 1}, 2), 16, 10)" +
+            " as int)"))
+      }
+      df1
+        .withColumn(s"p_$bp",
+          expr(s"d0_$bp ^ d1_$bp ^ d2_$bp ^ d3_$bp"))
+        .withColumn(s"q_$bp", expr(
+          s"d0_$bp ^ ${mul("m2", s"d1_$bp")} ^" +
+            s" ${mul("m4", s"d2_$bp")} ^ ${mul("m8", s"d3_$bp")}"))
+        .withColumn(s"aa_$bp", expr(s"p_$bp ^ d0_$bp ^ d2_$bp"))
+        .withColumn(s"bb_$bp",
+          expr(s"q_$bp ^ d0_$bp ^ ${mul("m4", s"d2_$bp")}"))
+        .withColumn(s"d3r_$bp",
+          expr(mul("mia", s"bb_$bp ^ ${mul("m2", s"aa_$bp")}")))
+        .withColumn(s"d1r_$bp", expr(s"aa_$bp ^ d3r_$bp"))
+        .withColumn(s"s1_$bp",
+          expr(s"p_$bp ^ d0_$bp ^ d2_$bp ^ d3_$bp"))
+    }
+    withPos
+      .withColumn("ok_s", expr((0 until 4)
+        .map(b => s"(s1_$b = d1_$b)").mkString(" AND ")))
+      .withColumn("ok_d", expr((0 until 4)
+        .map(b => s"(d1r_$b = d1_$b AND d3r_$b = d3_$b)")
+        .mkString(" AND ")))
+      .withColumn("qv", expr((0 until 4)
+        .map(b => s"q_$b").mkString(" + ")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok_s"), 1L).otherwise(0L)).as("n_ok_single"),
+        sum(when(col("ok_d"), 1L).otherwise(0L)).as("n_ok_double"),
+        sum(col("qv")).as("q_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val q329_sql: String = {
+    def mul(t: String, x: String): String = s"$t[(($x)) + 1]"
+    def xo(parts: String*): String =
+      parts.reduce((a, b) => s"xor($a, $b)")
+    def byte(i: Int, bp: Int): String =
+      s"CAST(('0x' || substr(h, ${(4 * i + bp) * 2 + 1}, 2))" +
+        " AS INTEGER)"
+    val posSelects = (0 until 4).map { bp =>
+      val (d0, d1, d2, d3) =
+        (s"d0_$bp", s"d1_$bp", s"d2_$bp", s"d3_$bp")
+      Seq(
+        (0 until 4).map(i => s"${byte(i, bp)} AS d${i}_$bp")
+          .mkString(", "),
+        s"${xo(d0, d1, d2, d3)} AS p_$bp",
+        s"${xo(d0, mul("m2", d1), mul("m4", d2), mul("m8", d3))}" +
+          s" AS q_$bp")
+    }
+    val lvl2 = (0 until 4).map { bp =>
+      Seq(s"${xo(s"p_$bp", s"d0_$bp", s"d2_$bp")} AS aa_$bp",
+        s"${xo(s"q_$bp", s"d0_$bp", mul("m4", s"d2_$bp"))} AS bb_$bp",
+        s"${xo(s"p_$bp", s"d0_$bp", s"d2_$bp", s"d3_$bp")} AS s1_$bp")
+    }
+    val lvl3 = (0 until 4).map { bp =>
+      s"${mul("mia", xo(s"bb_$bp", mul("m2", s"aa_$bp")))} AS d3r_$bp"
+    }
+    s"""WITH gf AS (
+       |  SELECT [${gfTable(2)}] AS m2, [${gfTable(4)}] AS m4,
+       |    [${gfTable(8)}] AS m8, [${gfTable(GfInv0A)}] AS mia),
+       |b0 AS (
+       |  SELECT source, m2, m4, m8, mia,
+       |    ${posSelects.map(_.head).mkString(",\n    ")}
+       |  FROM (SELECT documents.source, md5(text) AS h, m2, m4, m8,
+       |    mia FROM documents CROSS JOIN gf)),
+       |b1 AS (
+       |  SELECT *,
+       |    ${(0 until 4).flatMap(bp => posSelects(bp).tail)
+          .mkString(",\n    ")}
+       |  FROM b0),
+       |b2 AS (
+       |  SELECT *, ${lvl2.flatten.mkString(",\n    ")} FROM b1),
+       |b3 AS (
+       |  SELECT *, ${lvl3.mkString(",\n    ")} FROM b2),
+       |b4 AS (
+       |  SELECT source,
+       |    ${(0 until 4).map(b => s"(s1_$b = d1_$b)")
+          .mkString(" AND ")} AS ok_s,
+       |    ${(0 until 4)
+          .map(b => s"(xor(aa_$b, d3r_$b) = d1_$b AND" +
+            s" d3r_$b = d3_$b)").mkString(" AND ")} AS ok_d,
+       |    ${(0 until 4).map(b => s"q_$b").mkString(" + ")} AS qv
+       |  FROM b3)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN ok_s THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_ok_single,
+       |  CAST(SUM(CASE WHEN ok_d THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_ok_double,
+       |  CAST(SUM(qv) AS BIGINT) AS q_checksum
+       |FROM b4 GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_rs_erasure_audit" -> q329_rs_erasure_audit _,
     "q320_xor_parity_audit" -> q320_xor_parity_audit _,
     "q211_behavior_fingerprint" -> q211_behavior_fingerprint _,
     "q212_feature_hashing" -> q212_feature_hashing _,
@@ -358,6 +499,7 @@ object IntegrityQueries {
     "q293_cdc_apply" -> q293_cdc_apply _)
 
   val oracles: Map[String, String] = Map(
+    "q329_rs_erasure_audit" -> q329_sql,
     "q320_xor_parity_audit" -> q320_sql,
     "q211_behavior_fingerprint" -> q211_sql,
     "q212_feature_hashing" -> q212_sql,

@@ -1416,7 +1416,109 @@ object MetricQueries {
       |  CAST(d AS BIGINT) AS n_deaths, CAST(s AS BIGINT) AS s_ppm
       |FROM km ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q330 — Kendall τ-b between every pair of event types' DAILY count
+  // series (Kendall 1938): do two metrics move together day over
+  // day? τ-b handles the tied days Spearman's d² formula can't (flat
+  // series are ties, not noise). The pair table is calendar-bounded
+  // — days² × type-pairs, the q308 Theil–Sen discipline, never
+  // events² — and the corpus-sized work is ONE (type, day) hash agg.
+  // The denominator √((n₀−tₓ)(n₀−tᵧ)) uses the exact integer isqrt
+  // (PlannerQueries.isqrtSql), numerator sign split out
+  // sign-magnitude so both engines floor identically.
+  // ---------------------------------------------------------------------
+  def q330_kendall_daily(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        expr("ts div 86400000000000").as("day"))
+    val counts = ev.groupBy(col("t"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val cal = ev.select(col("day")).distinct()
+    val types = ev.select(col("t")).distinct()
+    // the zero-filled grid is calendar × types — bounded, two
+    // consumers, so the checkpoint is cheap and saves the corpus agg
+    val grid = cal.crossJoin(broadcast(types))
+      .join(counts, Seq("t", "day"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .localCheckpoint(eager = true)
+    val nd = cal.agg(count(lit(1)).as("n_days"))
+    val pairDay = grid.as("a")
+      .join(grid.as("b"), col("a.day") === col("b.day") &&
+        col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"),
+        col("a.day").as("day"), col("a.c").as("xa"),
+        col("b.c").as("xb"))
+      .localCheckpoint(eager = true) // both sides of the day² join
+    val stats = pairDay.as("p")
+      .join(pairDay.as("q"), col("p.ta") === col("q.ta") &&
+        col("p.tb") === col("q.tb") && col("p.day") < col("q.day"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+        (col("q.xa") - col("p.xa")).as("dx"),
+        (col("q.xb") - col("p.xb")).as("dy"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+          .as("conc"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+          .as("disc"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+    stats.crossJoin(broadcast(nd))
+      .withColumn("den",
+        expr(PlannerQueries.isqrtSql("(n0 - tx) * (n0 - ty)")))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_days"), col("conc"), col("disc"),
+        expr("""CASE WHEN den = 0 THEN 0
+          | ELSE sign(conc - disc) *
+          |   (abs(conc - disc) * 1000000 div den)
+          | END""".stripMargin).cast("long").as("tau_b_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q330_sql: String = {
+    val den = PlannerQueries.isqrtSql("(n0 - tx) * (n0 - ty)")
+    s"""WITH ev AS (
+       |  SELECT event_type AS t,
+       |    epoch_ns(ts) // 86400000000000 AS day
+       |  FROM events),
+       |counts AS (
+       |  SELECT t, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+       |cal AS (SELECT DISTINCT day FROM ev),
+       |types AS (SELECT DISTINCT t FROM ev),
+       |grid AS (
+       |  SELECT types.t, cal.day, COALESCE(counts.c, 0) AS c
+       |  FROM cal CROSS JOIN types
+       |  LEFT JOIN counts ON counts.t = types.t
+       |    AND counts.day = cal.day),
+       |pd AS (
+       |  SELECT a.t AS ta, b.t AS tb, a.day AS day, a.c AS xa,
+       |    b.c AS xb
+       |  FROM grid a JOIN grid b ON a.day = b.day AND a.t < b.t),
+       |st AS (
+       |  SELECT p.ta, p.tb, COUNT(*) AS n0,
+       |    SUM(CASE WHEN (q.xa - p.xa) * (q.xb - p.xb) > 0
+       |      THEN 1 ELSE 0 END) AS conc,
+       |    SUM(CASE WHEN (q.xa - p.xa) * (q.xb - p.xb) < 0
+       |      THEN 1 ELSE 0 END) AS disc,
+       |    SUM(CASE WHEN q.xa = p.xa THEN 1 ELSE 0 END) AS tx,
+       |    SUM(CASE WHEN q.xb = p.xb THEN 1 ELSE 0 END) AS ty
+       |  FROM pd p JOIN pd q ON p.ta = q.ta AND p.tb = q.tb
+       |    AND p.day < q.day
+       |  GROUP BY 1, 2)
+       |SELECT ta AS type_a, tb AS type_b,
+       |  CAST((SELECT COUNT(*) FROM cal) AS BIGINT) AS n_days,
+       |  CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+       |  CAST(CASE WHEN $den = 0 THEN 0
+       |    ELSE sign(conc - disc) *
+       |      (abs(conc - disc) * 1000000 // $den) END AS BIGINT)
+       |    AS tau_b_ppm
+       |FROM st
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_kendall_daily" -> q330_kendall_daily _,
     "q318_kaplan_meier" -> q318_kaplan_meier _,
     "q307_haar_synopsis" -> q307_haar_synopsis _,
     "q308_theil_sen" -> q308_theil_sen _,
@@ -1438,6 +1540,7 @@ object MetricQueries {
     "q249_session_lift" -> q249_session_lift _)
 
   val oracles: Map[String, String] = Map(
+    "q330_kendall_daily" -> q330_sql,
     "q318_kaplan_meier" -> q318_sql,
     "q307_haar_synopsis" -> q307_sql,
     "q308_theil_sen" -> q308_sql,

@@ -1384,7 +1384,73 @@ object StatQueries {
       |FROM agg WHERE n >= 2
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q328 — Welch's unequal-variance t² for every event-type pair
+  // (Welch 1947): the A/B readout when group variances differ — the
+  // pooled-variance Student test silently assumes they don't. All in
+  // exact integers: means in milli-cents (sx·1000 div n), sample
+  // variances via the N·Σx²−(Σx)² DECIMAL(38) promotion (the
+  // q221/q237/q283 pattern), SE² in milli-cents² (v·10⁶ div n — an
+  // exact unit conversion), and t²·1000 as one final floor division.
+  // Scale shape: ONE map-side-combinable hash agg to 5 type rows;
+  // the 10 pairs come from a broadcast self-join of that table.
+  // ---------------------------------------------------------------------
+  def q328_welch_t2(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("mean_mc", expr("sx * 1000 div n"))
+      .withColumn("v", expr(
+        "cast((cast(n as decimal(38,0)) * sxx - cast(sx as" +
+          " decimal(38,0)) * sx) div cast(n * (n - 1) as" +
+          " decimal(38,0)) as bigint)"))
+      .withColumn("se2", expr("v * 1000000 div n"))
+    stats.as("a").join(broadcast(stats.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.mean_mc").as("mean_a_mc"),
+        col("b.mean_mc").as("mean_b_mc"),
+        expr("""CASE WHEN a.se2 + b.se2 = 0 THEN 0
+          | ELSE cast(cast((a.mean_mc - b.mean_mc) *
+          |   (a.mean_mc - b.mean_mc) as decimal(38,0)) * 1000
+          |   div (a.se2 + b.se2) as bigint) END""".stripMargin)
+          .as("t2_x1000"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q328_sql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(floor(value * 100) AS BIGINT)) AS sx,
+      |    SUM(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(floor(value * 100) AS BIGINT)) AS sxx
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT event_type, n, sx * 1000 // n AS mean_mc,
+      |    CAST((CAST(n AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sx)
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS v
+      |  FROM s),
+      |se AS (SELECT event_type, n, mean_mc,
+      |  v * 1000000 // n AS se2 FROM st)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      |  CAST(a.mean_mc AS BIGINT) AS mean_a_mc,
+      |  CAST(b.mean_mc AS BIGINT) AS mean_b_mc,
+      |  CAST(CASE WHEN a.se2 + b.se2 = 0 THEN 0
+      |    ELSE CAST((a.mean_mc - b.mean_mc) AS HUGEINT)
+      |      * (a.mean_mc - b.mean_mc) * 1000 // (a.se2 + b.se2)
+      |    END AS BIGINT) AS t2_x1000
+      |FROM se a JOIN se b ON a.event_type < b.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_welch_t2" -> q328_welch_t2 _,
     "q327_spearman_by_source" -> q327_spearman_by_source _,
     "q322_isotonic_calibration" -> q322_isotonic_calibration _,
     "q314_pcsa_sketch" -> q314_pcsa_sketch _,
@@ -1403,6 +1469,7 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q328_welch_t2" -> q328_sql,
     "q327_spearman_by_source" -> q327_sql,
     "q322_isotonic_calibration" -> q322_sql,
     "q314_pcsa_sketch" -> q314_sql,

@@ -233,4 +233,110 @@ class Round8CSpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(got === want)
   }
+
+  test("q328 Welch t2 matches a BigInt mirror") {
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100).toLong))
+    val stats = ev.groupBy(_._1).map { case (t, g) =>
+      val n = BigInt(g.length)
+      val sx = BigInt(g.map(_._2).sum)
+      val sxx = g.map(x => BigInt(x._2) * x._2).sum
+      val mean = sx * 1000 / n
+      val v = (n * sxx - sx * sx) / (n * (n - 1))
+      (t, n, mean, v * 1000000 / n)
+    }.toSeq.sortBy(_._1)
+    val want = (for {
+      a <- stats; b <- stats if a._1 < b._1
+    } yield {
+      val d = a._3 - b._3
+      val t2 = if (a._4 + b._4 == 0) BigInt(0)
+        else d * d * 1000 / (a._4 + b._4)
+      (a._1, b._1, a._2.toLong, b._2.toLong, a._3.toLong,
+        b._3.toLong, t2.toLong)
+    }).sortBy(p => (p._1, p._2))
+    val got = StatQueries.q328_welch_t2(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got === want)
+  }
+
+  test("q329 RS double-erasure recovery succeeds on every doc") {
+    def gfMul(a: Int, b: Int): Int = {
+      var (x, y, r) = (a, b, 0)
+      while (y > 0) {
+        if ((y & 1) != 0) r ^= x
+        x <<= 1
+        if ((x & 0x100) != 0) x ^= 0x11d
+        y >>= 1
+      }
+      r
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val mirror = docs.map { case (src, text) =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map(_ & 0xff)
+      val q = (0 until 4).map { bp =>
+        (0 until 4).map(i => gfMul(1 << i, dig(4 * i + bp)))
+          .reduce(_ ^ _)
+      }
+      (src, q.sum.toLong)
+    }
+    val want = mirror.groupBy(_._1).map { case (s, g) =>
+      (s, g.length.toLong, g.length.toLong, g.length.toLong,
+        g.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.IntegrityQueries
+      .q329_rs_erasure_audit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // recovery MUST succeed everywhere, and the Q checksum pins the
+    // GF pipeline against the independent JVM field arithmetic
+    assert(got === want)
+  }
+
+  test("q330 Kendall tau-b matches a brute-force daily mirror") {
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+    val days = ev.map(_._2).distinct.sorted
+    val types = ev.map(_._1).distinct.sorted
+    val cnt = ev.groupBy(identity).map { case (k, g) =>
+      k -> g.length.toLong }
+    def isqrt(v: Long): Long = {
+      var s = math.floor(math.sqrt(v.toDouble)).toLong
+      if ((s + 1) * (s + 1) <= v) s += 1
+      if (s * s > v) s -= 1
+      s
+    }
+    val want = (for {
+      ta <- types; tb <- types if ta < tb
+    } yield {
+      val xa = days.map(d => cnt.getOrElse((ta, d), 0L))
+      val xb = days.map(d => cnt.getOrElse((tb, d), 0L))
+      var (conc, disc, tx, ty) = (0L, 0L, 0L, 0L)
+      for (i <- days.indices; j <- days.indices if i < j) {
+        val (dx, dy) = (xa(j) - xa(i), xb(j) - xb(i))
+        if (dx * dy > 0) conc += 1
+        if (dx * dy < 0) disc += 1
+        if (dx == 0) tx += 1
+        if (dy == 0) ty += 1
+      }
+      val n0 = days.length.toLong * (days.length - 1) / 2
+      val den = isqrt((n0 - tx) * (n0 - ty))
+      val tau = if (den == 0) 0L
+        else math.signum(conc - disc) *
+          (math.abs(conc - disc) * 1000000L / den)
+      (ta, tb, days.length.toLong, conc, disc, tau)
+    }).sortBy(p => (p._1, p._2))
+    val got = graft.queries.MetricQueries
+      .q330_kendall_daily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+  }
 }
