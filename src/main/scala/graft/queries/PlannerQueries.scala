@@ -1036,7 +1036,263 @@ object PlannerQueries {
        |    - 1000000 AS BIGINT) AS dev_ppm
        |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q332 — join-strategy shuffle-cost planner: for every FK join in
+  // the schema, decide broadcast-hash vs shuffle join from measured
+  // table stats — the decision Catalyst makes from estimates, here
+  // made from EXACT bytes so the audit can be oracle-pinned. Bytes
+  // per row are measured (Σ string lengths + 8 per fixed-width
+  // column); the model is the standard one: broadcasting ships the
+  // small side to every executor (cost = min_bytes × E), shuffling
+  // moves both sides once (cost = bytes_a + bytes_b), and a side
+  // larger than the broadcast cap is never broadcast regardless of
+  // arithmetic. E = 32 and cap = 10 MiB are pinned model constants.
+  // Scale shape: seven 1-row table aggs + driver-bounded assembly —
+  // the planner input is O(tables), never O(rows).
+  // -------------------------------------------------------------------
+  private val PlanExecutors = 32L
+  private val PlanBcastCap = 10L * 1024 * 1024
+
+  /** (table, string cols, count of fixed-width cols) — the measured
+    * row-width model shared with the SQL mirror. */
+  private val PlanTables: Seq[(String, Seq[String], Int)] = Seq(
+    ("region", Seq("r_name"), 1),
+    ("nation", Seq("n_name"), 2),
+    ("customer", Seq("c_name", "c_mktsegment"), 3),
+    ("supplier", Seq("s_name"), 3),
+    ("part", Seq("p_name", "p_brand", "p_type"), 3),
+    ("orders", Seq("o_orderstatus", "o_orderpriority"), 4),
+    ("lineitem", Seq("l_returnflag", "l_linestatus"), 9))
+
+  private val PlanJoins: Seq[(String, String, String)] = Seq(
+    ("customer_nation", "customer", "nation"),
+    ("lineitem_orders", "lineitem", "orders"),
+    ("lineitem_part", "lineitem", "part"),
+    ("lineitem_supplier", "lineitem", "supplier"),
+    ("nation_region", "nation", "region"),
+    ("orders_customer", "orders", "customer"),
+    ("supplier_nation", "supplier", "nation"))
+
+  def q332_join_cost_planner(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val stats = PlanTables.map { case (t, strs, nFixed) =>
+      val width = strs.map(c => length(col(c)).cast("long"))
+        .reduce(_ + _) + lit(8L * nFixed)
+      Tables.load(spark, dir, t)
+        .agg(count(lit(1)).as("rows"), sum(width).as("bytes"))
+        .select(lit(t).as("t"), col("rows"), col("bytes"))
+    }.reduce(_ unionByName _).localCheckpoint(eager = true)
+    PlanJoins.map { case (name, ta, tb) =>
+      stats.filter(col("t") === ta)
+        .select(col("rows").as("rows_a"), col("bytes").as("bytes_a"))
+        .crossJoin(stats.filter(col("t") === tb)
+          .select(col("rows").as("rows_b"),
+            col("bytes").as("bytes_b")))
+        .select(lit(name).as("join_name"), col("rows_a"),
+          col("rows_b"), col("bytes_a"), col("bytes_b"))
+    }.reduce(_ unionByName _)
+      .withColumn("cost_broadcast",
+        expr(s"least(bytes_a, bytes_b) * $PlanExecutors"))
+      .withColumn("cost_shuffle", expr("bytes_a + bytes_b"))
+      .withColumn("strategy", expr(
+        s"""CASE WHEN least(bytes_a, bytes_b) <= $PlanBcastCap
+           |  AND cost_broadcast < cost_shuffle THEN 'broadcast'
+           |  ELSE 'shuffle' END""".stripMargin))
+      .orderBy(col("join_name"))
+  }
+
+  val q332_sql: String = {
+    val statsSql = PlanTables.map { case (t, strs, nFixed) =>
+      val width = strs.map(c => s"length($c)").mkString(" + ") +
+        s" + ${8L * nFixed}"
+      s"SELECT '$t' AS t, COUNT(*) AS rows_, SUM($width) AS bytes_" +
+        s" FROM $t"
+    }.mkString("\nUNION ALL\n")
+    val joinsSql = PlanJoins.map { case (name, ta, tb) =>
+      s"('$name', '$ta', '$tb')"
+    }.mkString(", ")
+    s"""WITH stats AS (
+       |$statsSql),
+       |joins(join_name, ta, tb) AS (VALUES $joinsSql),
+       |j AS (
+       |  SELECT join_name, a.rows_ AS rows_a, b.rows_ AS rows_b,
+       |    a.bytes_ AS bytes_a, b.bytes_ AS bytes_b
+       |  FROM joins
+       |  JOIN stats a ON a.t = joins.ta
+       |  JOIN stats b ON b.t = joins.tb)
+       |SELECT join_name, CAST(rows_a AS BIGINT) AS rows_a,
+       |  CAST(rows_b AS BIGINT) AS rows_b,
+       |  CAST(bytes_a AS BIGINT) AS bytes_a,
+       |  CAST(bytes_b AS BIGINT) AS bytes_b,
+       |  CAST(LEAST(bytes_a, bytes_b) * $PlanExecutors AS BIGINT)
+       |    AS cost_broadcast,
+       |  CAST(bytes_a + bytes_b AS BIGINT) AS cost_shuffle,
+       |  CASE WHEN LEAST(bytes_a, bytes_b) <= $PlanBcastCap
+       |    AND LEAST(bytes_a, bytes_b) * $PlanExecutors
+       |      < bytes_a + bytes_b THEN 'broadcast'
+       |    ELSE 'shuffle' END AS strategy
+       |FROM j ORDER BY join_name""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q331 — V-optimal histogram (Jagadish et al., VLDB 1998): the
+  // minimum-SSE B-bucket partition of the value domain — what a
+  // cost-based optimizer actually wants where q285 (equi-width) and
+  // q321 (equi-depth) are heuristics. Corpus work is ONE hash agg to
+  // ≤ 64 value-domain cells (n, Σx, Σx² with the DECIMAL(38)
+  // promotion); the O(B·m²) dynamic program runs on the
+  // loudly-guarded driver cells with BigInt-exact segment SSE
+  // (ss − ⌊s²/n⌋ — flooring only ever SHRINKS the subtrahend, so
+  // costs stay ≥ 0 and both engines floor identically), ties broken
+  // toward the smallest split point. The oracle replays the SAME DP
+  // as 8 materialized argmin levels + an 8-step backtrack chain over
+  // the 2 080-row segment table (the q317 AS-MATERIALIZED lesson).
+  // Each output bucket carries its SSE next to the equi-width
+  // baseline's SSE for the same value range — the planner's
+  // evidence that the DP earned its keep.
+  // -------------------------------------------------------------------
+  private val VoCells = 64L
+  private val VoWidth = 800L // cents per base cell
+  private val VoBuckets = 8
+
+  def q331_voptimal_histogram(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select(expr("cast(floor(value * 100) as bigint)").as("x"))
+      .withColumn("cell",
+        least(lit(VoCells - 1), expr(s"x div $VoWidth")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("ss"))
+      .orderBy(col("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))
+    val m = cells.length
+    require(m <= VoCells && m >= VoBuckets,
+      s"q331: $m cells outside the [$VoBuckets, $VoCells] driver " +
+        "bound — the DP input must stay value-domain-sized")
+    val pn = cells.scanLeft(0L)(_ + _._2)
+    val ps = cells.scanLeft(0L)(_ + _._3)
+    val pss = cells.scanLeft(BigInt(0))(_ + _._4)
+    // sse over 1-based ordinal segment [j, k]
+    def sse(j: Int, k: Int): BigInt = {
+      val n = pn(k) - pn(j - 1)
+      val s = BigInt(ps(k) - ps(j - 1))
+      pss(k) - pss(j - 1) - s * s / n
+    }
+    // dp(b)(i): best cost of covering ordinals 1..i with b buckets,
+    // plus the argmin split (last bucket starts at bj+1)
+    val dp = Array.ofDim[(BigInt, Int)](VoBuckets + 1, m + 1)
+    for (i <- 1 to m) dp(1)(i) = (sse(1, i), 0)
+    for (b <- 2 to VoBuckets; i <- b to m) {
+      dp(b)(i) = (for (j <- (b - 1) to (i - 1)) yield
+        (dp(b - 1)(j)._1 + sse(j + 1, i), j))
+        .minBy(c => (c._1, c._2))
+    }
+    // backtrack boundaries; bucket b covers ordinals (lo, hi]
+    val bounds = new Array[(Int, Int)](VoBuckets + 1)
+    var hi = m
+    for (b <- VoBuckets to 1 by -1) {
+      val lo = dp(b)(hi)._2
+      bounds(b) = (lo + 1, hi)
+      hi = lo
+    }
+    // equi-width baseline: SSE of the 8-cell value ranges
+    def ewSse(b: Int): BigInt = {
+      val in = cells.zipWithIndex.filter {
+        case ((cell, _, _, _), _) => cell / 8 == b - 1
+      }.map(_._2 + 1)
+      if (in.isEmpty) BigInt(0) else sse(in.min, in.max)
+    }
+    val rows = (1 to VoBuckets).map { b =>
+      val (lo, k) = bounds(b)
+      (b.toLong, cells(lo - 1)._1, cells(k - 1)._1,
+        pn(k) - pn(lo - 1), sse(lo, k).toLong, ewSse(b).toLong)
+    }
+    rows.toDF("bucket", "lo_cell", "hi_cell", "n_rows", "sse",
+        "ew_sse")
+      .orderBy(col("bucket"))
+  }
+
+  val q331_sql: String = {
+    val dpLevels = (2 to VoBuckets).map { b =>
+      s"""dp$b AS MATERIALIZED (
+         |  SELECT i, cost, bj FROM (
+         |    SELECT s.k AS i, d.cost + s.sse AS cost, s.j - 1 AS bj,
+         |      ROW_NUMBER() OVER (PARTITION BY s.k
+         |        ORDER BY d.cost + s.sse, s.j) AS rn
+         |    FROM dp${b - 1} d JOIN seg s ON s.j = d.i + 1)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val btLevels = (VoBuckets - 1 to 1 by -1).map { b =>
+      s"""bt$b AS (
+         |  SELECT bt${b + 1}.lo0 AS hi, dp$b.bj AS lo0
+         |  FROM bt${b + 1} JOIN dp$b ON dp$b.i = bt${b + 1}.lo0)"""
+        .stripMargin
+    }.mkString(",\n")
+    val bucketRows = (1 to VoBuckets).map { b =>
+      s"SELECT $b AS bucket, lo0 + 1 AS lo, hi FROM bt$b"
+    }.mkString("\nUNION ALL ")
+    s"""WITH cells0 AS MATERIALIZED (
+       |  SELECT LEAST(${VoCells - 1},
+       |      CAST(floor(value * 100) AS BIGINT) // $VoWidth) AS cell,
+       |    COUNT(*) AS n,
+       |    SUM(CAST(floor(value * 100) AS BIGINT)) AS s,
+       |    SUM(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+       |      * CAST(floor(value * 100) AS BIGINT)) AS ss
+       |  FROM events GROUP BY 1),
+       |cells AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY cell) AS i, cell, n, s,
+       |    ss
+       |  FROM cells0),
+       |pre AS MATERIALIZED (
+       |  SELECT i, cell,
+       |    SUM(n) OVER w AS pn, SUM(s) OVER w AS ps,
+       |    SUM(ss) OVER w AS pss
+       |  FROM cells WINDOW w AS (ORDER BY i)),
+       |seg AS MATERIALIZED (
+       |  SELECT j.i AS j, k.i AS k,
+       |    k.pn - COALESCE(p0.pn, 0) AS n_seg,
+       |    k.pss - COALESCE(p0.pss, 0)
+       |      - (CAST(k.ps - COALESCE(p0.ps, 0) AS HUGEINT)
+       |         * (k.ps - COALESCE(p0.ps, 0)))
+       |        // (k.pn - COALESCE(p0.pn, 0)) AS sse
+       |  FROM pre k JOIN pre j ON j.i <= k.i
+       |  LEFT JOIN pre p0 ON p0.i = j.i - 1),
+       |mm AS (SELECT MAX(i) AS m FROM cells),
+       |dp1 AS MATERIALIZED (
+       |  SELECT k AS i, sse AS cost, 0 AS bj FROM seg WHERE j = 1),
+       |$dpLevels,
+       |bt$VoBuckets AS (
+       |  SELECT (SELECT m FROM mm) AS hi, bj AS lo0
+       |  FROM dp$VoBuckets WHERE i = (SELECT m FROM mm)),
+       |$btLevels,
+       |buckets AS (
+       |  $bucketRows),
+       |ew AS (
+       |  SELECT (cell // 8) + 1 AS bucket,
+       |    SUM(ss) - (CAST(SUM(s) AS HUGEINT) * SUM(s)) // SUM(n)
+       |      AS ew_sse
+       |  FROM cells0 GROUP BY 1)
+       |SELECT CAST(buckets.bucket AS BIGINT) AS bucket,
+       |  CAST(cl.cell AS BIGINT) AS lo_cell,
+       |  CAST(ch.cell AS BIGINT) AS hi_cell,
+       |  CAST(seg.n_seg AS BIGINT) AS n_rows,
+       |  CAST(seg.sse AS BIGINT) AS sse,
+       |  CAST(COALESCE(ew.ew_sse, 0) AS BIGINT) AS ew_sse
+       |FROM buckets
+       |JOIN seg ON seg.j = buckets.lo AND seg.k = buckets.hi
+       |JOIN cells cl ON cl.i = buckets.lo
+       |JOIN cells ch ON ch.i = buckets.hi
+       |LEFT JOIN ew ON ew.bucket = buckets.bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_voptimal_histogram" -> q331_voptimal_histogram _,
+    "q332_join_cost_planner" -> q332_join_cost_planner _,
     "q321_equidepth_audit" -> q321_equidepth_audit _,
     "q301_encoding_audit" -> q301_encoding_audit _,
     "q303_bloom_join_audit" -> q303_bloom_join_audit _,
@@ -1051,6 +1307,8 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q331_voptimal_histogram" -> q331_sql,
+    "q332_join_cost_planner" -> q332_sql,
     "q321_equidepth_audit" -> q321_sql,
     "q301_encoding_audit" -> q301_sql,
     "q303_bloom_join_audit" -> q303_sql,

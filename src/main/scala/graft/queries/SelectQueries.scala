@@ -938,7 +938,82 @@ object SelectQueries {
        |WHERE best.rk = 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q333 — front-coding (prefix-compression) vocabulary audit: the
+  // storage model of every sorted term dictionary (Lucene's FST
+  // blocks, RocksDB index blocks, trie dictionaries) — store each
+  // term as (shared-prefix length, suffix) against its sorted
+  // predecessor. The audit measures, per leading-character block,
+  // exactly how many bytes front coding saves on THIS corpus's
+  // vocabulary. The sorted-predecessor chain is a distributed sort +
+  // zipWithIndex and a rank+1 equi-join (the suffix-array
+  // discipline); the LCP is an explode over candidate prefix lengths
+  // (prefix equality is monotone in k, so max(matching k) IS the
+  // LCP) — all work is vocabulary-bounded, never corpus-bounded.
+  // -------------------------------------------------------------------
+  def q333_front_coding_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val ranked = {
+      val d = vocab.repartitionByRange(32, col("tok"))
+        .sortWithinPartitions(col("tok"))
+      spark.createDataFrame(d.as[String].rdd.zipWithIndex()
+          .map { case (t, i) => (t, i + 1L) })
+        .toDF("tok", "r")
+        .localCheckpoint(eager = true) // both sides of the prev join
+    }
+    ranked
+      .join(ranked.select((col("r") + 1).as("r"),
+        col("tok").as("prev")), Seq("r"), "left_outer")
+      .withColumn("prev", coalesce(col("prev"), lit("")))
+      .withColumn("maxk",
+        least(length(col("tok")), length(col("prev"))))
+      .withColumn("k", explode(expr("sequence(0, maxk)")))
+      .filter(expr("substring(tok, 1, k) = substring(prev, 1, k)"))
+      .groupBy(col("tok"))
+      .agg(max(col("k")).as("lcp"))
+      .groupBy(substring(col("tok"), 1, 1).as("block"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("raw_bytes"),
+        sum(length(col("tok")).cast("long") - col("lcp") + 1)
+          .as("fc_bytes"))
+      .withColumn("savings_x1000",
+        expr("raw_bytes * 1000 div fc_bytes"))
+      .orderBy(col("block"))
+  }
+
+  val q333_sql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT unnest(
+      |    regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE trim(text) <> ''),
+      |chain AS (
+      |  SELECT tok,
+      |    COALESCE(LAG(tok) OVER (ORDER BY tok), '') AS prev
+      |  FROM vocab),
+      |ks AS (
+      |  SELECT tok, prev, unnest(generate_series(0,
+      |    LEAST(length(tok), length(prev)))) AS k
+      |  FROM chain),
+      |lcp AS (
+      |  SELECT tok, MAX(k) AS lcp
+      |  FROM ks
+      |  WHERE substr(tok, 1, k) = substr(prev, 1, k)
+      |  GROUP BY tok)
+      |SELECT substr(tok, 1, 1) AS block,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(tok)) AS BIGINT) AS raw_bytes,
+      |  CAST(SUM(length(tok) - lcp + 1) AS BIGINT) AS fc_bytes,
+      |  CAST(SUM(length(tok)) * 1000
+      |    // SUM(length(tok) - lcp + 1) AS BIGINT) AS savings_x1000
+      |FROM lcp GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_front_coding_audit" -> q333_front_coding_audit _,
     "q323_rice_postings_planner" -> q323_rice_postings_planner _,
     "q319_lsh_scurve_planner" -> q319_lsh_scurve_planner _,
     "q276_aho_corasick" -> q276_aho_corasick _,
@@ -951,6 +1026,7 @@ object SelectQueries {
     "q282_skyline" -> q282_skyline _)
 
   val oracles: Map[String, String] = Map(
+    "q333_front_coding_audit" -> q333_sql,
     "q323_rice_postings_planner" -> q323_sql,
     "q319_lsh_scurve_planner" -> q319_sql,
     "q276_aho_corasick" -> q276_sql,

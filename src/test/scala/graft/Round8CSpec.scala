@@ -339,4 +339,107 @@ class Round8CSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got === want)
   }
+
+  test("q331 V-optimal DP matches an independent memoized mirror") {
+    val got = graft.queries.PlannerQueries
+      .q331_voptimal_histogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === 8)
+    // partition covers all events exactly once
+    val nEvents = Tables.events(spark, sf).count()
+    assert(got.map(_._4).sum === nEvents)
+    // V-optimal(8) can never lose to the ≤8-bucket equi-width split
+    assert(got.map(_._5).sum <= got.map(_._6).sum)
+    // independent top-down memoized DP over the same cells
+    val cells = Tables.events(spark, sf)
+      .select("value").collect()
+      .map(r => math.floor(r.getDouble(0) * 100).toLong)
+      .groupBy(c => math.min(63L, c / 800L)).toSeq.sortBy(_._1)
+      .map { case (cell, xs) =>
+        (cell, xs.length.toLong, xs.sum,
+          xs.map(x => BigInt(x) * x).sum) }
+    val m = cells.length
+    val pn = cells.scanLeft(0L)(_ + _._2)
+    val ps = cells.scanLeft(0L)(_ + _._3)
+    val pss = cells.scanLeft(BigInt(0))(_ + _._4)
+    def sse(j: Int, k: Int): BigInt = {
+      val s = BigInt(ps(k) - ps(j - 1))
+      pss(k) - pss(j - 1) - s * s / (pn(k) - pn(j - 1))
+    }
+    val memo = scala.collection.mutable.Map
+      .empty[(Int, Int), (BigInt, Int)]
+    def best(b: Int, i: Int): (BigInt, Int) =
+      memo.getOrElseUpdate((b, i),
+        if (b == 1) (sse(1, i), 0)
+        else (for (j <- (b - 1) to (i - 1)) yield
+          (best(b - 1, j)._1 + sse(j + 1, i), j))
+          .minBy(c => (c._1, c._2)))
+    var hi = m
+    val mirror = (8 to 1 by -1).map { b =>
+      val lo = best(b, hi)._2
+      val row = (b.toLong, cells(lo)._1, cells(hi - 1)._1,
+        pn(hi) - pn(lo), sse(lo + 1, hi).toLong)
+      hi = lo
+      row
+    }.reverse
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) === mirror)
+  }
+
+  test("q332 join planner matches measured byte totals") {
+    val got = graft.queries.PlannerQueries
+      .q332_join_cost_planner(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSeq
+    assert(got.length === 7)
+    // spot-check one small and one large join against raw collects
+    val nation = Tables.nation(spark, sf).collect()
+    val nationBytes = nation
+      .map(r => r.getString(1).length + 16L).sum
+    val region = Tables.region(spark, sf).collect()
+    val regionBytes = region
+      .map(r => r.getString(1).length + 8L).sum
+    val nr = got.find(_._1 == "nation_region").get
+    assert(nr._2 === nation.length.toLong)
+    assert(nr._3 === region.length.toLong)
+    assert(nr._4 === nationBytes)
+    assert(nr._5 === regionBytes)
+    assert(nr._6 === math.min(nationBytes, regionBytes) * 32)
+    assert(nr._7 === nationBytes + regionBytes)
+    assert(nr._8 === (if (math.min(nationBytes, regionBytes) * 32 <
+      nationBytes + regionBytes) "broadcast" else "shuffle"))
+    // every strategy decision is consistent with its own cost columns
+    got.foreach { r =>
+      val mn = math.min(r._4, r._5)
+      val expect = if (mn <= 10L * 1024 * 1024 && mn * 32 < r._4 + r._5)
+        "broadcast" else "shuffle"
+      assert(r._8 === expect, r._1)
+    }
+  }
+
+  test("q333 front coding matches a JVM LCP mirror") {
+    val vocab = Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(r => r.getString(0).trim.split("\\s+"))
+      .filter(_.nonEmpty).distinct.sorted
+    def lcp(a: String, b: String): Int = {
+      var k = 0
+      while (k < a.length && k < b.length && a(k) == b(k)) k += 1
+      k
+    }
+    val withPrev = vocab.zipWithIndex.map { case (t, i) =>
+      (t, if (i == 0) 0 else lcp(vocab(i - 1), t)) }
+    val want = withPrev.groupBy(_._1.substring(0, 1))
+      .map { case (blk, g) =>
+        val raw = g.map(_._1.length.toLong).sum
+        val fc = g.map(p => p._1.length.toLong - p._2 + 1).sum
+        (blk, g.length.toLong, raw, fc, raw * 1000 / fc)
+      }.toSeq.sortBy(_._1)
+    val got = graft.queries.SelectQueries
+      .q333_front_coding_audit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+  }
 }
