@@ -1290,7 +1290,154 @@ object PlannerQueries {
        |ORDER BY bucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q334 — bit-sliced index (BSI) aggregation audit (O'Neil & Quass
+  // 1997; the FastBit/Pilosa/Druid trick): SUM(x) over a bitmap-
+  // indexed column is Σₖ 2ᵏ·popcount(slice k) — 16 bitmap counts
+  // instead of touching the column, the reason bit-sliced indexes
+  // answer aggregates at bitmap-scan speed. The audit MEASURES the
+  // identity per event type (bsi_sum ≡ direct_sum pins all 17
+  // slices — k ≤ 16 covers cents to $1310), and profiles the slice
+  // densities a BSI storage planner keys on (dense slices → verbatim
+  // bitmaps, sparse → compressed). The 17 slice counts ride one
+  // map-side-combinable hash agg as 17 sum columns (the q323 column
+  // discipline).
+  // -------------------------------------------------------------------
+  def q334_bsi_aggregation_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val kBits = (0 to 16).map(k =>
+      sum(expr(s"(x div ${1L << k}) % 2")).as(s"c$k"))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("x")).as("direct_sum")) ++ kBits
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("x"))
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    base
+      .withColumn("bsi_sum", expr((0 to 16)
+        .map(k => s"c$k * ${1L << k}").mkString(" + ")))
+      .withColumn("nonzero_slices", expr((0 to 16)
+        .map(k => s"(CASE WHEN c$k > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")).cast("long"))
+      .withColumn("top_n", greatest((0 to 16).map(k => col(s"c$k")): _*))
+      .withColumn("top_slice", expr((0 to 16)
+        .map(k => s"WHEN c$k = top_n THEN ${k}L")
+        .mkString("CASE ", " ", " END")))
+      .select(col("event_type"), col("n"), col("direct_sum"),
+        col("bsi_sum"), col("nonzero_slices"), col("top_slice"),
+        col("top_n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q334_sql: String = {
+    val cs = (0 to 16).map(k =>
+      s"SUM((x // ${1L << k}) % 2) AS c$k").mkString(",\n    ")
+    val bsi = (0 to 16).map(k => s"c$k * ${1L << k}").mkString(" + ")
+    val nz = (0 to 16)
+      .map(k => s"(CASE WHEN c$k > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val topN = s"GREATEST(${(0 to 16).map(k => s"c$k").mkString(", ")})"
+    val topSlice = (0 to 16).map(k => s"WHEN c$k = tn THEN $k")
+      .mkString("CASE ", " ", " END")
+    s"""WITH b AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    SUM(x) AS direct_sum,
+       |    $cs
+       |  FROM (SELECT event_type,
+       |    CAST(floor(value * 100) AS BIGINT) AS x FROM events)
+       |  GROUP BY 1),
+       |t AS (SELECT *, $topN AS tn FROM b)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  CAST(direct_sum AS BIGINT) AS direct_sum,
+       |  CAST($bsi AS BIGINT) AS bsi_sum,
+       |  CAST($nz AS BIGINT) AS nonzero_slices,
+       |  CAST($topSlice AS BIGINT) AS top_slice,
+       |  CAST(tn AS BIGINT) AS top_n
+       |FROM t ORDER BY event_type""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q336 — predicate-independence (correlated-selectivity) audit:
+  // every cost-based optimizer multiplies single-column
+  // selectivities when predicates are ANDed — the assumption behind
+  // the worst cardinality misestimates in production plans (the
+  // "Germany ∧ Berlin" problem). For five pinned predicate pairs the
+  // audit measures sel(A), sel(B), the independence ESTIMATE
+  // sel(A)·sel(B), the ACTUAL sel(A∧B), and the error ratio ×1000 —
+  // the evidence that decides which column pairs need a joint
+  // histogram or a bucketed CDF (q285/q321/q331) instead of the
+  // product rule. Each pair costs ONE conditional hash agg over its
+  // table; everything else is arithmetic on one row.
+  // -------------------------------------------------------------------
+  private val IndepPairs: Seq[(String, String, String, String)] = Seq(
+    // (pair name, table, predicate A, predicate B) — SQL syntax
+    // valid in both engines
+    ("events_purchase_high", "events",
+      "event_type = 'purchase'", "value > 100"),
+    ("events_click_low", "events",
+      "event_type = 'click'", "value <= 50"),
+    ("orders_open_big", "orders",
+      "o_orderstatus = 'O'", "o_totalprice > 200000"),
+    ("customer_seg_rich", "customer",
+      "c_mktsegment = 'BUILDING'", "c_acctbal > 5000"),
+    ("part_brand_small", "part",
+      "p_brand = 'Brand#1'", "p_size <= 10"))
+
+  def q336_independence_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    IndepPairs.map { case (name, table, pa, pb) =>
+      Tables.load(spark, dir, table)
+        .agg(count(lit(1)).as("n"),
+          sum(expr(s"CASE WHEN $pa THEN 1 ELSE 0 END")).as("n_a"),
+          sum(expr(s"CASE WHEN $pb THEN 1 ELSE 0 END")).as("n_b"),
+          sum(expr(s"CASE WHEN ($pa) AND ($pb) THEN 1 ELSE 0 END"))
+            .as("n_ab"))
+        .select(lit(name).as("pair"), col("n"), col("n_a"),
+          col("n_b"), col("n_ab"))
+    }.reduce(_ unionByName _)
+      .withColumn("sel_a_ppm", expr("n_a * 1000000 div n"))
+      .withColumn("sel_b_ppm", expr("n_b * 1000000 div n"))
+      .withColumn("est_ab_ppm", expr(
+        "cast(cast(n_a as decimal(38,0)) * n_b * 1000000" +
+          " div (cast(n as decimal(38,0)) * n) as bigint)"))
+      .withColumn("act_ab_ppm", expr("n_ab * 1000000 div n"))
+      .withColumn("err_x1000", expr(
+        "CASE WHEN est_ab_ppm = 0 THEN -1" +
+          " ELSE act_ab_ppm * 1000 div est_ab_ppm END"))
+      .orderBy(col("pair"))
+  }
+
+  val q336_sql: String = {
+    val rows = IndepPairs.map { case (name, table, pa, pb) =>
+      s"""SELECT '$name' AS pair, COUNT(*) AS n,
+         |  SUM(CASE WHEN $pa THEN 1 ELSE 0 END) AS n_a,
+         |  SUM(CASE WHEN $pb THEN 1 ELSE 0 END) AS n_b,
+         |  SUM(CASE WHEN ($pa) AND ($pb) THEN 1 ELSE 0 END) AS n_ab
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |$rows)
+       |SELECT pair, CAST(n AS BIGINT) AS n,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(n_a * 1000000 // n AS BIGINT) AS sel_a_ppm,
+       |  CAST(n_b * 1000000 // n AS BIGINT) AS sel_b_ppm,
+       |  CAST(CAST(n_a AS HUGEINT) * n_b * 1000000
+       |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS est_ab_ppm,
+       |  CAST(n_ab * 1000000 // n AS BIGINT) AS act_ab_ppm,
+       |  CAST(CASE WHEN CAST(n_a AS HUGEINT) * n_b * 1000000
+       |      // (CAST(n AS HUGEINT) * n) = 0 THEN -1
+       |    ELSE (n_ab * 1000000 // n) * 1000
+       |      // (CAST(n_a AS HUGEINT) * n_b * 1000000
+       |         // (CAST(n AS HUGEINT) * n)) END AS BIGINT)
+       |    AS err_x1000
+       |FROM base ORDER BY pair""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q336_independence_audit" -> q336_independence_audit _,
+    "q334_bsi_aggregation_audit" -> q334_bsi_aggregation_audit _,
     "q331_voptimal_histogram" -> q331_voptimal_histogram _,
     "q332_join_cost_planner" -> q332_join_cost_planner _,
     "q321_equidepth_audit" -> q321_equidepth_audit _,
@@ -1307,6 +1454,8 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q336_independence_audit" -> q336_sql,
+    "q334_bsi_aggregation_audit" -> q334_sql,
     "q331_voptimal_histogram" -> q331_sql,
     "q332_join_cost_planner" -> q332_sql,
     "q321_equidepth_audit" -> q321_sql,

@@ -2651,7 +2651,85 @@ object QualityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q335 — TextTiling topic segmentation (Hearst 1997, deterministic
+  // lite): at every block boundary p = k·w, the lexical cohesion
+  // between the w tokens before and after p is the distinct-token
+  // overlap (×10⁶/w); a TOPIC BOUNDARY is a gap whose cohesion falls
+  // below half the document's mean — the chunking signal long-context
+  // pipelines use to split documents at topic shifts instead of at
+  // arbitrary byte offsets (complementing q87/q312's content-defined
+  // chunking, which is offset-invariant but topic-blind). All work is
+  // per-document (explode gaps → array_distinct/array_intersect on
+  // w-token slices → one per-doc agg + join back); no corpus-sized
+  // state anywhere. Docs shorter than 2w have no interior gap and are
+  // excluded by construction in both engines.
+  // ---------------------------------------------------------------------
+  private val TtW = 10 // block width in tokens
+
+  def q335_texttiling(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2 * TtW)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(1, size(tk) div $TtW - 1)")).as("k"))
+      .withColumn("p", col("k") * TtW)
+      .withColumn("lhs",
+        array_distinct(expr(s"slice(tk, p - $TtW + 1, $TtW)")))
+      .withColumn("rhs",
+        array_distinct(expr(s"slice(tk, p + 1, $TtW)")))
+      .withColumn("sim_ppm", expr(
+        "cast(size(array_intersect(lhs, rhs)) as bigint)" +
+          s" * 1000000 div $TtW"))
+      .select(col("doc_id"), col("p"), col("sim_ppm"))
+    val means = gaps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("sum(sim_ppm) div count(1)").as("mean_sim_ppm"))
+    gaps.join(means, Seq("doc_id"))
+      .withColumn("is_b",
+        col("sim_ppm") * 2 < col("mean_sim_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_gaps")).as("n_gaps"),
+        first(col("mean_sim_ppm")).as("mean_sim_ppm"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_boundaries"),
+        coalesce(min(when(col("is_b"), col("p"))), lit(-1L))
+          .cast("long").as("first_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q335_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents
+       |  WHERE trim(text) <> ''),
+       |g0 AS (
+       |  SELECT doc_id, tk,
+       |    unnest(generate_series(1, len(tk) // $TtW - 1)) AS k
+       |  FROM t WHERE len(tk) >= ${2 * TtW}),
+       |gaps AS (
+       |  SELECT doc_id, k * $TtW AS p,
+       |    len(list_filter(list_distinct(
+       |        tk[k * $TtW - ${TtW - 1}:k * $TtW]),
+       |      x -> list_contains(
+       |        tk[k * $TtW + 1:k * $TtW + $TtW], x)))
+       |      * 1000000 // $TtW AS sim_ppm
+       |  FROM g0),
+       |m AS (
+       |  SELECT doc_id, COUNT(*) AS n_gaps,
+       |    SUM(sim_ppm) // COUNT(*) AS mean_sim_ppm
+       |  FROM gaps GROUP BY 1)
+       |SELECT gaps.doc_id, CAST(m.n_gaps AS BIGINT) AS n_gaps,
+       |  CAST(m.mean_sim_ppm AS BIGINT) AS mean_sim_ppm,
+       |  CAST(SUM(CASE WHEN gaps.sim_ppm * 2 < m.mean_sim_ppm
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+       |  CAST(COALESCE(MIN(CASE WHEN gaps.sim_ppm * 2 < m.mean_sim_ppm
+       |    THEN gaps.p END), -1) AS BIGINT) AS first_boundary
+       |FROM gaps JOIN m ON m.doc_id = gaps.doc_id
+       |GROUP BY gaps.doc_id, m.n_gaps, m.mean_sim_ppm
+       |ORDER BY gaps.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_texttiling" -> q335_texttiling _,
     "q326_stupid_backoff" -> q326_stupid_backoff _,
     "q239_filter_bias_audit" -> q239_filter_bias_audit _,
     "q153_zorder_layout" -> q153_zorder_layout _,
@@ -2703,6 +2781,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q335_texttiling" -> q335_sql,
     "q326_stupid_backoff" -> q326_sql,
     "q239_filter_bias_audit" -> q239_sql,
     "q153_zorder_layout" -> q153_sql,

@@ -442,4 +442,80 @@ class Round8CSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got === want)
   }
+
+  test("q334 BSI slice sums reproduce the direct sum exactly") {
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100).toLong))
+    val want = ev.groupBy(_._1).map { case (t, g) =>
+      val xs = g.map(_._2)
+      val cs = (0 to 16).map(k => xs.count(x => ((x >> k) & 1) == 1)
+        .toLong)
+      val topN = cs.max
+      (t, xs.length.toLong, xs.sum,
+        cs.zipWithIndex.map { case (c, k) => c * (1L << k) }.sum,
+        cs.count(_ > 0).toLong, cs.indexWhere(_ == topN).toLong, topN)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.PlannerQueries
+      .q334_bsi_aggregation_audit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got === want)
+    got.foreach(r => assert(r._3 === r._4,
+      s"BSI identity broken for ${r._1}"))
+  }
+
+  test("q335 TextTiling matches a JVM cohesion mirror") {
+    val w = 10
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.length >= 2 * w)
+    val want = docs.map { case (id, tk) =>
+      val sims = (1 to tk.length / w - 1).map { k =>
+        val p = k * w
+        val lhs = tk.slice(p - w, p).distinct.toSet
+        val rhs = tk.slice(p, p + w).toSet
+        (p.toLong, lhs.count(rhs.contains).toLong * 1000000L / w)
+      }
+      val mean = sims.map(_._2).sum / sims.length
+      val bounds = sims.filter(_._2 * 2 < mean)
+      (id, sims.length.toLong, mean, bounds.length.toLong,
+        bounds.headOption.map(_._1).getOrElse(-1L))
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.QualityQueries
+      .q335_texttiling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+  }
+
+  test("q336 independence audit matches naive predicate counts") {
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def row(name: String, n: Long, na: Long, nb: Long, nab: Long) = {
+      val est = (BigInt(na) * nb * 1000000 / (BigInt(n) * n)).toLong
+      val act = nab * 1000000L / n
+      (name, n, na, nb, nab, na * 1000000L / n, nb * 1000000L / n,
+        est, act, if (est == 0) -1L else act * 1000 / est)
+    }
+    val want1 = row("events_purchase_high", ev.length,
+      ev.count(_._1 == "purchase"), ev.count(_._2 > 100),
+      ev.count(e => e._1 == "purchase" && e._2 > 100))
+    val got = graft.queries.PlannerQueries
+      .q336_independence_audit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    assert(got.length === 5)
+    assert(got.find(_._1 == "events_purchase_high").get === want1)
+    // every row's derived columns are consistent with its counts
+    got.foreach { r =>
+      assert(r === row(r._1, r._2, r._3, r._4, r._5))
+    }
+  }
 }
