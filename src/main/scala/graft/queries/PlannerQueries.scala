@@ -1435,7 +1435,89 @@ object PlannerQueries {
        |FROM base ORDER BY pair""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q338 — shard rebalancing plan via staircase matching: given the
+  // hash-sharded byte sizes (32 shards of documents, sized by
+  // n_chars), emit the EXACT minimum-bytes move list that levels
+  // every shard to its target (total div 32, remainder spread over
+  // the lowest shard ids — Σexcess ≡ Σdeficit by construction). The
+  // greedy donor→receiver pairing is sequential, but its RESULT has
+  // a closed relational form: lay donors' excesses and receivers'
+  // deficits on the same cumulative axis (prefix sums over the
+  // 32-row shard table) and every move is an interval overlap —
+  // bytes = min(hi) − max(lo). That turns the classic rebalancer
+  // into two windows + one small interval join, the same
+  // construction at 32 shards or 32 000. Complements q284/q297
+  // (consistent/rendezvous placement) with the migration PLAN.
+  // -------------------------------------------------------------------
+  private val RebShards = 32L
+
+  def q338_rebalance_plan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sizes = Tables.documents(spark, dir)
+      .withColumn("shard",
+        pmod(Sampling.hash60("shard", col("doc_id")), lit(RebShards)))
+      .groupBy(col("shard"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val tot = sizes.agg(sum(col("bytes")).as("tb"))
+    val deltas = sizes.crossJoin(broadcast(tot))
+      .withColumn("target", expr(
+        s"tb div $RebShards + CASE WHEN shard < tb % $RebShards" +
+          " THEN 1 ELSE 0 END"))
+      .withColumn("delta", col("bytes") - col("target"))
+      .localCheckpoint(eager = true) // donors + receivers consumers
+    def stairs(side: DataFrame, dCol: String): DataFrame =
+      side.withColumn("hi", sum(col(dCol)).over(
+          w.orderBy(col("shard"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .withColumn("lo", col("hi") - col(dCol))
+    val donors = stairs(deltas.filter(col("delta") > 0)
+      .select(col("shard"), col("delta")), "delta")
+    val receivers = stairs(deltas.filter(col("delta") < 0)
+      .select(col("shard"), (-col("delta")).as("need")), "need")
+    donors.as("d").join(receivers.as("r"),
+        col("d.lo") < col("r.hi") && col("r.lo") < col("d.hi"))
+      .select(col("d.shard").as("from_shard"),
+        col("r.shard").as("to_shard"),
+        (least(col("d.hi"), col("r.hi")) -
+          greatest(col("d.lo"), col("r.lo"))).as("bytes_moved"))
+      .orderBy(col("from_shard"), col("to_shard"))
+  }
+
+  val q338_sql: String = {
+    val h = Sampling.hash60Sql("shard", "doc_id")
+    s"""WITH sizes AS (
+       |  SELECT ($h % $RebShards) AS shard, SUM(n_chars) AS bytes
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(bytes) AS tb FROM sizes),
+       |deltas AS (
+       |  SELECT shard, bytes,
+       |    bytes - (tb // $RebShards + CASE WHEN
+       |      shard < tb % $RebShards THEN 1 ELSE 0 END) AS delta
+       |  FROM sizes CROSS JOIN tot),
+       |donors AS (
+       |  SELECT shard, delta,
+       |    SUM(delta) OVER (ORDER BY shard) AS hi,
+       |    SUM(delta) OVER (ORDER BY shard) - delta AS lo
+       |  FROM deltas WHERE delta > 0),
+       |receivers AS (
+       |  SELECT shard, -delta AS need,
+       |    SUM(-delta) OVER (ORDER BY shard) AS hi,
+       |    SUM(-delta) OVER (ORDER BY shard) + delta AS lo
+       |  FROM deltas WHERE delta < 0)
+       |SELECT CAST(d.shard AS BIGINT) AS from_shard,
+       |  CAST(r.shard AS BIGINT) AS to_shard,
+       |  CAST(LEAST(d.hi, r.hi) - GREATEST(d.lo, r.lo) AS BIGINT)
+       |    AS bytes_moved
+       |FROM donors d JOIN receivers r
+       |  ON d.lo < r.hi AND r.lo < d.hi
+       |ORDER BY from_shard, to_shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_rebalance_plan" -> q338_rebalance_plan _,
     "q336_independence_audit" -> q336_independence_audit _,
     "q334_bsi_aggregation_audit" -> q334_bsi_aggregation_audit _,
     "q331_voptimal_histogram" -> q331_voptimal_histogram _,
@@ -1454,6 +1536,7 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q338_rebalance_plan" -> q338_sql,
     "q336_independence_audit" -> q336_sql,
     "q334_bsi_aggregation_audit" -> q334_sql,
     "q331_voptimal_histogram" -> q331_sql,

@@ -1012,7 +1012,99 @@ object SelectQueries {
       |    // SUM(length(tok) - lcp + 1) AS BIGINT) AS savings_x1000
       |FROM lcp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q339 — galloping-vs-merge intersection planner (Bentley & Yao
+  // 1976; the per-pair decision inside every AND query): for each
+  // pair of the 20 highest-df phrase terms, charge linear merge
+  // n₁+n₂ against galloping n_small·(⌊log₂ n_large⌋+1) and keep the
+  // cheaper — the asymmetric-list case (one rare term AND one
+  // boilerplate term) is where galloping wins big. The ACTUAL
+  // intersection size rides along: top-20 postings equi-join on the
+  // doc key → per-doc present-term sets → per-doc pair explode
+  // (≤190 pairs per doc) → one pair hash agg; linear in corpus,
+  // never lists². log₂ is the bin()-string integer log (the q208
+  // discipline).
+  // -------------------------------------------------------------------
+  private val GalTop = 20
+
+  def q339_intersection_planner(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val toks = graft.pipeline.Dedup
+      .shingleRows(Tables.documents(spark, dir), "doc_id", "text", 2)
+      .toDF("doc_id", "tok")
+      .localCheckpoint(eager = true) // df cut + postings consumers
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(GalTop)
+      .localCheckpoint(eager = true) // pair frame + semi-join
+    val posted = toks.join(broadcast(top.select("tok")), Seq("tok"))
+    // per-doc present-term list → per-doc pairs (≤ C(20,2) each)
+    val pairsPerDoc = posted.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)), b ->
+          |    named_struct('ta', a, 'tb', b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.ta"), col("p.tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("inter"))
+    top.as("a").join(top.as("b"), col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("ta"), col("b.tok").as("tb"),
+        col("a.df").as("n_a"), col("b.df").as("n_b"))
+      .join(pairsPerDoc, Seq("ta", "tb"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .withColumn("cost_merge", col("n_a") + col("n_b"))
+      .withColumn("cost_gallop", expr(
+        "least(n_a, n_b) * length(bin(greatest(n_a, n_b)))"))
+      .withColumn("strategy", expr(
+        "CASE WHEN cost_gallop < cost_merge THEN 'gallop'" +
+          " ELSE 'merge' END"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q339_sql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([t[i] || ' ' || t[i + 1]
+       |            FOR i IN generate_series(1, len(t) - 1)]) AS tok
+       |  FROM t0 WHERE len(t) >= 2),
+       |top AS (
+       |  SELECT tok, df FROM (
+       |    SELECT tok, COUNT(*) AS df,
+       |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+       |    FROM toks GROUP BY tok) WHERE rn <= $GalTop),
+       |inter AS (
+       |  SELECT x.tok AS ta, y.tok AS tb, COUNT(*) AS inter
+       |  FROM (SELECT toks.doc_id, toks.tok FROM toks
+       |          JOIN top ON top.tok = toks.tok) x
+       |  JOIN (SELECT toks.doc_id, toks.tok FROM toks
+       |          JOIN top ON top.tok = toks.tok) y
+       |    ON x.doc_id = y.doc_id AND x.tok < y.tok
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.tok AS ta, b.tok AS tb, a.df AS n_a, b.df AS n_b,
+       |    COALESCE(inter.inter, 0) AS inter
+       |  FROM top a JOIN top b ON a.tok < b.tok
+       |  LEFT JOIN inter ON inter.ta = a.tok AND inter.tb = b.tok)
+       |SELECT ta, tb, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(inter AS BIGINT) AS inter,
+       |  CAST(n_a + n_b AS BIGINT) AS cost_merge,
+       |  CAST(LEAST(n_a, n_b)
+       |    * length(ltrim(bin(GREATEST(n_a, n_b)), '0'))
+       |    AS BIGINT) AS cost_gallop,
+       |  CASE WHEN LEAST(n_a, n_b)
+       |      * length(ltrim(bin(GREATEST(n_a, n_b)), '0'))
+       |      < n_a + n_b THEN 'gallop' ELSE 'merge' END AS strategy
+       |FROM pairs
+       |ORDER BY ta, tb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_intersection_planner" -> q339_intersection_planner _,
     "q333_front_coding_audit" -> q333_front_coding_audit _,
     "q323_rice_postings_planner" -> q323_rice_postings_planner _,
     "q319_lsh_scurve_planner" -> q319_lsh_scurve_planner _,
@@ -1026,6 +1118,7 @@ object SelectQueries {
     "q282_skyline" -> q282_skyline _)
 
   val oracles: Map[String, String] = Map(
+    "q339_intersection_planner" -> q339_sql,
     "q333_front_coding_audit" -> q333_sql,
     "q323_rice_postings_planner" -> q323_sql,
     "q319_lsh_scurve_planner" -> q319_sql,

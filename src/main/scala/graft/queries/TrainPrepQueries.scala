@@ -835,7 +835,120 @@ object TrainPrepQueries {
        |ORDER BY fold""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q337 — k-means coreset via sensitivity sampling (Bachem, Lucic &
+  // Krause 2017): the scale path for clustering 10⁹ vectors — sample
+  // points with probability ∝ squared distance to a seed solution,
+  // weight by 1/p (Horvitz–Thompson), and cluster the tiny weighted
+  // coreset instead of the corpus. Deterministic end to end: 8 seed
+  // centers are the hash60-smallest vectors (seeding by salted hash
+  // IS a uniform draw), distances are exact integers over the
+  // 8-dim milli-unit grid (floor(e·1000) — the q86 quantization
+  // discipline), membership is hash60 mod 10⁶ < p_ppm, and the audit
+  // compares each center's TRUE assignment mass against the
+  // coreset's HT estimate. Scale shape: one broadcast 8-seed cross
+  // join (8× scan, never pairs²), two hash aggs, one broadcast
+  // total.
+  // ---------------------------------------------------------------------
+  private val CsSeeds = 8
+  private val CsBudget = 256L
+
+  def q337_coreset_sample(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val dims = 0 until 8
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: dims.map(d =>
+        // cast float→double BEFORE the ×1000 so both engines run the
+        // same IEEE double multiply (float-lane arithmetic differs)
+        expr(s"cast(floor(cast(element_at(embedding, ${d + 1})" +
+          s" as double) * 1000) as bigint)").as(s"v$d")): _*)
+      .localCheckpoint(eager = true) // seed cut + distance consumers
+    val seeds = vecs
+      .withColumn("h", Sampling.hash60("coreset", col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(CsSeeds)
+      .select(col("vec_id").as("cid") +: dims.map(d =>
+        col(s"v$d").as(s"c$d")): _*)
+    val d2 = dims.map(d => s"(v$d - c$d) * (v$d - c$d)")
+      .mkString(" + ")
+    val assigned = vecs.crossJoin(broadcast(seeds))
+      .withColumn("d2", expr(d2))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.d2").as("d2"))
+      .withColumn("w", col("d2") + 1)
+      .localCheckpoint(eager = true) // total-mass + sampling consumers
+    val tot = assigned.agg(sum(col("w")).as("sw"))
+    val sampled = assigned.crossJoin(broadcast(tot))
+      .withColumn("p_ppm", least(lit(1000000L),
+        expr(s"cast(cast(w as decimal(38,0)) * 1000000 * $CsBudget" +
+          " div sw as bigint)")))
+      // p = 0 points stay in the audit groups; they just can't be
+      // drawn (their HT contribution is guarded out below)
+      .withColumn("inv_p", expr(
+        "CASE WHEN p_ppm > 0 THEN 1000000000000 div p_ppm" +
+          " ELSE 0 END"))
+      .withColumn("keep", col("p_ppm") > 0 &&
+        pmod(Sampling.hash60("cs", col("vec_id")), lit(1000000L))
+          < col("p_ppm"))
+    sampled.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("d2")).as("sum_d2"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("inv_p")).otherwise(0L))
+          .as("est_n_x1e6"))
+      .orderBy(col("cid"))
+  }
+
+  val q337_sql: String = {
+    val dims = 0 until 8
+    val hSeed = Sampling.hash60Sql("coreset", "vec_id")
+    val hKeep = Sampling.hash60Sql("cs", "vec_id")
+    val vCols = dims.map(d =>
+      s"CAST(floor(dv[${d + 1}] * 1000) AS BIGINT) AS v$d")
+      .mkString(", ")
+    val d2 = dims.map(d => s"(v.v$d - s.v$d) * (v.v$d - s.v$d)")
+      .mkString(" + ")
+    s"""WITH raw AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+       |  FROM embeddings),
+       |vecs AS (SELECT vec_id, $vCols FROM raw),
+       |seeds AS (
+       |  SELECT * FROM (
+       |    SELECT vecs.*, ROW_NUMBER() OVER (ORDER BY $hSeed,
+       |      vec_id) AS rn
+       |    FROM vecs) WHERE rn <= $CsSeeds),
+       |asg AS (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT v.vec_id, s.vec_id AS cid, $d2 AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $d2, s.vec_id) AS rn
+       |    FROM vecs v CROSS JOIN seeds s) WHERE rn = 1),
+       |ww AS (SELECT vec_id, cid, d2, d2 + 1 AS w FROM asg),
+       |tot AS (SELECT SUM(w) AS sw FROM ww),
+       |smp AS (
+       |  SELECT vec_id, cid, d2,
+       |    LEAST(1000000, CAST(CAST(w AS HUGEINT) * 1000000
+       |      * $CsBudget // sw AS BIGINT)) AS p_ppm
+       |  FROM ww CROSS JOIN tot),
+       |k AS (
+       |  SELECT *,
+       |    CASE WHEN p_ppm > 0 THEN 1000000000000 // p_ppm
+       |      ELSE 0 END AS inv_p,
+       |    p_ppm > 0 AND ($hKeep % 1000000) < p_ppm AS keep
+       |  FROM smp)
+       |SELECT CAST(cid AS BIGINT) AS cid,
+       |  CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sampled,
+       |  CAST(SUM(CASE WHEN keep THEN inv_p ELSE 0 END) AS BIGINT)
+       |    AS est_n_x1e6
+       |FROM k GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_coreset_sample" -> q337_coreset_sample _,
     "q325_group_kfold_leakage" -> q325_group_kfold_leakage _,
     "q324_epoch_shuffle_audit" -> q324_epoch_shuffle_audit _,
     "q316_dim_covariance" -> q316_dim_covariance _,
@@ -848,6 +961,7 @@ object TrainPrepQueries {
     "q291_wordpiece" -> q291_wordpiece _)
 
   val oracles: Map[String, String] = Map(
+    "q337_coreset_sample" -> q337_sql,
     "q325_group_kfold_leakage" -> q325_sql,
     "q324_epoch_shuffle_audit" -> q324_sql,
     "q316_dim_covariance" -> q316_sql,

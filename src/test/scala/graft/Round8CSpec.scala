@@ -518,4 +518,110 @@ class Round8CSpec extends SparkSpec {
       assert(r === row(r._1, r._2, r._3, r._4, r._5))
     }
   }
+
+  test("q337 coreset sampling matches a JVM HT mirror") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        (r.getLong(0), (0 until 8).map(d =>
+          math.floor(e(d).toDouble * 1000).toLong).toArray)
+      }
+    def h60(salt: String, id: Long): Long =
+      graft.pipeline.Sampling.hash60Jvm(salt, id)
+    val seeds = vecs.sortBy { case (id, _) => (h60("coreset", id), id) }
+      .take(8)
+    val assigned = vecs.map { case (id, v) =>
+      val (d2, cid) = seeds.map { case (sid, sv) =>
+        ((0 until 8).map(d => {
+          val dd = v(d) - sv(d); dd * dd }).sum, sid)
+      }.minBy(c => (c._1, c._2))
+      (id, cid, d2, d2 + 1)
+    }
+    val sw = assigned.map(x => BigInt(x._4)).sum
+    val want = assigned.groupBy(_._2).map { case (cid, g) =>
+      val rows = g.map { case (id, _, d2, w) =>
+        val p = (BigInt(w) * 1000000 * 256 / sw)
+          .min(BigInt(1000000)).toLong
+        val keep = p > 0 && h60("cs", id) % 1000000 < p
+        (d2, keep, if (p > 0) 1000000000000L / p else 0L)
+      }
+      (cid, rows.length.toLong, rows.map(_._1).sum,
+        rows.count(_._2).toLong,
+        rows.filter(_._2).map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TrainPrepQueries.q337_coreset_sample(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === vecs.length.toLong)
+  }
+
+  test("q338 staircase moves equal the sequential greedy rebalancer") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h60(id: Long): Long =
+      graft.pipeline.Sampling.hash60Jvm("shard", id)
+    val sizes = docs.groupBy(d => h60(d._1) % 32)
+      .map { case (s, g) => s -> g.map(_._2).sum }
+    val total = sizes.values.sum
+    val deltas = sizes.toSeq.sortBy(_._1).map { case (s, b) =>
+      (s, b - (total / 32 + (if (s < total % 32) 1L else 0L)))
+    }
+    // sequential greedy in shard order — must equal the overlap form
+    var donors = scala.collection.mutable.Queue(
+      deltas.filter(_._2 > 0).map { case (s, d) => (s, d) }: _*)
+    var recv = scala.collection.mutable.Queue(
+      deltas.filter(_._2 < 0).map { case (s, d) => (s, -d) }: _*)
+    val moves = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    while (donors.nonEmpty && recv.nonEmpty) {
+      val (ds, dv) = donors.head
+      val (rs, rv) = recv.head
+      val m = math.min(dv, rv)
+      moves += ((ds, rs, m))
+      if (dv == m) donors.dequeue() else donors(0) = (ds, dv - m)
+      if (rv == m) recv.dequeue() else recv(0) = (rs, rv - m)
+    }
+    val got = graft.queries.PlannerQueries
+      .q338_rebalance_plan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === moves.toSeq.sortBy(m => (m._1, m._2)))
+    // the plan fully levels every donor
+    val out = got.groupBy(_._1).map { case (s, g) =>
+      s -> g.map(_._3).sum }
+    deltas.filter(_._2 > 0).foreach { case (s, d) =>
+      assert(out(s) === d) }
+  }
+
+  test("q339 planner costs match a JVM postings mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val postings = docs.flatMap { case (id, text) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 2) Nil
+      else t.sliding(2).map(_.mkString(" ")).toSeq.distinct
+        .map(bg => (bg, id))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val top = postings.toSeq
+      .sortBy { case (t, ids) => (-ids.size, t) }.take(20)
+    val want = (for {
+      (ta, ia) <- top; (tb, ib) <- top if ta < tb
+    } yield {
+      val (na, nb) = (ia.size.toLong, ib.size.toLong)
+      val gallop = math.min(na, nb) *
+        (64 - java.lang.Long.numberOfLeadingZeros(math.max(na, nb)))
+      (ta, tb, na, nb, (ia & ib).size.toLong, na + nb, gallop,
+        if (gallop < na + nb) "gallop" else "merge")
+    }).sortBy(p => (p._1, p._2))
+    val got = graft.queries.SelectQueries
+      .q339_intersection_planner(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSeq
+    assert(got === want)
+  }
 }
