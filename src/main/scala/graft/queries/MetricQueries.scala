@@ -1517,7 +1517,86 @@ object MetricQueries {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q341 — difference-in-differences readout (the quasi-experiment
+  // workhorse when randomization isn't available): treatment = users
+  // whose FIRST event is a signup (min(ts, event_id) struct — a
+  // deterministic first-touch rule), periods split at the calendar
+  // midpoint (min+max)/2, and the effect estimate is
+  // (T,post − T,pre) − (C,post − C,pre) over mean spend in
+  // milli-cents — the parallel-trends subtraction that removes both
+  // group level and period level. Corpus work: one per-user
+  // first-touch agg + one 4-cell conditional agg; the 2×2 table and
+  // the DiD scalar are arithmetic on 4 rows.
+  // ---------------------------------------------------------------------
+  def q341_diff_in_diff(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        expr("cast(floor(value * 100) as bigint)").as("x"))
+      .localCheckpoint(eager = true) // first-touch + cell consumers
+    val firstTouch = ev
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("day"), col("event_id"),
+        col("event_type"))).as("ft"))
+      .select(col("user_id"),
+        (col("ft.event_type") === "signup").as("treat"))
+    val mid = ev.agg(
+      expr("(min(day) + max(day)) div 2").as("mid_day"))
+    val cells = ev.join(firstTouch, Seq("user_id"))
+      .crossJoin(broadcast(mid))
+      .withColumn("post", col("day") > col("mid_day"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("mean_mc", expr("sx * 1000 div n"))
+      .localCheckpoint(eager = true) // 4 rows; output + DiD consumers
+    val did = cells.agg(sum(expr(
+      """CASE WHEN treat AND post THEN mean_mc
+        | WHEN treat AND NOT post THEN -mean_mc
+        | WHEN NOT treat AND post THEN -mean_mc
+        | ELSE mean_mc END""".stripMargin)).as("did_mc"))
+    cells.crossJoin(broadcast(did))
+      .select(col("treat"), col("post"), col("n"), col("mean_mc"),
+        col("did_mc"))
+      .orderBy(col("treat"), col("post"))
+  }
+
+  val q341_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(floor(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |ft AS (
+      |  SELECT user_id, event_type FROM (
+      |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY day, event_id) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |treat AS (
+      |  SELECT user_id, (event_type = 'signup') AS treat FROM ft),
+      |mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid_day FROM ev),
+      |cells AS (
+      |  SELECT treat, day > mid_day AS post, COUNT(*) AS n,
+      |    SUM(x) AS sx
+      |  FROM ev JOIN treat USING (user_id) CROSS JOIN mid
+      |  GROUP BY 1, 2),
+      |mm AS (SELECT treat, post, n, sx * 1000 // n AS mean_mc
+      |  FROM cells),
+      |did AS (
+      |  SELECT SUM(CASE WHEN treat AND post THEN mean_mc
+      |    WHEN treat AND NOT post THEN -mean_mc
+      |    WHEN NOT treat AND post THEN -mean_mc
+      |    ELSE mean_mc END) AS did_mc
+      |  FROM mm)
+      |SELECT treat, post, CAST(n AS BIGINT) AS n,
+      |  CAST(mean_mc AS BIGINT) AS mean_mc,
+      |  CAST(did_mc AS BIGINT) AS did_mc
+      |FROM mm CROSS JOIN did
+      |ORDER BY treat, post""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_diff_in_diff" -> q341_diff_in_diff _,
     "q330_kendall_daily" -> q330_kendall_daily _,
     "q318_kaplan_meier" -> q318_kaplan_meier _,
     "q307_haar_synopsis" -> q307_haar_synopsis _,
@@ -1540,6 +1619,7 @@ object MetricQueries {
     "q249_session_lift" -> q249_session_lift _)
 
   val oracles: Map[String, String] = Map(
+    "q341_diff_in_diff" -> q341_sql,
     "q330_kendall_daily" -> q330_sql,
     "q318_kaplan_meier" -> q318_sql,
     "q307_haar_synopsis" -> q307_sql,

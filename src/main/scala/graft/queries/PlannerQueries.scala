@@ -1516,7 +1516,129 @@ object PlannerQueries {
        |ORDER BY from_shard, to_shard""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q340 — dyadic range-count index audit: the decomposition behind
+  // every sketch-backed range query (range trackers, q-digest,
+  // dyadic CM hierarchies) — any [lo, hi] over a 2¹⁶ integer domain
+  // is the disjoint union of ≤ 2·16 dyadic nodes, so a 17-level
+  // count pyramid answers range counts without touching rows. The
+  // pyramid is one explode(17 levels) + hash agg whose state is
+  // VALUE-DOMAIN bounded (≤ 17 × distinct cents); the five audited
+  // ranges' decompositions are computed by the data-INDEPENDENT
+  // greedy in Scala and pinned into both engines as literal cell
+  // lists; dyadic_n ≡ exact_n measured per range pins all 17 levels.
+  // n_cells vs the range width is the planner's read-amplification
+  // story.
+  // -------------------------------------------------------------------
+  private val DyadicRanges: Seq[(String, Long, Long)] = Seq(
+    ("narrow_low", 150L, 900L),
+    ("mid_block", 4096L, 8191L),
+    ("odd_span", 777L, 23456L),
+    ("wide", 100L, 40000L),
+    ("tail", 30000L, 65535L))
+
+  /** Greedy dyadic decomposition of [lo, hi] — largest aligned block
+    * first; pure arithmetic, identical cells in any engine. */
+  private[graft] def dyadicCells(lo0: Long, hi: Long)
+      : Seq[(Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var lo = lo0
+    while (lo <= hi) {
+      var k = 0
+      while (k < 16 && (lo & ((1L << (k + 1)) - 1)) == 0 &&
+          lo + (1L << (k + 1)) - 1 <= hi) k += 1
+      out += ((k, lo >> k))
+      lo += 1L << k
+    }
+    out.toSeq
+  }
+
+  def q340_dyadic_range_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val xs = Tables.events(spark, dir)
+      .select(least(lit(65535L),
+        expr("cast(floor(value * 100) as bigint)")).as("x"))
+      .localCheckpoint(eager = true) // pyramid + exact-count consumers
+    val pyramid = xs
+      .select(explode(expr(
+        "transform(sequence(0, 16), l ->" +
+          " named_struct('lvl', l, 'node', shiftright(x, l)))"))
+        .as("c"))
+      .select(col("c.lvl"), col("c.node"))
+      .groupBy(col("lvl"), col("node"))
+      .agg(count(lit(1)).as("n"))
+    val cells = DyadicRanges.flatMap { case (name, lo, hi) =>
+      dyadicCells(lo, hi).map { case (l, nd) => (name, l, nd) }
+    }
+    val cellsDf = spark.createDataFrame(cells)
+      .toDF("range_id", "lvl", "node")
+    val dyadic = pyramid.join(broadcast(cellsDf), Seq("lvl", "node"))
+      .groupBy(col("range_id"))
+      .agg(sum(col("n")).as("dyadic_n"))
+    val exact = xs.agg(
+      DyadicRanges.map { case (name, lo, hi) =>
+        sum(when(col("x").between(lo, hi), 1L).otherwise(0L))
+          .as(s"e_$name")
+      }.head, DyadicRanges.tail.map { case (name, lo, hi) =>
+        sum(when(col("x").between(lo, hi), 1L).otherwise(0L))
+          .as(s"e_$name")
+      }: _*)
+    val meta = spark.createDataFrame(DyadicRanges.map {
+      case (name, lo, hi) =>
+        (name, lo, hi, dyadicCells(lo, hi).length.toLong)
+    }).toDF("range_id", "lo", "hi", "n_cells")
+    meta.join(dyadic, Seq("range_id"), "left_outer")
+      .na.fill(0L, Seq("dyadic_n"))
+      .crossJoin(broadcast(exact))
+      .withColumn("exact_n", expr(DyadicRanges.map {
+        case (name, _, _) =>
+          s"WHEN range_id = '$name' THEN e_$name"
+      }.mkString("CASE ", " ", " END")))
+      .select(col("range_id"), col("lo"), col("hi"), col("n_cells"),
+        col("exact_n"), col("dyadic_n"))
+      .orderBy(col("range_id"))
+  }
+
+  val q340_sql: String = {
+    val cellRows = DyadicRanges.flatMap { case (name, lo, hi) =>
+      dyadicCells(lo, hi).map { case (l, nd) =>
+        s"('$name', $l, ${nd}::BIGINT)" }
+    }.mkString(", ")
+    val metaRows = DyadicRanges.map { case (name, lo, hi) =>
+      s"('$name', ${lo}::BIGINT, ${hi}::BIGINT," +
+        s" ${dyadicCells(lo, hi).length}::BIGINT)"
+    }.mkString(", ")
+    s"""WITH xs AS (
+       |  SELECT LEAST(65535, CAST(floor(value * 100) AS BIGINT))
+       |    AS x
+       |  FROM events),
+       |pyr AS (
+       |  SELECT lvl, x >> lvl AS node, COUNT(*) AS n
+       |  FROM xs, (SELECT unnest(generate_series(0, 16)) AS lvl)
+       |  GROUP BY 1, 2),
+       |cells(range_id, lvl, node) AS (VALUES $cellRows),
+       |meta(range_id, lo, hi, n_cells) AS (VALUES $metaRows),
+       |dy AS (
+       |  SELECT range_id, SUM(n) AS dyadic_n
+       |  FROM pyr JOIN cells ON cells.lvl = pyr.lvl
+       |    AND cells.node = pyr.node
+       |  GROUP BY 1),
+       |ex AS (
+       |  SELECT meta.range_id,
+       |    (SELECT COUNT(*) FROM xs
+       |     WHERE x BETWEEN meta.lo AND meta.hi) AS exact_n
+       |  FROM meta)
+       |SELECT meta.range_id, meta.lo, meta.hi, meta.n_cells,
+       |  CAST(ex.exact_n AS BIGINT) AS exact_n,
+       |  CAST(COALESCE(dy.dyadic_n, 0) AS BIGINT) AS dyadic_n
+       |FROM meta
+       |JOIN ex ON ex.range_id = meta.range_id
+       |LEFT JOIN dy ON dy.range_id = meta.range_id
+       |ORDER BY meta.range_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_dyadic_range_audit" -> q340_dyadic_range_audit _,
     "q338_rebalance_plan" -> q338_rebalance_plan _,
     "q336_independence_audit" -> q336_independence_audit _,
     "q334_bsi_aggregation_audit" -> q334_bsi_aggregation_audit _,
@@ -1536,6 +1658,7 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q340_dyadic_range_audit" -> q340_sql,
     "q338_rebalance_plan" -> q338_sql,
     "q336_independence_audit" -> q336_sql,
     "q334_bsi_aggregation_audit" -> q334_sql,

@@ -2728,7 +2728,83 @@ object QualityQueries {
        |GROUP BY gaps.doc_id, m.n_gaps, m.mean_sim_ppm
        |ORDER BY gaps.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q342 — Zipf octave audit: rank–frequency decay measured without
+  // logs — tokens bucketed by ⌊log₂ rank⌋ (the bin()-string integer
+  // log), and the decay between consecutive octaves reported as the
+  // exact rational mean(prev)/mean(cur) ×1000 (≈ 2^s ≈ 2000 for a
+  // clean Zipf s=1; a corpus whose octave decay drifts far from that
+  // band is template-heavy or truncated — a corpus-health signal
+  // vocabulary and mixture planners read). Ranks come from the
+  // vocabulary-bounded distributed sort + zipWithIndex, ties broken
+  // (count desc, token) — never a corpus-sized window.
+  // ---------------------------------------------------------------------
+  def q342_zipf_octaves(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = {
+      val d = counts.select((-col("c")).as("nc"), col("tok"),
+          col("c"))
+        .repartitionByRange(32, col("nc"), col("tok"))
+        .sortWithinPartitions(col("nc"), col("tok"))
+        .select(col("c"))
+      spark.createDataFrame(d.as[Long].rdd.zipWithIndex()
+          .map { case (c, i) => (c, i + 1L) })
+        .toDF("c", "rank")
+    }
+    val oct = ranked
+      .withColumn("octave",
+        (length(expr("bin(rank)")) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_freq"))
+      .localCheckpoint(eager = true) // self-join on octave - 1
+    oct.join(oct.select((col("octave") + 1).as("octave"),
+        col("n_tokens").as("pn"), col("sum_freq").as("ps")),
+        Seq("octave"), "left_outer")
+      .withColumn("mean_freq_x1000",
+        expr("sum_freq * 1000 div n_tokens"))
+      .withColumn("decay_x1000", expr(
+        """CASE WHEN ps IS NULL THEN 0
+          | ELSE cast(cast(ps as decimal(38,0)) * n_tokens * 1000
+          |   div (cast(pn as decimal(38,0)) * sum_freq) as bigint)
+          | END""".stripMargin))
+      .select(col("octave"), col("n_tokens"), col("sum_freq"),
+        col("mean_freq_x1000"), col("decay_x1000"))
+      .orderBy(col("octave"))
+  }
+
+  val q342_sql: String =
+    """WITH counts AS (
+      |  SELECT tok, COUNT(*) AS c FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+      |      AS tok
+      |    FROM documents WHERE trim(text) <> '')
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank
+      |  FROM counts),
+      |oct AS (
+      |  SELECT length(ltrim(bin(rank), '0')) - 1 AS octave,
+      |    COUNT(*) AS n_tokens, SUM(c) AS sum_freq
+      |  FROM ranked GROUP BY 1)
+      |SELECT CAST(o.octave AS BIGINT) AS octave,
+      |  CAST(o.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(o.sum_freq AS BIGINT) AS sum_freq,
+      |  CAST(o.sum_freq * 1000 // o.n_tokens AS BIGINT)
+      |    AS mean_freq_x1000,
+      |  CAST(CASE WHEN p.sum_freq IS NULL THEN 0
+      |    ELSE CAST(p.sum_freq AS HUGEINT) * o.n_tokens * 1000
+      |      // (CAST(p.n_tokens AS HUGEINT) * o.sum_freq) END
+      |    AS BIGINT) AS decay_x1000
+      |FROM oct o LEFT JOIN oct p ON p.octave = o.octave - 1
+      |ORDER BY octave""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_zipf_octaves" -> q342_zipf_octaves _,
     "q335_texttiling" -> q335_texttiling _,
     "q326_stupid_backoff" -> q326_stupid_backoff _,
     "q239_filter_bias_audit" -> q239_filter_bias_audit _,
@@ -2781,6 +2857,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q342_zipf_octaves" -> q342_sql,
     "q335_texttiling" -> q335_sql,
     "q326_stupid_backoff" -> q326_sql,
     "q239_filter_bias_audit" -> q239_sql,

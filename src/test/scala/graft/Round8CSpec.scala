@@ -624,4 +624,82 @@ class Round8CSpec extends SparkSpec {
         r.getString(7))).toSeq
     assert(got === want)
   }
+
+  test("q340 dyadic decomposition reproduces every exact range count") {
+    val xs = Tables.events(spark, sf).select("value").collect()
+      .map(r => math.min(65535L,
+        math.floor(r.getDouble(0) * 100).toLong))
+    val got = graft.queries.PlannerQueries
+      .q340_dyadic_range_audit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === 5)
+    got.foreach { case (name, lo, hi, nCells, exact, dyadic) =>
+      assert(exact === dyadic, s"identity broken for $name")
+      assert(exact === xs.count(x => x >= lo && x <= hi).toLong)
+      // decomposition is logarithmic, never linear in the width
+      assert(nCells <= 2 * 17, name)
+      // decomposition cells tile the range exactly
+      val cells = graft.queries.PlannerQueries.dyadicCells(lo, hi)
+      val covered = cells.map { case (l, nd) =>
+        (nd << l, (nd << l) + (1L << l) - 1) }.sortBy(_._1)
+      assert(covered.head._1 === lo && covered.last._2 === hi)
+      covered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + 1 === b._1)
+        case _         => ()
+      }
+    }
+  }
+
+  test("q341 DiD matches a JVM 2x2 mirror") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3) / 86400000000000L,
+        math.floor(r.getDouble(4) * 100).toLong))
+    val treat = ev.groupBy(_._1).map { case (u, g) =>
+      u -> (g.minBy(e => (e._4, e._2))._3 == "signup") }
+    val mid = (ev.map(_._4).min + ev.map(_._4).max) / 2
+    val cells = ev.groupBy(e => (treat(e._1), e._4 > mid))
+      .map { case ((t, p), g) =>
+        (t, p, g.length.toLong, g.map(_._5).sum * 1000 / g.length) }
+      .toSeq.sortBy(c => (c._1, c._2))
+    def m(t: Boolean, p: Boolean): Long =
+      cells.find(c => c._1 == t && c._2 == p).map(_._4).getOrElse(0L)
+    val did = (m(true, true) - m(true, false)) -
+      (m(false, true) - m(false, false))
+    val got = graft.queries.MetricQueries
+      .q341_diff_in_diff(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === cells.map(c => (c._1, c._2, c._3, c._4, did)))
+  }
+
+  test("q342 Zipf octaves match a JVM rank mirror") {
+    val counts = Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(r => r.getString(0).trim.split("\\s+")
+        .filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+    val oct = ranked.groupBy { case (r, _) =>
+      63 - java.lang.Long.numberOfLeadingZeros(r) }
+      .map { case (o, g) =>
+        (o.toLong, g.size.toLong, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val want = oct.map { case (o, n, s) =>
+      val prev = oct.find(_._1 == o - 1)
+      val decay = prev.map { case (_, pn, ps) =>
+        (BigInt(ps) * n * 1000 / (BigInt(pn) * s)).toLong
+      }.getOrElse(0L)
+      (o, n, s, s * 1000 / n, decay)
+    }
+    val got = graft.queries.QualityQueries
+      .q342_zipf_octaves(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+  }
 }
