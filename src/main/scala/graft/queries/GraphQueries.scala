@@ -1011,7 +1011,117 @@ object GraphQueries {
       |  CAST(MAX(k) AS BIGINT) AS max_member
       |FROM labeled GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q343 — degree assortativity (Newman 2002): do hubs link to hubs?
+  // The Pearson correlation of endpoint degrees over the symmetrized
+  // edge-end list, per graph layer (tree / shortcut / combined) —
+  // positive for social-style graphs, negative for hub-and-spoke
+  // dependency graphs, and the single number that says which join/
+  // partition strategy a traversal engine should expect (assortative
+  // graphs shard cleanly; disassortative ones concentrate load on hub
+  // partitions). Exact integers end to end: degree via one hash agg,
+  // moment sums promoted to DECIMAL(38)/HUGEINT, and r² reported via
+  // the q309 two-stage-floor discipline ((|cov|·1000 div vx)·
+  // (|cov|·1000 div vy)) with the sign split out — no square root of
+  // a 2¹⁰⁰-scale product anywhere.
+  // ---------------------------------------------------------------------
+  def q343_assortativity(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val p = Tables.part(spark, dir)
+    val tree = p.filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("src"),
+        expr("p_partkey div 2").as("dst"))
+    val shortcut = p
+      .filter(expr("p_partkey != (p_partkey * p_partkey) % 1000"))
+      .select(col("p_partkey").as("src"),
+        expr("(p_partkey * p_partkey) % 1000").as("dst"))
+    def layerStats(name: String, e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .localCheckpoint(eager = true) // degree + pair consumers
+      val deg = sym.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("d"))
+      sym
+        .join(deg.select(col("v").as("src"), col("d").as("x")),
+          Seq("src"))
+        .join(deg.select(col("v").as("dst"), col("d").as("y")),
+          Seq("dst"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        .select(lit(name).as("layer"), col("n"),
+          expr("""cast(sign(cast(n as decimal(38,0)) * sxy
+            | - cast(sx as decimal(38,0)) * sy) as bigint)"""
+            .stripMargin).as("sign"),
+          expr("""cast(
+            | (abs(cast(n as decimal(38,0)) * sxy
+            |    - cast(sx as decimal(38,0)) * sy) * 1000
+            |  div (cast(n as decimal(38,0)) * sxx
+            |    - cast(sx as decimal(38,0)) * sx))
+            | * (abs(cast(n as decimal(38,0)) * sxy
+            |    - cast(sx as decimal(38,0)) * sy) * 1000
+            |  div (cast(n as decimal(38,0)) * syy
+            |    - cast(sy as decimal(38,0)) * sy))
+            | as bigint)""".stripMargin).as("r2_ppm"))
+    }
+    layerStats("all", tree.unionAll(shortcut))
+      .unionByName(layerStats("shortcut", shortcut))
+      .unionByName(layerStats("tree", tree))
+      .orderBy(col("layer"))
+  }
+
+  val q343_sql: String = {
+    def layer(name: String, edges: String): String =
+      s"""SELECT '$name' AS layer, n,
+         |  CAST(sign(CAST(n AS HUGEINT) * sxy
+         |    - CAST(sx AS HUGEINT) * sy) AS BIGINT) AS sign,
+         |  CAST((abs(CAST(n AS HUGEINT) * sxy
+         |      - CAST(sx AS HUGEINT) * sy) * 1000
+         |    // (CAST(n AS HUGEINT) * sxx
+         |      - CAST(sx AS HUGEINT) * sx))
+         |   * (abs(CAST(n AS HUGEINT) * sxy
+         |      - CAST(sx AS HUGEINT) * sy) * 1000
+         |    // (CAST(n AS HUGEINT) * syy
+         |      - CAST(sy AS HUGEINT) * sy)) AS BIGINT) AS r2_ppm
+         |FROM (
+         |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM (
+         |    SELECT da.d AS x, db.d AS y
+         |    FROM (SELECT src, dst FROM ($edges)
+         |          UNION ALL SELECT dst, src FROM ($edges)) s
+         |    JOIN (SELECT src AS v, COUNT(*) AS d FROM (
+         |            SELECT src, dst FROM ($edges)
+         |            UNION ALL SELECT dst, src FROM ($edges))
+         |          GROUP BY 1) da ON da.v = s.src
+         |    JOIN (SELECT src AS v, COUNT(*) AS d FROM (
+         |            SELECT src, dst FROM ($edges)
+         |            UNION ALL SELECT dst, src FROM ($edges))
+         |          GROUP BY 1) db ON db.v = s.dst))""".stripMargin
+    val tree =
+      """SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part
+        | WHERE p_partkey >= 2""".stripMargin
+    val shortcut =
+      """SELECT p_partkey AS src, (p_partkey * p_partkey) % 1000
+        |  AS dst
+        | FROM part
+        | WHERE p_partkey <> (p_partkey * p_partkey) % 1000"""
+        .stripMargin
+    val all = s"$tree UNION ALL $shortcut"
+    s"""${layer("all", all)}
+       |UNION ALL
+       |${layer("shortcut", shortcut)}
+       |UNION ALL
+       |${layer("tree", tree)}
+       |ORDER BY layer""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_assortativity" -> q343_assortativity _,
     "q267_star_components" -> q267_star_components _,
     "q257_landmark_distance" -> q257_landmark_distance _,
     "q259_stress_centrality" -> q259_stress_centrality _,
@@ -1034,6 +1144,7 @@ object GraphQueries {
     "q302_modularity" -> q302_modularity _)
 
   val oracles: Map[String, String] = Map(
+    "q343_assortativity" -> q343_sql,
     "q302_modularity" -> q302_sql,
     "q257_landmark_distance" -> q257_sql,
     "q259_stress_centrality" -> q259_sql,

@@ -2803,7 +2803,121 @@ object QualityQueries {
       |FROM oct o LEFT JOIN oct p ON p.octave = o.octave - 1
       |ORDER BY octave""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q344 — weighted (multiset) Jaccard verify over fingerprint
+  // blocks: set-based Jaccard (q23/q122) treats "the the the spam
+  // spam" and "the spam" as identical; the WEIGHTED form
+  // Σmin(cₐ,c_b)/Σmax(cₐ,c_b) is what catches template docs that
+  // differ only in copy multiplicity. Candidates are leading-8-token
+  // fingerprint blocks (the q325 grouping), capped at 10 members per
+  // block by min doc id (fan-out ≤ 45 pairs/block by construction —
+  // loudly documented, never corpus²). The key identity that keeps
+  // it relational: Σmax = |A| + |B| − Σmin, so only SHARED tokens
+  // ever join (an inner join on the token key — non-shared tokens
+  // contribute min 0). Output: candidate pairs with jw ≥ 0.2 ppm.
+  // ---------------------------------------------------------------------
+  private val WjCap = 10
+  private val WjThresholdPpm = 200000L
+
+  def q344_weighted_jaccard(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("tk"))
+      .withColumn("fp",
+        md5(concat_ws(" ", slice(col("tk"), 1, 8))))
+      .localCheckpoint(eager = true) // members + token counts
+    val members = docs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= WjCap)
+      .select(col("fp"), col("doc_id"))
+      .localCheckpoint(eager = true) // both pair sides + counts cut
+    val pairs = members.as("a")
+      .join(members.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val counts = docs
+      .join(members.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // sizes + two pair joins
+    val sizes = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("sz"))
+    val inter = pairs
+      .join(counts.select(col("doc_id").as("id_a"), col("tok"),
+        col("c").as("ca")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("tok"),
+        col("c").as("cb")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("inter_min"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .na.fill(0L, Seq("inter_min"))
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("sz").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("sz").as("sb")), Seq("id_b"))
+      .withColumn("union_max",
+        col("sa") + col("sb") - col("inter_min"))
+      .withColumn("jw_ppm",
+        expr("inter_min * 1000000 div union_max"))
+      .filter(col("jw_ppm") >= WjThresholdPpm)
+      .select(col("id_a"), col("id_b"), col("inter_min"),
+        col("union_max"), col("jw_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q344_sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents WHERE trim(text) <> ''),
+       |fp AS (
+       |  SELECT doc_id, md5(array_to_string(tk[1:8], ' ')) AS fp,
+       |    tk
+       |  FROM d),
+       |members AS (
+       |  SELECT fp, doc_id, tk FROM (
+       |    SELECT fp, doc_id, tk, ROW_NUMBER() OVER (
+       |      PARTITION BY fp ORDER BY doc_id) AS rk
+       |    FROM fp) WHERE rk <= $WjCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM members a JOIN members b ON a.fp = b.fp
+       |    AND a.doc_id < b.doc_id),
+       |counts AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM members)
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, SUM(c) AS sz FROM counts GROUP BY 1),
+       |inter AS (
+       |  SELECT p.id_a, p.id_b, SUM(LEAST(ca.c, cb.c)) AS inter_min
+       |  FROM pairs p
+       |  JOIN counts ca ON ca.doc_id = p.id_a
+       |  JOIN counts cb ON cb.doc_id = p.id_b AND cb.tok = ca.tok
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.id_a, p.id_b,
+       |    COALESCE(inter.inter_min, 0) AS inter_min,
+       |    sa.sz + sb.sz - COALESCE(inter.inter_min, 0) AS union_max
+       |  FROM pairs p
+       |  LEFT JOIN inter ON inter.id_a = p.id_a
+       |    AND inter.id_b = p.id_b
+       |  JOIN sizes sa ON sa.doc_id = p.id_a
+       |  JOIN sizes sb ON sb.doc_id = p.id_b)
+       |SELECT id_a, id_b, CAST(inter_min AS BIGINT) AS inter_min,
+       |  CAST(union_max AS BIGINT) AS union_max,
+       |  CAST(inter_min * 1000000 // union_max AS BIGINT) AS jw_ppm
+       |FROM scored
+       |WHERE inter_min * 1000000 // union_max >= $WjThresholdPpm
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_weighted_jaccard" -> q344_weighted_jaccard _,
     "q342_zipf_octaves" -> q342_zipf_octaves _,
     "q335_texttiling" -> q335_texttiling _,
     "q326_stupid_backoff" -> q326_stupid_backoff _,
