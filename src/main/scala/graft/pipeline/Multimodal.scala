@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side contract is real and tested — schema, partitioning,
   * batch iteration shape, feature output schema. Decode is REAL for the
   * codec-free containers ([[MediaCodecs]]: PCM WAV and uncompressed
-  * 24-bit BMP, pure byte arithmetic); compressed formats (JPEG/H.264 —
-  * this container has no codec libraries) fall back to `decodeStub`,
-  * which derives deterministic fake features from the bytes. Swap the
-  * stub branch for a real codec (e.g. JNI/javacv) without touching the
-  * plumbing.
+  * 24-bit BMP, pure byte arithmetic), PNG/JPEG/GIF (`javax.imageio`),
+  * MJPEG-in-AVI frames and μ-law audio; inter-frame video (H.264/VP9)
+  * and compressed audio (MP3/AAC) fall back to `decodeStub`, which
+  * derives deterministic fake features from the bytes.
+  *
+  * PERMANENT EXCLUSION (SURVEY §8): the JDK has no codec for
+  * inter-frame video or MP3/AAC and new dependencies are out of brief,
+  * so those formats stay stubbed by design — this is the project's
+  * final word, not a TODO. Swap the stub branch for a real codec
+  * (e.g. JNI/javacv) without touching the plumbing.
   */
 object Multimodal {
 

@@ -1036,9 +1036,10 @@ object GraphQueries {
       .select(col("p_partkey").as("src"),
         expr("(p_partkey * p_partkey) % 1000").as("dst"))
     def layerStats(name: String, e: DataFrame): DataFrame = {
+      // sym is edge-table-sized — rescan (cheap scan+union lineage)
+      // rather than materialize, per the q285/q301/q326 lesson
       val sym = e.unionAll(e.select(col("dst").as("src"),
-          col("src").as("dst")))
-        .localCheckpoint(eager = true) // degree + pair consumers
+        col("src").as("dst")))
       val deg = sym.groupBy(col("src").as("v"))
         .agg(count(lit(1)).as("d"))
       sym
@@ -1055,7 +1056,14 @@ object GraphQueries {
           expr("""cast(sign(cast(n as decimal(38,0)) * sxy
             | - cast(sx as decimal(38,0)) * sy) as bigint)"""
             .stripMargin).as("sign"),
-          expr("""cast(
+          // constant-degree layer ⇒ zero variance; the den=0 guard
+          // (q330's pattern) keeps Spark (NULL) and DuckDB (error)
+          // from diverging on that edge
+          expr("""CASE WHEN cast(n as decimal(38,0)) * sxx
+            |    - cast(sx as decimal(38,0)) * sx = 0
+            |  OR cast(n as decimal(38,0)) * syy
+            |    - cast(sy as decimal(38,0)) * sy = 0 THEN 0
+            | ELSE cast(
             | (abs(cast(n as decimal(38,0)) * sxy
             |    - cast(sx as decimal(38,0)) * sy) * 1000
             |  div (cast(n as decimal(38,0)) * sxx
@@ -1064,7 +1072,7 @@ object GraphQueries {
             |    - cast(sx as decimal(38,0)) * sy) * 1000
             |  div (cast(n as decimal(38,0)) * syy
             |    - cast(sy as decimal(38,0)) * sy))
-            | as bigint)""".stripMargin).as("r2_ppm"))
+            | as bigint) END""".stripMargin).as("r2_ppm"))
     }
     layerStats("all", tree.unionAll(shortcut))
       .unionByName(layerStats("shortcut", shortcut))
@@ -1077,14 +1085,18 @@ object GraphQueries {
       s"""SELECT '$name' AS layer, n,
          |  CAST(sign(CAST(n AS HUGEINT) * sxy
          |    - CAST(sx AS HUGEINT) * sy) AS BIGINT) AS sign,
-         |  CAST((abs(CAST(n AS HUGEINT) * sxy
+         |  CAST(CASE WHEN CAST(n AS HUGEINT) * sxx
+         |      - CAST(sx AS HUGEINT) * sx = 0
+         |    OR CAST(n AS HUGEINT) * syy
+         |      - CAST(sy AS HUGEINT) * sy = 0 THEN 0
+         |   ELSE (abs(CAST(n AS HUGEINT) * sxy
          |      - CAST(sx AS HUGEINT) * sy) * 1000
          |    // (CAST(n AS HUGEINT) * sxx
          |      - CAST(sx AS HUGEINT) * sx))
          |   * (abs(CAST(n AS HUGEINT) * sxy
          |      - CAST(sx AS HUGEINT) * sy) * 1000
          |    // (CAST(n AS HUGEINT) * syy
-         |      - CAST(sy AS HUGEINT) * sy)) AS BIGINT) AS r2_ppm
+         |      - CAST(sy AS HUGEINT) * sy)) END AS BIGINT) AS r2_ppm
          |FROM (
          |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          |    SUM(CAST(x AS HUGEINT) * y) AS sxy,

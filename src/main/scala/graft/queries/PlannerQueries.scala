@@ -1170,9 +1170,13 @@ object PlannerQueries {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         BigInt(r.getDecimal(3).toBigInteger)))
     val m = cells.length
-    require(m <= VoCells && m >= VoBuckets,
-      s"q331: $m cells outside the [$VoBuckets, $VoCells] driver " +
+    require(m <= VoCells && m >= 1,
+      s"q331: $m cells outside the [1, $VoCells] driver " +
         "bound — the DP input must stay value-domain-sized")
+    // degenerate corpora (< 8 distinct cells) get m buckets instead of
+    // a hard require-failure; the pinned 8-level SQL oracle assumes
+    // m ≥ 8, which every real table satisfies (ADVICE r8)
+    val nBuckets = math.min(VoBuckets, m)
     val pn = cells.scanLeft(0L)(_ + _._2)
     val ps = cells.scanLeft(0L)(_ + _._3)
     val pss = cells.scanLeft(BigInt(0))(_ + _._4)
@@ -1184,17 +1188,17 @@ object PlannerQueries {
     }
     // dp(b)(i): best cost of covering ordinals 1..i with b buckets,
     // plus the argmin split (last bucket starts at bj+1)
-    val dp = Array.ofDim[(BigInt, Int)](VoBuckets + 1, m + 1)
+    val dp = Array.ofDim[(BigInt, Int)](nBuckets + 1, m + 1)
     for (i <- 1 to m) dp(1)(i) = (sse(1, i), 0)
-    for (b <- 2 to VoBuckets; i <- b to m) {
+    for (b <- 2 to nBuckets; i <- b to m) {
       dp(b)(i) = (for (j <- (b - 1) to (i - 1)) yield
         (dp(b - 1)(j)._1 + sse(j + 1, i), j))
         .minBy(c => (c._1, c._2))
     }
     // backtrack boundaries; bucket b covers ordinals (lo, hi]
-    val bounds = new Array[(Int, Int)](VoBuckets + 1)
+    val bounds = new Array[(Int, Int)](nBuckets + 1)
     var hi = m
-    for (b <- VoBuckets to 1 by -1) {
+    for (b <- nBuckets to 1 by -1) {
       val lo = dp(b)(hi)._2
       bounds(b) = (lo + 1, hi)
       hi = lo
@@ -1206,7 +1210,7 @@ object PlannerQueries {
       }.map(_._2 + 1)
       if (in.isEmpty) BigInt(0) else sse(in.min, in.max)
     }
-    val rows = (1 to VoBuckets).map { b =>
+    val rows = (1 to nBuckets).map { b =>
       val (lo, k) = bounds(b)
       (b.toLong, cells(lo - 1)._1, cells(k - 1)._1,
         pn(k) - pn(lo - 1), sse(lo, k).toLong, ewSse(b).toLong)
@@ -1455,11 +1459,18 @@ object PlannerQueries {
   def q338_rebalance_plan(spark: SparkSession, dir: String)
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val sizes = Tables.documents(spark, dir)
+    val measured = Tables.documents(spark, dir)
       .withColumn("shard",
         pmod(Sampling.hash60("shard", col("doc_id")), lit(RebShards)))
       .groupBy(col("shard"))
-      .agg(sum(col("n_chars")).as("bytes"))
+      .agg(sum(col("n_chars")).as("mbytes"))
+    // the shard frame is the LITERAL 0..31 range (q332's table-spine
+    // pattern), not the measured keys — an empty shard must still get
+    // a target and receive moves, or Σexcess ≠ Σdeficit and the plan
+    // silently under-levels
+    val sizes = spark.range(RebShards).select(col("id").as("shard"))
+      .join(measured, Seq("shard"), "left_outer")
+      .select(col("shard"), coalesce(col("mbytes"), lit(0L)).as("bytes"))
     val tot = sizes.agg(sum(col("bytes")).as("tb"))
     val deltas = sizes.crossJoin(broadcast(tot))
       .withColumn("target", expr(
@@ -1488,9 +1499,14 @@ object PlannerQueries {
 
   val q338_sql: String = {
     val h = Sampling.hash60Sql("shard", "doc_id")
-    s"""WITH sizes AS (
+    s"""WITH measured AS (
        |  SELECT ($h % $RebShards) AS shard, SUM(n_chars) AS bytes
        |  FROM documents GROUP BY 1),
+       |sizes AS (
+       |  SELECT g.shard, COALESCE(m.bytes, 0) AS bytes
+       |  FROM (SELECT CAST(s AS BIGINT) AS shard
+       |        FROM generate_series(0, ${RebShards - 1}) t(s)) g
+       |  LEFT JOIN measured m ON m.shard = g.shard),
        |tot AS (SELECT SUM(bytes) AS tb FROM sizes),
        |deltas AS (
        |  SELECT shard, bytes,

@@ -2815,6 +2815,12 @@ object QualityQueries {
   // it relational: Σmax = |A| + |B| − Σmin, so only SHARED tokens
   // ever join (an inner join on the token key — non-shared tokens
   // contribute min 0). Output: candidate pairs with jw ≥ 0.2 ppm.
+  // Scale shape: NO corpus-sized materialization — the round-8 first
+  // cut localCheckpointed docs/members/counts (the q285/q301/q326
+  // materialize-vs-rescan trap); all three are scan-or-shuffle-speed
+  // lineages, so every consumer rescans (Catalyst reuses the member
+  // window's exchange where plans align) and executor storage stays
+  // empty at any corpus size.
   // ---------------------------------------------------------------------
   private val WjCap = 10
   private val WjThresholdPpm = 200000L
@@ -2826,14 +2832,12 @@ object QualityQueries {
         TextAnalysis.tokens(lower(col("text"))).as("tk"))
       .withColumn("fp",
         md5(concat_ws(" ", slice(col("tk"), 1, 8))))
-      .localCheckpoint(eager = true) // members + token counts
     val members = docs
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rk") <= WjCap)
       .select(col("fp"), col("doc_id"))
-      .localCheckpoint(eager = true) // both pair sides + counts cut
     val pairs = members.as("a")
       .join(members.as("b"), col("a.fp") === col("b.fp") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -2844,7 +2848,6 @@ object QualityQueries {
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true) // sizes + two pair joins
     val sizes = counts.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("sz"))
     val inter = pairs
@@ -2971,6 +2974,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q344_weighted_jaccard" -> q344_sql,
     "q342_zipf_octaves" -> q342_sql,
     "q335_texttiling" -> q335_sql,
     "q326_stupid_backoff" -> q326_sql,

@@ -1403,10 +1403,12 @@ object StatQueries {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
       .withColumn("mean_mc", expr("sx * 1000 div n"))
+      // n=1 guard: n·(n−1)=0 would NULL here but ERROR in DuckDB
       .withColumn("v", expr(
-        "cast((cast(n as decimal(38,0)) * sxx - cast(sx as" +
+        "CASE WHEN n <= 1 THEN 0 ELSE " +
+          "cast((cast(n as decimal(38,0)) * sxx - cast(sx as" +
           " decimal(38,0)) * sx) div cast(n * (n - 1) as" +
-          " decimal(38,0)) as bigint)"))
+          " decimal(38,0)) as bigint) END"))
       .withColumn("se2", expr("v * 1000000 div n"))
     stats.as("a").join(broadcast(stats.as("b")),
         col("a.event_type") < col("b.event_type"))
@@ -1415,9 +1417,11 @@ object StatQueries {
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         col("a.mean_mc").as("mean_a_mc"),
         col("b.mean_mc").as("mean_b_mc"),
+        // promote BEFORE squaring (the oracle's HUGEINT order) — an
+        // int64 square of a >3e9 milli-cent mean diff would overflow
         expr("""CASE WHEN a.se2 + b.se2 = 0 THEN 0
-          | ELSE cast(cast((a.mean_mc - b.mean_mc) *
-          |   (a.mean_mc - b.mean_mc) as decimal(38,0)) * 1000
+          | ELSE cast(cast((a.mean_mc - b.mean_mc) as decimal(38,0)) *
+          |   (a.mean_mc - b.mean_mc) * 1000
           |   div (a.se2 + b.se2) as bigint) END""".stripMargin)
           .as("t2_x1000"))
       .orderBy(col("type_a"), col("type_b"))
@@ -1432,9 +1436,10 @@ object StatQueries {
       |  FROM events GROUP BY 1),
       |st AS (
       |  SELECT event_type, n, sx * 1000 // n AS mean_mc,
-      |    CAST((CAST(n AS HUGEINT) * sxx
-      |      - CAST(sx AS HUGEINT) * sx)
-      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS v
+      |    CASE WHEN n <= 1 THEN 0 ELSE
+      |      CAST((CAST(n AS HUGEINT) * sxx
+      |        - CAST(sx AS HUGEINT) * sx)
+      |        // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END AS v
       |  FROM s),
       |se AS (SELECT event_type, n, mean_mc,
       |  v * 1000000 // n AS se2 FROM st)
