@@ -275,4 +275,75 @@ object Communities {
        |mis AS (
        |  $winners)""".stripMargin
   }
+
+  /** Round-limited greedy coloring by iterated local maxima — the
+    * Jones–Plassmann (1993) round structure with fixed collision-free
+    * priorities: in round r every UNCOLORED vertex whose priority
+    * exceeds all uncolored neighbours' takes color r and leaves the
+    * active set (its neighbours STAY — only the winners exit, unlike
+    * [[maximalIndependentSet]]). Each round's winner set is independent
+    * by construction, so the partial result is always a PROPER
+    * coloring. Exactly `rounds` rounds run — a fixed job count at any
+    * scale — and vertices still active afterwards are returned with
+    * color 0 (the caller reports the uncolored remainder; expected
+    * fraction decays geometrically, ~(1 − 1/(d̄+1))^rounds). Per round:
+    * one edge join + one anti join on the shrinking active set —
+    * diameter-independent, the shape that survives 100 TB.
+    *
+    * `nodes` must select (v, h) with h UNIQUE (bijective hash — ties
+    * would make a round ambiguous); `edges` (u, w) symmetrized,
+    * irreflexive. Returns (node, color), color = 1-based round, 0 =
+    * uncolored after `rounds`. */
+  def localMaxColoring(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var act = nodes.select(col("v"), col("h")).localCheckpoint(true)
+    val ed = edges.select(col("u"), col("w")).localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      // active vertices beaten by an active neighbour's priority
+      val losers = ed
+        .join(act.select(col("v").as("u"), col("h").as("hu")), "u")
+        .join(act.select(col("v").as("w"), col("h").as("hw")), "w")
+        .filter(col("hw") > col("hu"))
+        .select(col("u").as("v")).distinct()
+      val winners = act.join(losers, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      act = act.join(winners.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      val w = winners
+        .select(col("v").as("node"), lit(r.toLong).as("color"))
+      out = if (out == null) w else out.unionAll(w)
+    }
+    out.unionAll(act.select(col("v").as("node"), lit(0L).as("color")))
+  }
+
+  /** DuckDB mirror of [[localMaxColoring]] as unrolled round CTEs (same
+    * reasons as [[maximalIndependentSetSql]]). `rounds` must EQUAL the
+    * Spark side's — both engines run the identical fixed schedule, so
+    * there is no convergence mismatch to guard. Final CTE `coloring`
+    * has (node, color), color 0 = still uncolored after `rounds`. */
+  def localMaxColoringSql(nodesSql: String, edgesSql: String,
+      rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""cw$r AS (
+         |  SELECT a.v FROM cact${r - 1} a WHERE NOT EXISTS (
+         |    SELECT 1 FROM colEd e JOIN cact${r - 1} n ON n.v = e.w
+         |    WHERE e.u = a.v AND n.h > a.h)),
+         |cact$r AS MATERIALIZED (
+         |  SELECT a.v, a.h FROM cact${r - 1} a
+         |  WHERE NOT EXISTS (SELECT 1 FROM cw$r WHERE cw$r.v = a.v))"""
+        .stripMargin
+    }.mkString(",\n")
+    val winners = (1 to rounds)
+      .map(r => s"SELECT v AS node, $r AS color FROM cw$r")
+      .mkString("\n  UNION ALL ")
+    s"""colNodes AS ($nodesSql),
+       |colEd AS MATERIALIZED ($edgesSql),
+       |cact0 AS (SELECT v, h FROM colNodes),
+       |$steps,
+       |coloring AS (
+       |  $winners
+       |  UNION ALL SELECT v AS node, 0 AS color FROM cact$rounds)"""
+      .stripMargin
+  }
 }

@@ -2372,7 +2372,164 @@ object CurationQueries {
        |FROM l6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q349 — Lorenz curve + Gini of the token-frequency distribution:
+  // the inequality audit of a corpus (a handful of boilerplate tokens
+  // carrying most of the mass is the signature of template/log spam,
+  // and the Gini is the one-number summary mixture planners track
+  // next to q342's octave decay). NO global rank sort: tokens are
+  // grouped by FREQUENCY VALUE (the bounded domain), ranks inside a
+  // frequency group are consecutive, so Σ rank·f folds to
+  // f·(ct·below + ct(ct+1)/2) per group and the cumulative axis is a
+  // triangular join on the frequency-group table (the q124 idiom).
+  // Gini = (2·Σ rank·f − (n+1)·T) / (n·T) exactly, in ppm; the Lorenz
+  // curve is pinned at the 10 deciles by interpolating inside the
+  // frequency group containing each decile boundary.
+  // -------------------------------------------------------------------
+  def q349_lorenz_gini(spark: SparkSession, dir: String): DataFrame = {
+    val fg = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+      .withColumn("mass", col("f") * col("ct"))
+      .localCheckpoint(eager = true) // bounded (distinct frequencies);
+    // feeds the triangular join twice + totals
+    val cum = fg.as("a")
+      .join(fg.as("b"), col("b.f") < col("a.f"), "left_outer")
+      .groupBy(col("a.f").as("f"), col("a.ct").as("ct"),
+        col("a.mass").as("mass"))
+      .agg(coalesce(sum(col("b.ct")), lit(0L)).as("below_ct"),
+        coalesce(sum(col("b.mass")), lit(0L)).as("below_mass"))
+    val tot = fg.agg(sum(col("ct")).as("n"), sum(col("mass")).as("t"))
+    val gini = cum
+      .select(sum(expr(
+        "cast(f as decimal(38,0)) * (ct * below_ct + ct * (ct + 1)" +
+          " div 2)")).as("s"))
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """cast((2 * s - (cast(n as decimal(38,0)) + 1) * t) * 1000000
+          | div (cast(n as decimal(38,0)) * t) as bigint)"""
+          .stripMargin).as("gini_ppm"))
+    spark.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(tot))
+      .withColumn("k", expr("decile * n div 10"))
+      .join(cum,
+        col("below_ct") < col("k") &&
+          col("k") <= col("below_ct") + col("ct"), "left_outer")
+      .withColumn("mass_k",
+        coalesce(col("below_mass") +
+          (col("k") - col("below_ct")) * col("f"), lit(0L)))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("k").as("k_tokens"),
+        expr("cast(cast(mass_k as decimal(38,0)) * 1000000 div t" +
+          " as bigint)").as("cum_mass_ppm"),
+        col("gini_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val q349_sql: String =
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS f FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+      |      AS tok
+      |    FROM documents WHERE trim(text) <> '')
+      |  GROUP BY 1),
+      |fg AS (
+      |  SELECT f, COUNT(*) AS ct, f * COUNT(*) AS mass
+      |  FROM tf GROUP BY 1),
+      |cum AS (
+      |  SELECT a.f, a.ct, a.mass,
+      |    COALESCE(SUM(b.ct), 0) AS below_ct,
+      |    COALESCE(SUM(b.mass), 0) AS below_mass
+      |  FROM fg a LEFT JOIN fg b ON b.f < a.f
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT SUM(ct) AS n, SUM(mass) AS t FROM fg),
+      |gini AS (
+      |  SELECT CAST((2 * s - (CAST(n AS HUGEINT) + 1) * t) * 1000000
+      |    // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_ppm
+      |  FROM (SELECT SUM(CAST(f AS HUGEINT) *
+      |          (ct * below_ct + ct * (ct + 1) // 2)) AS s
+      |        FROM cum) CROSS JOIN tot),
+      |dec AS (
+      |  SELECT CAST(d AS BIGINT) AS decile, d * n // 10 AS k, n, t
+      |  FROM generate_series(1, 10) g(d) CROSS JOIN tot)
+      |SELECT decile, CAST(k AS BIGINT) AS k_tokens,
+      |  CAST(CAST(COALESCE(below_mass + (k - below_ct) * f, 0)
+      |    AS HUGEINT) * 1000000 // t AS BIGINT) AS cum_mass_ppm,
+      |  gini_ppm
+      |FROM dec
+      |LEFT JOIN cum ON below_ct < k AND k <= below_ct + ct
+      |CROSS JOIN gini
+      |ORDER BY decile""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q350 — token burstiness by Fano factor (index of dispersion;
+  // Church & Gale 1995's burstiness observation): for each term, the
+  // ratio of the variance to the mean of its PER-DOCUMENT count —
+  // including the zero documents — distinguishes content words
+  // (bursty, F ≫ 1: absent from most docs, repeated where present)
+  // from function words (F ≈ 1, Poisson-like). With population
+  // variance over all N docs the ratio folds to the exact integer
+  // form F·1000 = (N·Σc² − (Σc)²)·1000 div (N·Σc) — zeros contribute
+  // nothing to either sum, so the corpus work is ONE (doc, tok) hash
+  // agg plus a vocabulary-sized rollup; no zero-filled grid is ever
+  // materialized. Top 20 by F among terms in ≥ 5 docs.
+  // -------------------------------------------------------------------
+  private val FanoMinDf = 5
+  private val FanoTopK = 20
+
+  def q350_fano_burstiness(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      .filter(col("df") >= FanoMinDf)
+      .crossJoin(broadcast(nd))
+      .withColumn("fano_x1000", expr(
+        """cast((cast(n_docs as decimal(38,0)) * s2
+          | - cast(tf as decimal(38,0)) * tf) * 1000
+          | div (cast(n_docs as decimal(38,0)) * tf) as bigint)"""
+          .stripMargin))
+      .select(col("tok"), col("df"), col("tf"), col("n_docs"),
+        col("fano_x1000"))
+      .orderBy(col("fano_x1000").desc, col("tok")).limit(FanoTopK)
+  }
+
+  val q350_sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE trim(text) <> ''),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM d),
+       |dt AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM d)
+       |  GROUP BY 1, 2),
+       |v AS (
+       |  SELECT tok, COUNT(*) AS df, SUM(c) AS tf,
+       |    SUM(CAST(c AS HUGEINT) * c) AS s2
+       |  FROM dt GROUP BY 1)
+       |SELECT tok, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST((CAST(n_docs AS HUGEINT) * s2
+       |    - CAST(tf AS HUGEINT) * tf) * 1000
+       |    // (CAST(n_docs AS HUGEINT) * tf) AS BIGINT) AS fano_x1000
+       |FROM v CROSS JOIN nd
+       |WHERE df >= $FanoMinDf
+       |ORDER BY fano_x1000 DESC, tok LIMIT $FanoTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_lorenz_gini" -> q349_lorenz_gini _,
+    "q350_fano_burstiness" -> q350_fano_burstiness _,
     "q313_wht_spectrum" -> q313_wht_spectrum _,
     "q310_rake_keywords" -> q310_rake_keywords _,
     "q311_textrank" -> q311_textrank _,
@@ -2417,6 +2574,8 @@ object CurationQueries {
     "q250_curation_v2" -> q250_curation_v2 _)
 
   val oracles: Map[String, String] = Map(
+    "q349_lorenz_gini" -> q349_sql,
+    "q350_fano_burstiness" -> q350_sql,
     "q313_wht_spectrum" -> q313_sql,
     "q310_rake_keywords" -> q310_sql,
     "q311_textrank" -> q311_sql,

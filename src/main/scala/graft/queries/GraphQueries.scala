@@ -1132,7 +1132,254 @@ object GraphQueries {
        |ORDER BY layer""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q346 — SALSA (Lempel & Moran 2000, "The stochastic approach for
+  // link-structure analysis"): the bipartite stochastic variant of
+  // HITS whose stationary authority is PROVABLY proportional to
+  // degree within a component — the paper's TKC-immunity result. The
+  // audit runs 4 synchronous integer-ppm rounds of the alternating
+  // walk over the customer–part purchase graph (authority(p) ←
+  // Σ_{c~p} hub(c) div deg(c); hub(c) ← Σ_{p~c} auth(p) div deg(p);
+  // floor per EDGE so both engines are bit-identical) and reports
+  // each top part's iterated share next to the degree-proportional
+  // stationary value — the remaining distance IS the audit. Scale:
+  // degrees are one hash agg, each half-round one edge join; 8 joins
+  // total regardless of corpus size, state O(nodes).
+  // -------------------------------------------------------------------
+  private val SalsaRounds = 4
+  private val SalsaTopK = 15
+
+  def q346_salsa(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      // edge-sized, feeds degrees + 8 half-round joins — the
+      // per-iteration materialization pattern of the graph tier
+      .localCheckpoint(eager = true)
+    val degC = edges.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+    val degP = edges.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    val e2 = edges.join(degC, Seq("c")).join(degP, Seq("p"))
+      .localCheckpoint(eager = true)
+    var h = degC.select(col("c"), lit(1000000L).as("hs"))
+    var a: DataFrame = null
+    for (_ <- 1 to SalsaRounds) {
+      a = e2.join(h, Seq("c"))
+        .withColumn("x", expr("hs div dc"))
+        .groupBy(col("p")).agg(sum(col("x")).as("av"))
+        .localCheckpoint(eager = true)
+      h = e2.join(a, Seq("p"))
+        .withColumn("y", expr("av div dp"))
+        .groupBy(col("c")).agg(sum(col("y")).as("hs"))
+        .localCheckpoint(eager = true)
+    }
+    val tot = a.agg(sum(col("av")).as("ta"))
+    val ne = edges.agg(count(lit(1)).as("ne"))
+    a.join(degP, Seq("p"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ne))
+      .withColumn("share_ppm", expr(
+        "cast(cast(av as decimal(38,0)) * 1000000 div ta as bigint)"))
+      .withColumn("stat_ppm", expr(
+        "cast(cast(dp as decimal(38,0)) * 1000000 div ne as bigint)"))
+      .select(col("p").as("part"), col("av"), col("share_ppm"),
+        col("stat_ppm"),
+        expr("abs(share_ppm - stat_ppm)").as("err_ppm"))
+      .orderBy(col("av").desc, col("part")).limit(SalsaTopK)
+  }
+
+  val q346_sql: String = {
+    val rounds = (1 to SalsaRounds).map { r =>
+      s"""a$r AS (SELECT p, SUM(hs // dc) AS av
+         |  FROM e2 JOIN h${r - 1} USING (c) GROUP BY 1),
+         |h$r AS (SELECT c, SUM(av // dp) AS hs
+         |  FROM e2 JOIN a$r USING (p) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |degc AS (SELECT c, COUNT(*) AS dc FROM edges GROUP BY 1),
+       |degp AS (SELECT p, COUNT(*) AS dp FROM edges GROUP BY 1),
+       |e2 AS MATERIALIZED (
+       |  SELECT e.c, e.p, dc, dp FROM edges e
+       |  JOIN degc USING (c) JOIN degp USING (p)),
+       |h0 AS (SELECT c, CAST(1000000 AS BIGINT) AS hs FROM degc),
+       |$rounds,
+       |tot AS (SELECT SUM(av) AS ta FROM a$SalsaRounds),
+       |te AS (SELECT COUNT(*) AS ne FROM edges)
+       |SELECT p AS part, CAST(av AS BIGINT) AS av,
+       |  CAST(CAST(av AS HUGEINT) * 1000000 // ta AS BIGINT)
+       |    AS share_ppm,
+       |  CAST(CAST(dp AS HUGEINT) * 1000000 // ne AS BIGINT)
+       |    AS stat_ppm,
+       |  CAST(abs(CAST(av AS HUGEINT) * 1000000 // ta
+       |    - CAST(dp AS HUGEINT) * 1000000 // ne) AS BIGINT)
+       |    AS err_ppm
+       |FROM a$SalsaRounds JOIN degp USING (p)
+       |CROSS JOIN tot CROSS JOIN te
+       |ORDER BY av DESC, part LIMIT $SalsaTopK""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q347 — round-limited greedy coloring (Jones–Plassmann 1993 round
+  // structure, Luby-style fixed priorities — see
+  // Communities.localMaxColoring): 24 fixed rounds over the q343
+  // tree+shortcut graph; every round's local-priority-maxima take that
+  // round's color, so the partial result is always PROPER. Both
+  // engines run the IDENTICAL fixed schedule (no convergence coupling)
+  // and the audit reports, per color, the class size — plus the
+  // proper-coloring certificate (conflict edge count, must be 0), the
+  // uncolored remainder as color 0, and the max degree the Δ+1 bound
+  // refers to. Scale: a fixed 24-round job count; each round one edge
+  // join + one anti join on the geometrically shrinking active set.
+  // -------------------------------------------------------------------
+  private val ColorRounds = 24
+
+  private def coloringGraph(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val p = Tables.part(spark, dir)
+    val nodes = p.select(col("p_partkey").as("v"),
+      expr("(p_partkey * 2654435761) % 4294967296").as("h"))
+    val tree = p.filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("u"),
+        expr("p_partkey div 2").as("w"))
+    val shortcut = p
+      .filter(expr("p_partkey != (p_partkey * p_partkey) % 1000"))
+      .select(col("p_partkey").as("u"),
+        expr("(p_partkey * p_partkey) % 1000").as("w"))
+    val fwd = tree.unionAll(shortcut)
+    val sym = fwd
+      .unionAll(fwd.select(col("w").as("u"), col("u").as("w")))
+      .distinct()
+    (nodes, sym)
+  }
+
+  def q347_greedy_coloring(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (nodes, sym) = coloringGraph(spark, dir)
+    val colored = graft.graph.Communities
+      .localMaxColoring(nodes, sym, ColorRounds)
+      .localCheckpoint(eager = true) // histogram + certificate joins
+    val conflicts = sym
+      .join(colored.select(col("node").as("u"), col("color").as("cu")),
+        Seq("u"))
+      .join(colored.select(col("node").as("w"), col("color").as("cw")),
+        Seq("w"))
+      .filter(col("u") < col("w") && col("cu") === col("cw") &&
+        col("cu") > 0)
+      .agg(count(lit(1)).as("conflicts"))
+    val maxDeg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("max_degree"))
+    colored.groupBy(col("color"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(conflicts))
+      .crossJoin(broadcast(maxDeg))
+      .select(col("color"), col("n_nodes"), col("conflicts"),
+        col("max_degree"))
+      .orderBy(col("color"))
+  }
+
+  val q347_sql: String = {
+    val nodesSql =
+      "SELECT p_partkey AS v, (p_partkey * 2654435761) % 4294967296 " +
+        "AS h FROM part"
+    val fwd =
+      """SELECT p_partkey AS u, p_partkey // 2 AS w FROM part
+        | WHERE p_partkey >= 2
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * p_partkey) % 1000 FROM part
+        | WHERE p_partkey != (p_partkey * p_partkey) % 1000"""
+        .stripMargin
+    val edgesSql =
+      s"WITH fwd AS ($fwd) SELECT DISTINCT u, w FROM " +
+        "(SELECT u, w FROM fwd UNION ALL SELECT w, u FROM fwd)"
+    s"""WITH ${graft.graph.Communities.localMaxColoringSql(nodesSql,
+          edgesSql, ColorRounds)},
+       |conf AS (
+       |  SELECT COUNT(*) AS conflicts FROM colEd e
+       |  JOIN coloring cu ON cu.node = e.u
+       |  JOIN coloring cw ON cw.node = e.w
+       |  WHERE e.u < e.w AND cu.color = cw.color AND cu.color > 0),
+       |md AS (
+       |  SELECT MAX(d) AS max_degree FROM (
+       |    SELECT u, COUNT(*) AS d FROM colEd GROUP BY 1))
+       |SELECT CAST(color AS BIGINT) AS color,
+       |  COUNT(*) AS n_nodes,
+       |  CAST(conflicts AS BIGINT) AS conflicts,
+       |  CAST(max_degree AS BIGINT) AS max_degree
+       |FROM coloring CROSS JOIN conf CROSS JOIN md
+       |GROUP BY 1, 3, 4
+       |ORDER BY color""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q351 — Borůvka MST with randomized star contraction (see
+  // graph/Mst.scala): the log-round distributed minimum-spanning-tree
+  // over the part tree ∪ two stride paths with unique hash weights —
+  // with distinct weights (the (w, a, b) lexicographic total order)
+  // the MST is UNIQUE, so the merge log is deterministic and both
+  // engines replay it exactly. Output is the per-round merge summary
+  // (n_merges, weight added) — the convergence trace a 100 TB MST job
+  // watches — and Round9CSpec pins the full edge set against a JVM
+  // Kruskal (the sequential gold standard) plus the schedule replay.
+  // -------------------------------------------------------------------
+  private val MstStrides = Seq(7L, 17L)
+  private val MstSqlRounds = 48
+
+  private def mstEdges(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val tree = p.filter(col("p_partkey") >= 2)
+      .select(expr("p_partkey div 2").as("a"),
+        col("p_partkey").as("b"))
+    val strides = MstStrides.map { s =>
+      p.filter(col("p_partkey") > s)
+        .select((col("p_partkey") - s).as("a"), col("p_partkey").as("b"))
+    }.reduce(_ unionAll _)
+    tree.unionAll(strides).distinct()
+      .withColumn("w", graft.pipeline.Sampling.hash60("mst",
+        concat_ws("|", col("a"), col("b"))))
+  }
+
+  def q351_boruvka_mst(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val log = graft.graph.Mst.boruvka(
+      p.select(col("p_partkey").as("v")), mstEdges(spark, dir))
+    log.groupBy(col("round"))
+      .agg(count(lit(1)).as("n_merges"),
+        // weights are 60-bit; Σ over 10⁵⁺ edges overflows int64, so
+        // report the per-edge-floored 2²⁰-reduced sum (both engines
+        // floor per edge identically; still collision-unique in
+        // practice at 40 bits per edge)
+        sum(expr("w div 1048576")).as("sum_w_m"))
+      .orderBy(col("round"))
+  }
+
+  val q351_sql: String = {
+    val verticesSql = "SELECT p_partkey AS v FROM part"
+    val h = graft.pipeline.Sampling.hash60Sql("mst",
+      "CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)")
+    val strides = MstStrides.map(s =>
+      s"SELECT p_partkey - $s AS a, p_partkey AS b FROM part " +
+        s"WHERE p_partkey > $s").mkString(" UNION ALL ")
+    val edgesSql =
+      s"""SELECT a, b, $h AS w FROM (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT p_partkey // 2 AS a, p_partkey AS b FROM part
+         |    WHERE p_partkey >= 2
+         |    UNION ALL $strides))""".stripMargin
+    s"""WITH ${graft.graph.Mst.boruvkaSql(verticesSql, edgesSql,
+          MstSqlRounds)}
+       |SELECT CAST(round AS BIGINT) AS round, COUNT(*) AS n_merges,
+       |  CAST(SUM(w // 1048576) AS BIGINT) AS sum_w_m
+       |FROM mst GROUP BY 1 ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_boruvka_mst" -> q351_boruvka_mst _,
+    "q346_salsa" -> q346_salsa _,
+    "q347_greedy_coloring" -> q347_greedy_coloring _,
     "q343_assortativity" -> q343_assortativity _,
     "q267_star_components" -> q267_star_components _,
     "q257_landmark_distance" -> q257_landmark_distance _,
@@ -1156,6 +1403,9 @@ object GraphQueries {
     "q302_modularity" -> q302_modularity _)
 
   val oracles: Map[String, String] = Map(
+    "q351_boruvka_mst" -> q351_sql,
+    "q346_salsa" -> q346_sql,
+    "q347_greedy_coloring" -> q347_sql,
     "q343_assortativity" -> q343_sql,
     "q302_modularity" -> q302_sql,
     "q257_landmark_distance" -> q257_sql,

@@ -1653,7 +1653,114 @@ object PlannerQueries {
        |ORDER BY meta.range_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q348 — Haar wavelet synopsis audit (Matias, Vitter & Wang 1998,
+  // "Wavelet-based histograms for selectivity estimation"): the THIRD
+  // classic histogram family next to q285 (equi-width), q321
+  // (equi-depth) and q331 (V-optimal) — transform the 64-cell value
+  // histogram with the integer lifting Haar (s = a+b, d = a−b, no
+  // division, so the forward pass is EXACT), keep the root plus the 8
+  // largest-|d| detail coefficients (ties → smallest level, then
+  // index), reconstruct with clamped floor halving (counts are
+  // nonnegative; GREATEST(·,0) // 2 keeps both engines' integer
+  // division on nonnegative ground), and report per-cell
+  // reconstruction error. Corpus work is ONE hash agg to ≤ 64 cells;
+  // transform + selection are driver arithmetic on the loudly-bounded
+  // cell array (the q331 DP discipline); the oracle replays the same
+  // pyramid as 6+6 unrolled level CTEs.
+  // -------------------------------------------------------------------
+  private val HaarCells = 64
+  private val HaarWidth = 800L // cents per base cell (q331's binning)
+  private val HaarKeep = 8
+
+  def q348_haar_synopsis(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val got = Tables.events(spark, dir)
+      .select(expr("cast(floor(value * 100) as bigint)").as("x"))
+      .withColumn("cell",
+        least(lit(HaarCells - 1L), expr(s"x div $HaarWidth")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cells = (0 until HaarCells)
+      .map(i => got.getOrElse(i.toLong, 0L)).toArray
+    var level = cells.clone()
+    val details =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    for (k <- 1 to 6) {
+      val next = new Array[Long](level.length / 2)
+      for (j <- next.indices) {
+        next(j) = level(2 * j) + level(2 * j + 1)
+        details += ((k, j, level(2 * j) - level(2 * j + 1)))
+      }
+      level = next
+    }
+    val kept = details
+      .sortBy { case (k, j, d) => (-math.abs(d), k, j) }
+      .take(HaarKeep)
+      .map { case (k, j, d) => ((k, j), d) }.toMap
+    var rec = Array(level(0)) // root scaling coefficient
+    for (k <- 6 to 1 by -1) {
+      val next = new Array[Long](rec.length * 2)
+      for (j <- rec.indices) {
+        val d = kept.getOrElse((k, j), 0L)
+        next(2 * j) = math.max(rec(j) + d, 0L) / 2
+        next(2 * j + 1) = math.max(rec(j) - d, 0L) / 2
+      }
+      rec = next
+    }
+    (0 until HaarCells)
+      .map(i => (i.toLong, cells(i), rec(i), math.abs(cells(i) - rec(i))))
+      .toDF("cell", "n", "recon", "err")
+      .orderBy(col("cell"))
+  }
+
+  val q348_sql: String = {
+    val fwd = (1 to 6).map { k =>
+      s"""hl$k AS (
+         |  SELECT idx // 2 AS idx, SUM(s) AS s,
+         |    SUM(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS d
+         |  FROM hl${k - 1} GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val dets = (1 to 6)
+      .map(k => s"SELECT $k AS lvl, idx, d FROM hl$k")
+      .mkString("\n  UNION ALL ")
+    val inv = (6 to 1 by -1).map { k =>
+      s"""hr${k - 1} AS (
+         |  SELECT r.idx * 2 + t.o AS idx,
+         |    GREATEST(r.s + CASE WHEN t.o = 0 THEN COALESCE(kd.d, 0)
+         |      ELSE -COALESCE(kd.d, 0) END, 0) // 2 AS s
+         |  FROM hr$k r
+         |  LEFT JOIN (SELECT idx, d FROM hkept WHERE lvl = $k) kd
+         |    ON kd.idx = r.idx
+         |  CROSS JOIN (VALUES (0), (1)) t(o))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT LEAST(${HaarCells - 1},
+       |    CAST(floor(value * 100) AS BIGINT) // $HaarWidth) AS cell
+       |  FROM events),
+       |hgot AS (SELECT cell, COUNT(*) AS n FROM ev GROUP BY 1),
+       |hl0 AS (
+       |  SELECT CAST(t.i AS BIGINT) AS idx, COALESCE(n, 0) AS s
+       |  FROM generate_series(0, ${HaarCells - 1}) t(i)
+       |  LEFT JOIN hgot ON hgot.cell = t.i),
+       |$fwd,
+       |hdets AS (
+       |  $dets),
+       |hkept AS (
+       |  SELECT lvl, idx, d FROM hdets
+       |  ORDER BY abs(d) DESC, lvl, idx LIMIT $HaarKeep),
+       |hr6 AS (SELECT idx, s FROM hl6),
+       |$inv
+       |SELECT l.idx AS cell, CAST(l.s AS BIGINT) AS n,
+       |  CAST(r.s AS BIGINT) AS recon,
+       |  CAST(abs(l.s - r.s) AS BIGINT) AS err
+       |FROM hl0 l JOIN hr0 r ON r.idx = l.idx
+       |ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_haar_synopsis" -> q348_haar_synopsis _,
     "q340_dyadic_range_audit" -> q340_dyadic_range_audit _,
     "q338_rebalance_plan" -> q338_rebalance_plan _,
     "q336_independence_audit" -> q336_independence_audit _,
@@ -1674,6 +1781,7 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q348_haar_synopsis" -> q348_sql,
     "q340_dyadic_range_audit" -> q340_sql,
     "q338_rebalance_plan" -> q338_sql,
     "q336_independence_audit" -> q336_sql,

@@ -2825,8 +2825,11 @@ object QualityQueries {
   private val WjCap = 10
   private val WjThresholdPpm = 200000L
 
-  def q344_weighted_jaccard(spark: SparkSession, dir: String)
-      : DataFrame = {
+  /** (doc_id, tok, c) per-member token multiplicities — shared by q344
+    * (exact Σmin/Σmax) and q345 (the MinHash estimator of the same
+    * quantity). */
+  private def wjCounts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.tokens(lower(col("text"))).as("tk"))
@@ -2838,16 +2841,23 @@ object QualityQueries {
           .partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rk") <= WjCap)
       .select(col("fp"), col("doc_id"))
-    val pairs = members.as("a")
-      .join(members.as("b"), col("a.fp") === col("b.fp") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val counts = docs
       .join(members.select(col("doc_id")), Seq("doc_id"),
         "left_semi")
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
+    val pairs = members.as("a")
+      .join(members.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    (pairs, counts)
+  }
+
+  /** The q344 result frame (pre-orderBy): thresholded candidate pairs
+    * with exact weighted-Jaccard components. */
+  private def wjScored(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, counts) = wjCounts(spark, dir)
     val sizes = counts.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("sz"))
     val inter = pairs
@@ -2871,11 +2881,72 @@ object QualityQueries {
       .filter(col("jw_ppm") >= WjThresholdPpm)
       .select(col("id_a"), col("id_b"), col("inter_min"),
         col("union_max"), col("jw_ppm"))
+  }
+
+  def q344_weighted_jaccard(spark: SparkSession, dir: String)
+      : DataFrame =
+    wjScored(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------------
+  // q345 — weighted-MinHash estimator audit via multiset expansion:
+  // the classic reduction (Haveliwala/Broder lineage; the integer-
+  // weight case of consistent weighted sampling) of weighted Jaccard
+  // to PLAIN Jaccard — expand each token with count c into the set
+  // {(tok,1)…(tok,c)}, then |A∩B|/|A∪B| of the expansions IS
+  // Σmin/Σmax. K×MinHash over the expansion (H=32 Carter–Wegman
+  // hashes h_i = (aᵢ·base + bᵢ) mod p over ONE md5 base per element,
+  // p = 2³⁰−35 so every product fits int64) gives the sketch a 100 TB
+  // dedup pass would ship instead of q344's exact pairwise join; the
+  // audit reports, for exactly q344's emitted pairs, the estimate
+  // next to the exact value — the estimator's observed error at
+  // matches/32 granularity (±31 250 ppm steps). Scale: expansion is
+  // token-count-sized (scan-shaped), the 32× hash fan-out feeds ONE
+  // map-side-combinable min agg with O(docs×32) state.
+  // ---------------------------------------------------------------------
+  private val WmhH = 32
+  private val WmhP = 1073741789L // prime = 2^30 − 35
+  private[graft] val wmhCoefs: Seq[(Long, Long, Long)] =
+    (0 until WmhH).map { i =>
+      (i.toLong,
+        Sampling.hash60Jvm("wmh_a", i.toLong) % (WmhP - 1) + 1,
+        Sampling.hash60Jvm("wmh_b", i.toLong) % WmhP)
+    }
+
+  def q345_weighted_minhash(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (pairs0, counts) = wjCounts(spark, dir)
+    val coefs = spark.createDataFrame(wmhCoefs).toDF("i", "a", "b")
+    val sigs = counts
+      .withColumn("k", explode(sequence(lit(1L), col("c"))))
+      .withColumn("base",
+        Sampling.hash60("wmh",
+          concat_ws("|", col("tok"), col("k"))) % WmhP)
+      .select(col("doc_id"), col("base"))
+      .crossJoin(broadcast(coefs))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("base") + col("b")) % WmhP).as("mh"))
+    val est = pairs0
+      .join(sigs.select(col("doc_id").as("id_a"), col("i"),
+        col("mh").as("ma")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("i"),
+        col("mh").as("mb")), Seq("id_b", "i"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+        .as("matches"))
+    wjScored(spark, dir)
+      .join(est, Seq("id_a", "id_b"))
+      .withColumn("est_ppm",
+        expr(s"matches * 1000000 div $WmhH"))
+      .select(col("id_a"), col("id_b"), col("jw_ppm"), col("matches"),
+        col("est_ppm"),
+        expr("abs(est_ppm - jw_ppm)").as("err_ppm"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val q344_sql: String =
-    s"""WITH d AS (
+  /** CTE prefix shared by q344_sql/q345_sql: candidate pairs, member
+    * token multiplicities, and the thresholded exact scores. */
+  private val wjCommonSql: String =
+    s"""d AS (
        |  SELECT doc_id,
        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
        |  FROM documents WHERE trim(text) <> ''),
@@ -2911,15 +2982,51 @@ object QualityQueries {
        |  LEFT JOIN inter ON inter.id_a = p.id_a
        |    AND inter.id_b = p.id_b
        |  JOIN sizes sa ON sa.doc_id = p.id_a
-       |  JOIN sizes sb ON sb.doc_id = p.id_b)
-       |SELECT id_a, id_b, CAST(inter_min AS BIGINT) AS inter_min,
-       |  CAST(union_max AS BIGINT) AS union_max,
-       |  CAST(inter_min * 1000000 // union_max AS BIGINT) AS jw_ppm
-       |FROM scored
-       |WHERE inter_min * 1000000 // union_max >= $WjThresholdPpm
-       |ORDER BY id_a, id_b""".stripMargin
+       |  JOIN sizes sb ON sb.doc_id = p.id_b),
+       |emitted AS (
+       |  SELECT id_a, id_b, CAST(inter_min AS BIGINT) AS inter_min,
+       |    CAST(union_max AS BIGINT) AS union_max,
+       |    CAST(inter_min * 1000000 // union_max AS BIGINT) AS jw_ppm
+       |  FROM scored
+       |  WHERE inter_min * 1000000 // union_max >= $WjThresholdPpm)"""
+      .stripMargin
+
+  val q344_sql: String =
+    s"""WITH $wjCommonSql
+       |SELECT id_a, id_b, inter_min, union_max, jw_ppm
+       |FROM emitted ORDER BY id_a, id_b""".stripMargin
+
+  val q345_sql: String = {
+    val coefRows = wmhCoefs
+      .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    val baseHash = Sampling.hash60Sql("wmh",
+      "tok || '|' || CAST(k AS VARCHAR)")
+    s"""WITH $wjCommonSql,
+       |coefs(i, a, b) AS (VALUES $coefRows),
+       |expanded AS (
+       |  SELECT doc_id, ($baseHash) % $WmhP AS base
+       |  FROM counts, unnest(generate_series(1, c)) u(k)),
+       |sigs AS (
+       |  SELECT doc_id, i, MIN((a * base + b) % $WmhP) AS mh
+       |  FROM expanded CROSS JOIN coefs GROUP BY 1, 2),
+       |mt AS (
+       |  SELECT e.id_a, e.id_b,
+       |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+       |  FROM emitted e
+       |  JOIN sigs sa ON sa.doc_id = e.id_a
+       |  JOIN sigs sb ON sb.doc_id = e.id_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)
+       |SELECT e.id_a, e.id_b, e.jw_ppm,
+       |  CAST(matches AS BIGINT) AS matches,
+       |  CAST(matches * 1000000 // $WmhH AS BIGINT) AS est_ppm,
+       |  CAST(abs(matches * 1000000 // $WmhH - e.jw_ppm) AS BIGINT)
+       |    AS err_ppm
+       |FROM emitted e JOIN mt ON mt.id_a = e.id_a AND mt.id_b = e.id_b
+       |ORDER BY e.id_a, e.id_b""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_weighted_minhash" -> q345_weighted_minhash _,
     "q344_weighted_jaccard" -> q344_weighted_jaccard _,
     "q342_zipf_octaves" -> q342_zipf_octaves _,
     "q335_texttiling" -> q335_texttiling _,
@@ -2974,6 +3081,7 @@ object QualityQueries {
     "q100_curate_e2e" -> q100_curate_e2e _)
 
   val oracles: Map[String, String] = Map(
+    "q345_weighted_minhash" -> q345_sql,
     "q344_weighted_jaccard" -> q344_sql,
     "q342_zipf_octaves" -> q342_sql,
     "q335_texttiling" -> q335_sql,

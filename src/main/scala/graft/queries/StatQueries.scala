@@ -1454,7 +1454,91 @@ object StatQueries {
       |FROM se a JOIN se b ON a.event_type < b.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q352 — Count sketch (Charikar, Chen & Farach-Colton 2002, "Finding
+  // frequent items in data streams"): the SIGNED cousin of the q133
+  // count-min — d=5 hash rows × w=256 buckets of Σ sign·freq, per-key
+  // estimate = the exact middle of the 5 values sign_j·cell(j, b_j).
+  // Unlike count-min its error is two-sided and unbiased, the property
+  // that lets it sit inside inner products (q292's AMS is the w=1
+  // case). Audit: the 10 most frequent part keys' estimates next to
+  // their true frequencies. Corpus work: one key-freq hash agg + a 5×
+  // explode folded into 1 280 sketch cells — O(d·w) state at any
+  // scale; the probe touches only the top keys × 5 rows.
+  // -------------------------------------------------------------------
+  private val CsD = 5
+  private val CsW = 256L
+  private val CsTopK = 10
+
+  def q352_count_sketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val f = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("fi"))
+      .localCheckpoint(eager = true) // cells + top-k probe
+    def bCol(k: org.apache.spark.sql.Column,
+        j: org.apache.spark.sql.Column) =
+      pmod(Sampling.hash60("csb", k * CsD + j), lit(CsW))
+    def sCol(k: org.apache.spark.sql.Column,
+        j: org.apache.spark.sql.Column) =
+      lit(1L) - lit(2L) *
+        pmod(Sampling.hash60("css", k * CsD + j), lit(2L))
+    val cells = f
+      .withColumn("j", explode(sequence(lit(0L), lit(CsD - 1L))))
+      .withColumn("b", bCol(col("k"), col("j")))
+      .withColumn("s", sCol(col("k"), col("j")))
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("s") * col("fi")).as("cell"))
+    val top = f.orderBy(col("fi").desc, col("k")).limit(CsTopK)
+    val ests = top
+      .withColumn("j", explode(sequence(lit(0L), lit(CsD - 1L))))
+      .withColumn("b", bCol(col("k"), col("j")))
+      .withColumn("s", sCol(col("k"), col("j")))
+      .join(cells, Seq("j", "b"))
+      .withColumn("est_j", col("s") * col("cell"))
+    val wM = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("est_j"), col("j"))
+    ests.withColumn("rn", row_number().over(wM))
+      .filter(col("rn") === (CsD / 2 + 1))
+      .select(col("k").as("key"), col("fi"), col("est_j").as("est"),
+        expr("abs(est_j - fi) * 1000000 div fi").as("err_ppm"))
+      .orderBy(col("fi").desc, col("key"))
+  }
+
+  val q352_sql: String = {
+    import graft.pipeline.Sampling
+    val hb = Sampling.hash60Sql("csb", s"k * $CsD + j")
+    val hs = Sampling.hash60Sql("css", s"k * $CsD + j")
+    s"""WITH f AS (
+       |  SELECT l_partkey AS k, COUNT(*) AS fi FROM lineitem
+       |  GROUP BY 1),
+       |cells AS (
+       |  SELECT j, ($hb % $CsW) AS b,
+       |    SUM((1 - 2 * ($hs % 2)) * fi) AS cell
+       |  FROM f, generate_series(0, ${CsD - 1}) t(j)
+       |  GROUP BY 1, 2),
+       |top AS (SELECT k, fi FROM f ORDER BY fi DESC, k LIMIT $CsTopK),
+       |ests AS (
+       |  SELECT top.k, top.fi, t.j,
+       |    (1 - 2 * (${Sampling.hash60Sql("css",
+            s"top.k * $CsD + t.j")} % 2)) * cell AS est_j
+       |  FROM top, generate_series(0, ${CsD - 1}) t(j)
+       |  JOIN cells ON cells.j = t.j
+       |    AND cells.b = (${Sampling.hash60Sql("csb",
+            s"top.k * $CsD + t.j")} % $CsW)),
+       |med AS (
+       |  SELECT k, fi, est_j, ROW_NUMBER() OVER (
+       |    PARTITION BY k ORDER BY est_j, j) AS rn
+       |  FROM ests)
+       |SELECT k AS key, CAST(fi AS BIGINT) AS fi,
+       |  CAST(est_j AS BIGINT) AS est,
+       |  CAST(abs(est_j - fi) * 1000000 // fi AS BIGINT) AS err_ppm
+       |FROM med WHERE rn = ${CsD / 2 + 1}
+       |ORDER BY fi DESC, key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_count_sketch" -> q352_count_sketch _,
     "q328_welch_t2" -> q328_welch_t2 _,
     "q327_spearman_by_source" -> q327_spearman_by_source _,
     "q322_isotonic_calibration" -> q322_isotonic_calibration _,
@@ -1474,6 +1558,7 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q352_count_sketch" -> q352_sql,
     "q328_welch_t2" -> q328_sql,
     "q327_spearman_by_source" -> q327_sql,
     "q322_isotonic_calibration" -> q322_sql,

@@ -149,6 +149,89 @@ class Round9Spec extends SparkSpec {
     assert(got.forall(p => p._1 != 5L && p._2 != 6L))
   }
 
+  // ---- q345 weighted-MinHash estimator ------------------------------
+
+  private def hash60Str(salt: String, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$s".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private val WmhP = 1073741789L
+
+  /** K×MinHash signature of a token multiset via multiset expansion —
+    * the exact JVM twin of q345's Carter–Wegman chain. */
+  private def wmhSig(tk: Seq[String]): Seq[Long] = {
+    val counts = tk.groupBy(identity).map { case (t, g) =>
+      (t, g.size) }
+    val bases = counts.toSeq.flatMap { case (t, c) =>
+      (1 to c).map(k => hash60Str("wmh", s"$t|$k") % WmhP) }
+    QualityQueries.wmhCoefs.map { case (_, a, b) =>
+      bases.map(base => (a * base + b) % WmhP).min }
+  }
+
+  private def wmhMirror(docs: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      val s = t.toLowerCase.trim
+      (id, if (s.isEmpty) Seq.empty[String]
+      else s.split("\\s+").toSeq)
+    }.filter(_._2.nonEmpty).toMap
+    wjMirror(docs, 10, 200000L).map {
+      case (ida, idb, _, _, jw) =>
+        val (sa, sb) = (wmhSig(toks(ida)), wmhSig(toks(idb)))
+        val m = sa.zip(sb).count { case (x, y) => x == y }.toLong
+        val est = m * 1000000L / 32
+        (ida, idb, jw, m, est, math.abs(est - jw))
+    }
+  }
+
+  test("q345 equals the JVM K-MinHash mirror on the crafted corpus, " +
+      "and identical multisets estimate exactly 1e6") {
+    import spark.implicits._
+    val prefix = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$prefix the the the spam spam"),
+      (2L, s"$prefix the spam"),
+      (3L, s"$prefix the the the spam spam"),
+      (4L, s"$prefix x y z w unrelated tail tokens here"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("wmh_corpus").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang",
+        "'crafted' AS source", "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = QualityQueries.q345_weighted_minhash(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === wmhMirror(docs))
+    // identical multisets (1,3): every minhash matches
+    val p13 = got.find(p => p._1 == 1L && p._2 == 3L).get
+    assert(p13._4 === 32L && p13._5 === 1000000L && p13._6 === 0L)
+  }
+
+  test("q345 equals the JVM mirror on the sf0.001 corpus and the " +
+      "estimator lands within 4 sigma of the exact weighted Jaccard") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = wmhMirror(docs)
+    val got = QualityQueries.q345_weighted_minhash(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // binomial sanity: sd of est ≈ sqrt(j(1−j)/32) ≤ ~88 000 ppm;
+    // 4 sigma ≈ 354 000 ppm — a loose but real estimator-quality gate
+    got.foreach { case (_, _, jw, _, est, _) =>
+      assert(math.abs(est - jw) <= 354000L,
+        s"estimator off by ${math.abs(est - jw)} ppm (jw=$jw est=$est)")
+    }
+  }
+
   test("q344 equals the JVM mirror on the sf0.001 corpus") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
