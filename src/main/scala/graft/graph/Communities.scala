@@ -276,6 +276,95 @@ object Communities {
        |  $winners)""".stripMargin
   }
 
+  /** Distributed greedy MAXIMAL MATCHING by local-maximum edges —
+    * Luby's MIS run on the LINE GRAPH (the Israeli & Itai 1986 round
+    * structure with fixed collision-free priorities): each round, a
+    * live edge whose priority struct (h, u, w) is the maximum among
+    * all live edges at BOTH endpoints joins the matching; its
+    * endpoints leave and every live edge touching them dies. The
+    * state update is two anti joins, so sizeInBytes statistics stay
+    * flat (the [[Mst]] barrier lesson does not bite here) and rounds
+    * are O(log n) w.h.p. `edges` must select (u, w, h) canonical
+    * u < w. Returns (round, u, w) — the matching with the round that
+    * admitted each edge. Fails loudly past `maxRounds`. */
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 64)
+      : DataFrame = {
+    var live = edges.select(col("u"), col("w"), col("h"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    var r = 0
+    var remaining = live.count()
+    while (remaining > 0) {
+      r += 1
+      require(r <= maxRounds,
+        s"matching did not converge in $maxRounds rounds")
+      val inc = live.select(col("u").as("v"), col("h"), col("u"),
+          col("w"))
+        .unionAll(live.select(col("w").as("v"), col("h"), col("u"),
+          col("w")))
+      val mv = inc.groupBy(col("v"))
+        .agg(max(struct(col("h"), col("u"), col("w"))).as("m"))
+      val matched = live
+        .join(mv.select(col("v").as("u"), col("m").as("ma")), "u")
+        .join(mv.select(col("v").as("w"), col("m").as("mb")), "w")
+        .filter(struct(col("h"), col("u"), col("w")) === col("ma") &&
+          struct(col("h"), col("u"), col("w")) === col("mb"))
+        .select(col("u"), col("w"))
+        .localCheckpoint(true)
+      val mvs = matched.select(col("u").as("v"))
+        .unionAll(matched.select(col("w").as("v"))).distinct()
+      live = live
+        .join(mvs.select(col("v").as("u")), Seq("u"), "left_anti")
+        .join(mvs.select(col("v").as("w")), Seq("w"), "left_anti")
+        .localCheckpoint(true)
+      remaining = live.count()
+      val o = matched.select(lit(r.toLong).as("round"), col("u"),
+        col("w"))
+      out = if (out == null) o else out.unionAll(o)
+    }
+    if (out == null)
+      edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("round"), lit(0L).as("u"), lit(0L).as("w"))
+        .limit(0)
+    else out
+  }
+
+  /** DuckDB mirror of [[maximalMatching]] as unrolled round CTEs.
+    * `rounds` must upper-bound the true round count (extra rounds are
+    * no-ops on an empty live set). Final CTE `matching` has
+    * (round, u, w). */
+  def maximalMatchingSql(edgesSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""minc$r AS (
+         |  SELECT u AS v, h, u, w FROM mlive${r - 1}
+         |  UNION ALL SELECT w AS v, h, u, w FROM mlive${r - 1}),
+         |mmx$r AS (
+         |  SELECT v, h, u, w FROM (
+         |    SELECT v, h, u, w, ROW_NUMBER() OVER (PARTITION BY v
+         |      ORDER BY h DESC, u DESC, w DESC) AS rn
+         |    FROM minc$r) WHERE rn = 1),
+         |mt$r AS (
+         |  SELECT l.u, l.w FROM mlive${r - 1} l
+         |  JOIN mmx$r a ON a.v = l.u AND a.h = l.h AND a.u = l.u
+         |    AND a.w = l.w
+         |  JOIN mmx$r b ON b.v = l.w AND b.h = l.h AND b.u = l.u
+         |    AND b.w = l.w),
+         |mlive$r AS MATERIALIZED (
+         |  SELECT l.u, l.w, l.h FROM mlive${r - 1} l
+         |  WHERE NOT EXISTS (SELECT 1 FROM mt$r m
+         |    WHERE m.u = l.u OR m.w = l.u
+         |       OR m.u = l.w OR m.w = l.w))""".stripMargin
+    }.mkString(",\n")
+    val log = (1 to rounds)
+      .map(r => s"SELECT $r AS round, u, w FROM mt$r")
+      .mkString("\n  UNION ALL ")
+    s"""mmEd AS MATERIALIZED ($edgesSql),
+       |mlive0 AS (SELECT u, w, h FROM mmEd),
+       |$steps,
+       |matching AS (
+       |  $log)""".stripMargin
+  }
+
   /** Round-limited greedy coloring by iterated local maxima — the
     * Jones–Plassmann (1993) round structure with fixed collision-free
     * priorities: in round r every UNCOLORED vertex whose priority

@@ -1376,7 +1376,63 @@ object GraphQueries {
        |FROM mst GROUP BY 1 ORDER BY round""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q355 — distributed maximal matching (Israeli & Itai 1986 round
+  // structure = Luby's MIS on the line graph, fixed collision-free
+  // priorities — see Communities.maximalMatching): per round the
+  // locally-maximum live edge at BOTH endpoints joins the matching,
+  // endpoints and incident edges die via anti joins. Graph: the three
+  // stride paths of q271 (degree ≤ 6), edge priority = 60-bit hash
+  // with (h, u, w) struct tie-break. Output: the per-round admission
+  // trace next to the totals — the convergence curve a 100 TB
+  // matching job watches; maximality is guaranteed by construction
+  // (the loop runs until NO live edge remains) and Round9DSpec pins
+  // validity + maximality against a JVM mirror.
+  // -------------------------------------------------------------------
+  private val MmStrides = Seq(7L, 17L, 23L)
+  private val MmSqlRounds = 40
+
+  def q355_maximal_matching(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val p = Tables.part(spark, dir)
+    val edges = MmStrides.map { s =>
+      p.filter(col("p_partkey") > s)
+        .select((col("p_partkey") - s).as("u"),
+          col("p_partkey").as("w"))
+    }.reduce(_ unionAll _)
+      .distinct()
+      .withColumn("h", graft.pipeline.Sampling.hash60("mm",
+        concat_ws("|", col("u"), col("w"))))
+    val log = graft.graph.Communities.maximalMatching(edges)
+      .localCheckpoint(eager = true) // per-round counts + total
+    val tot = log.agg(count(lit(1)).as("total_matched"))
+    val nv = p.agg(count(lit(1)).as("n_vertices"))
+    log.groupBy(col("round")).agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nv))
+      .orderBy(col("round"))
+  }
+
+  val q355_sql: String = {
+    val h = graft.pipeline.Sampling.hash60Sql("mm",
+      "CAST(u AS VARCHAR) || '|' || CAST(w AS VARCHAR)")
+    val strides = MmStrides.map(s =>
+      s"SELECT p_partkey - $s AS u, p_partkey AS w FROM part " +
+        s"WHERE p_partkey > $s").mkString(" UNION ALL ")
+    val edgesSql =
+      s"SELECT u, w, $h AS h FROM (SELECT DISTINCT u, w FROM ($strides))"
+    s"""WITH ${graft.graph.Communities.maximalMatchingSql(edgesSql,
+          MmSqlRounds)},
+       |mtot AS (SELECT COUNT(*) AS total_matched FROM matching),
+       |mnv AS (SELECT COUNT(*) AS n_vertices FROM part)
+       |SELECT CAST(round AS BIGINT) AS round, COUNT(*) AS n_matched,
+       |  CAST(total_matched AS BIGINT) AS total_matched,
+       |  CAST(n_vertices AS BIGINT) AS n_vertices
+       |FROM matching CROSS JOIN mtot CROSS JOIN mnv
+       |GROUP BY 1, 3, 4 ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_maximal_matching" -> q355_maximal_matching _,
     "q351_boruvka_mst" -> q351_boruvka_mst _,
     "q346_salsa" -> q346_salsa _,
     "q347_greedy_coloring" -> q347_greedy_coloring _,
@@ -1403,6 +1459,7 @@ object GraphQueries {
     "q302_modularity" -> q302_modularity _)
 
   val oracles: Map[String, String] = Map(
+    "q355_maximal_matching" -> q355_sql,
     "q351_boruvka_mst" -> q351_sql,
     "q346_salsa" -> q346_sql,
     "q347_greedy_coloring" -> q347_sql,

@@ -1087,7 +1087,131 @@ object PipelineQueries {
        |FROM hits""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q353 — Johnson–Lindenstrauss distortion audit with ±1 projections
+  // (Achlioptas 2003, "Database-friendly random projections"): project
+  // the int8-quantized 64-dim embeddings (the q131 global-max scheme,
+  // IEEE-double exact) to k=16 dims with hash-derived ±1 signs — all
+  // arithmetic is then EXACT integers, so both engines agree to the
+  // bit — and report, for a deterministic linear pair sample (each
+  // 37th vector vs its next three sampled successors), the projected
+  // squared distance against k× the exact one: distortion_ppm ≈ 1e6
+  // is the JL promise. This is the audit a 100 TB ANN pipeline runs
+  // before trusting a projection: the pair sample is LINEAR in the
+  // corpus (never pairs²), the projection is one explode to
+  // sample×k×d rows folded map-side.
+  // -------------------------------------------------------------------
+  private val JlOutDims = 16
+  private val JlDim = 64
+  private val JlStride = 37L
+
+  def q353_jl_distortion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vid"), col("embedding").as("v"))
+    val gmax = v.agg(max(array_max(transform(col("v"),
+      x => abs(x)))).as("gm"))
+    val q = v.filter(col("vid") % JlStride === 0)
+      .crossJoin(broadcast(gmax))
+      .select(col("vid"),
+        when(col("gm") > 0.0, transform(col("v"),
+            x => floor(x / col("gm") * 127.0 + 0.5).cast("long")))
+          .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+    val qd = q.select(col("vid"), posexplode(col("q")))
+      .select(col("vid"), col("pos").cast("long").as("d"),
+        col("col").as("x"))
+    val proj = qd
+      .withColumn("i",
+        explode(sequence(lit(0L), lit(JlOutDims - 1L))))
+      .withColumn("sgn", lit(1L) - lit(2L) *
+        pmod(Sampling.hash60("jl", col("i") * JlDim + col("d")),
+          lit(2L)))
+      .groupBy(col("vid"), col("i"))
+      .agg(sum(col("sgn") * col("x")).as("p"))
+    val ids = q.select(col("vid"))
+    val pairs = ids.as("a")
+      .join(ids.as("b"),
+        col("b.vid") === col("a.vid") + JlStride ||
+          col("b.vid") === col("a.vid") + 2 * JlStride ||
+          col("b.vid") === col("a.vid") + 3 * JlStride)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+    val d2e = pairs
+      .join(qd.select(col("vid").as("id_a"), col("d"),
+        col("x").as("xa")), Seq("id_a"))
+      .join(qd.select(col("vid").as("id_b"), col("d"),
+        col("x").as("xb")), Seq("id_b", "d"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb")))
+        .as("d2_exact"))
+    val d2p = pairs
+      .join(proj.select(col("vid").as("id_a"), col("i"),
+        col("p").as("pa")), Seq("id_a"))
+      .join(proj.select(col("vid").as("id_b"), col("i"),
+        col("p").as("pb")), Seq("id_b", "i"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb")))
+        .as("d2_proj"))
+    d2e.join(d2p, Seq("id_a", "id_b"))
+      .withColumn("distortion_ppm", expr(
+        s"CASE WHEN d2_exact = 0 THEN -1 " +
+          s"ELSE d2_proj * 1000000 div ($JlOutDims * d2_exact) END"))
+      .select(col("id_a"), col("id_b"), col("d2_exact"),
+        col("d2_proj"), col("distortion_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q353_sql: String = {
+    val sgn = "(1 - 2 * (" + graft.pipeline.Sampling
+      .hash60Sql("jl", s"i * $JlDim + d") + " % 2))"
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |g AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
+       |      AS gm FROM v),
+       |q AS (
+       |  SELECT vid, CASE WHEN gm > 0 THEN
+       |      list_transform(v, x ->
+       |        CAST(floor(x / gm * 127.0 + 0.5) AS BIGINT))
+       |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       |  FROM v CROSS JOIN g WHERE vid % $JlStride = 0),
+       |qd AS (
+       |  SELECT vid, CAST(t.d AS BIGINT) AS d, q[t.d + 1] AS x
+       |  FROM q, generate_series(0, ${JlDim - 1}) t(d)),
+       |proj AS (
+       |  SELECT vid, CAST(s.i AS BIGINT) AS i, SUM($sgn * x) AS p
+       |  FROM qd, generate_series(0, ${JlOutDims - 1}) s(i)
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.vid AS id_a, b.vid AS id_b
+       |  FROM q a JOIN q b ON b.vid IN (a.vid + $JlStride,
+       |    a.vid + ${2 * JlStride}, a.vid + ${3 * JlStride})),
+       |d2e AS (
+       |  SELECT p.id_a, p.id_b,
+       |    SUM((xa.x - xb.x) * (xa.x - xb.x)) AS d2_exact
+       |  FROM pairs p
+       |  JOIN qd xa ON xa.vid = p.id_a
+       |  JOIN qd xb ON xb.vid = p.id_b AND xb.d = xa.d
+       |  GROUP BY 1, 2),
+       |d2p AS (
+       |  SELECT p.id_a, p.id_b,
+       |    SUM((pa.p - pb.p) * (pa.p - pb.p)) AS d2_proj
+       |  FROM pairs p
+       |  JOIN proj pa ON pa.vid = p.id_a
+       |  JOIN proj pb ON pb.vid = p.id_b AND pb.i = pa.i
+       |  GROUP BY 1, 2)
+       |SELECT d2e.id_a, d2e.id_b,
+       |  CAST(d2_exact AS BIGINT) AS d2_exact,
+       |  CAST(d2_proj AS BIGINT) AS d2_proj,
+       |  CAST(CASE WHEN d2_exact = 0 THEN -1
+       |    ELSE d2_proj * 1000000 // ($JlOutDims * d2_exact) END
+       |    AS BIGINT) AS distortion_ppm
+       |FROM d2e JOIN d2p ON d2p.id_a = d2e.id_a
+       |  AND d2p.id_b = d2e.id_b
+       |ORDER BY d2e.id_a, d2e.id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_jl_distortion" -> q353_jl_distortion _,
     "q240_multiprobe_lsh" -> q240_multiprobe_lsh _,
     "q253_sized_multiprobe" -> q253_sized_multiprobe _,
     "q256_sized_recall" -> q256_sized_recall _,
@@ -1114,6 +1238,7 @@ object PipelineQueries {
     "q33_dedup_keep" -> q33_dedup_keep _)
 
   val oracles: Map[String, String] = Map(
+    "q353_jl_distortion" -> q353_sql,
     "q240_multiprobe_lsh" -> q240_sql,
     "q253_sized_multiprobe" -> q253_sql,
     "q256_sized_recall" -> q256_sql,

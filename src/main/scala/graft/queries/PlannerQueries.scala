@@ -1759,7 +1759,103 @@ object PlannerQueries {
        |ORDER BY cell""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q356 — Huffman code-length audit (Huffman 1952) over the 64-cell
+  // value histogram: the optimal prefix-free code the compression
+  // planner compares every heuristic against (q323 Rice, q333 front
+  // coding, q301/q287 dictionary/RLE audits). Corpus work is ONE hash
+  // agg to the zero-filled 64-cell table; the greedy merge runs on the
+  // driver over those bounded cells (the q331 DP discipline) with the
+  // deterministic (weight, min-cell) tie-break, zero-weight cells kept
+  // as full-alphabet leaves so BOTH engines always perform exactly 63
+  // merges. The oracle replays the same 63 merge steps as unrolled
+  // root/membership CTEs. Output: per-cell code length and bits next
+  // to the fixed-width baseline; Round9DSpec checks the Kraft equality
+  // Σ2^(Lmax−len) = 2^Lmax (the certificate of a complete prefix
+  // code).
+  // -------------------------------------------------------------------
+  def q356_huffman_audit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val got = Tables.events(spark, dir)
+      .select(expr("cast(floor(value * 100) as bigint)").as("x"))
+      .withColumn("cell",
+        least(lit(HaarCells - 1L), expr(s"x div $HaarWidth")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cells = (0 until HaarCells)
+      .map(i => got.getOrElse(i.toLong, 0L))
+    // greedy merge over (weight, minCell)-ordered roots; depth(leaf)
+    // = number of merges its subtree took part in
+    var roots = cells.indices
+      .map(i => (cells(i), i.toLong, Set(i))).toVector
+    val depth = scala.collection.mutable.ArrayBuffer
+      .fill(HaarCells)(0L)
+    while (roots.size > 1) {
+      val sorted = roots.sortBy { case (w, mc, _) => (w, mc) }
+      val (a, b) = (sorted(0), sorted(1))
+      (a._3 ++ b._3).foreach(l => depth(l) += 1)
+      roots = sorted.drop(2) :+
+        ((a._1 + b._1, math.min(a._2, b._2), a._3 ++ b._3))
+    }
+    val totalN = cells.sum
+    val huffBits = cells.indices.map(i => cells(i) * depth(i)).sum
+    cells.indices.map { i =>
+      (i.toLong, cells(i), depth(i), cells(i) * depth(i),
+        huffBits, totalN * 6L)
+    }.toDF("cell", "n", "code_len", "bits", "huff_bits", "fixed_bits")
+      .orderBy(col("cell"))
+  }
+
+  val q356_sql: String = {
+    val steps = (1 to HaarCells - 1).map { s =>
+      s"""hpick$s AS (
+         |  SELECT id FROM hroots${s - 1} ORDER BY w, mc LIMIT 2),
+         |hroots$s AS MATERIALIZED (
+         |  SELECT id, w, mc FROM hroots${s - 1}
+         |  WHERE id NOT IN (SELECT id FROM hpick$s)
+         |  UNION ALL
+         |  SELECT ${1000 + s} AS id, SUM(w) AS w, MIN(mc) AS mc
+         |  FROM hroots${s - 1} WHERE id IN (SELECT id FROM hpick$s)),
+         |hmemb$s AS MATERIALIZED (
+         |  SELECT leaf,
+         |    CASE WHEN id IN (SELECT id FROM hpick$s)
+         |      THEN ${1000 + s} ELSE id END AS id,
+         |    depth + CASE WHEN id IN (SELECT id FROM hpick$s)
+         |      THEN 1 ELSE 0 END AS depth
+         |  FROM hmemb${s - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hev AS (
+       |  SELECT LEAST(${HaarCells - 1},
+       |    CAST(floor(value * 100) AS BIGINT) // $HaarWidth) AS cell
+       |  FROM events),
+       |hcnt AS (SELECT cell, COUNT(*) AS n FROM hev GROUP BY 1),
+       |hcells AS (
+       |  SELECT CAST(t.i AS BIGINT) AS cell, COALESCE(n, 0) AS n
+       |  FROM generate_series(0, ${HaarCells - 1}) t(i)
+       |  LEFT JOIN hcnt ON hcnt.cell = t.i),
+       |hroots0 AS (SELECT cell AS id, n AS w, cell AS mc FROM hcells),
+       |hmemb0 AS (
+       |  SELECT cell AS leaf, cell AS id, CAST(0 AS BIGINT) AS depth
+       |  FROM hcells),
+       |$steps,
+       |hlen AS (SELECT leaf, depth FROM hmemb${HaarCells - 1}),
+       |htot AS (
+       |  SELECT SUM(c.n * l.depth) AS huff_bits, SUM(c.n) * 6
+       |    AS fixed_bits
+       |  FROM hcells c JOIN hlen l ON l.leaf = c.cell)
+       |SELECT c.cell, CAST(c.n AS BIGINT) AS n,
+       |  CAST(l.depth AS BIGINT) AS code_len,
+       |  CAST(c.n * l.depth AS BIGINT) AS bits,
+       |  CAST(huff_bits AS BIGINT) AS huff_bits,
+       |  CAST(fixed_bits AS BIGINT) AS fixed_bits
+       |FROM hcells c JOIN hlen l ON l.leaf = c.cell
+       |CROSS JOIN htot
+       |ORDER BY c.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_huffman_audit" -> q356_huffman_audit _,
     "q348_haar_synopsis" -> q348_haar_synopsis _,
     "q340_dyadic_range_audit" -> q340_dyadic_range_audit _,
     "q338_rebalance_plan" -> q338_rebalance_plan _,
@@ -1781,6 +1877,7 @@ object PlannerQueries {
     "q287_roaring_audit" -> q287_roaring_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q356_huffman_audit" -> q356_sql,
     "q348_haar_synopsis" -> q348_sql,
     "q340_dyadic_range_audit" -> q340_sql,
     "q338_rebalance_plan" -> q338_sql,

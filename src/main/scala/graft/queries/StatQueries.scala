@@ -1537,7 +1537,107 @@ object StatQueries {
        |ORDER BY fi DESC, key""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q354 — split-conformal coverage audit (Vovk et al.; Lei et al.
+  // 2018 "Distribution-free predictive inference"): the
+  // finite-sample-valid interval that needs NO distributional
+  // assumption — split each event type by a deterministic hash coin
+  // into calibration/test, score everything by |value − calibration
+  // mean| (milli-cents, exact), take the ⌈0.9·(n+1)⌉-th smallest
+  // calibration score as the 90% radius (an EXACT order statistic
+  // read off the per-type score-value cumulative — a window over the
+  // value-domain-bounded distinct-score table, never over events),
+  // and report the TEST-side coverage next to the 900 000 ppm target.
+  // Conformal's guarantee is coverage ≥ 90% in expectation — the
+  // audit shows how close a real corpus lands. Corpus work: two hash
+  // aggs (type stats, per-(type, score) counts) + one probe agg.
+  // -------------------------------------------------------------------
+  def q354_conformal_coverage(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.pipeline.Sampling
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        expr("cast(floor(value * 100) as bigint)").as("x"),
+        pmod(Sampling.hash60("conf", col("event_id")), lit(2L))
+          .as("side"))
+      .localCheckpoint(eager = true) // cal stats + cal scores + test
+    val calStats = ev.filter(col("side") === 0L)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_cal"), sum(col("x")).as("sx"))
+      .withColumn("mean_mc", expr("sx * 1000 div n_cal"))
+      .select(col("t"), col("n_cal"), col("mean_mc"))
+    val scored = ev.join(broadcast(calStats), Seq("t"))
+      .withColumn("s", expr("abs(x * 1000 - mean_mc)"))
+    val sg = scored.filter(col("side") === 0L)
+      .groupBy(col("t"), col("n_cal"), col("s"))
+      .agg(count(lit(1)).as("c"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val q90 = sg.withColumn("cum", sum(col("c")).over(wC))
+      .withColumn("rk", expr("((n_cal + 1) * 9 + 9) div 10"))
+      .groupBy(col("t"))
+      .agg(coalesce(min(when(col("cum") >= col("rk"), col("s"))),
+        lit(Long.MaxValue)).as("q90_mc"))
+    scored.filter(col("side") === 1L)
+      .join(broadcast(q90), Seq("t"))
+      .groupBy(col("t"), col("n_cal"), col("q90_mc"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("q90_mc"), 1L).otherwise(0L))
+          .as("n_cov"))
+      .withColumn("coverage_ppm",
+        expr("n_cov * 1000000 div n_test"))
+      .select(col("t").as("event_type"), col("n_cal"),
+        col("q90_mc"), col("n_test"), col("n_cov"),
+        col("coverage_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q354_sql: String = {
+    val h = graft.pipeline.Sampling.hash60Sql("conf", "event_id")
+    s"""WITH ev AS (
+       |  SELECT event_type AS t,
+       |    CAST(floor(value * 100) AS BIGINT) AS x,
+       |    ($h % 2) AS side
+       |  FROM events),
+       |cal AS (
+       |  SELECT t, COUNT(*) AS n_cal, SUM(x) AS sx,
+       |    SUM(x) * 1000 // COUNT(*) AS mean_mc
+       |  FROM ev WHERE side = 0 GROUP BY 1),
+       |scored AS (
+       |  SELECT ev.t, side, n_cal, mean_mc,
+       |    abs(x * 1000 - mean_mc) AS s
+       |  FROM ev JOIN cal USING (t)),
+       |sg AS (
+       |  SELECT t, n_cal, s, COUNT(*) AS c
+       |  FROM scored WHERE side = 0 GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT t, n_cal, s,
+       |    SUM(c) OVER (PARTITION BY t ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum
+       |  FROM sg),
+       |q90 AS (
+       |  SELECT t, COALESCE(MIN(CASE WHEN
+       |      cum >= ((n_cal + 1) * 9 + 9) // 10 THEN s END),
+       |      9223372036854775807) AS q90_mc
+       |  FROM cum GROUP BY 1)
+       |SELECT t AS event_type, CAST(n_cal AS BIGINT) AS n_cal,
+       |  CAST(q90_mc AS BIGINT) AS q90_mc,
+       |  COUNT(*) AS n_test,
+       |  CAST(SUM(CASE WHEN s <= q90_mc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_cov,
+       |  CAST(SUM(CASE WHEN s <= q90_mc THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+       |FROM scored JOIN q90 USING (t)
+       |WHERE side = 1
+       |GROUP BY 1, 2, 3
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q354_conformal_coverage" -> q354_conformal_coverage _,
     "q352_count_sketch" -> q352_count_sketch _,
     "q328_welch_t2" -> q328_welch_t2 _,
     "q327_spearman_by_source" -> q327_spearman_by_source _,
@@ -1558,6 +1658,7 @@ object StatQueries {
     "q237_chi2_proportions" -> q237_chi2_proportions _)
 
   val oracles: Map[String, String] = Map(
+    "q354_conformal_coverage" -> q354_sql,
     "q352_count_sketch" -> q352_sql,
     "q328_welch_t2" -> q328_sql,
     "q327_spearman_by_source" -> q327_sql,
