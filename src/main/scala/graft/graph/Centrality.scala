@@ -4,6 +4,8 @@ import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Iterate.BarrierOps
+
 /** Graph centrality in INTEGER arithmetic — rank functions/services by
   * call centrality (the "what is load-bearing" query over a code
   * property graph) with results that are bit-identical on any engine.
@@ -69,7 +71,7 @@ object Centrality {
         .select(col("id"),
           expr("150000 + (850000 * coalesce(s, 0L)) div 1000000")
             .as("rank_ppm"))
-      if (i % 8 == 0) rank = rank.localCheckpoint(eager = true)
+      if (i % 8 == 0) rank = rank.barrier
     }
     rank
   }
@@ -145,7 +147,7 @@ object Centrality {
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(eager = true)
     def normalize(rawDf: DataFrame, out: String): DataFrame = {
-      val raw = rawDf.localCheckpoint(eager = true)
+      val raw = rawDf.barrier
       val m = raw.agg(max(col("v")).as("m"))
       raw.crossJoin(broadcast(m))
         .select(col("id"), expr(s"(v * 1000000) div m").as(out))
@@ -236,7 +238,7 @@ object Centrality {
         .select(col("id"),
           expr("is_seed * 150000 + (850000 * coalesce(s, 0L)) div 1000000")
             .as("rank_ppm"))
-      if (i % 8 == 0) rank = rank.localCheckpoint(eager = true)
+      if (i % 8 == 0) rank = rank.barrier
     }
     rank
   }
@@ -338,7 +340,7 @@ object Centrality {
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
       dist = dist.join(relaxed, Seq("id"), "left_outer")
         .select(col("id"), least(col("dist"), col("cand")).as("dist"))
-        .localCheckpoint(eager = true)
+        .barrier
     }
     dist
   }
@@ -419,7 +421,7 @@ object Centrality {
       dist = dist.unionByName(next)
         .groupBy(col("seed"), col("id"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
+        .barrier
     }
     dist
   }
@@ -460,9 +462,9 @@ object Centrality {
           Seq("seed", "id"), "left_anti")
         .select(col("seed"), col("id"), lit(k.toLong).as("dist"),
           col("sigma"))
-        .localCheckpoint(eager = true)
+        .barrier
       settled = settled.unionByName(frontier)
-        .localCheckpoint(eager = true)
+        .barrier
     }
     settled
   }

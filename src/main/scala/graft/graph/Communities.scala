@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Iterate.BarrierOps
+
 /** Community detection — deterministic label propagation.
   *
   * The reference ranks "which functions belong together" only implicitly
@@ -53,7 +55,7 @@ object Communities {
       labels = labels.join(pick, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(eager = true)
+        .barrier
     }
     labels
   }
@@ -109,7 +111,7 @@ object Communities {
         .groupBy(col("id"))
         .agg(slice(array_sort(array_distinct(flatten(
           collect_list(col("ks"))))), 1, k).as("ks"))
-        .localCheckpoint(eager = true)
+        .barrier
       summary(t)
     }
     perDepth.reduce(_.unionByName(_))
@@ -227,12 +229,12 @@ object Communities {
         .filter(col("hw") < col("hu"))
         .select(col("u").as("v")).distinct()
       val winners = act.join(losers, Seq("v"), "left_anti")
-        .localCheckpoint(true)
+        .barrier
       val removed = winners.select(col("v"))
         .unionAll(ed.join(winners.select(col("v").as("u")), "u")
           .select(col("w").as("v")))
         .distinct()
-      act = act.join(removed, Seq("v"), "left_anti").localCheckpoint(true)
+      act = act.join(removed, Seq("v"), "left_anti").barrier
       remaining = act.count()
       val w = winners.select(col("v").as("node"), lit(r).as("round"))
       out = if (out == null) w else out.unionAll(w)
@@ -310,13 +312,13 @@ object Communities {
         .filter(struct(col("h"), col("u"), col("w")) === col("ma") &&
           struct(col("h"), col("u"), col("w")) === col("mb"))
         .select(col("u"), col("w"))
-        .localCheckpoint(true)
+        .barrier
       val mvs = matched.select(col("u").as("v"))
         .unionAll(matched.select(col("w").as("v"))).distinct()
       live = live
         .join(mvs.select(col("v").as("u")), Seq("u"), "left_anti")
         .join(mvs.select(col("v").as("w")), Seq("w"), "left_anti")
-        .localCheckpoint(true)
+        .barrier
       remaining = live.count()
       val o = matched.select(lit(r.toLong).as("round"), col("u"),
         col("w"))
@@ -332,7 +334,11 @@ object Communities {
   /** DuckDB mirror of [[maximalMatching]] as unrolled round CTEs.
     * `rounds` must upper-bound the true round count (extra rounds are
     * no-ops on an empty live set). Final CTE `matching` has
-    * (round, u, w). */
+    * (round, u, w). A graph needing more rounds than the unroll would
+    * silently truncate the matching (and break maximality), so the
+    * final CTE carries the same LOUD string→BIGINT convergence guard
+    * as [[Mst.boruvkaSql]]: any live edge after round `rounds` raises
+    * a conversion error naming this guard. */
   def maximalMatchingSql(edgesSql: String, rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""minc$r AS (
@@ -361,8 +367,15 @@ object Communities {
     s"""mmEd AS MATERIALIZED ($edgesSql),
        |mlive0 AS (SELECT u, w, h FROM mmEd),
        |$steps,
+       |mmConv AS (
+       |  SELECT CAST(CASE WHEN n > 0 THEN
+       |      'MATCHING GUARD: SQL unroll of $rounds rounds too ' ||
+       |      'small, ' || n || ' live edges remain'
+       |    ELSE '0' END AS BIGINT) AS g
+       |  FROM (SELECT COUNT(*) AS n FROM mlive$rounds)),
        |matching AS (
-       |  $log)""".stripMargin
+       |  SELECT round + g AS round, u, w FROM (
+       |  $log) CROSS JOIN mmConv)""".stripMargin
   }
 
   /** Round-limited greedy coloring by iterated local maxima — the
@@ -385,6 +398,8 @@ object Communities {
     * uncolored after `rounds`. */
   def localMaxColoring(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
+    require(rounds >= 1,
+      s"localMaxColoring needs rounds >= 1 (got $rounds)")
     var act = nodes.select(col("v"), col("h")).localCheckpoint(true)
     val ed = edges.select(col("u"), col("w")).localCheckpoint(true)
     var out: DataFrame = null
@@ -396,9 +411,9 @@ object Communities {
         .filter(col("hw") > col("hu"))
         .select(col("u").as("v")).distinct()
       val winners = act.join(losers, Seq("v"), "left_anti")
-        .localCheckpoint(true)
+        .barrier
       act = act.join(winners.select(col("v")), Seq("v"), "left_anti")
-        .localCheckpoint(true)
+        .barrier
       val w = winners
         .select(col("v").as("node"), lit(r.toLong).as("color"))
       out = if (out == null) w else out.unionAll(w)

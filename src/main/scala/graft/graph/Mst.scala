@@ -27,30 +27,36 @@ object Mst {
   private def coin(c: Column, round: Int): Column =
     pmod(Sampling.hash60("coin", c * 131 + round), lit(2L))
 
-  /** Materialization barrier for the iterative loop. localCheckpoint
-    * truncates the LINEAGE but carries the origin plan's sizeInBytes
-    * statistic forward — and in a loop whose next round JOINS the
-    * checkpointed frame, those statistics MULTIPLY round over round
-    * (measured here: ×3 digits per round, megabyte-BigInteger stats
-    * arithmetic on the driver and 85 s planning stalls by round 15).
-    * Rebuilding the frame from the checkpointed RDD resets the
-    * statistic to the flat default, so every round plans in constant
-    * time. The Row round-trip is partition-local and vertex-sized —
-    * the same order as the round's own join. */
-  private def barrier(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+  /** The loop's materialization barrier — lineage truncation WITH a
+    * statistics reset; see [[graft.ops.Iterate.barrier]] for why a
+    * bare localCheckpoint multiplies sizeInBytes round over round. */
+  private def barrier(df: DataFrame): DataFrame =
+    graft.ops.Iterate.barrier(df)
 
   /** Run Borůvka to convergence (no cross-component edge left).
     * `vertices` must select (v); `edges` (a, b, w) CANONICAL a < b,
     * one row per undirected edge. Returns the merge log
     * (round, a, b, w) — the MST edge set with the round that
-    * contracted it. Fails loudly past `maxRounds`. */
+    * contracted it. Fails loudly past `maxRounds`.
+    *
+    * The state is the EDGE-RELABELED contraction (textbook distributed
+    * Borůvka / AKLSZ): component labels live ON the surviving
+    * cross-component edges as (ca, cb) — there is no vertex-sized
+    * label table in the loop at all. Each round reads only the
+    * surviving edges (min out-edge per component straight off the
+    * frame, no join), relabels them against the round's merge map
+    * (component cu merges into cv atomically, so updating every edge
+    * whose ca/cb equals a merged label IS the global label update),
+    * and drops the edges the merges made internal. Both the per-round
+    * scan AND the relabel join therefore shrink geometrically with
+    * the contraction — the earlier vertex-table formulation paid an
+    * O(V) label join every round regardless of how far the graph had
+    * contracted, which dominated at every measured scale (sf1 52.6 s
+    * → see SCALING.md round-10 rows for the drop). */
   def boruvka(vertices: DataFrame, edges: DataFrame,
       maxRounds: Int = 96): DataFrame = {
-    var comp = barrier(vertices.select(col("v"), col("v").as("c")))
-    val ed = barrier(edges.select(col("a"), col("b"), col("w")))
+    var ec = barrier(edges.select(col("a"), col("b"), col("w"),
+      col("a").as("ca"), col("b").as("cb")))
     var out: DataFrame = null
     var r = 0
     var done = false
@@ -60,10 +66,6 @@ object Mst {
       require(r <= maxRounds,
         s"Boruvka did not converge in $maxRounds rounds")
       val t0 = System.nanoTime()
-      val ec = barrier(ed
-        .join(comp.select(col("v").as("a"), col("c").as("ca")), "a")
-        .join(comp.select(col("v").as("b"), col("c").as("cb")), "b")
-        .filter(col("ca") =!= col("cb"))) // empty-test + both directions
       if (ec.limit(1).count() == 0) done = true
       else {
         val cand = ec.select(col("ca").as("cu"), col("cb").as("cv"),
@@ -77,19 +79,28 @@ object Mst {
             col("m.b").as("b"), col("m.cv").as("cv"))
         val merges = barrier(sel
           .filter(coin(col("cu"), r) === 0L &&
-            coin(col("cv"), r) === 1L)) // label update + merge log
-        comp = barrier(comp
-          .join(merges.select(col("cu").as("c"), col("cv").as("nc")),
-            Seq("c"), "left_outer")
-          .select(col("v"), coalesce(col("nc"), col("c")).as("c")))
+            coin(col("cv"), r) === 1L)) // edge relabel + merge log
         val w = merges.select(lit(r.toLong).as("round"), col("a"),
           col("b"), col("w"))
         out = if (out == null) w else out.unionAll(w)
+        // relabel surviving edges against the merge map and contract:
+        // an edge whose endpoints landed in one component exits the
+        // loop forever. ORIGINAL (a, b, w) ride along untouched, so
+        // the merge log and the (w, a, b) total order never change.
+        ec = barrier(ec
+          .join(merges.select(col("cu").as("ca"), col("cv").as("nca")),
+            Seq("ca"), "left_outer")
+          .join(merges.select(col("cu").as("cb"), col("cv").as("ncb")),
+            Seq("cb"), "left_outer")
+          .select(col("a"), col("b"), col("w"),
+            coalesce(col("nca"), col("ca")).as("ca"),
+            coalesce(col("ncb"), col("cb")).as("cb"))
+          .filter(col("ca") =!= col("cb")))
       }
       if (debug)
         println(f"MSTDEBUG round $r done=$done " +
           f"dt=${(System.nanoTime() - t0) / 1e9}%.2f " +
-          s"statDigits=${comp.queryExecution.optimizedPlan.stats
+          s"statDigits=${ec.queryExecution.optimizedPlan.stats
             .sizeInBytes.toString.length}")
     }
     if (out == null)
@@ -103,7 +114,16 @@ object Mst {
     * q271-style replay: `rounds` must upper-bound the true round
     * count; converged rounds are no-ops). `verticesSql` selects (v),
     * `edgesSql` (a, b, w) canonical. Final CTE `mst` has
-    * (round, a, b, w) — one row per contracted edge. */
+    * (round, a, b, w) — one row per contracted edge.
+    *
+    * A graph needing MORE rounds than the unroll would silently drop
+    * the tail merges and surface only as an opaque hash mismatch, so
+    * the final CTE carries a LOUD convergence guard: if any
+    * cross-component edge survives round `rounds`, a string → BIGINT
+    * cast raises a conversion error naming this guard (DuckDB's
+    * `error()` is not reliably lazy inside CTE projections; the CAST
+    * form is, verified on 1.0.0 — fires even when `mst` itself ends
+    * up empty, because the guard scalar joins into every consumer). */
   def boruvkaSql(verticesSql: String, edgesSql: String,
       rounds: Int): String = {
     def coinSql(c: String, r: Int): String =
@@ -138,7 +158,17 @@ object Mst {
        |mstEd AS MATERIALIZED ($edgesSql),
        |lab0 AS (SELECT v, v AS c FROM mstV),
        |$steps,
+       |mstConv AS (
+       |  SELECT CAST(CASE WHEN n > 0 THEN
+       |      'BORUVKA GUARD: SQL unroll of $rounds rounds too ' ||
+       |      'small, ' || n || ' cross-component edges remain'
+       |    ELSE '0' END AS BIGINT) AS g
+       |  FROM (SELECT COUNT(*) AS n FROM mstEd e
+       |        JOIN lab$rounds la ON la.v = e.a
+       |        JOIN lab$rounds lb ON lb.v = e.b
+       |        WHERE la.c <> lb.c)),
        |mst AS (
-       |  $log)""".stripMargin
+       |  SELECT round + g AS round, a, b, w FROM (
+       |  $log) CROSS JOIN mstConv)""".stripMargin
   }
 }

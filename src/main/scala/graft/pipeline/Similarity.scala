@@ -289,6 +289,54 @@ object Similarity {
       bandBits = bb, dims = dims, roundTo = roundTo)
   }
 
+  /** The COMPOSED serving path — sized-LSH candidates + exact re-rank,
+    * wired end-to-end as one operator (the "100× answer" for the
+    * brute-force retrievers q25/q263/q279, previously only prose):
+    * candidate generation via the corpus-sized multiprobe WTA banding
+    * (bucket occupancy bounded by [[sizedBandBits]] at ANY corpus
+    * size), candidates restricted to the `query_id % queryMod == 0`
+    * serving sample BEFORE the re-rank join (the corpus side still
+    * bands in full — that is the index build — but the
+    * candidate×vector re-rank join is sample-sized), exact cosine
+    * top-k over each query's candidate list only.
+    *
+    * Returns per served query: (query_id, rk, neighbor_id, sim,
+    * n_cand) where n_cand is that query's measured candidate count —
+    * the audit column that shows the work per query stays FLAT as n
+    * grows (the sizing rule's promise; recall is gated separately by
+    * q256's brute-force audit over the same candidate structure).
+    * Queries whose probe buckets are empty return no rows — there is
+    * no brute fallback, by design (at 100 TB the fallback IS the
+    * failure).
+    */
+  def sizedCandidateRetrieval(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Int, queryMod: Int,
+      targetOccupancy: Int = 16, roundTo: Int = 5): DataFrame = {
+    val bb = sizedBandBits(df.count(), targetOccupancy)
+    val cands = wtaMultiprobeCandidates(df, idCol, vecCol,
+      planes = 2 * bb, bandBits = bb, dims = dims)
+    val directed = cands.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      .unionByName(cands.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id")))
+      .filter(col("query_id") % queryMod === 0)
+    val nCand = directed.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
+    val scored = directed
+      .join(v.toDF("query_id", "qv"), Seq("query_id"))
+      .join(v.toDF("neighbor_id", "cv"), Seq("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), roundTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .join(nCand, Seq("query_id"))
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("sim"), col("n_cand"))
+  }
+
   /** Mutual nearest-neighbor pairs (the margin-free core of bitext /
     * parallel-corpus mining, Artetxe & Schwenk 2019): (a, b) such that
     * b is a's top-1 neighbor AND a is b's top-1, within the WTA

@@ -1167,14 +1167,15 @@ object GraphQueries {
     var h = degC.select(col("c"), lit(1000000L).as("hs"))
     var a: DataFrame = null
     for (_ <- 1 to SalsaRounds) {
-      a = e2.join(h, Seq("c"))
+      // graft.ops.Iterate.barrier, not a bare localCheckpoint: each
+      // half-round JOINS the previous one's output, so a carried
+      // sizeInBytes statistic would multiply across the 8 half-rounds
+      a = graft.ops.Iterate.barrier(e2.join(h, Seq("c"))
         .withColumn("x", expr("hs div dc"))
-        .groupBy(col("p")).agg(sum(col("x")).as("av"))
-        .localCheckpoint(eager = true)
-      h = e2.join(a, Seq("p"))
+        .groupBy(col("p")).agg(sum(col("x")).as("av")))
+      h = graft.ops.Iterate.barrier(e2.join(a, Seq("p"))
         .withColumn("y", expr("av div dp"))
-        .groupBy(col("c")).agg(sum(col("y")).as("hs"))
-        .localCheckpoint(eager = true)
+        .groupBy(col("c")).agg(sum(col("y")).as("hs")))
     }
     val tot = a.agg(sum(col("av")).as("ta"))
     val ne = edges.agg(count(lit(1)).as("ne"))
@@ -1240,8 +1241,13 @@ object GraphQueries {
   private def coloringGraph(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val p = Tables.part(spark, dir)
+    // priority = the engine-portable 60-bit hash (as q351/q355 use for
+    // edge priorities): the earlier (k * 2654435761) % 2^32 Knuth hash
+    // is injective only below 2^32 keys, and past ~3.5e9 keys the
+    // multiply wraps silently in Spark but errors in DuckDB — hash60
+    // keeps identical semantics in both engines at any key scale
     val nodes = p.select(col("p_partkey").as("v"),
-      expr("(p_partkey * 2654435761) % 4294967296").as("h"))
+      graft.pipeline.Sampling.hash60("color", col("p_partkey")).as("h"))
     val tree = p.filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("u"),
         expr("p_partkey div 2").as("w"))
@@ -1283,8 +1289,8 @@ object GraphQueries {
 
   val q347_sql: String = {
     val nodesSql =
-      "SELECT p_partkey AS v, (p_partkey * 2654435761) % 4294967296 " +
-        "AS h FROM part"
+      s"SELECT p_partkey AS v, ${graft.pipeline.Sampling
+        .hash60Sql("color", "p_partkey")} AS h FROM part"
     val fwd =
       """SELECT p_partkey AS u, p_partkey // 2 AS w FROM part
         | WHERE p_partkey >= 2

@@ -990,6 +990,88 @@ object PipelineQueries {
 
 
   // -------------------------------------------------------------------
+  // q357 — the COMPOSED serving retrieval: sized-LSH candidates +
+  // exact re-rank end-to-end (Similarity.sizedCandidateRetrieval) over
+  // a 5% query sample, with the per-query candidate count and the
+  // global candidates/query ratio as audit columns. This wires the
+  // "compose brute-force with IVF/LSH candidates" 100× story
+  // (q25/q263/q279's documented scale answer) as a first-class
+  // operator: the corpus work is the banded index build (linear), the
+  // re-rank join is sample × bounded-candidates — never corpus². The
+  // recall the bounded candidates buy is gated by q256 (the brute
+  // audit over the SAME candidate structure) and by the Round10Spec
+  // recall gate against an exact JVM brute mirror.
+  // -------------------------------------------------------------------
+  def q357_composed_retrieval(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = Similarity.sizedCandidateRetrieval(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 3,
+        dims = ExtendedQueries.EmbDim, queryMod = 20)
+      .localCheckpoint(eager = true) // two consumers: rows + the ratio
+    val tot = base.select(col("query_id"), col("n_cand")).distinct()
+      .agg(sum(col("n_cand")).as("tc"), count(lit(1)).as("nqr"))
+    base.crossJoin(broadcast(tot))
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("sim"), col("n_cand"),
+        expr("tc * 1000 div nqr").as("cand_pq_x1000"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q357_sql: String = {
+    val bits = ExtendedQueries.wtaSigSqlMasked(30, "embedding", "bb")
+    s"""WITH nq AS (
+       |  SELECT GREATEST((GREATEST(COUNT(*), 2) - 1) // 16, 1) AS q
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT LEAST(15, GREATEST(4, (
+       |    SELECT COUNT(*) FROM nq, generate_series(0, 62) g(i)
+       |    WHERE q >> i > 0))) AS bb),
+       |s AS (
+       |  SELECT vec_id AS vid, bb, $bits AS sig
+       |  FROM embeddings CROSS JOIN p),
+       |banded AS (
+       |  SELECT vid, bb, g.i AS band,
+       |    (sig >> (g.i * bb)) & ((1::BIGINT << bb) - 1) AS band_val
+       |  FROM s CROSS JOIN generate_series(0, 1) AS g(i)),
+       |probes AS (
+       |  SELECT vid, band,
+       |    CASE WHEN pr.j < 0 THEN band_val
+       |      ELSE xor(band_val, 1::BIGINT << pr.j) END AS probe_val
+       |  FROM banded CROSS JOIN generate_series(-1, 14) AS pr(j)
+       |  WHERE pr.j < bb),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM probes a JOIN banded b
+       |    ON a.band = b.band AND a.probe_val = b.band_val
+       |   AND a.vid < b.vid),
+       |qd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+       |    UNION ALL SELECT id_b, id_a FROM cand)
+       |  WHERE query_id % 20 = 0),
+       |nc AS (
+       |  SELECT query_id, COUNT(*) AS n_cand FROM qd GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(n_cand) AS BIGINT) AS tc, COUNT(*) AS nqr
+       |  FROM nc),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 5) AS sim
+       |  FROM qd d JOIN embeddings q ON q.vec_id = d.query_id
+       |            JOIN embeddings c ON c.vec_id = d.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, sim,
+       |  CAST(n_cand AS BIGINT) AS n_cand,
+       |  CAST(tc * 1000 // nqr AS BIGINT) AS cand_pq_x1000
+       |FROM r JOIN nc USING (query_id) CROSS JOIN tot
+       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q256 — RECALL AUDIT of the size-adaptive multiprobe (q253) against
   // exact brute-force top-3 (q25's baseline), completing the sizing-
   // rule story: SCALING.md shows the rule holds candidate volume flat;
@@ -1214,6 +1296,7 @@ object PipelineQueries {
     "q353_jl_distortion" -> q353_jl_distortion _,
     "q240_multiprobe_lsh" -> q240_multiprobe_lsh _,
     "q253_sized_multiprobe" -> q253_sized_multiprobe _,
+    "q357_composed_retrieval" -> q357_composed_retrieval _,
     "q256_sized_recall" -> q256_sized_recall _,
     "q112_lsh_recall" -> q112_lsh_recall _,
     "q122_editsim_dedup" -> q122_editsim_dedup _,
@@ -1241,6 +1324,7 @@ object PipelineQueries {
     "q353_jl_distortion" -> q353_sql,
     "q240_multiprobe_lsh" -> q240_sql,
     "q253_sized_multiprobe" -> q253_sql,
+    "q357_composed_retrieval" -> q357_sql,
     "q256_sized_recall" -> q256_sql,
     "q112_lsh_recall" -> q112_sql,
     "q122_editsim_dedup" -> q122_sql,

@@ -618,9 +618,14 @@ object TrainPrepQueries {
     var v = spark.range(CovDims).select(col("id").cast("int").as("i"),
       lit(1000000L).as("v"))
     for (_ <- 1 to PowIters) {
-      val mv = cells.join(v.select(col("i").as("j"), col("v")), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(expr("m * v")).as("w"))
+      // per-round barrier (graft.ops.Iterate): mv feeds TWO consumers
+      // (the max side and the probe side) and is re-joined next round —
+      // without it the lineage recomputes 2^rounds times and the
+      // carried sizeInBytes statistic multiplies round over round
+      val mv = graft.ops.Iterate.barrier(
+        cells.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+          .groupBy(col("i"))
+          .agg(sum(expr("m * v")).as("w")))
       val mx = mv.agg(max(abs(col("w"))).as("mx"))
       v = mv.crossJoin(broadcast(mx))
         .withColumn("v", expr(

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.{CurationQueries, GraphQueries, PlannerQueries}
+import graft.pipeline.Sampling
 
 /** Round-9 additions: SALSA (q346), round-limited greedy coloring
   * (q347), Haar wavelet synopsis (q348), Lorenz/Gini (q349), Fano
@@ -61,7 +62,7 @@ class Round9BSpec extends SparkSpec {
     val sym = (fwd ++ fwd.map(_.swap)).distinct
     val nbr = sym.groupBy(_._1).map { case (v, g) =>
       (v, g.map(_._2)) }
-    def h(v: Long): Long = (v * 2654435761L) % 4294967296L
+    def h(v: Long): Long = Sampling.hash60Jvm("color", v)
     var active = keys.toSet
     val colorOf = scala.collection.mutable.Map.empty[Long, Long]
     for (r <- 1 to 24) {

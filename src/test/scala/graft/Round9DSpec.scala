@@ -67,9 +67,14 @@ class Round9DSpec extends SparkSpec {
       .select("event_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), r.getString(1),
         math.floor(r.getDouble(2) * 100).toLong))
-    val want = ev.groupBy(_._2).toSeq.map { case (t, g) =>
+    // mirror the engines' semantics: a type whose rows all hash to one
+    // side of the split is DROPPED by the inner join on calibration
+    // stats (and can have no coverage row) — guard the divisions here
+    // the same way instead of crashing on nCal/nTest = 0
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (t, g) =>
       val (cal, test) = g.partition(e =>
         Sampling.hash60Jvm("conf", e._1) % 2 == 0)
+      if (cal.isEmpty || test.isEmpty) None else Some {
       val nCal = cal.length.toLong
       val meanMc = cal.map(_._3).sum * 1000 / nCal
       val calScores = cal.map(e => math.abs(e._3 * 1000 - meanMc))
@@ -81,7 +86,7 @@ class Round9DSpec extends SparkSpec {
       val nCov = test.count(e =>
         math.abs(e._3 * 1000 - meanMc) <= q90).toLong
       (t, nCal, q90, nTest, nCov, nCov * 1000000L / nTest)
-    }.sortBy(_._1)
+    } }.sortBy(_._1)
     val got = StatQueries.q354_conformal_coverage(spark, sf)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
