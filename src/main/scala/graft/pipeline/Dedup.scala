@@ -990,17 +990,10 @@ object Dedup {
           .as(Seq("p", "tok")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
       .localCheckpoint(eager = true)
-    // distributed dense rank of distinct keys: range-partition, sort
-    // within partitions, zipWithIndex — indexes are globally ordered
-    // and contiguous, so this IS the dense rank of the distinct set
-    val vr = {
-      val d = toks.select(col("tok")).distinct()
-        .repartitionByRange(32, col("tok"))
-        .sortWithinPartitions(col("tok"))
-      spark.createDataFrame(d.as[String].rdd.zipWithIndex()
-          .map { case (t, i) => (t, i + 1L) })
-        .toDF("tok", "r")
-    }
+    // distributed dense rank of distinct keys (graft.ops.Rank): the
+    // ordinal of the distinct set IS the dense rank
+    val vr = graft.ops.Rank.globalOrdinal(
+      toks.select(col("tok")).distinct(), "r", 32, col("tok"))
     var rank = toks.join(vr, Seq("tok"))
       .select(col("doc_id"), col("p"), col("r"))
       .localCheckpoint(eager = true)
@@ -1038,14 +1031,9 @@ object Dedup {
         .select(col("doc_id"), col("p"), col("r").as("a"),
           coalesce(col("r2"), lit(0L)).as("b"))
         .localCheckpoint(eager = true) // distinct + rank-join consumers
-      val dr = {
-        val d = paired.select(col("a"), col("b")).distinct()
-          .repartitionByRange(32, col("a"), col("b"))
-          .sortWithinPartitions(col("a"), col("b"))
-        spark.createDataFrame(d.as[(Long, Long)].rdd.zipWithIndex()
-            .map { case ((a, b), i) => (a, b, i + 1L) })
-          .toDF("a", "b", "r")
-      }
+      val dr = graft.ops.Rank.globalOrdinal(
+        paired.select(col("a"), col("b")).distinct(), "r", 32,
+        col("a"), col("b"))
       rank = paired.join(dr, Seq("a", "b"))
         .select(col("doc_id"), col("p"), col("r"))
         .localCheckpoint(eager = true)

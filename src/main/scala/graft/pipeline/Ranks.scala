@@ -38,16 +38,21 @@ object Ranks {
     * bucket's totals — the offset each partitioned within-bucket
     * running sum adds to become a global cumulative. The triangular
     * join touches only the tiny bucket table. `sums` maps input total
-    * columns to output offset names. */
+    * columns to output offset names; `group` adds extra partition
+    * keys (buckets compare only within the same group — the q299
+    * per-segment CDF shape, composed by [[graft.ops.Cdf]]). */
   def prefixOffsets(grpTot: DataFrame, grpCol: String,
-      sums: Seq[(String, String)]): DataFrame = {
+      sums: Seq[(String, String)],
+      group: Seq[String] = Seq.empty): DataFrame = {
     val aggs = sums.map { case (in, out) =>
       coalesce(sum(col(s"h.$in")), lit(0L)).as(out)
     }
+    val cond = group.map(g => col(s"h.$g") === col(s"g.$g"))
+      .foldRight(col(s"h.$grpCol") < col(s"g.$grpCol"))(_ && _)
+    val keys = group :+ grpCol
     grpTot.as("g")
-      .join(grpTot.as("h"), col(s"h.$grpCol") < col(s"g.$grpCol"),
-        "left_outer")
-      .groupBy(col(s"g.$grpCol").as(grpCol))
+      .join(grpTot.as("h"), cond, "left_outer")
+      .groupBy(keys.map(k => col(s"g.$k").as(k)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 }

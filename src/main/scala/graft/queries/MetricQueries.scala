@@ -1355,13 +1355,11 @@ object MetricQueries {
       .groupBy(col("ld").as("day"))
       .agg(count(lit(1)).as("e"),
         sum(when(col("ld") < col("mxd"), 1L).otherwise(0L)).as("d"))
-    val cells = births.join(ends, Seq("day"), "full_outer")
-      .na.fill(0L, Seq("b", "e", "d"))
-      .orderBy(col("day"))
-      .collect()
-    require(cells.length <= KmMaxDays,
-      s"q318: ${cells.length} day cells exceed the $KmMaxDays driver " +
-        "bound — the KM recurrence input must stay calendar-sized")
+    val cells = graft.ops.Driver.boundedCollect(
+      births.join(ends, Seq("day"), "full_outer")
+        .na.fill(0L, Seq("b", "e", "d"))
+        .orderBy(col("day")),
+      KmMaxDays.toInt, "q318 KM day cells")
     var (alive, s) = (0L, 1000000L)
     val rows = cells.map { r =>
       val (day, b, e, d) =

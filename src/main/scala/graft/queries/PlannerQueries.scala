@@ -1158,7 +1158,7 @@ object PlannerQueries {
   def q331_voptimal_histogram(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
-    val cells = Tables.events(spark, dir)
+    val cellsDf = Tables.events(spark, dir)
       .select(expr("cast(floor(value * 100) as bigint)").as("x"))
       .withColumn("cell",
         least(lit(VoCells - 1), expr(s"x div $VoWidth")))
@@ -1166,13 +1166,12 @@ object PlannerQueries {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
         sum((col("x") * col("x")).cast("decimal(38,0)")).as("ss"))
       .orderBy(col("cell"))
-      .collect()
+    val cells = graft.ops.Driver.boundedCollect(cellsDf,
+        VoCells.toInt, "q331 DP input")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         BigInt(r.getDecimal(3).toBigInteger)))
     val m = cells.length
-    require(m <= VoCells && m >= 1,
-      s"q331: $m cells outside the [1, $VoCells] driver " +
-        "bound — the DP input must stay value-domain-sized")
+    require(m >= 1, "q331: empty DP input")
     // degenerate corpora (< 8 distinct cells) get m buckets instead of
     // a hard require-failure; the pinned 8-level SQL oracle assumes
     // m ≥ 8, which every real table satisfies (ADVICE r8)
@@ -1676,12 +1675,14 @@ object PlannerQueries {
   def q348_haar_synopsis(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
-    val got = Tables.events(spark, dir)
-      .select(expr("cast(floor(value * 100) as bigint)").as("x"))
-      .withColumn("cell",
-        least(lit(HaarCells - 1L), expr(s"x div $HaarWidth")))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.ops.Driver.boundedCollect(
+        Tables.events(spark, dir)
+          .select(expr("cast(floor(value * 100) as bigint)").as("x"))
+          .withColumn("cell",
+            least(lit(HaarCells - 1L), expr(s"x div $HaarWidth")))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n")),
+        HaarCells, "q348 Haar cells")
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     val cells = (0 until HaarCells)
       .map(i => got.getOrElse(i.toLong, 0L)).toArray
     var level = cells.clone()
@@ -1777,12 +1778,14 @@ object PlannerQueries {
   def q356_huffman_audit(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
-    val got = Tables.events(spark, dir)
-      .select(expr("cast(floor(value * 100) as bigint)").as("x"))
-      .withColumn("cell",
-        least(lit(HaarCells - 1L), expr(s"x div $HaarWidth")))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.ops.Driver.boundedCollect(
+        Tables.events(spark, dir)
+          .select(expr("cast(floor(value * 100) as bigint)").as("x"))
+          .withColumn("cell",
+            least(lit(HaarCells - 1L), expr(s"x div $HaarWidth")))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n")),
+        HaarCells, "q356 Huffman weights")
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     val cells = (0 until HaarCells)
       .map(i => got.getOrElse(i.toLong, 0L))
     // greedy merge over (weight, minCell)-ordered roots; depth(leaf)

@@ -2746,16 +2746,10 @@ object QualityQueries {
     val counts = Tables.documents(spark, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val ranked = {
-      val d = counts.select((-col("c")).as("nc"), col("tok"),
-          col("c"))
-        .repartitionByRange(32, col("nc"), col("tok"))
-        .sortWithinPartitions(col("nc"), col("tok"))
-        .select(col("c"))
-      spark.createDataFrame(d.as[Long].rdd.zipWithIndex()
-          .map { case (c, i) => (c, i + 1L) })
-        .toDF("c", "rank")
-    }
+    val ranked = graft.ops.Rank.globalOrdinal(
+        counts.select((-col("c")).as("nc"), col("tok"), col("c")),
+        "rank", 32, col("nc"), col("tok"))
+      .select(col("c"), col("rank"))
     val oct = ranked
       .withColumn("octave",
         (length(expr("bin(rank)")) - 1).cast("long"))

@@ -640,18 +640,10 @@ object Relational {
       .groupBy(col("o_totalprice")).agg(count(lit(1)).as("cnt"))
       .withColumn("grp", floor(col("o_totalprice") / lit(1024.0)))
       .localCheckpoint(eager = true)
-    // Coarse bucket totals: tiny (price range / 1024 rows) regardless
-    // of data scale. Cumulative count BEFORE each bucket comes from a
-    // triangular self-join on this tiny table — no unpartitioned window.
-    val grpTot = perPrice.groupBy(col("grp")).agg(sum(col("cnt")).as("gcnt"))
-    val grpBefore = grpTot.as("g")
-      .join(grpTot.as("h"), col("h.grp") < col("g.grp"), "left_outer")
-      .groupBy(col("g.grp").as("grp"))
-      .agg(coalesce(sum(col("h.gcnt")), lit(0L)).as("before"))
     // ntile(10) bucket boundaries — first (n mod 10) buckets get one
     // extra row — derived LAZILY from the 1-row total (no driver
     // round-trip, no action before the final one).
-    val total = grpTot.agg(coalesce(sum(col("gcnt")), lit(0L)).as("n"))
+    val total = perPrice.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
     val decDf = spark.range(1, 11).toDF("decile")
       .crossJoin(broadcast(total))
       .select(col("decile").cast("int").as("decile"),
@@ -661,13 +653,12 @@ object Relational {
           least(col("decile") - 1, col("n") % 10) + 1).as("rank_start"))
       .withColumn("rank_end", col("rank_start") + col("sz") - 1)
       .filter(col("sz") > 0)
-    // Global rank range occupied by each distinct price: bucket offset
-    // + within-bucket running count. The window IS partitioned, and each
-    // partition is bounded by the coarse bucket's value range (≤ ~102k
-    // cent values), independent of row count.
-    val wg = Window.partitionBy(col("grp")).orderBy(col("o_totalprice"))
-    val cdf = perPrice.join(broadcast(grpBefore), Seq("grp"))
-      .withColumn("cum", col("before") + sum(col("cnt")).over(wg))
+    // Global rank range occupied by each distinct price: the
+    // distributed-CDF shape (graft.ops.Cdf — coarse-bucket offsets +
+    // a window bounded by each bucket's value range, ≤ ~102k cent
+    // values, independent of row count).
+    val cdf = graft.ops.Cdf.prefixSum(perPrice, Seq.empty, "grp",
+        "o_totalprice", "cnt", "cum", inclusive = true)
       .withColumn("lo_rank", col("cum") - col("cnt") + 1)
     cdf.join(broadcast(decDf),
         col("lo_rank") <= col("rank_end") && col("cum") >= col("rank_start"))

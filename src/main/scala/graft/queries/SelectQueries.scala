@@ -174,17 +174,9 @@ object SelectQueries {
         col("seg"), col("bal"), col("sfx"))
       .unionAll(b.select((col("k") * 2 + 1).as("rec_id"), col("nat"),
         col("seg"), col("bal"), col("sfx")))
-    val ranked = {
-      val d = u.repartitionByRange(32, col("sfx"), col("rec_id"))
-        .sortWithinPartitions(col("sfx"), col("rec_id"))
-      spark.createDataFrame(
-          d.as[(Long, Long, String, Long, String)].rdd.zipWithIndex()
-            .map { case ((id, nat, seg, bal, sfx), i) =>
-              (id, nat, seg, bal, sfx, i + 1L)
-            })
-        .toDF("rec_id", "nat", "seg", "bal", "sfx", "rn")
-        .localCheckpoint(eager = true) // feeds w-1 self-joins
-    }
+    val ranked = graft.ops.Rank.globalOrdinal(u, "rn", 32,
+        col("sfx"), col("rec_id"))
+      .localCheckpoint(eager = true) // feeds w-1 self-joins
     val pairs = (1 until SnWindow).map { g =>
       ranked.as("x").join(ranked.as("y"),
           col("y.rn") === col("x.rn") + g)
@@ -958,14 +950,9 @@ object SelectQueries {
     val vocab = Tables.documents(spark, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .distinct()
-    val ranked = {
-      val d = vocab.repartitionByRange(32, col("tok"))
-        .sortWithinPartitions(col("tok"))
-      spark.createDataFrame(d.as[String].rdd.zipWithIndex()
-          .map { case (t, i) => (t, i + 1L) })
-        .toDF("tok", "r")
-        .localCheckpoint(eager = true) // both sides of the prev join
-    }
+    val ranked = graft.ops.Rank.globalOrdinal(vocab, "r", 32,
+        col("tok"))
+      .localCheckpoint(eager = true) // both sides of the prev join
     ranked
       .join(ranked.select((col("r") + 1).as("r"),
         col("tok").as("prev")), Seq("r"), "left_outer")

@@ -193,14 +193,8 @@ object StatQueries {
       .withColumn("grp", expr("v div 4096"))
       .localCheckpoint(eager = true) // totals + the cumsum probe
     val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val grpBefore = graft.pipeline.Ranks.prefixOffsets(
-      counts.groupBy(col("grp"))
-        .agg(sum(col("ca")).as("ga"), sum(col("cb")).as("gb")),
-      "grp", Seq("ga" -> "before_a", "gb" -> "before_b"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
-    counts.join(broadcast(grpBefore), Seq("grp"))
-      .withColumn("cuma", col("before_a") + sum(col("ca")).over(w))
-      .withColumn("cumb", col("before_b") + sum(col("cb")).over(w))
+    graft.ops.Cdf.prefixSum(counts, Seq.empty, "grp", "v",
+        Seq("ca" -> "cuma", "cb" -> "cumb"), inclusive = true)
       .crossJoin(broadcast(tot))
       .select(col("v"),
         abs(expr("cuma * 1000000 div na")
@@ -915,19 +909,8 @@ object StatQueries {
       .na.fill(0L, Seq("ac", "bc"))
       .withColumn("bucket", expr(s"vs div $MwuBucketWidth"))
       .localCheckpoint(eager = true) // bucket totals AND running sums
-    val btot = pr.groupBy(col("bseg"), col("bucket"))
-      .agg(sum(col("bc")).as("tot"))
-    val offs = btot.as("g")
-      .join(btot.as("h"), col("h.bseg") === col("g.bseg") &&
-        col("h.bucket") < col("g.bucket"), "left_outer")
-      .groupBy(col("g.bseg").as("bseg"), col("g.bucket").as("bucket"))
-      .agg(coalesce(sum(col("h.tot")), lit(0L)).as("off"))
-    val wB = Window.partitionBy(col("bseg"), col("bucket"))
-      .orderBy(col("vs"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pr.withColumn("cb_in", coalesce(sum(col("bc")).over(wB), lit(0L)))
-      .join(broadcast(offs), Seq("bseg", "bucket"))
-      .withColumn("cumb", col("off") + col("cb_in"))
+    graft.ops.Cdf.prefixSum(pr, Seq("bseg"), "bucket", "vs", "bc",
+        "cumb", inclusive = false)
       .groupBy(col("bseg"))
       .agg(sum(col("ac")).as("n_a"), sum(col("bc")).as("n_b"),
         sum(col("ac") * (lit(2L) * col("cumb") + col("bc")))
@@ -1241,7 +1224,7 @@ object StatQueries {
   def q322_isotonic_calibration(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
-    val cells = Tables.events(spark, dir)
+    val cellsDf = Tables.events(spark, dir)
       .select(
         least(lit(IsoBuckets - 1L),
           expr(s"cast(floor(value * 100) as bigint) div $IsoWidthCents"))
@@ -1251,10 +1234,8 @@ object StatQueries {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
       .orderBy(col("bucket"))
-      .collect()
-    require(cells.length <= 2 * IsoBuckets,
-      s"q322: ${cells.length} cells exceed the bucket-bounded driver " +
-        "input — the PAVA recurrence input must stay histogram-sized")
+    val cells = graft.ops.Driver.boundedCollect(cellsDf,
+      2 * IsoBuckets, "q322 PAVA buckets")
     val b = cells.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val m = b.length
     // prefix sums → pooled ppm mean of any bucket segment [j, k]

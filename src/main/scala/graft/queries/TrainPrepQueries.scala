@@ -687,17 +687,12 @@ object TrainPrepQueries {
       : DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    def ranks(e: Int): DataFrame = {
-      val sorted = docs
-        .withColumn("h", Sampling.hash60(s"epoch$e", col("doc_id")))
-        .repartitionByRange(32, col("h"), col("doc_id"))
-        .sortWithinPartitions(col("h"), col("doc_id"))
-        .select(col("doc_id"))
-      spark.createDataFrame(sorted.as[Long].rdd.zipWithIndex()
-          .map { case (d, i) => (d, i + 1L) })
-        .toDF("doc_id", "r")
+    def ranks(e: Int): DataFrame =
+      graft.ops.Rank.globalOrdinal(
+          docs.withColumn("h", Sampling.hash60(s"epoch$e", col("doc_id"))),
+          "r", 32, col("h"), col("doc_id"))
+        .select(col("doc_id"), col("r"))
         .localCheckpoint(eager = true) // rank join + successor join
-    }
     def succ(r: DataFrame): DataFrame =
       r.join(r.select((col("r") - 1).as("r"),
           col("doc_id").as("succ_doc")), Seq("r"))
