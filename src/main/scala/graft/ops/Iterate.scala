@@ -26,11 +26,16 @@ import org.apache.spark.sql.DataFrame
 object Iterate {
 
   /** Materialize `df` eagerly and return a frame with TRUNCATED
-    * lineage and RESET statistics (flat default `sizeInBytes`). */
-  def barrier(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+    * lineage and RESET statistics (flat default `sizeInBytes`) —
+    * KEEPING the checkpoint's internal row format, partitioning, and
+    * ordering (see [[org.apache.spark.sql.execution.GraftBarrier]]:
+    * the naive external-Row rebuild also resets the statistic, but
+    * drops the partitioning and re-encodes every row — measured 2× on
+    * the q347 coloring loop whose per-round anti joins ride the
+    * checkpoint's hash partitioning). */
+  def barrier(df: DataFrame): DataFrame =
+    org.apache.spark.sql.execution.GraftBarrier.resetStats(
+      df.localCheckpoint(eager = true))
 
   /** `.barrier` as a chainable drop-in for an in-loop
     * `.localCheckpoint(eager = true)`. */
