@@ -148,17 +148,41 @@ object Dedup {
     val docsArr = sh.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("shingle"))).as("tk"),
         count(lit(1)).as("sz"))
+    // EXACT-DUPLICATE COLLAPSE before the near-dup machinery (the C4
+    // ordering — exact dedup first — applied inside the operator):
+    // identical token SETS are one representative each; the prefix
+    // index, candidate join, and array-verification run over distinct
+    // sets only, and qualifying pairs expand back to doc pairs at the
+    // end. On duplication-heavy corpora this shrinks the candidate ×
+    // token-array verification shuffle by the duplication factor
+    // SQUARED (sf10 replication: the verify stage previously spilled
+    // past the box's 78 GB disk; collapsed it is 10⁻⁴ of the pairs),
+    // while the emitted answer is bit-identical: members of one set
+    // have Jaccard 1000 with each other and identical similarity to
+    // every outside doc.
+    val mem = docsArr
+      .withColumn("rep", min(col("doc")).over(org.apache.spark.sql
+        .expressions.Window.partitionBy(col("tk"))))
+    // slim doc → (rep, sz) map: NO token arrays ride the expansion
+    val slim = mem.select(col("doc"), col("rep"), col("sz"))
       .localCheckpoint(true)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val reps = mem.filter(col("doc") === col("rep"))
+      .select(col("doc"), col("tk"), col("sz"))
+      .localCheckpoint(true)
+    val shReps = sh.join(reps.select(col("doc")), Seq("doc"))
+      .localCheckpoint(true)
+    val dfreq = shReps.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // global rarest-first total order (df, then token text); the window
-    // partitions by doc, so no single-reducer exchange
-    val ranked = sh.join(dfreq, Seq("shingle"))
+    // partitions by doc, so no single-reducer exchange. Any FIXED total
+    // order keeps the prefix filter lossless; df over representatives
+    // is the cheap one.
+    val ranked = shReps.join(dfreq, Seq("shingle"))
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy(col("doc"))
         .orderBy(col("df"), col("shingle"))))
     // prefix length p = sz − ceil(t·sz) + 1, integer-exact
     val pref = ranked
-      .join(docsArr.select(col("doc"), col("sz")), Seq("doc"))
+      .join(reps.select(col("doc"), col("sz")), Seq("doc"))
       .filter(col("rk") <=
         col("sz") - expr(s"($thresholdX1000 * sz + 999) div 1000") + 1)
       .select(col("doc"), col("shingle"), col("sz"))
@@ -168,16 +192,42 @@ object Dedup {
              t * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    // exact verification: real intersection per candidate, map-side
-    cand
-      .join(docsArr.select(col("doc").as("id_a"), col("tk").as("ta"),
+    // exact verification over representative pairs only, map-side
+    val repPairs = cand
+      .join(reps.select(col("doc").as("id_a"), col("tk").as("ta"),
         col("sz").as("size_a")), Seq("id_a"))
-      .join(docsArr.select(col("doc").as("id_b"), col("tk").as("tb"),
+      .join(reps.select(col("doc").as("id_b"), col("tk").as("tb"),
         col("sz").as("size_b")), Seq("id_b"))
       .withColumn("intersection",
         size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .filter(lit(1000) * col("intersection") >=
         t * (col("size_a") + col("size_b") - col("intersection")))
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
+        col("intersection"))
+    // expansion 1: cross-set pairs — every member of A × every member
+    // of B, canonicalized to id_a < id_b (set membership interleaves
+    // with the id order, so least/greatest, with sizes re-read from
+    // the slim map). Answer-sized work by construction.
+    val cross = repPairs
+      .join(slim.select(col("rep").as("rep_a"), col("doc").as("da")),
+        Seq("rep_a"))
+      .join(slim.select(col("rep").as("rep_b"), col("doc").as("db")),
+        Seq("rep_b"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("intersection"))
+    // expansion 2: within-set pairs — identical docs, Jaccard 1000,
+    // which always clears any threshold ≤ 1000 (and the original
+    // non-collapsed pipeline emitted them via shared prefixes)
+    val within = slim.select(col("rep"), col("doc").as("id_a"))
+      .join(slim.select(col("rep"), col("doc").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .join(slim.select(col("doc").as("id_a"), col("sz")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("sz").as("intersection"))
+    cross.unionAll(within)
+      .join(slim.select(col("doc").as("id_a"), col("sz").as("size_a")),
+        Seq("id_a"))
+      .join(slim.select(col("doc").as("id_b"), col("sz").as("size_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("intersection"),
         col("size_a"), col("size_b"),
         expr("(1000 * intersection) div " +
