@@ -55,8 +55,15 @@ object Mst {
     * → see SCALING.md round-10 rows for the drop). */
   def boruvka(vertices: DataFrame, edges: DataFrame,
       maxRounds: Int = 96): DataFrame = {
-    var ec = barrier(edges.select(col("a"), col("b"), col("w"),
-      col("a").as("ca"), col("b").as("cb")))
+    // self-loops (a == b) violate the canonical a < b contract and,
+    // if admitted, survive every round with ca == cb renamed in lock
+    // step — such an edge can win a component's min out-edge forever
+    // and block that component's merge, surfacing only as a maxRounds
+    // non-convergence. Drop them at entry (the per-round ca =!= cb
+    // filter never sees the INITIAL frame).
+    var ec = barrier(edges.filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("w"),
+        col("a").as("ca"), col("b").as("cb")))
     var out: DataFrame = null
     var r = 0
     var done = false

@@ -140,6 +140,14 @@ object Dedup {
     */
   def prefixFilteredJaccardPairs(shAll: DataFrame, thresholdX1000: Long)
       : DataFrame = {
+    // the exact-duplicate collapse below emits within-set pairs
+    // UNCONDITIONALLY on the argument that identical sets have
+    // Jaccard 1000, which clears any threshold ≤ 1000 — enforce the
+    // argument's domain instead of assuming it (thresholdX1000 > 1000
+    // is degenerate but representable, and there the collapsed path
+    // would diverge from the pre-collapse pipeline)
+    require(thresholdX1000 >= 0 && thresholdX1000 <= 1000,
+      s"thresholdX1000 must be in [0, 1000], got $thresholdX1000")
     val t = lit(thresholdX1000)
     val sh = shAll.localCheckpoint(true) // prefix pass + doc-array pass
     // one token-array row per doc: verification intersects ARRAYS

@@ -45,6 +45,15 @@ object GraftBarrier {
           .filter(_ > 0)
           .map(s => org.apache.spark.sql.catalyst.plans.logical
             .Statistics(sizeInBytes = s))
+        // PINNED to Spark 4.1.x: positional LogicalRDD constructor
+        // (6 primary + 3 curried args, verified against the shipped
+        // spark-sql_2.13-4.1.2 jar); lr.stream and the origin
+        // constraints are deliberately dropped (checkpoints are
+        // batch, and constraints would re-derive the origin stats
+        // problem). GraftBarrierSpec pins this shape so a Spark
+        // upgrade that reshapes the constructor or stops analyzing
+        // localCheckpoint to a bare LogicalRDD fails CI loudly
+        // instead of silently degrading to the external-Row branch.
         Dataset.ofRows(session, new LogicalRDD(lr.output, lr.rdd,
           lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
           None)(session, measured, None))
@@ -52,4 +61,21 @@ object GraftBarrier {
         session.createDataFrame(classic.rdd, classic.schema)
     }
   }
+
+  /** Spec probe (LogicalRDD is `private[sql]`, so graft-package tests
+    * cannot pattern-match it directly): when `df`'s analyzed plan is a
+    * single LogicalRDD, its (output attribute names, partitioning,
+    * ordering) rendered as strings — the exact invariants
+    * [[resetStats]] must preserve. None for any other plan shape,
+    * which is the upgrade canary: a Spark version whose
+    * `localCheckpoint` no longer analyzes to LogicalRDD would make
+    * resetStats silently take the slow external-Row fallback. */
+  def logicalRddShape(df: DataFrame): Option[(Seq[String], String, String)] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        Some((lr.output.map(_.name),
+          lr.outputPartitioning.toString,
+          lr.outputOrdering.map(_.sql).mkString(", ")))
+      case _ => None
+    }
 }
