@@ -41,13 +41,35 @@ object Bench {
     // in milliseconds and would read as a perf win. Failures surface in
     // the JSON line's "failed" array and are excluded from per-query
     // timings and totals.
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // Per-query JVM diagnostics on stderr (round-11 cold-sweep
+    // adjudication): the cold column showed roving multi-minute
+    // windows hitting ~8 CONSECUTIVE sweep queries ~20 min into the
+    // session (q268-q277 in round 10, q278-q285 in round 11, warm
+    // flat both times, zero source diff). These three deltas separate
+    // the candidate causes per query: a JIT/code-cache flush storm
+    // shows as jit_ms ~ dt, a GC wall as gc_ms ~ dt, an EXTERNAL box
+    // stall as a wall-clock excess with BOTH near zero.
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs: Long = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(0L)
+    def codeCacheMb: Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    var sweepName = "cold"
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
+      val (g0, j0) = (gcMs, jitMs)
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[benchdiag] $sweepName $name dt=$dt%.2f " +
+        f"gc_ms=${gcMs - g0} jit_ms=${jitMs - j0} cc_mb=$codeCacheMb")
       // release localCheckpoint/cache blocks the query pinned — in a
       // 100-query single-JVM session they otherwise accumulate in
       // storage memory until GC gets around to the RDD references,
@@ -57,9 +79,14 @@ object Bench {
       err.toLeft(dt)
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val cold = sorted.map { case (name, fn) => name -> time(fn) }.toMap
-    val warm1 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
-    val warm2 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
+    val cold = sorted.map { case (name, fn) => name -> time(name, fn) }
+      .toMap
+    sweepName = "warm1"
+    val warm1 = sorted.map { case (name, fn) => name -> time(name, fn) }
+      .toMap
+    sweepName = "warm2"
+    val warm2 = sorted.map { case (name, fn) => name -> time(name, fn) }
+      .toMap
     val (ok, failed) = sorted.partition { case (name, _) =>
       cold(name).isRight && warm1(name).isRight && warm2(name).isRight
     }

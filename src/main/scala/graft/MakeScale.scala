@@ -77,37 +77,67 @@ object MakeScale {
       "l_partkey" -> partBase, "l_suppkey" -> suppBase)), "lineitem")
     save(replicate(events, Seq("event_id" -> baseOf(events, "event_id"),
       "user_id" -> baseOf(events, "user_id"))), "events")
+    /** Deterministic hash-seeded permutation of 0 until n for replica
+      * `rep` under `salt` — driver-side, tiny n (alphabet letters /
+      * embedding dims), reproducible from (salt, rep, i) alone. */
+    def seededPerm(salt: String, rep: Int, n: Int): Array[Int] =
+      (0 until n).sortBy(i =>
+        graft.pipeline.Sampling.hash60Jvm(s"$salt:$rep", i.toLong))
+        .toArray
+
     val documents = load("documents")
     save(replicate(documents, Seq("doc_id" -> baseOf(documents, "doc_id")),
       perturb = (d, rep) =>
         if (rep == 0) d
         else {
-          // per-replica Caesar shift of letters: within a replica the
-          // corpus keeps its exact dup/near-dup structure (translate is
-          // a bijection on tokens and shingles), while across replicas
-          // shingles are disjoint — a 10× corpus should have 10× MORE
-          // duplicate clusters, not 10×-BIGGER clusters (a weaker
-          // perturbation, e.g. a prefix, preserves shingles and blows
-          // candidate pairs up ×K² instead of ×K)
+          // per-replica HASH-SEEDED alphabet permutation: within a
+          // replica the corpus keeps its exact dup/near-dup structure
+          // (translate is a bijection on tokens and shingles), while
+          // across replicas token vocabularies are disjoint — a K×
+          // corpus should have K× MORE duplicate clusters, not
+          // K×-BIGGER clusters. The earlier Caesar ROTATION had only
+          // 25 distinct shifts, so factor > 26 made replicas rep and
+          // rep+25 byte-identical — cross-replica EXACT duplicates
+          // that blew the sf10 near-dup answer up quadratically (the
+          // q269 ~96.5M-pair artifact, round-10 SCALING.md). 26!
+          // permutations make shift reuse impossible at any factor.
           val lower = "abcdefghijklmnopqrstuvwxyz"
           val upper = lower.toUpperCase
-          val k = rep % 25 + 1
-          def rot(s: String) = s.drop(k) + s.take(k)
+          val p = seededPerm("alpha", rep, 26)
+          val plower = p.map(lower(_)).mkString
+          val pupper = p.map(upper(_)).mkString
           d.withColumn("text",
-            translate(col("text"), lower + upper, rot(lower) + rot(upper)))
+            translate(col("text"), lower + upper, plower + pupper))
         }),
       "documents")
     val embeddings = load("embeddings")
+    val dim = embeddings.select(size(col("embedding")))
+      .limit(1).collect()(0).getInt(0)
     save(replicate(embeddings,
       Seq("vec_id" -> baseOf(embeddings, "vec_id")),
       perturb = (d, rep) =>
         if (rep == 0) d
-        else d.withColumn("embedding",
-          // deterministic per-replica jitter (~1e-3 scale): keeps the
-          // cosine structure while breaking exact K-way duplication
-          transform(col("embedding"), (v, i) =>
-            (v + (pmod(col("vec_id") * 31 + i * 7 + lit(rep), lit(997))
-              .cast("float") - 498f) / 500000f).cast("float")))),
+        else {
+          // per-replica SIGNED PERMUTATION of the coordinates — an
+          // orthogonal transform, so within a replica every norm,
+          // dot product, and cosine is EXACTLY the source's (the
+          // replica is source-like, not distorted), while across
+          // replicas directions decorrelate like independent random
+          // vectors. The earlier ~1e-3 additive jitter broke exact
+          // equality but kept cosine(replica_i, replica_j) ≈ 1, so
+          // every vector's 99 copies shared its LSH buckets and were
+          // its true top-k — inflating candidate volume and making
+          // replicated recall degenerate (round-10 SCALING.md
+          // "DEGENERATE" row). An isometry per replica gives K× more
+          // organic corpus instead of K copies.
+          val p = seededPerm("emb", rep, dim)
+          val sign = (0 until dim).map(i =>
+            if (graft.pipeline.Sampling
+              .hash60Jvm(s"sign:$rep", i.toLong) % 2 == 0) 1f else -1f)
+          d.withColumn("embedding",
+            array((0 until dim).map(i =>
+              element_at(col("embedding"), p(i) + 1) * lit(sign(i))): _*))
+        }),
       "embeddings")
 
     println(s"MAKESCALE done: $dst at ${factor}x of $src")

@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.graphx.{Edge, Graph, Pregel, EdgeDirection, EdgeTriplet, VertexId}
 
+import graft.ops.Iterate
+import graft.ops.Iterate.BarrierOps
+
 /** Variable-length traversal layer — the one capability with no Catalyst
   * analog (SURVEY §4.2). Implements the reference's bounded var-length
   * Cypher patterns:
@@ -37,8 +40,8 @@ object Traversals {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var frontier = seeds.select(col("id")).distinct()
-        .localCheckpoint(eager = true)
+      var frontier = Iterate.barrier(
+        seeds.select(col("id")).distinct())
       // found = nodes discovered via ≥1 edge; seeds are NOT pre-seeded
       // here so a cycle can rediscover them. Kept as a LAZY union of the
       // per-level checkpointed frontiers: one materialization job per
@@ -50,10 +53,10 @@ object Traversals {
         depth += 1
         val expanded = frontier.join(e, frontier("id") === e("src"))
           .select(e("dst").as("id")).distinct()
-        val next = (if (levels.isEmpty) expanded
+        val next = Iterate.barrier(
+          if (levels.isEmpty) expanded
           else expanded.join(levels.map(_.select("id"))
             .reduce(_ unionByName _), Seq("id"), "left_anti"))
-          .localCheckpoint(eager = true)
         levels = levels :+ next.withColumn("depth", lit(depth))
         frontier = next
       }
@@ -74,9 +77,9 @@ object Traversals {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var level = e.select(col("src").as("ancestor"),
-        col("dst").as("descendant"), lit(1).as("depth"))
-        .localCheckpoint(eager = true)
+      var level = Iterate.barrier(
+        e.select(col("src").as("ancestor"),
+          col("dst").as("descendant"), lit(1).as("depth")))
       // accumulator = LAZY union of checkpointed levels — one
       // materialization job per level, the union is never re-copied
       var levels = Vector(level)
@@ -91,7 +94,7 @@ object Traversals {
           // keep min-depth pairs only (DISTINCT-node semantics)
           .join(seen, Seq("ancestor", "descendant"), "left_anti")
           .distinct()
-          .localCheckpoint(eager = true)
+          .barrier
         levels = levels :+ next
         level = next
       }
@@ -108,17 +111,17 @@ object Traversals {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var level = e.select(col("src").as("ancestor"),
-        col("dst").as("descendant"), lit(1).as("depth"))
-        .localCheckpoint(eager = true)
+      var level = Iterate.barrier(
+        e.select(col("src").as("ancestor"),
+          col("dst").as("descendant"), lit(1).as("depth")))
       var acc = level
       var d = 1
       while (d < maxDepth && !level.isEmpty) {
         d += 1
-        val next = level.join(e, level("descendant") === e("src"))
-          .select(level("ancestor"), e("dst").as("descendant"),
-            lit(d).as("depth"))
-          .localCheckpoint(eager = true)
+        val next = Iterate.barrier(
+          level.join(e, level("descendant") === e("src"))
+            .select(level("ancestor"), e("dst").as("descendant"),
+              lit(d).as("depth")))
         acc = acc.unionByName(next)
         level = next
       }
@@ -133,9 +136,9 @@ object Traversals {
     * per-level scheduling, not data volume, dominates. Output equals
     * [[closureTree]] filtered to depth ≤ maxDepth. */
   def closureTreeDoubling(edges: DataFrame, maxDepth: Int): DataFrame = {
-    var acc = edges.select(col("src").as("ancestor"),
-      col("dst").as("descendant"), lit(1).as("depth"))
-      .localCheckpoint(eager = true)
+    var acc = Iterate.barrier(
+      edges.select(col("src").as("ancestor"),
+        col("dst").as("descendant"), lit(1).as("depth")))
     // pow = pairs at EXACT depth `reach`. Composing pow∘acc splits every
     // depth-(reach+d) path at exactly `reach` hops from its start — a
     // UNIQUE decomposition, so no pair is ever produced twice (composing
@@ -151,7 +154,7 @@ object Traversals {
         .select(col("ancestor"), col("descendant"),
           (col("d1") + col("d2")).as("depth"))
         .filter(col("depth") <= maxDepth)
-      acc = acc.unionByName(composed).localCheckpoint(eager = true)
+      acc = Iterate.barrier(acc.unionByName(composed))
       reach = reach * 2
       pow = acc.filter(col("depth") === reach)
     }
@@ -171,21 +174,21 @@ object Traversals {
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var level = seeds.select(col("id").as("start"))
-        .join(e, col("start") === e("src"))
-        .select(col("start"), e("dst").as("end"), lit(1).as("depth"),
-          array(col("start"), col("dst")).as("path"))
-        .localCheckpoint(eager = true)
+      var level = Iterate.barrier(
+        seeds.select(col("id").as("start"))
+          .join(e, col("start") === e("src"))
+          .select(col("start"), e("dst").as("end"), lit(1).as("depth"),
+            array(col("start"), col("dst")).as("path")))
       // lazy union of checkpointed levels (see [[closure]])
       var levels = Vector(level)
       var d = 1
       while (d < maxHops && !level.isEmpty) {
         d += 1
-        val next = level.join(e, level("end") === e("src"))
-          .filter(!array_contains(level("path"), e("dst"))) // simple paths
-          .select(level("start"), e("dst").as("end"), lit(d).as("depth"),
-            concat(level("path"), array(e("dst"))).as("path"))
-          .localCheckpoint(eager = true)
+        val next = Iterate.barrier(
+          level.join(e, level("end") === e("src"))
+            .filter(!array_contains(level("path"), e("dst"))) // simple
+            .select(level("start"), e("dst").as("end"), lit(d).as("depth"),
+              concat(level("path"), array(e("dst"))).as("path")))
         levels = levels :+ next
         level = next
       }

@@ -33,11 +33,11 @@ object Walks {
       .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).localCheckpoint(eager = true)
-    var walks = sym.select(col("src").as("id")).distinct()
-      .filter(startPred)
-      .select(col("id").as("walk_id"), col("id").as("cur"),
-        col("id").cast("string").as("path"))
-      .localCheckpoint(eager = true)
+    var walks = graft.ops.Iterate.barrier(
+      sym.select(col("src").as("id")).distinct()
+        .filter(startPred)
+        .select(col("id").as("walk_id"), col("id").as("cur"),
+          col("id").cast("string").as("path")))
     for (t <- 1 to steps) {
       val cand = walks.select(col("walk_id"), col("cur"))
         .join(sym, col("cur") === col("src"))
@@ -48,13 +48,13 @@ object Walks {
       val pick = cand.groupBy(col("walk_id"))
         .agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("walk_id"), col("m.dst").as("nxt"))
-      walks = walks.join(pick, Seq("walk_id"), "left_outer")
-        .select(col("walk_id"),
-          coalesce(col("nxt"), col("cur")).as("cur"),
-          when(col("nxt").isNotNull,
-            concat(col("path"), lit("->"), col("nxt").cast("string")))
-            .otherwise(col("path")).as("path"))
-        .localCheckpoint(eager = true)
+      walks = graft.ops.Iterate.barrier(
+        walks.join(pick, Seq("walk_id"), "left_outer")
+          .select(col("walk_id"),
+            coalesce(col("nxt"), col("cur")).as("cur"),
+            when(col("nxt").isNotNull,
+              concat(col("path"), lit("->"), col("nxt").cast("string")))
+              .otherwise(col("path")).as("path")))
     }
     walks.select(col("walk_id"), col("cur").as("final_node"), col("path"))
   }

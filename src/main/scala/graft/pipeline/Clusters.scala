@@ -50,9 +50,9 @@ object Clusters {
     val edges = fwd.unionByName(fwd.select(col("v").as("u"),
         col("u").as("v")))
       .distinct().localCheckpoint(eager = true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("cluster_id", col("node"))
-      .localCheckpoint(eager = true)
+    var labels = graft.ops.Iterate.barrier(
+      edges.select(col("u").as("node")).distinct()
+        .withColumn("cluster_id", col("node")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -61,10 +61,10 @@ object Clusters {
       val fromNbr = edges
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
         .select(col("u").as("node"), col("cluster_id"))
-      val next = labels.unionByName(fromNbr)
-        .groupBy(col("node"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(eager = true)
+      val next = graft.ops.Iterate.barrier(
+        labels.unionByName(fromNbr)
+          .groupBy(col("node"))
+          .agg(min(col("cluster_id")).as("cluster_id")))
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
           Seq("node"))
         .filter(col("cluster_id") =!= col("old")).count()
@@ -99,12 +99,13 @@ object Clusters {
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 30): DataFrame = {
-    var e = pairs.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(eager = true) // canonical u < v
+    var e = graft.ops.Iterate.barrier(
+      pairs.select(col(aCol).cast("long").as("u"),
+          col(bCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()) // canonical u < v
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -115,22 +116,24 @@ object Clusters {
       val mL = adjL.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = adjL.join(mL, Seq("u"))
-        .filter(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("m").as("u"), col("v")) // m < u < v ⇒ canonical
-        .distinct().localCheckpoint(eager = true)
+      val large = graft.ops.Iterate.barrier(
+        adjL.join(mL, Seq("u"))
+          .filter(col("v") > col("u") && col("v") =!= col("m"))
+          .select(col("m").as("u"), col("v")) // m < u < v ⇒ canonical
+          .distinct())
       // small-star: u and its smaller neighbors hook onto their min
       val adjS = large.unionByName(
         large.select(col("v").as("u"), col("u").as("v")))
       val below = adjS.filter(col("v") < col("u"))
         .localCheckpoint(eager = true) // min + re-point consumers
       val mS = below.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = below.join(mS, Seq("u"))
-        .select(col("v"), col("m"))
-        .filter(col("v") =!= col("m"))
-        .select(col("m").as("u"), col("v")) // m ≤ v < u ⇒ canonical
-        .unionByName(mS.select(col("m").as("u"), col("u").as("v")))
-        .distinct().localCheckpoint(eager = true)
+      val small = graft.ops.Iterate.barrier(
+        below.join(mS, Seq("u"))
+          .select(col("v"), col("m"))
+          .filter(col("v") =!= col("m"))
+          .select(col("m").as("u"), col("v")) // m ≤ v < u ⇒ canonical
+          .unionByName(mS.select(col("m").as("u"), col("u").as("v")))
+          .distinct())
       done = small.count() == e.count() &&
         small.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = small

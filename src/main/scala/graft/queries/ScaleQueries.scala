@@ -66,6 +66,75 @@ object ScaleQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q358 — the similarity join's BOUNDED-OUTPUT reporting mode
+  // (round-10 verdict "What's wrong" #2): the same lossless prefix-
+  // filtered pipeline as q269, but shipping what a 10⁸-pair dedup
+  // report ships in practice — per-similarity-band pair/doc counts
+  // plus k capped exemplar pairs — instead of the answer-sized pair
+  // dump whose sort + parquet write is what exceeded the box's spill
+  // disk at sf10. Output size is O(bands · k) regardless of corpus;
+  // the oracle is the identical naive all-pairs filter chain
+  // aggregated the same way, so a green row proves the pruned plan
+  // STILL found every pair. Band width 10 over jac_x1000 ∈ [900,
+  // 1000], k = 3 exemplars by (id_a, id_b) order.
+  // -------------------------------------------------------------------
+  private val BandWidth358 = 10L
+  private val ExemplarK358 = 3
+
+  def q358_similarity_report(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val sh = Dedup.shingleRows(Tables.documents(spark, dir),
+      "doc_id", "text", 1)
+    Dedup.similarityJoinReport(
+      Dedup.prefixFilteredJaccardPairs(sh, Thr269),
+      BandWidth358, ExemplarK358)
+  }
+
+  val q358_sql: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents WHERE trim(text) <> '')),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+       |  FROM toks a JOIN toks b
+       |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |allp AS (
+       |  SELECT id_a, id_b,
+       |    (1000 * n) // (sa.sz + sb.sz - n) AS jac
+       |  FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE 1000 * n >= $Thr269 * (sa.sz + sb.sz - n)),
+       |banded AS (
+       |  SELECT jac - (jac % $BandWidth358) AS band, id_a, id_b, jac
+       |  FROM allp),
+       |bstats AS (
+       |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(MAX(jac) AS BIGINT) AS max_jac_x1000
+       |  FROM banded GROUP BY 1),
+       |bdocs AS (
+       |  SELECT band, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+       |  FROM (SELECT band, id_a AS doc FROM banded
+       |        UNION ALL SELECT band, id_b FROM banded)
+       |  GROUP BY 1),
+       |bex AS (
+       |  SELECT band, CAST(rk AS BIGINT) AS rank, id_a AS ex_id_a,
+       |    id_b AS ex_id_b, CAST(jac AS BIGINT) AS ex_jac_x1000
+       |  FROM (SELECT band, id_a, id_b, jac, ROW_NUMBER() OVER (
+       |          PARTITION BY band ORDER BY id_a, id_b) AS rk
+       |        FROM banded)
+       |  WHERE rk <= $ExemplarK358)
+       |SELECT CAST(s.band AS BIGINT) AS band, n_pairs, n_docs,
+       |  max_jac_x1000, rank, ex_id_a, ex_id_b, ex_jac_x1000
+       |FROM bstats s JOIN bdocs d ON s.band = d.band
+       |JOIN bex e ON s.band = e.band
+       |ORDER BY band, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q271 — maximal independent set via Luby's algorithm (Luby 1986)
   // with fixed collision-free priorities (Knuth multiplicative hash —
   // odd multiplier, bijective mod 2^32, so no ties). Graph: the union
@@ -286,13 +355,19 @@ object ScaleQueries {
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("sup"))
     }
-    var e = cand.localCheckpoint(eager = true)
+    // in-loop checkpoints are JOINED next round (support(e) is a
+    // double self-join) — barrier, not bare localCheckpoint, per the
+    // Iterate.scala rule: carried origin stats multiply round over
+    // round (bounded here by the fixed 10 rounds, but the rule is
+    // uniform and Round11GateSpec asserts it stays flat)
+    var e = graft.ops.Iterate.barrier(cand)
     var prevCount = e.count()
     var lastCount = prevCount
     for (_ <- 1 to TrussRounds) {
       prevCount = lastCount
-      e = support(e).filter(col("sup") >= TrussMinSup)
-        .select(col("a"), col("b")).localCheckpoint(eager = true)
+      e = graft.ops.Iterate.barrier(
+        support(e).filter(col("sup") >= TrussMinSup)
+          .select(col("a"), col("b")))
       lastCount = e.count()
     }
     support(e)
@@ -573,9 +648,11 @@ object ScaleQueries {
     "q272_butterflies" -> q272_butterflies _,
     "q273_ktruss" -> q273_ktruss _,
     "q274_hilbert_layout" -> q274_hilbert_layout _,
-    "q275_fellegi_sunter" -> q275_fellegi_sunter _)
+    "q275_fellegi_sunter" -> q275_fellegi_sunter _,
+    "q358_similarity_report" -> q358_similarity_report _)
 
   val oracles: Map[String, String] = Map(
+    "q358_similarity_report" -> q358_sql,
     "q269_prefix_filter_join" -> q269_sql,
     "q270_seq_patterns" -> q270_sql,
     "q271_luby_mis" -> q271_sql,

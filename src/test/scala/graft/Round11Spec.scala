@@ -184,6 +184,111 @@ class Round11Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // q262 early-exit: distinct ranks are a doubling fixpoint, so the
+  // remaining levels are emitted as copies — must be bit-identical to
+  // the full unroll (the DuckDB oracle still runs every round).
+  // ------------------------------------------------------------------
+
+  test("suffixDoublingProfile early-exit emits the converged fixpoint " +
+      "rows for all remaining levels") {
+    // all tokens unique -> converged at k = 1; 8 doublings must still
+    // emit 9 levels, all identical except k
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val prof = graft.pipeline.Dedup
+      .suffixDoublingProfile(docs, "doc_id", "text", 8)
+      .collect()
+    assert(prof.map(_.getAs[Long]("k")).toSeq ===
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L))
+    assert(prof.forall(_.getAs[Long]("dup_groups") === 0L))
+    assert(prof.map(_.getAs[Long]("distinct_groups")).distinct.toSeq ===
+      Seq(6L))
+    assert(prof.forall(_.getAs[Long]("top_doc") === -1L))
+  }
+
+  test("suffixDoublingProfile mid-run convergence matches the hand " +
+      "profile of an all-identical-token doc") {
+    // "x x x": dup at k=1 (3 positions) and k=2 (2 positions), fully
+    // distinct from k=4 on — exercises real rounds THEN the fixpoint
+    val docs = Seq((7L, "x x x")).toDF("doc_id", "text")
+    val prof = graft.pipeline.Dedup
+      .suffixDoublingProfile(docs, "doc_id", "text", 4)
+      .collect()
+    assert(prof.map(r => (r.getAs[Long]("k"),
+      r.getAs[Long]("dup_positions"), r.getAs[Long]("dup_groups"),
+      r.getAs[Long]("distinct_groups"))).toSeq === Seq(
+      (1L, 3L, 1L, 1L), (2L, 2L, 1L, 2L), (4L, 0L, 0L, 3L),
+      (8L, 0L, 0L, 3L), (16L, 0L, 0L, 3L)))
+  }
+
+  // ------------------------------------------------------------------
+  // q358 similarity-report operator: bounded-output semantics on a
+  // hand-checkable pair frame (the DuckDB oracle pins the full chain)
+  // ------------------------------------------------------------------
+
+  test("similarityJoinReport bands, counts, and k-pass exemplars " +
+      "match the hand computation") {
+    val pairs = Seq(
+      (1L, 2L, 1000L), (1L, 3L, 1000L), (2L, 3L, 1000L), (4L, 5L, 995L),
+      (6L, 7L, 941L), (6L, 8L, 948L),
+      (9L, 10L, 902L)
+    ).toDF("id_a", "id_b", "jac_x1000")
+    val got = graft.pipeline.Dedup
+      .similarityJoinReport(pairs, 10L, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("max_jac_x1000"),
+        r.getAs[Long]("rank"), r.getAs[Long]("ex_id_a"),
+        r.getAs[Long]("ex_id_b"))).toSeq
+    assert(got === Seq(
+      (900L, 1L, 2L, 902L, 1L, 9L, 10L),
+      (940L, 2L, 3L, 948L, 1L, 6L, 7L),
+      (940L, 2L, 3L, 948L, 2L, 6L, 8L),
+      (990L, 1L, 2L, 995L, 1L, 4L, 5L),
+      (1000L, 3L, 3L, 1000L, 1L, 1L, 2L),
+      (1000L, 3L, 3L, 1000L, 2L, 1L, 3L)))
+  }
+
+  // ------------------------------------------------------------------
+  // MakeScale isometry: the per-replica signed permutation must
+  // preserve within-replica geometry exactly (it is orthogonal) while
+  // changing direction across replicas — the property the round-10
+  // "DEGENERATE replicas" artifact lacked.
+  // ------------------------------------------------------------------
+
+  test("seeded signed permutation is an isometry within a replica " +
+      "and decorrelates across replicas") {
+    def perm(salt: String, rep: Int, n: Int): Array[Int] =
+      (0 until n).sortBy(i =>
+        graft.pipeline.Sampling.hash60Jvm(s"$salt:$rep", i.toLong))
+        .toArray
+    def sign(rep: Int, n: Int): Array[Float] =
+      (0 until n).map(i => if (graft.pipeline.Sampling
+        .hash60Jvm(s"sign:$rep", i.toLong) % 2 == 0) 1f else -1f).toArray
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    def apply(rep: Int, v: Array[Float]): Array[Float] = {
+      val p = perm("emb", rep, dim); val s = sign(rep, dim)
+      (0 until dim).map(i => v(p(i)) * s(i)).toArray
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      (0 until dim).map(i => a(i).toDouble * b(i)).sum
+    val (x, y) = (vec(), vec())
+    // within-replica: every dot product exact (so norms and cosines)
+    for (rep <- 1 to 5)
+      assert(math.abs(dot(apply(rep, x), apply(rep, y)) - dot(x, y))
+        < 1e-4, s"replica $rep broke the isometry")
+    // across replicas: a vector no longer matches its own transform
+    val base = math.sqrt(dot(x, x))
+    for (rep <- 1 to 5) {
+      val c = dot(x, apply(rep, x)) / (base * base)
+      assert(math.abs(c) < 0.6,
+        s"replica $rep kept direction (cos=$c) — LSH buckets collapse")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Jaccard threshold domain guard (ADVICE r10 #3)
   // ------------------------------------------------------------------
 
