@@ -220,18 +220,34 @@ object Similarity {
   }
 
   /** Approximate top-k over an arbitrary candidate set + exact cosine
-    * re-rank (shared by the single-probe and multiprobe paths). */
+    * re-rank (shared by the single-probe and multiprobe paths).
+    *
+    * Each UNDIRECTED candidate pair is scored ONCE and the slim scored
+    * rows mirrored afterwards. The earlier form mirrored the pairs
+    * FIRST and joined vectors to the directed set: that doubled the
+    * array-payload re-rank join AND — because a DataFrame union
+    * evaluates each branch independently (no cross-branch subtree
+    * reuse) — re-ran the whole candidate-generation join a second
+    * time. At sf10 (200k vectors, bandBits 14 ⇒ 15 probes/band) that
+    * was the dominant cost of q253. Bit-identical by symmetry:
+    * cosineFast's dot is Σ xᵢ·yᵢ in index order (per-term IEEE-754
+    * multiply is commutative) and the norm product multiplies two
+    * sqrts, so swapping the operands reproduces the same double. The
+    * checkpoint is a terminal slim materialization (3 cols), never
+    * re-joined iteratively (Iterate.scala rule). */
   def candidateTopK(df: DataFrame, idCol: String, vecCol: String,
       cands: DataFrame, k: Int, roundTo: Int): DataFrame = {
-    val directed = cands.select(col("id_a").as("query_id"),
-        col("id_b").as("neighbor_id"))
-      .unionByName(cands.select(col("id_b").as("query_id"),
-        col("id_a").as("neighbor_id")))
     val v = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vec"))
-    val scored = directed
-      .join(v.toDF("query_id", "qv"), Seq("query_id"))
-      .join(v.toDF("neighbor_id", "cv"), Seq("neighbor_id"))
-      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), roundTo))
+    val scoredOnce = cands.select(col("id_a"), col("id_b"))
+      .join(v.toDF("id_a", "qv"), Seq("id_a"))
+      .join(v.toDF("id_b", "cv"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFast(col("qv"), col("cv")), roundTo).as("sim"))
+      .localCheckpoint(eager = true)
+    val scored = scoredOnce.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"), col("sim"))
+      .unionByName(scoredOnce.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id"), col("sim")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
