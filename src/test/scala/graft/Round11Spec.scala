@@ -304,4 +304,44 @@ class Round11Spec extends SparkSpec {
       .prefixFilteredJaccardPairs(sh, 1000L).collect()
     assert(ok.length === 1 && ok(0).getAs[Long]("jac_x1000") === 1000L)
   }
+
+  // ------------------------------------------------------------------
+  // q358 — the similarity join's bounded-output report (judge task 2)
+  // ------------------------------------------------------------------
+
+  test("q358_similarity_report mirrors a JVM aggregation of the exact " +
+      "pair set and ships at most bands * k rows") {
+    val sf = "/root/testdata/sf0.001"
+    val bandWidth = 10L; val k = 3
+    // ground truth: the exact pair set the report summarizes
+    val pairs = graft.pipeline.Dedup.prefixFilteredJaccardPairs(
+        graft.pipeline.Dedup.shingleRows(
+          Tables.documents(spark, sf), "doc_id", "text", 1), 900L)
+      .select("id_a", "id_b", "jac_x1000")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(pairs.nonEmpty, "fixture corpus produced no qualifying pairs")
+    val expected = pairs
+      .groupBy { case (_, _, j) => j - j % bandWidth }
+      .toSeq.flatMap { case (band, ps) =>
+        val nPairs = ps.length.toLong
+        val nDocs = ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+        val maxJac = ps.map(_._3).max
+        // exemplars: the k first pairs in (id_a, id_b) order — the
+        // min(struct) passes pick exactly these ((id_a, id_b) is unique,
+        // so the struct order degenerates to the pair order)
+        ps.sortBy(p => (p._1, p._2)).take(k).zipWithIndex.map {
+          case ((a, b, j), i) =>
+            (band, nPairs, nDocs, maxJac, (i + 1).toLong, a, b, j)
+        }
+      }.sortBy(r => (r._1, r._5))
+    val got = graft.queries.ScaleQueries.q358_similarity_report(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got === expected)
+    val bands = expected.map(_._1).distinct.size
+    assert(got.size <= bands * k,
+      s"report is not bounded: ${got.size} rows for $bands bands, k=$k")
+  }
 }
