@@ -21,6 +21,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stamp the effective JVM sizing into the diag stream so recorded
+    // runs are attributable to their code-cache/heap setting (the same
+    // values land in BENCH_FULL.json's "jvm" field)
+    System.err.println("[benchdiag] jvm codecache=" +
+      sys.env.getOrElse("SPARK_CODECACHE", "1g") + " driver_mem=" +
+      sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
     // Warm up the JVM/codegen/file-listing paths so the first timed query
     // doesn't absorb several seconds of one-time cost.
     graft.Tables.names.foreach { t =>
@@ -127,8 +133,26 @@ object Bench {
     val failedArr = failed.map(f => "\"" + f + "\"").mkString(", ")
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
+    // window-strike self-annotation (round-11 verdict task 4): this
+    // box shows roving multi-minute EXTERNAL stall windows that hit a
+    // contiguous run of cold-sweep queries (SCALING.md adjudication,
+    // rounds 10-11). Per the re-pinned protocol, any cold > 4x its
+    // warm is presumed window-struck until a standalone run confirms;
+    // the 2 s absolute-excess floor keeps millisecond queries (where
+    // 4x is noise) out of the list. Readers of the cold total should
+    // subtract or re-measure these before calling a regression.
+    val suspects = results
+      .filter { case (_, c, w) => c > 4 * w && c - w > 2.0 }
+      .map(r => "\"" + r._1 + "\"").mkString(", ")
+    // effective JVM sizing (round-11 advice): A/B runs with different
+    // SPARK_CODECACHE / SPARK_DRIVER_MEM are incomparable — stamp the
+    // values so every recorded BENCH_FULL is attributable
+    val codeCache = sys.env.getOrElse("SPARK_CODECACHE", "1g")
+    val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
     s"""{
        |"sf": "$sfShort",
+       |"jvm": {"codecache": "$codeCache", "driver_mem": "$driverMem"},
+       |"window_suspect": [$suspects],
        |"failed": [$failedArr],
        |"cold_warm": {
        |$entries

@@ -111,8 +111,15 @@ object MakeScale {
         }),
       "documents")
     val embeddings = load("embeddings")
-    val dim = embeddings.select(size(col("embedding")))
-      .limit(1).collect()(0).getInt(0)
+    // single distinct-size probe: fails with a diagnostic on an empty
+    // or ragged source corpus instead of an index error (round-11
+    // advice); 2-row bound keeps the scan O(1)
+    val dims = embeddings.select(size(col("embedding")).as("d"))
+      .distinct().limit(2).collect()
+    require(dims.length == 1,
+      s"embeddings source must be non-empty with one uniform " +
+        s"dimension; saw ${dims.map(_.getInt(0)).mkString("{", ",", "}")}")
+    val dim = dims(0).getInt(0)
     save(replicate(embeddings,
       Seq("vec_id" -> baseOf(embeddings, "vec_id")),
       perturb = (d, rep) =>

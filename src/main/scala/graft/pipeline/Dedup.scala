@@ -1142,22 +1142,31 @@ object Dedup {
     var stats = levelStats(1L, rank)
     var out = stats
     var k = 1L
-    // EARLY EXIT (round-10 verdict stretch): once a level has NO
-    // duplicated run (dup_groups == 0 ⟺ every position's rank is
-    // unique), doubling is a fixpoint — a dense rank over distinct
-    // (ra, rb) keys with distinct ra is a bijection, so ranks stay
-    // distinct and every later level's profile is the SAME row with a
-    // bigger k. Real corpora disambiguate after a few doublings; the
-    // adversarial all-identical corpus never does and still runs all
-    // rounds. The probe is a 1-row head() on the already-checkpointed
-    // stats frame — free. Bit-identical to the full unroll (the
-    // oracle runs all rounds; the correctness gate would catch any
-    // divergence) and spec-pinned in Round11Spec.
-    var converged = false
+    // EARLY EXIT, two tiers (round-10 stretch, widened round 12), both
+    // bit-identical to the full unroll (the DuckDB oracle runs every
+    // round; the correctness gate would catch any divergence):
+    //  (a) dup_groups == 0 — every rank unique; a dense rank over
+    //      distinct (ra, rb) keys with distinct ra is a bijection, so
+    //      ranks stay distinct forever.
+    //  (b) REFINEMENT FIXPOINT — distinct_groups unchanged from the
+    //      previous level. Doubling only ever SPLITS classes, so an
+    //      unchanged count means ≡_{2k} = ≡_k as partitions; then for
+    //      any p ≡_{2k} q: the halves give p+k ≡_k q+k, the hypothesis
+    //      lifts that to p+k ≡_{2k} q+k, so p, q agree on 3k tokens,
+    //      and p+2k ≡_k q+2k lifts the same way to 4k — by induction
+    //      the suffixes are FULLY equal and every later level's
+    //      profile row (groups, sizes, min-reps) is identical. This is
+    //      the exit that fires on corpora with exact duplicates
+    //      (duplicated full suffixes keep dup_groups > 0 forever, but
+    //      the partition freezes once 2^i clears the max LCP between
+    //      DISTINCT suffixes — 3-5 rounds on real text, Lee 2022 §4).
+    // Each probe is a 1-row head() on the already-checkpointed stats
+    // frame — free. Spec-pinned in Round11Spec + Round12Spec.
+    var probe = stats.head()
+    var prevDistinct = probe.getAs[Long]("distinct_groups")
+    var converged = probe.getAs[Long]("dup_groups") == 0L
     for (_ <- 1 to doublings) {
       k *= 2
-      if (!converged &&
-          stats.head().getAs[Long]("dup_groups") == 0L) converged = true
       if (converged) {
         out = out.unionByName(stats.drop("k")
           .select(lit(k).as("k"), col("dup_positions"), col("dup_groups"),
@@ -1178,6 +1187,11 @@ object Dedup {
           .localCheckpoint(eager = true)
         stats = levelStats(k, rank)
         out = out.unionByName(stats)
+        probe = stats.head()
+        val d = probe.getAs[Long]("distinct_groups")
+        converged =
+          probe.getAs[Long]("dup_groups") == 0L || d == prevDistinct
+        prevDistinct = d
       }
     }
     out.orderBy(col("k"))

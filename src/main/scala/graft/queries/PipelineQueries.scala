@@ -1080,16 +1080,30 @@ object PipelineQueries {
   // reproduce (q112's LSH-recall discipline, applied to the
   // corpus-sized signature). At scale the brute side is the audit, not
   // the serving path: queries are sampled, the corpus side streams.
+  //
+  // Sample budget (round-11 verdict task 5): a 5% fraction makes the
+  // brute side N²/20 — quadratic by design and a non-starter at
+  // 100 TB. The default is now an ABSOLUTE budget of ~1000 audit
+  // queries: sample stride = max(20, ceil(N / 1000)), which is the
+  // familiar 5% fraction at oracle scales (N ≤ 20k — bit-identical to
+  // the old shape at sf ≤ 1) and caps the brute side at ~1000·N
+  // scored pairs at any corpus size. The stride is derived from
+  // COUNT(*) in BOTH engines, so the audit stays oracle-checkable at
+  // every scale rather than only where the fraction is affordable.
   // -------------------------------------------------------------------
+  private val QueryBudget256 = 1000L
+
   def q256_sized_recall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val mod = math.max(20L, (n + QueryBudget256 - 1) / QueryBudget256)
     val exact = Similarity.bruteForceTopK(
-        e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+        e.filter(col("vec_id") % mod === 0), e, "vec_id", "embedding",
         k = 3, roundTo = 5)
       .select(col("query_id"), col("neighbor_id"))
     val lsh = Similarity.wtaMultiprobeTopKSized(e, "vec_id", "embedding",
         k = 3, dims = ExtendedQueries.EmbDim)
-      .filter(col("query_id") % 20 === 0)
+      .filter(col("query_id") % mod === 0)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
     exact.join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
       .agg(count(lit(1)).as("n_true"),
@@ -1104,6 +1118,10 @@ object PipelineQueries {
     val bits = ExtendedQueries.wtaSigSqlMasked(30, "embedding", "bb")
     s"""WITH nq AS (
        |  SELECT GREATEST((GREATEST(COUNT(*), 2) - 1) // 16, 1) AS q
+       |  FROM embeddings),
+       |qm AS (
+       |  SELECT GREATEST(20, (COUNT(*) + ${QueryBudget256 - 1})
+       |    // $QueryBudget256) AS m
        |  FROM embeddings),
        |p AS (
        |  SELECT LEAST(15, GREATEST(4, (
@@ -1142,10 +1160,10 @@ object PipelineQueries {
        |  FROM scored),
        |lsh AS (
        |  SELECT query_id, neighbor_id FROM r
-       |  WHERE rk <= 3 AND query_id % 20 = 0),
+       |  WHERE rk <= 3 AND query_id % (SELECT m FROM qm) = 0),
        |bq AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |  FROM embeddings WHERE vec_id % (SELECT m FROM qm) = 0),
        |bc AS (
        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
        |  FROM embeddings),

@@ -190,6 +190,18 @@ object ScaleQueries {
   // smaller (here: customers, whose degree is bounded by order count
   // per customer). Output: top-25 part pairs by co-purchase degree,
   // each row carrying the GLOBAL butterfly total.
+  //
+  // Scale note (the sf10 wall, round 11): the co-degree table `pr` is
+  // ~250M rows at sf10, and an eager localCheckpoint of it — taken so
+  // the global Σ pair_bf and the top-25 could share one materialized
+  // frame — blew the spill disk together with the wedge shuffle. The
+  // completable form never materializes anything pair-sized: the
+  // global sum rides the SAME TakeOrdered job as a CollectMetrics
+  // observation (`observe` sits below TakeOrderedAndProject, which
+  // scans every partition, so the metric sees every pair exactly
+  // once), and the bounded 25-row result is re-assembled with the
+  // observed total stamped on as a literal. One pass over the wedge
+  // join, zero pair-sized state beyond the shuffle itself.
   // -------------------------------------------------------------------
   def q272_butterflies(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.orders(spark, dir)
@@ -204,13 +216,21 @@ object ScaleQueries {
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("codeg"))
       .withColumn("pair_bf", expr("codeg * (codeg - 1) div 2"))
-      .localCheckpoint(eager = true) // feeds the global sum AND the top-k
-    val tot = pr.agg(sum(col("pair_bf")).as("total_bf"))
-    pr.crossJoin(broadcast(tot))
-      .select(col("p1"), col("p2"), col("codeg"), col("pair_bf"),
-        col("total_bf"))
+    val obs = org.apache.spark.sql.Observation()
+    val top = pr.observe(obs, sum(col("pair_bf")).as("total_bf"))
       .orderBy(col("codeg").desc, col("p1"), col("p2"))
       .limit(25)
+    val rows = graft.ops.Driver.boundedCollect(top, 25, "q272 top pairs")
+    val totalBf = obs.get("total_bf") match {
+      case l: java.lang.Long => l.longValue()
+      case null => 0L // empty edge set: SUM over zero rows is NULL
+      case other => sys.error(
+        s"q272: observed total_bf is not a Long: $other")
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), top.schema)
+      .withColumn("total_bf", lit(totalBf))
+      .orderBy(col("codeg").desc, col("p1"), col("p2"))
   }
 
   val q272_sql: String =

@@ -59,10 +59,20 @@ class McpProcessSpec extends SparkSpec {
       stdin.flush()
       stdin.close() // EOF ends the session loop (main.go:88-109)
 
-      val out = new String(p.getInputStream.readAllBytes(),
-        StandardCharsets.UTF_8)
+      // drain stdout on a helper thread so a wedged child (e.g. a
+      // Spark startup hang) fails the bounded waitFor below instead
+      // of freezing the whole suite on a blocking readAllBytes
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() => {
+        try p.getInputStream.transferTo(outBuf)
+        catch { case _: java.io.IOException => () }
+      }, "mcp-stdout-drain")
+      drainer.setDaemon(true)
+      drainer.start()
       assert(p.waitFor(180, TimeUnit.SECONDS),
         "mcp child did not exit after stdin EOF")
+      drainer.join(10000L)
+      val out = new String(outBuf.toByteArray, StandardCharsets.UTF_8)
       assert(p.exitValue() === 0, s"mcp child exit ${p.exitValue()}; " +
         s"stderr tail: ${scala.io.Source.fromFile(errFile).mkString
           .takeRight(500)}")
