@@ -113,7 +113,22 @@ object Cli {
       case "source" =>
         Some(cg.sourceLocation(rest.head))
       case "mcp" =>
-        new graft.mcp.McpServer(store.nodes, store.edges).run(
+        // Serving process: pin the working set ONCE at startup — the
+        // reference's graph lives resident in Neo4j (`pkg/neo4j/
+        // client.go`), so its per-tool latency never includes a store
+        // load. Without this every tool call re-reads the store
+        // parquet and re-scans it per closure round (findReferences
+        // runs a CONTAINS* closure — up to 10 self-joins per call),
+        // which costs seconds per request on a populated store. At
+        // deployment scale the same rule holds: a resident server
+        // caches its hot graph tier (MEMORY_AND_DISK spills rather
+        // than OOMs if the store outgrows executor memory).
+        val nodes = store.nodes.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val edges = store.edges.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nodes.count(); edges.count() // materialize before first request
+        new graft.mcp.McpServer(nodes, edges).run(
           new java.io.BufferedReader(
             new java.io.InputStreamReader(System.in)), System.out)
         None

@@ -1107,10 +1107,18 @@ object Dedup {
           .as(Seq("p", "tok")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
       .localCheckpoint(eager = true)
-    // distributed dense rank of distinct keys (graft.ops.Rank): the
-    // ordinal of the distinct set IS the dense rank
-    val vr = graft.ops.Rank.globalOrdinal(
-      toks.select(col("tok")).distinct(), "r", 32, col("tok"))
+    // Rank = the group's MIN POSITION (doc-ordered struct), not a
+    // dense ordinal. The profile depends only on rank GROUP
+    // PARTITIONS (the Scaladoc contract above; levelStats groups by
+    // r and never orders by it), so any injective group id works —
+    // and a min-representative id needs one hash groupBy per round
+    // where a dense rank needs a distributed SORT (range partition +
+    // local sort + zipWithIndex: a sampling barrier plus a skew-
+    // sensitive exchange, per round, at corpus scale). The DuckDB
+    // oracle keeps DENSE_RANK; group identity is what the outputs
+    // read, so the engines still agree bit-for-bit.
+    val vr = toks.groupBy(col("tok"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("r"))
     var rank = toks.join(vr, Seq("tok"))
       .select(col("doc_id"), col("p"), col("r"))
       .localCheckpoint(eager = true)
@@ -1175,13 +1183,15 @@ object Dedup {
       } else {
         val shifted = rank.select(col("doc_id"), (col("p") - k / 2).as("p"),
           col("r").as("r2"))
+        // (-1, -1) is the "no suffix at p+k" sentinel — impossible as
+        // a real min-position representative (p >= 0)
         val paired = rank.join(shifted, Seq("doc_id", "p"), "left_outer")
           .select(col("doc_id"), col("p"), col("r").as("a"),
-            coalesce(col("r2"), lit(0L)).as("b"))
-          .localCheckpoint(eager = true) // distinct + rank-join consumers
-        val dr = graft.ops.Rank.globalOrdinal(
-          paired.select(col("a"), col("b")).distinct(), "r", 32,
-          col("a"), col("b"))
+            coalesce(col("r2"),
+              struct(lit(-1L).as("doc_id"), lit(-1L).as("p"))).as("b"))
+          .localCheckpoint(eager = true) // group-id + rank-join consumers
+        val dr = paired.groupBy(col("a"), col("b"))
+          .agg(min(struct(col("doc_id"), col("p"))).as("r"))
         rank = paired.join(dr, Seq("a", "b"))
           .select(col("doc_id"), col("p"), col("r"))
           .localCheckpoint(eager = true)

@@ -18,27 +18,13 @@ import graft.store.GraphStore
 class GoFrontendScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Replicas = 12
+  private val Replicas = ScaleCorpus.Replicas
 
-  private def referenceFiles(): Seq[(String, String)] = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get("/root/reference")).iterator().asScala
-      .filter(p => p.toString.endsWith(".go"))
-      .map(p => (p.toString.stripPrefix("/root/reference/"),
-        new String(Files.readAllBytes(p), "UTF-8")))
-      .toSeq.sortBy(_._1)
-  }
-
-  private val pkgLine = "(?m)^package\\s+(\\w+)".r
+  private def referenceFiles(): Seq[(String, String)] =
+    ScaleCorpus.referenceFiles()
 
   private def replicate(base: Seq[(String, String)])
-      : Seq[(String, String)] =
-    (0 until Replicas).flatMap { k =>
-      base.map { case (path, content) =>
-        (s"rep$k/$path",
-          pkgLine.replaceAllIn(content, m => s"package rep${k}_${m.group(1)}"))
-      }
-    }
+      : Seq[(String, String)] = ScaleCorpus.replicate(base)
 
   test("12x-replicated reference tree: corpus shape scales, integrity " +
       "holds, and single-file incremental saves stay under 1 s " +

@@ -26,16 +26,7 @@ class McpProcessSpec extends SparkSpec {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     // same JDK-17 module opens the build's forked JVMs use (Spark 4
     // needs them when launched outside spark-submit)
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx4g",
+    val cmd = Seq(javaBin) ++ ScaleCorpus.jdk17AddOpens ++ Seq("-Xmx4g",
       "-cp", System.getProperty("java.class.path"),
       "graft.Cli", store.basePath, "mcp")
     val pb = new ProcessBuilder(cmd: _*)

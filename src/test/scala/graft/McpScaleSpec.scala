@@ -1,0 +1,145 @@
+package graft
+
+import java.io.BufferedReader
+import java.io.InputStreamReader
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+
+import graft.ingest.GoFrontend
+import graft.store.GraphStore
+
+/** Round-11 verdict stretch (task 7): the second end-to-end dogfood
+  * surface — fork the MCP server (`graft.Cli <store> mcp`, the
+  * reference's deployment shape per `mcp-server/main.go:88-109`)
+  * against the 12×-replicated reference corpus, and drive the three
+  * latency-targeted tools per request over real pipes. This puts
+  * BASELINE.md's MCP/LSP gates (search ≤ 2 s, find-references ≤ 2 s,
+  * analyze-function ≤ 1 s warm) under the POPULATED-store regime in
+  * one test. Payload correctness is asserted unconditionally; the
+  * wall-clock gate follows GoFrontendScaleSpec's discipline — ON by
+  * default where /root/reference exists, forceable either way via
+  * GRAFT_SCALE_LATENCY_GATE=1/0 (slow-I/O machines).
+  */
+class McpScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jstr(v: JValue): String =
+    v match { case JString(s) => s; case other => other.toString }
+
+  test("forked MCP over the 12x-replicated store answers search / " +
+      "find-references / analyze-function with per-call latencies") {
+    assume(Files.isDirectory(Paths.get("/root/reference")),
+      "/root/reference not present on this machine")
+    val gateLatency = sys.env.get("GRAFT_SCALE_LATENCY_GATE")
+      .map(_ != "0")
+      .getOrElse(Files.isDirectory(Paths.get("/root/reference")))
+
+    val corpus = ScaleCorpus.replicate(ScaleCorpus.referenceFiles())
+    val dir = Files.createTempDirectory("graft-mcp-scale").toString
+    val store = new GraphStore(spark, s"$dir/store")
+    GoFrontend.ingest(store, corpus.toDF("path", "content"),
+      "codegraph-12x")
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ ScaleCorpus.jdk17AddOpens ++ Seq("-Xmx4g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Cli", store.basePath, "mcp")
+    val pb = new ProcessBuilder(cmd: _*)
+    val errFile = Files.createTempFile("graft-mcp-scale-err", ".log")
+      .toFile
+    pb.redirectError(errFile)
+    val p = pb.start()
+    try {
+      // line-delimited responses surface through a reader thread so a
+      // wedged child trips the bounded poll, never a frozen suite
+      val lines = new LinkedBlockingQueue[String]()
+      val reader = new Thread(() => {
+        try {
+          val br = new BufferedReader(new InputStreamReader(
+            p.getInputStream, StandardCharsets.UTF_8))
+          var l = br.readLine()
+          while (l != null) { lines.put(l); l = br.readLine() }
+        } catch { case _: java.io.IOException => () }
+      }, "mcp-scale-stdout")
+      reader.setDaemon(true)
+      reader.start()
+      val stdin = p.getOutputStream
+
+      def call(json: String): (JValue, Double) = {
+        stdin.write((json + "\n").getBytes(StandardCharsets.UTF_8))
+        stdin.flush()
+        val t0 = System.nanoTime()
+        val line = lines.poll(180, TimeUnit.SECONDS)
+        val dt = (System.nanoTime() - t0) / 1e9
+        assert(line != null, s"no response within 180 s for: $json")
+        (parse(line), dt)
+      }
+      def toolText(r: JValue): String = (r \ "result" \ "content") match {
+        case JArray(c :: _) => jstr(c \ "text")
+        case other => fail(s"content not an array: $other")
+      }
+      def toolCall(id: Int, tool: String, argJson: String): String =
+        s"""{"jsonrpc":"2.0","id":$id,"method":"tools/call","params":""" +
+          s"""{"name":"$tool","arguments":$argJson}}"""
+
+      // handshake + one warm-up call PER TOOL: the first call of each
+      // tool pays Spark session startup, store load, and that plan's
+      // codegen; the gates are steady-state bounds (BASELINE.md
+      // measures a warm server too, and each tool is a distinct plan)
+      val (r1, _) = call("""{"jsonrpc":"2.0","id":1,"method":"initialize"}""")
+      assert(jstr(r1 \ "result" \ "serverInfo" \ "name") ===
+        "graft-mcp-server")
+      call(toolCall(2, "codegraph_search", """{"query":"NewClient"}"""))
+      call(toolCall(20, "codegraph_find_references",
+        """{"symbol":"NewClient"}"""))
+      call(toolCall(21, "codegraph_analyze_function",
+        """{"function_name":"NewClient"}"""))
+
+      val (rs, tSearch) =
+        call(toolCall(3, "codegraph_search", """{"query":"NewClient"}"""))
+      val searchText = toolText(rs)
+      assert(searchText.contains("NewClient"),
+        s"search payload missing the replicated entity:\n$searchText")
+
+      val (rr, tRefs) = call(toolCall(4, "codegraph_find_references",
+        """{"symbol":"NewClient"}"""))
+      val refsText = toolText(rr)
+      assert(refsText.contains("reference"),
+        s"find-references payload empty over the 12x store:\n$refsText")
+
+      val (ra, tAnalyze) = call(toolCall(5, "codegraph_analyze_function",
+        """{"function_name":"NewClient"}"""))
+      val analyzeText = toolText(ra)
+      assert(analyzeText.contains("Analysis for function 'NewClient'"),
+        s"analyze payload malformed:\n$analyzeText")
+
+      info(f"12x-store MCP latencies: search=$tSearch%.2f s " +
+        f"refs=$tRefs%.2f s analyze=$tAnalyze%.2f s")
+      if (gateLatency) {
+        assert(tSearch < 2.0,
+          f"search $tSearch%.2f s misses BASELINE.md's 2 s gate at 12x")
+        assert(tRefs < 2.0,
+          f"find-references $tRefs%.2f s misses the 2 s gate at 12x")
+        assert(tAnalyze < 1.0,
+          f"analyze-function $tAnalyze%.2f s misses the 1 s gate at 12x")
+      } else {
+        info("latency gate skipped (set GRAFT_SCALE_LATENCY_GATE=1 " +
+          "to assert the BASELINE.md bounds)")
+      }
+
+      stdin.close()
+      assert(p.waitFor(60, TimeUnit.SECONDS),
+        "mcp child did not exit after stdin EOF")
+      assert(p.exitValue() === 0, s"mcp child exit ${p.exitValue()}; " +
+        s"stderr tail: ${scala.io.Source.fromFile(errFile).mkString
+          .takeRight(500)}")
+    } finally {
+      p.destroyForcibly()
+      errFile.delete()
+    }
+  }
+}
