@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
 
 /** Plan-audit tool: print the optimized physical plan of the named
   * queries (short "q104" or full names) without executing them.
@@ -25,7 +25,10 @@ object Explain {
         .getOrElse(sys.error(s"unknown query: $a"))
       println(s"\n########## $name")
       println(all(name)(spark, sfDir).queryExecution
-        .explainString(SimpleMode))
+        .explainString(
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN_MODE").contains("formatted"))
+          FormattedMode
+        else SimpleMode))
     }
     spark.stop()
   }

@@ -408,22 +408,35 @@ object Centrality {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .repartition(col("src")).localCheckpoint(eager = true)
-    var dist = seeds.select(col("id").cast("long").as("seed"))
+    var settled = seeds.select(col("id").cast("long").as("seed"))
       .distinct()
       .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
       .localCheckpoint(eager = true)
-    for (_ <- 1 to maxHops) {
-      val next = e
-        .join(dist.select(col("id").as("src"), col("seed"), col("dist")),
+    var frontier = settled
+    // FRONTIER-ONLY expansion inside the original union-min round
+    // (round 12, guide §1.2 step 1): the former loop expanded the
+    // WHOLE settled state against the edge table every hop
+    // (Σ_k settled_k · deg work); expanding just the pairs first
+    // settled at level k−1 does Σ_k frontier_k · deg = one traversal,
+    // while the union-min groupBy keeps the round at ONE exchange +
+    // ONE barrier (a distinct + anti-join + second-barrier layered
+    // variant was tried and lost ~50% at bench scale to the extra
+    // operators). Bit-identical: a pair's min hop distance is the
+    // level that first discovers it, and frontier = dist == k reads
+    // exactly those rows off the round's checkpoint map-side.
+    for (k <- 1 to maxHops) {
+      val expand = e
+        .join(frontier.select(col("id").as("src"), col("seed")),
           Seq("src"))
         .select(col("seed"), col("dst").as("id"),
-          (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(next)
+          lit(k.toLong).as("dist"))
+      settled = settled.unionByName(expand)
         .groupBy(col("seed"), col("id"))
         .agg(min(col("dist")).as("dist"))
         .barrier
+      frontier = settled.filter(col("dist") === k)
     }
-    dist
+    settled
   }
 
   /** Multi-source BFS that also counts shortest paths: returns

@@ -228,14 +228,25 @@ object Communities {
         .join(act.select(col("v").as("w"), col("h").as("hw")), "w")
         .filter(col("hw") < col("hu"))
         .select(col("u").as("v")).distinct()
-      val winners = act.join(losers, Seq("v"), "left_anti")
+      // winners and losers PARTITION act: one flagged materialization
+      // replaces the former winners anti-join barrier, and the next
+      // active set anti-joins only the winners' NEIGHBOURS (the
+      // winners themselves are already excluded by the flag; a
+      // left_anti tolerates duplicate right-side rows, so no distinct)
+      val flagged = act
+        .join(losers.withColumn("_lost", lit(true)), Seq("v"),
+          "left_outer")
         .barrier
-      val removed = winners.select(col("v"))
-        .unionAll(ed.join(winners.select(col("v").as("u")), "u")
-          .select(col("w").as("v")))
-        .distinct()
-      act = act.join(removed, Seq("v"), "left_anti").barrier
-      remaining = act.count()
+      val winners = flagged.filter(col("_lost").isNull)
+      // remaining-count rides the barrier as an observe metric — no
+      // separate count() job per round (Iterate.barrierCounted)
+      val (nextAct, nextRemaining) = graft.ops.Iterate.barrierCounted(
+        flagged.filter(col("_lost").isNotNull)
+          .select(col("v"), col("h"))
+          .join(ed.join(winners.select(col("v").as("u")), "u")
+            .select(col("w").as("v")), Seq("v"), "left_anti"))
+      act = nextAct
+      remaining = nextRemaining
       val w = winners.select(col("v").as("node"), lit(r).as("round"))
       out = if (out == null) w else out.unionAll(w)
     }
@@ -313,13 +324,19 @@ object Communities {
           struct(col("h"), col("u"), col("w")) === col("mb"))
         .select(col("u"), col("w"))
         .barrier
+      // left_anti tolerates duplicate right-side rows — the former
+      // distinct() on the matched-endpoint set was a pure extra
+      // exchange (guide §2.4)
       val mvs = matched.select(col("u").as("v"))
-        .unionAll(matched.select(col("w").as("v"))).distinct()
-      live = live
-        .join(mvs.select(col("v").as("u")), Seq("u"), "left_anti")
-        .join(mvs.select(col("v").as("w")), Seq("w"), "left_anti")
-        .barrier
-      remaining = live.count()
+        .unionAll(matched.select(col("w").as("v")))
+      // remaining-count rides the barrier (Iterate.barrierCounted) —
+      // no separate count() job per round
+      val (nextLive, nextRemaining) = graft.ops.Iterate.barrierCounted(
+        live
+          .join(mvs.select(col("v").as("u")), Seq("u"), "left_anti")
+          .join(mvs.select(col("v").as("w")), Seq("w"), "left_anti"))
+      live = nextLive
+      remaining = nextRemaining
       val o = matched.select(lit(r.toLong).as("round"), col("u"),
         col("w"))
       out = if (out == null) o else out.unionAll(o)
@@ -410,10 +427,17 @@ object Communities {
         .join(act.select(col("v").as("w"), col("h").as("hw")), "w")
         .filter(col("hw") > col("hu"))
         .select(col("u").as("v")).distinct()
-      val winners = act.join(losers, Seq("v"), "left_anti")
+      // winners and the surviving active set PARTITION act by the same
+      // losers frame, so ONE flagged materialization replaces the
+      // former two anti-join barriers per round (guide §2.4: act ∖
+      // winners ≡ act ∩ losers ≡ losers-with-h — no second join)
+      val flagged = act
+        .join(losers.withColumn("_lost", lit(true)), Seq("v"),
+          "left_outer")
         .barrier
-      act = act.join(winners.select(col("v")), Seq("v"), "left_anti")
-        .barrier
+      val winners = flagged.filter(col("_lost").isNull)
+      act = flagged.filter(col("_lost").isNotNull)
+        .select(col("v"), col("h"))
       val w = winners
         .select(col("v").as("node"), lit(r.toLong).as("color"))
       out = if (out == null) w else out.unionAll(w)

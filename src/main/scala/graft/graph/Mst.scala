@@ -61,9 +61,14 @@ object Mst {
     // and block that component's merge, surfacing only as a maxRounds
     // non-convergence. Drop them at entry (the per-round ca =!= cb
     // filter never sees the INITIAL frame).
-    var ec = barrier(edges.filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"), col("w"),
-        col("a").as("ca"), col("b").as("cb")))
+    // the surviving-edge count rides each barrier as an observe metric
+    // (Iterate.barrierCounted), so the per-round emptiness test costs
+    // no job — at bench scale this loop is job-launch-bound and the
+    // former limit(1).count() was a third of every round
+    var (ec, ecn) = graft.ops.Iterate.barrierCounted(
+      edges.filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"), col("w"),
+          col("a").as("ca"), col("b").as("cb")))
     var out: DataFrame = null
     var r = 0
     var done = false
@@ -73,12 +78,18 @@ object Mst {
       require(r <= maxRounds,
         s"Boruvka did not converge in $maxRounds rounds")
       val t0 = System.nanoTime()
-      if (ec.limit(1).count() == 0) done = true
+      if (ecn == 0) done = true
       else {
-        val cand = ec.select(col("ca").as("cu"), col("cb").as("cv"),
-            col("w"), col("a"), col("b"))
-          .unionAll(ec.select(col("cb").as("cu"), col("ca").as("cv"),
-            col("w"), col("a"), col("b")))
+        // both orientations from ONE scan of the checkpoint (explode),
+        // not two unionAll branches — halves the map work feeding the
+        // per-component min (guide §2.3)
+        val cand = ec.select(explode(array(
+            struct(col("ca").as("cu"), col("cb").as("cv"), col("w"),
+              col("a"), col("b")),
+            struct(col("cb").as("cu"), col("ca").as("cv"), col("w"),
+              col("a"), col("b")))).as("x"))
+          .select(col("x.cu").as("cu"), col("x.cv").as("cv"),
+            col("x.w").as("w"), col("x.a").as("a"), col("x.b").as("b"))
         val sel = cand.groupBy(col("cu"))
           .agg(min(struct(col("w"), col("a"), col("b"), col("cv")))
             .as("m"))
@@ -94,7 +105,7 @@ object Mst {
         // an edge whose endpoints landed in one component exits the
         // loop forever. ORIGINAL (a, b, w) ride along untouched, so
         // the merge log and the (w, a, b) total order never change.
-        ec = barrier(ec
+        val (ec2, n2) = graft.ops.Iterate.barrierCounted(ec
           .join(merges.select(col("cu").as("ca"), col("cv").as("nca")),
             Seq("ca"), "left_outer")
           .join(merges.select(col("cu").as("cb"), col("cv").as("ncb")),
@@ -103,6 +114,8 @@ object Mst {
             coalesce(col("nca"), col("ca")).as("ca"),
             coalesce(col("ncb"), col("cb")).as("cb"))
           .filter(col("ca") =!= col("cb")))
+        ec = ec2
+        ecn = n2
       }
       if (debug)
         println(f"MSTDEBUG round $r done=$done " +

@@ -99,7 +99,10 @@ object Clusters {
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 30): DataFrame = {
-    var e = graft.ops.Iterate.barrier(
+    // edge counts ride each barrier as observe metrics
+    // (Iterate.barrierCounted): the fixpoint test compares counts for
+    // free and pays the anti-join only when they match
+    var (e, en) = graft.ops.Iterate.barrierCounted(
       pairs.select(col(aCol).cast("long").as("u"),
           col(bCol).cast("long").as("v"))
         .filter(col("u") =!= col("v"))
@@ -121,22 +124,26 @@ object Clusters {
           .filter(col("v") > col("u") && col("v") =!= col("m"))
           .select(col("m").as("u"), col("v")) // m < u < v ⇒ canonical
           .distinct())
-      // small-star: u and its smaller neighbors hook onto their min
+      // small-star: u and its smaller neighbors hook onto their min.
+      // below's two consumers (min + re-point) hash to the SAME
+      // exchange on u inside one action, so ReusedExchange already
+      // computes the filter once — the former eager checkpoint here
+      // was a whole extra materialization job per round (guide §2.4)
       val adjS = large.unionByName(
         large.select(col("v").as("u"), col("u").as("v")))
       val below = adjS.filter(col("v") < col("u"))
-        .localCheckpoint(eager = true) // min + re-point consumers
       val mS = below.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = graft.ops.Iterate.barrier(
+      val (small, smalln) = graft.ops.Iterate.barrierCounted(
         below.join(mS, Seq("u"))
           .select(col("v"), col("m"))
           .filter(col("v") =!= col("m"))
           .select(col("m").as("u"), col("v")) // m ≤ v < u ⇒ canonical
           .unionByName(mS.select(col("m").as("u"), col("u").as("v")))
           .distinct())
-      done = small.count() == e.count() &&
+      done = smalln == en &&
         small.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = small
+      en = smalln
     }
     if (!done)
       throw new IllegalStateException(

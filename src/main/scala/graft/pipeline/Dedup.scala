@@ -139,7 +139,50 @@ object Dedup {
     * jac_x1000 = ⌊1000·|∩|/|∪|⌋.
     */
   def prefixFilteredJaccardPairs(shAll: DataFrame, thresholdX1000: Long)
-      : DataFrame = {
+      : DataFrame =
+    prefixFilteredJaccardPairsFromDocs(
+      shAll.groupBy(col("doc"))
+        .agg(sort_array(collect_list(col("shingle"))).as("tk"),
+          count(lit(1)).as("sz")),
+      thresholdX1000)
+
+  /** One sorted-distinct token-set row per document, computed straight
+    * from the source table WITHOUT the explode → groupBy(doc) →
+    * collect_list round trip (guide §2.4: that shuffle re-assembles
+    * per-row what the source row already holds). Bit-identical to
+    * `shingleRows(df …, n).groupBy(doc).agg(sort_array(collect_list),
+    * count)`: `shinglesFromToks` already array_distinct's, docs with
+    * zero shingles vanish exactly as explode dropped them, and sz =
+    * the distinct-shingle count. Feed the result to
+    * [[prefixFilteredJaccardPairsFromDocs]]. */
+  def docShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    if (n <= 1)
+      df.select(col(idCol).as("doc"),
+          TextAnalysis.tokens(col(textCol)).as("_toks"))
+        .select(col("doc"),
+          sort_array(shinglesFromToks(col("_toks"), n)).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc"), col("tk"),
+          size(col("tk")).cast("long").as("sz"))
+    else
+      // n ≥ 2 goes through explode → groupBy: the direct projection
+      // chain gets its filter/size references collapsed by Catalyst,
+      // which re-inlines tokens(text) INSIDE the shingle transform
+      // lambda — the O(tokens²)-per-row re-tokenization trap
+      // [[shinglesFromToks]] documents (measured 0.1 s → 4.3 s warm on
+      // q85's bigram corpus at sf0.1). One narrow-row shuffle is far
+      // cheaper than a quadratic scan.
+      shingleRows(df, idCol, textCol, n)
+        .groupBy(col("doc"))
+        .agg(sort_array(collect_list(col("shingle"))).as("tk"),
+          count(lit(1)).as("sz"))
+
+  /** The PPJoin pipeline over a pre-built (doc, tk sorted-distinct
+    * array, sz) frame — see [[prefixFilteredJaccardPairs]] for the
+    * algorithm contract. */
+  def prefixFilteredJaccardPairsFromDocs(docsArr: DataFrame,
+      thresholdX1000: Long): DataFrame = {
     // the exact-duplicate collapse below emits within-set pairs
     // UNCONDITIONALLY on the argument that identical sets have
     // Jaccard 1000, which clears any threshold ≤ 1000 — enforce the
@@ -149,13 +192,6 @@ object Dedup {
     require(thresholdX1000 >= 0 && thresholdX1000 <= 1000,
       s"thresholdX1000 must be in [0, 1000], got $thresholdX1000")
     val t = lit(thresholdX1000)
-    val sh = shAll.localCheckpoint(true) // prefix pass + doc-array pass
-    // one token-array row per doc: verification intersects ARRAYS
-    // map-side (O(|x|+|y|) per candidate) instead of re-exploding the
-    // token rows into a candidate×tokens shuffle
-    val docsArr = sh.groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("shingle"))).as("tk"),
-        count(lit(1)).as("sz"))
     // EXACT-DUPLICATE COLLAPSE before the near-dup machinery (the C4
     // ordering — exact dedup first — applied inside the operator):
     // identical token SETS are one representative each; the prefix
@@ -168,16 +204,37 @@ object Dedup {
     // while the emitted answer is bit-identical: members of one set
     // have Jaccard 1000 with each other and identical similarity to
     // every outside doc.
+    //
+    // mem is the pipeline's ONE corpus-sized materialization: slim,
+    // reps, and the exploded rep tokens are all cheap projections of
+    // this checkpoint (round 12 — the former per-projection
+    // checkpoints each re-ran the collect_list + identical-set window
+    // from scratch, so the heaviest two stages executed twice).
     val mem = docsArr
       .withColumn("rep", min(col("doc")).over(org.apache.spark.sql
         .expressions.Window.partitionBy(col("tk"))))
+      .localCheckpoint(true)
+    // the downstream pipeline references slim/reps/shReps many times
+    // (the candidate self-join alone duplicates its whole subtree), so
+    // each gets its OWN narrow materialization — cheap single scans of
+    // the mem checkpoint. A first cut left them as lazy projections
+    // and every reference re-scanned the wide array checkpoint: q269
+    // 7.0 → 22.2 s warm. The win over the old shape is in how they
+    // are BUILT (no collect_list reassembly, no sh ⋈ reps corpus
+    // join, no second run of the identical-set window), not in
+    // skipping materialization.
     // slim doc → (rep, sz) map: NO token arrays ride the expansion
     val slim = mem.select(col("doc"), col("rep"), col("sz"))
       .localCheckpoint(true)
     val reps = mem.filter(col("doc") === col("rep"))
       .select(col("doc"), col("tk"), col("sz"))
       .localCheckpoint(true)
-    val shReps = sh.join(reps.select(col("doc")), Seq("doc"))
+    // (doc, sz, shingle) rows re-derived map-side from the checkpointed
+    // representative arrays — the former sh ⋈ reps equi-join (one
+    // corpus shuffle) said the same thing the explode says for free,
+    // and carrying sz here deletes the pref ⋈ reps(sz) join below
+    val shReps = reps.select(col("doc"), col("sz"),
+      explode(col("tk")).as("shingle"))
       .localCheckpoint(true)
     val dfreq = shReps.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // global rarest-first total order (df, then token text); the window
@@ -190,7 +247,6 @@ object Dedup {
         .orderBy(col("df"), col("shingle"))))
     // prefix length p = sz − ceil(t·sz) + 1, integer-exact
     val pref = ranked
-      .join(reps.select(col("doc"), col("sz")), Seq("doc"))
       .filter(col("rk") <=
         col("sz") - expr(s"($thresholdX1000 * sz + 999) div 1000") + 1)
       .select(col("doc"), col("shingle"), col("sz"))
@@ -200,6 +256,17 @@ object Dedup {
              t * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
+      // The verification below is CPU-dense on BYTE-TINY rows (an
+      // array_intersect per candidate over ~16-byte pair keys):
+      // byte-based AQE coalescing reads the candidate frame as "one
+      // small partition" and serializes the whole verify stage
+      // (measured 2.7 s → 23.6 s at sf0.1 when it collapses). An
+      // explicit numPartitions repartition is exempt from coalescing;
+      // defaultParallelism derives from the deployment (cores locally,
+      // executor slots on a cluster), never a tuned constant
+      // (guide §2.2/§2.5).
+      .repartition(pref.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
     // exact verification over representative pairs only, map-side
     val repPairs = cand
       .join(reps.select(col("doc").as("id_a"), col("tk").as("ta"),
@@ -1080,12 +1147,13 @@ object Dedup {
     * after round i, every suffix carries a DENSE RANK identifying its
     * first 2^i tokens (doc-terminated — suffixes never cross document
     * boundaries, so (doc_id, p) is the position key and the shift
-    * lookup is a within-doc join). Each round is one distributed
-    * dense-rank of (rank, rank-at-p+k) pairs — implemented as
-    * range-partition + partition-local sort + zipWithIndex, i.e. a
-    * plain distributed sort, NOT a single-task global window — so the
-    * whole build is `doublings` shuffle-sorts of the corpus, the
-    * canonical out-of-core suffix-array construction.
+    * lookup is a within-doc lead() over the doc-partitioned layout).
+    * Each round re-ranks (rank, rank-at-p+k) pairs with a single hash
+    * groupBy (min-position representative, see below) plus one
+    * relabel join — two corpus exchanges per round, no distributed
+    * sort, NEVER a single-task global window — the canonical
+    * out-of-core suffix-array construction with the dense ordinal
+    * replaced by an injective group id.
     *
     * Returns the duplicated-prefix profile, one row per level
     * k ∈ {1, 2, 4, …, 2^doublings}: how many token positions start a
@@ -1117,37 +1185,54 @@ object Dedup {
     // sensitive exchange, per round, at corpus scale). The DuckDB
     // oracle keeps DENSE_RANK; group identity is what the outputs
     // read, so the engines still agree bit-for-bit.
+    //
+    // The group tables (vr, per-round dr) carry the group SIZE too:
+    // every per-level statistic reads off the ONE-ROW-PER-GROUP
+    // frame, not the corpus-sized rank table — the round-12 change
+    // that deletes a whole corpus groupBy(r) + checkpoint per level
+    // (guide §2.4). Legal because r is injective over groups (min
+    // positions of disjoint position sets are distinct) and the min
+    // position of a group IS its representative, so (r, sz) on the
+    // group table equals (rep, sz) of the old rank-side aggregation.
     val vr = toks.groupBy(col("tok"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("r"))
-    var rank = toks.join(vr, Seq("tok"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("r"),
+        count(lit(1)).as("sz"))
+      .localCheckpoint(eager = true) // stats + rank-join consumers
+    // rank rides a (doc_id)-hash / (doc_id, p)-sorted layout through
+    // the checkpoint (LogicalRDD keeps partitioning AND ordering), so
+    // each round's shift lookup is a zero-exchange, zero-sort lead()
+    // window instead of the former corpus self-join on (doc_id, p) —
+    // positions are dense per doc (posexplode), so the row `shift`
+    // ahead in p-order IS position p + shift (guide §2.4).
+    var rank = toks.join(vr.select(col("tok"), col("r")), Seq("tok"))
       .select(col("doc_id"), col("p"), col("r"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("p"))
       .localCheckpoint(eager = true)
     // eager ONE-ROW stats per level, so no corpus-sized rank table
     // outlives its round (9 retained levels cost 42 s of GC at 10×
     // before this restructure — the ContextCleaner can only reclaim
-    // checkpoint blocks once the DataFrame is unreferenced)
-    def levelStats(lvl: Long, rdf: DataFrame): DataFrame = {
-      val g = rdf.groupBy(col("r"))
-        .agg(count(lit(1)).as("sz"),
-          min(struct(col("doc_id"), col("p"))).as("rep"))
-        .localCheckpoint(eager = true) // three aggregate consumers
-      val dups = g.filter(col("sz") >= 2)
-      val top = dups.orderBy(col("sz").desc, col("rep")).limit(1)
-        .select(col("sz").as("top_group_size"),
-          col("rep.doc_id").as("top_doc"), col("rep.p").as("top_p"))
-      g.agg(count(lit(1)).as("distinct_groups"))
-        .crossJoin(dups.agg(
-          coalesce(sum(col("sz")), lit(0L)).as("dup_positions"),
-          count(lit(1)).as("dup_groups")))
-        .join(top, lit(true), "left_outer")
+    // checkpoint blocks once the DataFrame is unreferenced).
+    // `groups` is the one-row-per-group (r, sz) frame; top pick =
+    // max over (sz, −doc, −p), i.e. largest group with the
+    // lexicographically-FIRST representative on ties — identical to
+    // the old orderBy(sz desc, rep).limit(1).
+    def levelStats(lvl: Long, groups: DataFrame): DataFrame =
+      groups.agg(
+          count(lit(1)).as("distinct_groups"),
+          coalesce(sum(when(col("sz") >= 2, col("sz"))), lit(0L))
+            .as("dup_positions"),
+          count(when(col("sz") >= 2, lit(1))).as("dup_groups"),
+          max(when(col("sz") >= 2,
+            struct(col("sz").as("sz"), (-col("r.doc_id")).as("nd"),
+              (-col("r.p")).as("np")))).as("t"))
         .select(lit(lvl).as("k"), col("dup_positions"),
           col("dup_groups"), col("distinct_groups"),
-          coalesce(col("top_group_size"), lit(0L)).as("top_group_size"),
-          coalesce(col("top_doc"), lit(-1L)).as("top_doc"),
-          coalesce(col("top_p"), lit(-1L)).as("top_p"))
+          coalesce(col("t.sz"), lit(0L)).as("top_group_size"),
+          coalesce(-col("t.nd"), lit(-1L)).as("top_doc"),
+          coalesce(-col("t.np"), lit(-1L)).as("top_p"))
         .localCheckpoint(eager = true)
-    }
-    var stats = levelStats(1L, rank)
+    var stats = levelStats(1L, vr)
     var out = stats
     var k = 1L
     // EARLY EXIT, two tiers (round-10 stretch, widened round 12), both
@@ -1181,21 +1266,34 @@ object Dedup {
             col("distinct_groups"), col("top_group_size"),
             col("top_doc"), col("top_p")))
       } else {
-        val shifted = rank.select(col("doc_id"), (col("p") - k / 2).as("p"),
-          col("r").as("r2"))
         // (-1, -1) is the "no suffix at p+k" sentinel — impossible as
-        // a real min-position representative (p >= 0)
-        val paired = rank.join(shifted, Seq("doc_id", "p"), "left_outer")
-          .select(col("doc_id"), col("p"), col("r").as("a"),
-            coalesce(col("r2"),
-              struct(lit(-1L).as("doc_id"), lit(-1L).as("p"))).as("b"))
-          .localCheckpoint(eager = true) // group-id + rank-join consumers
+        // a real min-position representative (p >= 0). lead() past the
+        // doc's last position yields null → the sentinel, exactly the
+        // rows the old (doc_id, p) left_outer self-join left unmatched.
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+        val paired = rank.select(col("doc_id"), col("p"),
+          col("r").as("a"),
+          coalesce(lead(col("r"), (k / 2).toInt).over(wDoc),
+            struct(lit(-1L).as("doc_id"), lit(-1L).as("p"))).as("b"))
+        // paired is a zero-exchange projection over the checkpointed
+        // rank (layout satisfies the window), so its two consumers
+        // below recompute it for the price of a scan — no checkpoint
         val dr = paired.groupBy(col("a"), col("b"))
-          .agg(min(struct(col("doc_id"), col("p"))).as("r"))
-        rank = paired.join(dr, Seq("a", "b"))
+          .agg(min(struct(col("doc_id"), col("p"))).as("r"),
+            count(lit(1)).as("sz"))
+          .localCheckpoint(eager = true) // stats + rank-join consumers
+        // SHUFFLE_HASH: dr (one row per group) is the build side; the
+        // default sort-merge would re-sort the corpus-sized paired by
+        // (a, b) for nothing (guide §3.1)
+        rank = paired
+          .join(dr.select(col("a"), col("b"), col("r"))
+            .hint("shuffle_hash"), Seq("a", "b"))
           .select(col("doc_id"), col("p"), col("r"))
+          .repartition(col("doc_id"))
+          .sortWithinPartitions(col("doc_id"), col("p"))
           .localCheckpoint(eager = true)
-        stats = levelStats(k, rank)
+        stats = levelStats(k, dr)
         out = out.unionByName(stats)
         probe = stats.head()
         val d = probe.getAs[Long]("distinct_groups")

@@ -193,29 +193,50 @@ object ApiQueries {
         val r = df.agg(count(lit(1)), coalesce(sum(ck), lit(0L))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
-      val funcs = inc.nodes.filter(col("label") === Labels.Function)
-      val (nFn, ckFn) = agg1(funcs,
-        md5i(concat(col("name"), lit("|"), col("filePath"))))
-      val names = funcs.select(col("id"), col("name"))
+      // per-label node metrics in ONE pass over the store (guide §1.2:
+      // the former five separate count() actions re-scanned the nodes
+      // parquet per metric; conditional aggregates say the same thing
+      // in one job)
+      def lblCnt(l: String): Column =
+        count(when(col("label") === l, lit(1)))
+      val nodeRow = inc.nodes.agg(
+        lblCnt(Labels.Function).as("nFn"),
+        coalesce(sum(when(col("label") === Labels.Function,
+          md5i(concat(col("name"), lit("|"), col("filePath"))))),
+          lit(0L)).as("ckFn"),
+        lblCnt(Labels.File).as("nFiles"),
+        lblCnt(Labels.Module).as("nMods"),
+        lblCnt(Labels.Symbol).as("nSyms")).collect()(0)
+      val (nFn, ckFn, nFiles, nMods, nSyms) =
+        (nodeRow.getLong(0), nodeRow.getLong(1), nodeRow.getLong(2),
+          nodeRow.getLong(3), nodeRow.getLong(4))
+      val edgeRow = inc.edges.agg(
+        count(when(col("relType") === RelTypes.Contains, lit(1)))
+          .as("nContains"),
+        count(when(col("relType") === RelTypes.Defines, lit(1)))
+          .as("nDefines")).collect()(0)
+      val (nContains, nDefines) = (edgeRow.getLong(0), edgeRow.getLong(1))
+      val names = inc.nodes.filter(col("label") === Labels.Function)
+        .select(col("id"), col("name"))
       val callPairs = inc.edges.filter(col("relType") === RelTypes.Calls)
         .join(names.toDF("src", "caller"), Seq("src"))
         .join(names.toDF("dst", "callee"), Seq("dst"))
       val (nCalls, ckCalls) = agg1(callPairs,
         md5i(concat(col("caller"), lit(">"), col("callee"))))
-      def cnt(df: DataFrame): Long = df.count()
-      val nFiles = cnt(inc.nodesByLabel(Labels.File))
-      val nMods = cnt(inc.nodesByLabel(Labels.Module))
-      val nSyms = cnt(inc.nodesByLabel(Labels.Symbol))
-      val nContains = cnt(inc.edgesByType(RelTypes.Contains))
-      val nDefines = cnt(inc.edgesByType(RelTypes.Defines))
-      val incIds = inc.nodes.select(col("id"))
-      val fullIds = full.nodes.select(col("id"))
-      val diffNodes = cnt(incIds.except(fullIds)) +
-        cnt(fullIds.except(incIds))
+      // |A ∖ B| + |B ∖ A| as ONE full-outer join job per key space
+      // instead of two EXCEPT jobs each — identical arithmetic
+      // (EXCEPT is distinct-based; both sides are distinct'd here)
+      def symDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): Long =
+        a.distinct().withColumn("_a", lit(1))
+          .join(b.distinct().withColumn("_b", lit(1)), keys,
+            "full_outer")
+          .filter(col("_a").isNull || col("_b").isNull).count()
+      val diffNodes = symDiff(inc.nodes.select(col("id")),
+        full.nodes.select(col("id")), Seq("id"))
       def ek(df: DataFrame) = df.select(col("src"), col("dst"),
         col("relType"))
-      val diffEdges = cnt(ek(inc.edges).except(ek(full.edges))) +
-        cnt(ek(full.edges).except(ek(inc.edges)))
+      val diffEdges = symDiff(ek(inc.edges), ek(full.edges),
+        Seq("src", "dst", "relType"))
       Seq(
         ("calls", nCalls, ckCalls),
         ("changed_files", s.getLong(0), 0L),

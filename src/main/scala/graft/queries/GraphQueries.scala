@@ -849,8 +849,11 @@ object GraphQueries {
       .select(col("p_partkey").as("id"))
     val targets = p.filter(col("p_partkey") % 89 === 7)
       .select(col("p_partkey").as("id"))
-    val lDist = graft.graph.Centrality.multiSourceBfs(sym, landmarks, LdHops)
-    val sDist = graft.graph.Centrality.multiSourceBfs(sym, sources, LdHops)
+    // independent BFS passes on two driver threads (guide §2.6) —
+    // see q259 for the rationale
+    val (lDist, sDist) = graft.ops.Iterate.concurrently(
+      graft.graph.Centrality.multiSourceBfs(sym, landmarks, LdHops),
+      graft.graph.Centrality.multiSourceBfs(sym, sources, LdHops))
     // restrict the index to the query endpoints BEFORE the landmark
     // self-join — joining the full index with itself would be
     // O(reach²) per landmark
@@ -935,8 +938,14 @@ object GraphQueries {
     val tgts = p.filter(col("p_partkey") % 317 === 5 &&
         col("p_partkey") <= 13000)
       .select(col("p_partkey").as("id"))
-    val sB = graft.graph.Centrality.sigmaBfs(sym, srcs, StHops)
-    val tB = graft.graph.Centrality.sigmaBfs(sym, tgts, StHops)
+    // the two sigma-BFS passes are independent level-synchronous
+    // loops of small jobs — submit them from two driver threads so
+    // each pass's per-level barrier fills the cores the other's
+    // stragglers leave idle (guide §2.6); results are deterministic
+    // either way
+    val (sB, tB) = graft.ops.Iterate.concurrently(
+      graft.graph.Centrality.sigmaBfs(sym, srcs, StHops),
+      graft.graph.Centrality.sigmaBfs(sym, tgts, StHops))
     val sd = sB.join(tgts, Seq("id"))
       .select(col("seed").as("s"), col("id").as("t"),
         col("dist").as("d_st"))
@@ -1162,18 +1171,27 @@ object GraphQueries {
       .localCheckpoint(eager = true)
     val degC = edges.groupBy(col("c")).agg(count(lit(1)).as("dc"))
     val degP = edges.groupBy(col("p")).agg(count(lit(1)).as("dp"))
-    val e2 = edges.join(degC, Seq("c")).join(degP, Seq("p"))
-      .localCheckpoint(eager = true)
+    // TWO co-partitioned copies of the degree-annotated edge table
+    // (guide §2.4): the a-half-round joins on c but AGGREGATES by p,
+    // the h-half-round the reverse — with the edge side laid out on
+    // the aggregation key and the node-sized score frame broadcast
+    // (its barrier carries measured stats, so the planner sees it is
+    // small), a half-round runs with ZERO edge-table exchanges; at a
+    // scale where the scores stop broadcasting, the layout still
+    // saves the edge-side exchange of the score join.
+    val e2p = edges.join(degC, Seq("c")).join(degP, Seq("p"))
+      .repartition(col("p")).localCheckpoint(eager = true)
+    val e2c = e2p.repartition(col("c")).localCheckpoint(eager = true)
     var h = degC.select(col("c"), lit(1000000L).as("hs"))
     var a: DataFrame = null
     for (_ <- 1 to SalsaRounds) {
       // graft.ops.Iterate.barrier, not a bare localCheckpoint: each
       // half-round JOINS the previous one's output, so a carried
       // sizeInBytes statistic would multiply across the 8 half-rounds
-      a = graft.ops.Iterate.barrier(e2.join(h, Seq("c"))
+      a = graft.ops.Iterate.barrier(e2p.join(h, Seq("c"))
         .withColumn("x", expr("hs div dc"))
         .groupBy(col("p")).agg(sum(col("x")).as("av")))
-      h = graft.ops.Iterate.barrier(e2.join(a, Seq("p"))
+      h = graft.ops.Iterate.barrier(e2c.join(a, Seq("p"))
         .withColumn("y", expr("av div dp"))
         .groupBy(col("c")).agg(sum(col("y")).as("hs")))
     }

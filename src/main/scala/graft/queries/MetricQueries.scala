@@ -553,14 +553,24 @@ object MetricQueries {
           col("a.sk") =!= col("b.sk") && col("a.sd") < col("b.sd"))
       .groupBy(col("a.sk").as("i"), col("b.sk").as("j"))
       .agg(count(lit(1)).as("w"))
-    val both = dirWins
-      .unionByName(dirWins.select(col("j").as("i"), col("i").as("j"),
-        lit(0L).as("w")))
-      .groupBy(col("i"), col("j")).agg(sum(col("w")).as("w"))
-    val edges = both.as("x").join(both.as("y"),
-        col("x.i") === col("y.j") && col("x.j") === col("y.i"))
-      .select(col("x.i").as("s"), col("x.j").as("o"),
-        col("x.w").as("w_so"), (col("x.w") + col("y.w")).as("n"))
+    // symmetrize via ONE unordered-pair aggregation + explode instead
+    // of the former union-groupBy + reversed self-join (guide §2.4:
+    // that shape shuffled the pair table three times to say w_so and
+    // w_os side by side; grouping on the canonical pair says it once)
+    val canon = dirWins.select(
+      least(col("i"), col("j")).as("a"),
+      greatest(col("i"), col("j")).as("b"),
+      when(col("i") < col("j"), col("w")).otherwise(0L).as("wf"),
+      when(col("i") > col("j"), col("w")).otherwise(0L).as("wr"))
+    val edges = canon.groupBy(col("a"), col("b"))
+      .agg(sum(col("wf")).as("wf"), sum(col("wr")).as("wr"))
+      .select(explode(array(
+        struct(col("a").as("s"), col("b").as("o"), col("wf").as("w_so"),
+          (col("wf") + col("wr")).as("n")),
+        struct(col("b").as("s"), col("a").as("o"), col("wr").as("w_so"),
+          (col("wf") + col("wr")).as("n")))).as("e"))
+      .select(col("e.s").as("s"), col("e.o").as("o"),
+        col("e.w_so").as("w_so"), col("e.n").as("n"))
       .localCheckpoint(eager = true) // per-iteration + W consumers
     val wins = edges.groupBy(col("s"))
       .agg(sum(col("w_so")).as("wins"), sum(col("n")).as("n_comparisons"))

@@ -37,12 +37,14 @@ object ScaleQueries {
   private val Thr269 = 900L
 
   def q269_prefix_filter_join(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val sh = Dedup.shingleRows(Tables.documents(spark, dir),
-      "doc_id", "text", 1)
-    Dedup.prefixFilteredJaccardPairs(sh, Thr269)
+      : DataFrame =
+    // doc token sets straight from the document rows — no explode →
+    // groupBy(doc) reassembly shuffle (guide §2.4; bit-identical, see
+    // Dedup.docShingleSets)
+    Dedup.prefixFilteredJaccardPairsFromDocs(
+        Dedup.docShingleSets(Tables.documents(spark, dir),
+          "doc_id", "text", 1), Thr269)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val q269_sql: String =
     s"""WITH toks AS (
@@ -82,13 +84,12 @@ object ScaleQueries {
   private val ExemplarK358 = 3
 
   def q358_similarity_report(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val sh = Dedup.shingleRows(Tables.documents(spark, dir),
-      "doc_id", "text", 1)
+      : DataFrame =
     Dedup.similarityJoinReport(
-      Dedup.prefixFilteredJaccardPairs(sh, Thr269),
+      Dedup.prefixFilteredJaccardPairsFromDocs(
+        Dedup.docShingleSets(Tables.documents(spark, dir),
+          "doc_id", "text", 1), Thr269),
       BandWidth358, ExemplarK358)
-  }
 
   val q358_sql: String =
     s"""WITH toks AS (

@@ -687,32 +687,35 @@ object TrainPrepQueries {
       : DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    def ranks(e: Int): DataFrame =
-      graft.ops.Rank.globalOrdinal(
+    // the SUCCESSOR rides the rank checkpoint (left_outer on rank+1;
+    // the epoch's last doc keeps a null successor, which can never
+    // equal anything in the adjacency test — exactly the rows the old
+    // inner successor join dropped). Round 12: the former separate
+    // succ() view re-ran its rank self-join once per consuming pair
+    // (ss(0) twice), and each pair then paid TWO doc_id joins (ranks +
+    // successors); one wider checkpoint and one join per pair say the
+    // same thing (guide §2.4).
+    def ranks(e: Int): DataFrame = {
+      val r0 = graft.ops.Rank.globalOrdinal(
           docs.withColumn("h", Sampling.hash60(s"epoch$e", col("doc_id"))),
           "r", 32, col("h"), col("doc_id"))
         .select(col("doc_id"), col("r"))
-        .localCheckpoint(eager = true) // rank join + successor join
-    def succ(r: DataFrame): DataFrame =
-      r.join(r.select((col("r") - 1).as("r"),
-          col("doc_id").as("succ_doc")), Seq("r"))
-        .select(col("doc_id"), col("succ_doc"))
+      r0.join(r0.select((col("r") - 1).as("r"),
+          col("doc_id").as("succ_doc")), Seq("r"), "left_outer")
+        .select(col("doc_id"), col("r"), col("succ_doc"))
+        .localCheckpoint(eager = true) // three pair-join consumers
+    }
     val rs = (1 to 3).map(ranks)
-    val ss = rs.map(succ)
     val pairs = Seq((0, 1), (1, 2), (0, 2))
     pairs.map { case (a, bIdx) =>
-      val disp = rs(a).join(
-          rs(bIdx).select(col("doc_id"), col("r").as("r2")),
-          Seq("doc_id"))
+      rs(a).join(
+          rs(bIdx).select(col("doc_id"), col("r").as("r2"),
+            col("succ_doc").as("succ2")), Seq("doc_id"))
         .agg(count(lit(1)).as("n"),
           sum(abs(col("r") - col("r2")).cast("decimal(38,0)"))
-            .as("sd"))
-      val adj = ss(a).join(
-          ss(bIdx).select(col("doc_id"),
-            col("succ_doc").as("succ2")), Seq("doc_id"))
-        .agg(sum(when(col("succ_doc") === col("succ2"), 1L)
-          .otherwise(0L)).as("adj_retained"))
-      disp.crossJoin(adj)
+            .as("sd"),
+          sum(when(col("succ_doc") === col("succ2"), 1L)
+            .otherwise(0L)).as("adj_retained"))
         .select(lit(s"epoch${a + 1}->epoch${bIdx + 1}").as("pair"),
           col("n"),
           coalesce(col("adj_retained"), lit(0L)).as("adj_retained"),

@@ -34,17 +34,88 @@ object GraftBarrier {
     * honest. Falls back to no statistic (flat default) when the
     * storage info is not yet visible, and to the external-Row rebuild
     * for any non-LogicalRDD plan. */
-  def resetStats(df: DataFrame): DataFrame = {
+  /** Synchronous, listener-free read of a completed `observe` metric:
+    * walk the EXECUTED plan (through AQE nesting) to the named
+    * CollectMetricsExec and read its accumulator directly. The public
+    * `Observation` API delivers the same row via the ASYNC listener
+    * bus, which adds tens of milliseconds of drain latency per
+    * await — measured as a uniform per-barrier regression across every
+    * iterative loop when `Iterate.barrierCounted` first used it. After
+    * an eager action the accumulator is already merged (task
+    * completion is synchronous with job end), so this read is exact. */
+  def collectedMetricRow(df: DataFrame,
+      name: String): Option[org.apache.spark.sql.Row] = {
+    def find(p: SparkPlan): Option[org.apache.spark.sql.Row] = p match {
+      case c: CollectMetricsExec if c.name == name =>
+        Some(c.collectedMetrics)
+      case a: adaptive.AdaptiveSparkPlanExec => find(a.executedPlan)
+      case other => other.children.iterator.map(find)
+        .collectFirst { case Some(r) => r }
+    }
+    find(df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+  }
+
+  def resetStats(df: DataFrame): DataFrame = resetStats(df, None)
+
+  /** As [[resetStats]], but with a caller-known exact ROW COUNT (from
+    * `Iterate.barrierCounted`'s observe metric). The block-manager
+    * storage lookup is ASYNCHRONOUS on the driver: under load the
+    * status report can lag the eager materialization, and the former
+    * None fallback then reported the flat default (~9.2e18, 19
+    * digits) — planning-safe but nondeterministic, and it both forbade
+    * broadcasts of genuinely small frames and tripped the
+    * Round11GateSpec digit gates intermittently (seen in this round's
+    * inherited-state suite run). A schema-width × rowCount estimate is
+    * deterministic, bounded by the data, and carries rowCount into the
+    * planner. Preference order: measured blocks, then count-based,
+    * then flat default. */
+  def resetStats(df: DataFrame, rowCount: Option[Long]): DataFrame = {
     val classic = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
     val session = classic.sparkSession.asInstanceOf[SparkSession]
     classic.queryExecution.analyzed match {
       case lr: LogicalRDD =>
-        val measured = session.sparkContext.getRDDStorageInfo
+        val counted = rowCount.map { n =>
+          val perRow = org.apache.spark.sql.catalyst.plans.logical
+            .statsEstimation.EstimationUtils.getSizePerRow(lr.output)
+          org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = (BigInt(n) * perRow).max(BigInt(1)),
+            rowCount = Some(BigInt(n)))
+        }
+        def lookup: Option[BigInt] = session.sparkContext
+          .getRDDStorageInfo
           .find(_.id == lr.rdd.id)
           .map(i => BigInt(i.memSize + i.diskSize))
           .filter(_ > 0)
+        var size = lookup
+        var knownEmpty = false
+        if (size.isEmpty && rowCount.isEmpty) {
+          // two distinct miss causes, both formerly degrading to the
+          // flat ~9.2e18 default nondeterministically:
+          //  - a fully EMPTY checkpoint registers no storage blocks at
+          //    all (converged loops barrier empty frames every tail
+          //    round) — one tiny limit-probe job settles it exactly;
+          //  - the async storage report lags the materialization —
+          //    retry briefly (≤ 50 ms).
+          if (classic.isEmpty) knownEmpty = true
+          else {
+            var tries = 0
+            while (size.isEmpty && tries < 25) {
+              Thread.sleep(2)
+              tries += 1
+              size = lookup
+            }
+          }
+        }
+        val measured = size
           .map(s => org.apache.spark.sql.catalyst.plans.logical
-            .Statistics(sizeInBytes = s))
+            .Statistics(sizeInBytes = s,
+              rowCount = rowCount.map(BigInt(_))))
+          .orElse(counted)
+          .orElse(if (knownEmpty)
+            Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+              sizeInBytes = BigInt(1), rowCount = Some(BigInt(0))))
+          else None)
         // PINNED to Spark 4.1.x: positional LogicalRDD constructor
         // (6 primary + 3 curried args, verified against the shipped
         // spark-sql_2.13-4.1.2 jar); lr.stream and the origin
