@@ -18,6 +18,15 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark refuses;
       // read as long (nanos since epoch) and convert explicitly where used.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, default 100: a ~358-plan session structurally
+      // thrashes the Janino codegen cache, so every warm re-execution
+      // re-compiles (and re-JITs) its generated classes — measured as
+      // multi-second inflation on the biggest plans (q358 +9 s, q262
+      // +2 s) ONLY inside full sweeps, never in fresh sessions. Any
+      // long-lived production session (query service, MCP server) has
+      // the same profile; memory cost is bounded by the plan corpus
+      // and already provisioned by the 1g reserved code cache.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

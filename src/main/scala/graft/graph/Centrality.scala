@@ -147,10 +147,22 @@ object Centrality {
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(eager = true)
     def normalize(rawDf: DataFrame, out: String): DataFrame = {
-      val raw = rawDf.barrier
-      val m = raw.agg(max(col("v")).as("m"))
-      raw.crossJoin(broadcast(m))
-        .select(col("id"), expr(s"(v * 1000000) div m").as(out))
+      // the max rides the barrier job as an observe metric (read
+      // synchronously off the executed plan — see
+      // GraftBarrier.collectedMetricRow) and lands in the projection
+      // as a LITERAL: the former agg + crossJoin(broadcast) shape paid
+      // a 1-row aggregation job and a broadcast build per half-round
+      // (round 12, guide §1.2). Exact same value, exact same output.
+      val rawObs = rawDf.observe("graft_hits_max", max(col("v")).as("m"))
+      val raw = graft.ops.Iterate.barrier(rawObs)
+      val mRow = org.apache.spark.sql.execution.GraftBarrier
+        .collectedMetricRow(rawObs, "graft_hits_max")
+        .getOrElse(sys.error(
+          "hitsInteger: max metric not found on the executed plan"))
+      // max over an empty frame is null; the projection has no rows
+      // then, so any non-zero divisor is equivalent
+      val m = if (mRow.isNullAt(0)) 1L else mRow.getAs[Long]("m")
+      raw.select(col("id"), expr(s"(v * 1000000) div ${m}L").as(out))
     }
     var auth = nodes.withColumn("a", lit(1000000L))
     var hub = nodes.withColumn("h", lit(0L))

@@ -57,17 +57,36 @@ object Clusters {
     var it = 0
     while (changed > 0 && it < maxIter) {
       it += 1
-      // candidate label per node: min over self and neighbors' labels
+      // candidate label per node: min over self and neighbors' labels.
+      // The node's OWN previous label rides the aggregation (exactly
+      // one own=true row per node), so the changed-count is an observe
+      // metric on the same barrier job — the former join-back + count
+      // action per round is gone (round 12, guide §1.2: new label ≤
+      // old always, so changed ⟺ min < own).
       val fromNbr = edges
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
-        .select(col("u").as("node"), col("cluster_id"))
-      val next = graft.ops.Iterate.barrier(
-        labels.unionByName(fromNbr)
-          .groupBy(col("node"))
-          .agg(min(col("cluster_id")).as("cluster_id")))
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-          Seq("node"))
-        .filter(col("cluster_id") =!= col("old")).count()
+        .select(col("u").as("node"), col("cluster_id"),
+          lit(false).as("own"))
+      // nextDf is the dataset the barrier's checkpoint EXECUTES, so
+      // the metric is read off nextDf's executed plan (the observe
+      // node rides through the projection)
+      val nextDf = labels.withColumn("own", lit(true))
+        .unionByName(fromNbr)
+        .groupBy(col("node"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          max(when(col("own"), col("cluster_id"))).as("old"))
+        .observe("graft_cc_changed",
+          sum(when(col("cluster_id") < col("old"), 1L).otherwise(0L))
+            .as("chg"))
+        .select(col("node"), col("cluster_id"))
+      val next = graft.ops.Iterate.barrier(nextDf)
+      val chgRow = org.apache.spark.sql.execution.GraftBarrier
+        .collectedMetricRow(nextDf, "graft_cc_changed")
+        .getOrElse(sys.error(
+          "connectedComponentsDF: changed-count metric not found — " +
+            "the observe node vanished from the executed plan"))
+      // sum over an empty frame is null ⇒ nothing changed
+      changed = if (chgRow.isNullAt(0)) 0L else chgRow.getAs[Long]("chg")
       labels = next
     }
     if (changed > 0)
